@@ -1,0 +1,10 @@
+"""DataFrame-level operators (corpus aggregations, joins, dedup)."""
+
+from fuzzy_item_matching_spark.operators.features import (  # noqa: F401
+    sparse_tfidf,
+    tfidf_features,
+)
+from fuzzy_item_matching_spark.operators.similarity import (  # noqa: F401
+    fuzzy_match_pairs,
+    sparse_cosine_join,
+)

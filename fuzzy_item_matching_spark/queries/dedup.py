@@ -1,0 +1,1 @@
+"""dedup queries — filled in stages (SURVEY.md §7.2)."""

@@ -1,0 +1,356 @@
+"""Relational core queries (SURVEY.md §2.A/B/C/D/E/F).
+
+Each query exercises reference operators over the driver's TPC-H-ish
+testdata and carries an exact DuckDB oracle. Float-summing queries go
+through DECIMAL so the result is order-insensitive and bit-identical
+across engines (see queries/__init__ determinism rules).
+
+Reference citations are per-query; shorthand NB1/NB2/NB3 as in SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.tables import load_table
+
+
+def _dec(c: str, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "rel_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan→filter→hash-aggregate (A1 `NB2:264-268`,
+    P6 filter, P1/P2 projections). Catalyst plan: parquet scan with
+    pushed timestamp filter → partial+final hash agg; one shuffle on the
+    2-value group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4)))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "rel_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join (J1 `NB1:489-494`) + global sort (P9 `NB3:578-579`) +
+    limit (P8). customer is the small side — broadcast-hash join, no
+    shuffle of orders; TakeOrderedAndProject avoids a full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "rel_cust_order_stats",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def rel_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer labeling join + COALESCE default (J2/P5,
+    `NB2:233-242`): customers keep a row even with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "rel_union_distinct_nations",
+    oracle="""
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) t GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def rel_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union (bag, U1 `NB1:159`) + distinct (U2/U3 `NB2:212-218`):
+    PySpark union == SQL UNION ALL; the explicit distinct() gives set
+    semantics, executed as a partial+final hash aggregate."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "rel_status_share",
+    oracle="""
+    WITH g AS (SELECT o_orderstatus, COUNT(*) AS instances FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, instances,
+           CAST(instances AS DOUBLE) / SUM(instances) OVER () AS ratio
+    FROM g ORDER BY o_orderstatus
+    """,
+)
+def rel_status_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance ratio via unpartitioned window sum — exactly the
+    reference's W1 (`NB2:264-271`). Physical plan: hash agg, then a
+    single-partition window; the windowed input is |groups| rows, so the
+    1-partition exchange is O(groups), safe at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("instances"))
+    w = Window.partitionBy()
+    return g.withColumn(
+        "ratio", F.col("instances").cast("double") / F.sum("instances").over(w)
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "rel_price_clean_cast",
+    oracle="""
+    SELECT p_partkey,
+           '$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(REPLACE('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '$', '')
+                AS DOUBLE) AS price
+    FROM part ORDER BY p_partkey
+    """,
+)
+def rel_price_clean_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's price-cleaning expression — replace('$','') + cast
+    (P3, `NB1:66`) — round-tripped through a dollar-formatted string.
+    Pure narrow projection: no shuffle, whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part")
+    price_str = F.concat(F.lit("$"), _dec("p_retailprice").cast("string"))
+    return p.select(
+        "p_partkey",
+        price_str.alias("price_str"),
+        F.regexp_replace(price_str, r"\$", "").cast("double").alias("price"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "rel_case_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY bucket, o_orderpriority ORDER BY bucket, o_orderpriority
+    """,
+)
+def rel_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expression evaluation (P7 `f.expr`, `NB3:103-105`) — CASE
+    buckets + group-by, driven through F.expr like the reference does."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN o_totalprice < 50000 THEN 'small' "
+                "WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END"
+            ),
+        )
+        .groupBy("bucket", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket", "o_orderpriority")
+    )
+
+
+@query(
+    "rel_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (relational-core completeness; SURVEY §2.C notes the
+    reference has none). Spark: left_anti — the build side streams, no
+    row materialization of the non-matching side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "rel_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def rel_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS). The status filter pushes below the join into
+    the orders scan (PushedFilters in the physical plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey").orderBy(
+        "c_custkey"
+    )
+
+
+@query(
+    "rel_region_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def rel_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregate (SURVEY §2.E: 'engine gets grouping
+    sets free from Spark SQL'). nation/region are tiny dims → broadcast
+    joins; rollup is a single expand+agg, no extra shuffle rounds."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "rel_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+    """,
+)
+def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour batch aggregation over the events table — the batch
+    twin of the streaming window query (queries/streaming.py); identical
+    results is the batch-equivalence check SURVEY §7.2 stage 8 calls for."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "rel_top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, rn FROM (
+        SELECT p_brand, p_partkey,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) t
+    WHERE rn <= 3 ORDER BY p_brand, rn
+    """,
+)
+def rel_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window — the partitioned-window
+    capability SURVEY §2.F says the engine should expose beyond the
+    reference's single global window. Deterministic tie-break on key."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "rel_segment_distinct_parts",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT l.l_partkey) AS n_parts,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def rel_segment_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + distinct aggregate (J1 chain, A-family). orders and
+    customer broadcast under AQE at small SF; at scale the l_orderkey
+    join shuffles once and the distinct agg expands in the same stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("c_mktsegment")
+    )

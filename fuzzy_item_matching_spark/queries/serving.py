@@ -1,0 +1,1 @@
+"""serving queries — filled in stages (SURVEY.md §7.2)."""

@@ -1,0 +1,1 @@
+"""similarity queries — filled in stages (SURVEY.md §7.2)."""

@@ -1,0 +1,1 @@
+"""streaming queries — filled in stages (SURVEY.md §7.2)."""

@@ -1,0 +1,1 @@
+"""text queries — filled in stages (SURVEY.md §7.2)."""

@@ -1,0 +1,1 @@
+"""textstats queries — filled in stages (SURVEY.md §7.2)."""

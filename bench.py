@@ -1,0 +1,81 @@
+"""Benchmark harness: run the engine's headline queries at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the `noop` sink (full execution,
+nothing collected to the driver). Queries named in ``EXCLUDE`` are
+oracle-only O(n²) variants (exact cross-join distance joins) that exist
+for correctness containment checks, not the scale path — their
+approximate/bucketed twins ARE benchmarked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Oracle-form or side-effect queries excluded from the timing set.
+EXCLUDE_PREFIXES = ("oracle_",)
+EXCLUDE = {
+    "sim_exact_sqdist_pairs",  # O(n²) oracle twin of lsh/sparse joins
+    "dedup_embedding_exact_pairs",  # O(n²) oracle twin
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from fuzzy_item_matching_spark import get_spark
+    from fuzzy_item_matching_spark.queries import load_all
+
+    spark = get_spark(app_name="fuzzy-engine-bench")
+
+    registry = load_all()
+    names = [
+        n
+        for n in sorted(registry)
+        if n not in EXCLUDE and not n.startswith(EXCLUDE_PREFIXES)
+    ]
+
+    # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        q = registry[name]
+        t0 = time.monotonic()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.monotonic() - t0
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            dt = time.monotonic() - t0
+            print(f"[bench] {name} FAILED after {dt:.2f}s: {e}", file=sys.stderr)
+            per_query[name] = -1.0
+            continue
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,8 @@ from fuzzy_item_matching_spark.operators.features import (  # noqa: F401
     tfidf_features,
 )
 from fuzzy_item_matching_spark.operators.similarity import (  # noqa: F401
+    exact_sqdist_join,
+    featurize_text,
     fuzzy_match_pairs,
     sparse_cosine_join,
 )

@@ -1,0 +1,203 @@
+"""Similarity joins — the engine's flagship fuzzy-matching operators.
+
+The reference's flagship operator is ``approxSimilarityJoin`` (J4,
+`02_Build Training Pairs.py:92-106`, `03_Train & Deploy Model.py:506-538`):
+join rows of two sets whose feature vectors are close. This module
+provides the Spark-first decompositions:
+
+- ``exact_sqdist_join``     — exact threshold join over ``array<float>``
+  vectors; the ORACLE variant (cross-join + distance predicate) that the
+  approximate operators are containment-checked against.
+- ``sparse_cosine_join``    — inverted-index cosine join over SPARSE
+  (id, term, weight) rows. This is the 100 TB scale path for text: the
+  join key is the term, so work is proportional to index postings, never
+  |A|×|B|. Ultra-common terms are pruned upstream (sparse_tfidf
+  max_df_ratio) exactly like the reference tunes LSH thresholds to bound
+  candidate counts (`02_Build Training Pairs.py:119-123`).
+- ``fuzzy_match_pairs``     — end-to-end: raw text column → tokenize →
+  stopword filter → char-3-grams → TF-IDF → L2 norm → cosine pair join;
+  the engine-native equivalent of the reference's NB1 pipeline + NB2
+  candidate-pair generation.
+
+LSH-accelerated dense-vector joins live in ``operators/lsh.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.text import (
+    char_ngrams_of_words,
+    regex_tokenize,
+    remove_stopwords,
+)
+from fuzzy_item_matching_spark.functions.vector import squared_dist
+from fuzzy_item_matching_spark.operators.features import tfidf_features
+
+
+def exact_sqdist_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    threshold: float,
+    dist_col: str = "sqdist",
+    self_dedup: bool = False,
+) -> DataFrame:
+    """Exact squared-Euclidean threshold join (J4 exact oracle form).
+
+    Semantics of ``approxSimilarityJoin(A, B, sqrt(threshold))`` with
+    recall 1.0: every pair with ``sqdist(a, b) <= threshold``. Physical
+    plan is a cross/nested-loop join with the distance predicate — O(n²),
+    intended for oracle checks and small blocked partitions, NOT the
+    100 TB path (use sparse_cosine_join / lsh_sqdist_join there).
+
+    ``self_dedup=True`` keeps one direction of each self-join pair
+    (left_id < right_id) and drops the diagonal — the explicit dedup mode
+    SURVEY §2.C calls for (the reference accidentally self-joins abt-abt,
+    `02_Build Training Pairs.py:144-145`; we make it a flag).
+    """
+    lv = f"__lv_{vec_col}"
+    rv = f"__rv_{vec_col}"
+    a = left.select(F.col(left_id), F.col(vec_col).alias(lv))
+    b = right.select(F.col(right_id), F.col(vec_col).alias(rv))
+    cond = [F.col(left_id) < F.col(right_id)] if self_dedup else []
+    pairs = a.join(b, cond if cond else None, "cross") if not cond else a.join(b, cond[0])
+    return (
+        pairs.withColumn(dist_col, squared_dist(lv, rv))
+        .filter(F.col(dist_col) <= F.lit(threshold))
+        .select(left_id, right_id, dist_col)
+    )
+
+
+def sparse_cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    min_sim: float = 0.5,
+    sim_col: str = "cosine",
+    self_dedup: bool = False,
+) -> DataFrame:
+    """Inverted-index cosine join over sparse L2-normalized weights.
+
+    Inputs are (id, term, weight) rows (one row per document-term, as
+    produced by ``operators.features.sparse_tfidf(normalize=True)``).
+    With unit-norm weights, cosine(a, b) = Σ_t w_a(t)·w_b(t), so the
+    join is: equi-join postings on term → per-pair partial products →
+    hash-aggregate sum → threshold filter.
+
+    Scale shape: one shuffle on ``term`` (the postings join), one shuffle
+    on the pair key (the aggregation); both are plain hash partitions
+    Catalyst/AQE handles, skew bounded by pruning high-df terms upstream.
+    Never materializes |A|×|B| — only pairs sharing ≥1 term appear, the
+    same candidate-bounding idea as the reference's LSH bucketing
+    (`02_Build Training Pairs.py:52-58`).
+    """
+    a = left.select(
+        F.col(left_id),
+        F.col(term_col).alias("__t"),
+        F.col(weight_col).alias("__wa"),
+    )
+    b = right.select(
+        F.col(right_id),
+        F.col(term_col).alias("__t"),
+        F.col(weight_col).alias("__wb"),
+    )
+    joined = a.join(b, "__t")
+    if self_dedup:
+        joined = joined.filter(F.col(left_id) < F.col(right_id))
+    return (
+        joined.groupBy(left_id, right_id)
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias(sim_col))
+        .filter(F.col(sim_col) >= F.lit(min_sim))
+    )
+
+
+def featurize_text(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    ngram_n: int = 3,
+    num_features: int | None = 46656,
+    binary: bool = True,
+    max_df_ratio: float = 0.5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Raw text → sparse L2-normalized TF-IDF rows (id, term, weight).
+
+    The engine-native form of the reference's name pipeline
+    T1→T2→T4/T5→T7→T8→T9 (`01_Feature Engineering.py:184-298`):
+    tokenize, stopword-filter, char-n-gram, (optionally) feature-hash,
+    IDF-weight, L2-normalize — entirely JVM-side expressions plus two
+    hash aggregations; no VectorUDT, no Python UDF.
+
+    ``num_features=None`` keeps raw n-gram strings as terms (exact,
+    oracle-checkable); an int feature-hashes them (the reference's
+    HashingTF with numFeatures=36³, `01_Feature Engineering.py:279`).
+    """
+    grams = char_ngrams_of_words(
+        remove_stopwords(regex_tokenize(F.col(text_col))), n=ngram_n
+    )
+    if num_features is not None:
+        grams = F.transform(grams, lambda g: F.pmod(F.hash(g), F.lit(num_features)).cast("string"))
+    featured = df.select(*id_cols, grams.alias("__grams"))
+    return tfidf_features(
+        featured,
+        id_cols,
+        "__grams",
+        binary=binary,
+        max_df_ratio=max_df_ratio,
+        n_docs=n_docs,
+    )
+
+
+def fuzzy_match_pairs(
+    left: DataFrame,
+    right: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    min_sim: float = 0.5,
+    ngram_n: int = 3,
+    num_features: int | None = 46656,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy text matching: the reference's NB1+NB2 flow as
+    one composable operator.
+
+    ``right=None`` → self-match (dedup mode): one row per unordered pair
+    (id_a < id_b) with cosine ≥ min_sim. Otherwise left-vs-right with
+    ids aliased ``id_a``/``id_b`` (the reference's idA/idB,
+    `02_Build Training Pairs.py:100-106`).
+
+    IDF statistics are fit on the union of both sides (the reference
+    fits its pipelines on the unioned abt+buy table,
+    `01_Feature Engineering.py:143-159`).
+    """
+    if right is None:
+        feats = featurize_text(
+            left, [id_col], text_col,
+            ngram_n=ngram_n, num_features=num_features, max_df_ratio=max_df_ratio,
+        )
+        a = feats.withColumnRenamed(id_col, "id_a")
+        b = feats.withColumnRenamed(id_col, "id_b")
+        return sparse_cosine_join(
+            a, b, "id_a", "id_b", min_sim=min_sim, self_dedup=True
+        )
+
+    tagged = left.select(
+        F.lit("L").alias("__side"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        right.select(F.lit("R").alias("__side"), F.col(id_col), F.col(text_col))
+    )
+    feats = featurize_text(
+        tagged, ["__side", id_col], text_col,
+        ngram_n=ngram_n, num_features=num_features, max_df_ratio=max_df_ratio,
+    )
+    a = feats.filter(F.col("__side") == "L").withColumnRenamed(id_col, "id_a")
+    b = feats.filter(F.col("__side") == "R").withColumnRenamed(id_col, "id_b")
+    return sparse_cosine_join(a, b, "id_a", "id_b", min_sim=min_sim)

@@ -67,7 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for col in _nano_timestamp_cols(path):
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # Integer division keeps the ns long exact; float division would
+        # route ~1.7e18 through double (53-bit mantissa) and flip ~1µs on
+        # a fraction of rows vs DuckDB's exact truncation.
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
 
 

@@ -19,12 +19,37 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The reference's StopWordsRemover uses Spark's English list; a fixed,
-# explicit subset keeps the oracle SQL self-contained and deterministic.
-ENGLISH_STOPWORDS = (
-    "a an and are as at be but by for if in into is it no not of on or "
-    "such that the their then there these they this to was will with"
-).split()
+# Spark's full default English stop-word list (public domain, same 181
+# words as ml.feature.StopWordsRemover.loadDefaultStopWords('english'))
+# so remove_stopwords matches the reference's StopWordsRemover exactly
+# (`01_Feature Engineering.py:195-201`). Inlined as a literal so oracle
+# SQL can embed the identical list.
+ENGLISH_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down",
+    "in", "out", "on", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+    "than", "too", "very", "s", "t", "can", "will", "just", "don",
+    "should", "now", "i'll", "you'll", "he'll", "she'll", "we'll",
+    "they'll", "i'd", "you'd", "he'd", "she'd", "we'd", "they'd", "i'm",
+    "you're", "he's", "she's", "it's", "we're", "they're", "i've",
+    "we've", "you've", "they've", "isn't", "aren't", "wasn't",
+    "weren't", "haven't", "hasn't", "hadn't", "don't", "doesn't",
+    "didn't", "won't", "wouldn't", "shan't", "shouldn't", "mustn't",
+    "can't", "couldn't", "cannot", "could", "here's", "how's", "let's",
+    "ought", "that's", "there's", "what's", "when's", "where's",
+    "who's", "why's", "would",
+]
 
 TOKEN_SPLIT_PATTERN = r"[^\w\d]"
 
@@ -71,7 +96,14 @@ def char_ngrams(word: Column | str, n: int = 3, sep: str = "") -> Column:
         )
     )
     if sep:
-        grams = F.transform(grams, lambda g: F.concat_ws(sep, F.split(g, "")))
+        # split(g, '') keeps a trailing empty string (Java split, limit
+        # -1) — filter it or the rendering gains a trailing separator.
+        grams = F.transform(
+            grams,
+            lambda g: F.concat_ws(
+                sep, F.filter(F.split(g, ""), lambda ch: ch != F.lit(""))
+            ),
+        )
     return grams
 
 
@@ -96,6 +128,23 @@ def word_ngrams(tokens: Column, n: int = 2) -> Column:
             F.sequence(F.lit(0), F.size(tokens) - n),
             lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
         )
+    )
+
+
+def md5_bucket(term: Column | str, num_features: int) -> Column:
+    """Portable feature hash: first 8 hex digits of md5(term) mod N.
+
+    Unlike Murmur3 (`F.hash`, engine-specific seed/mix), md5 is
+    bit-identical across engines, so hashed-TF pipelines built on this
+    bucket are exactly DuckDB-oracle-checkable:
+    ``CAST('0x' || substr(md5(t),1,8) AS BIGINT) % N``.
+    Use ``hashed_tf`` (Murmur3) in the hot path — one JVM hash vs md5's
+    crypto rounds — and this for verification pipelines.
+    """
+    t = F.col(term) if isinstance(term, str) else term
+    return F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        F.lit(num_features),
     )
 
 

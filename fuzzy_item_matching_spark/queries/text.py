@@ -1,1 +1,152 @@
-"""text queries — filled in stages (SURVEY.md §7.2)."""
+"""Text featurization queries (SURVEY §2.G) over `documents` and `part`.
+
+Each query pairs an array-native Spark plan with an exact DuckDB
+oracle. Array outputs are rendered with a '|' join so the compared
+cell is a plain string (engine-neutral, hash-stable).
+
+Tokenization semantics are the reference's RegexTokenizer
+(`01_Feature Engineering.py:184-193`): lowercase, split on [^\\w\\d],
+drop empty tokens — identical regex class in Java and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    char_ngrams_of_words,
+    md5_bucket,
+    regex_tokenize,
+    remove_stopwords,
+    word_ngrams,
+)
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.tables import load_table
+
+# DuckDB mirror of regex_tokenize(col): same regex, same empty-filter.
+_D_TOKENS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^\\w\\d]'),"
+    " x -> length(x) >= 1)"
+)
+# The identical 181-word list, SQL-quoted (apostrophes doubled).
+_D_STOPWORDS = "[" + ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS
+) + "]"
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string({_D_TOKENS.format(c="text")}, '|') AS tokens_str,
+           len({_D_TOKENS.format(c="text")}) AS n_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 RegexTokenizer over documents.text — pure narrow projection,
+    whole-stage codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", toks).alias("tokens_str"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+@query(
+    "text_stop_filtered",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter({_D_TOKENS.format(c="text")},
+                         t -> NOT list_contains({_D_STOPWORDS}, t)), '|') AS kept_str,
+           len({_D_TOKENS.format(c="text")})
+             - len(list_filter({_D_TOKENS.format(c="text")},
+                               t -> NOT list_contains({_D_STOPWORDS}, t))) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_stop_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 StopWordsRemover parity with Spark's full 181-word English
+    list (`01_Feature Engineering.py:195-201`); bag semantics preserved
+    (filter, not array_except — the latter dedups)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    kept = remove_stopwords(toks)
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", kept).alias("kept_str"),
+        (F.size(toks) - F.size(kept)).alias("n_stopwords"),
+    )
+
+
+@query(
+    "text_char_3grams",
+    oracle=f"""
+    SELECT p_partkey,
+           array_to_string(
+             flatten(list_transform({_D_TOKENS.format(c="p_name")},
+               w -> list_transform(generate_series(1, greatest(length(w)-2, 0)),
+                                   i -> w[i:i+2]))), '|') AS grams_str
+    FROM part
+    """,
+)
+def text_char_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T4+T5 composite: per-word char-3-grams of part.p_name,
+    flattened to one bag per row (`01_Feature Engineering.py:203-249`).
+    The reference does melt→NGram→explode→collect_list (two shuffles);
+    nested transform+flatten is row-local — zero shuffles at any SF."""
+    p = load_table(spark, sf_dir, "part")
+    grams = char_ngrams_of_words(regex_tokenize("p_name"), n=3)
+    return p.select("p_partkey", F.concat_ws("|", grams).alias("grams_str"))
+
+
+@query(
+    "text_word_2grams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                            i -> toks[i] || ' ' || toks[i+1]), '|') AS bigrams_str
+    FROM t
+    """,
+)
+def text_word_2grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 word-2-gram (ml.feature.NGram(n=2) semantics,
+    `01_Feature Engineering.py:342-349`) — space-joined adjacent
+    tokens, row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", word_ngrams(regex_tokenize("text"), n=2)).alias("bigrams_str"),
+    )
+
+
+@query(
+    "text_hashed_tf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS bucket,
+           COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS t FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 HashingTF in sparse relational layout: (doc, bucket, tf)
+    rows (`01_Feature Engineering.py:274-282`). Uses the md5 bucket
+    (portable across engines — exact oracle); the Murmur3 variant
+    (`functions.text.hashed_tf`) is the hot path and is
+    property-checked in tests/ (hash parity is not the contract,
+    SURVEY §7.2 stage 4). One shuffle: the (doc,bucket) hash agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("t"))
+        .groupBy("doc_id", md5_bucket("t", 1024).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

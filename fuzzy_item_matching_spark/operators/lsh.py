@@ -1,0 +1,107 @@
+"""Bucketed random-projection LSH — engine-native approxSimilarityJoin.
+
+The reference's V2/J4 (`02_Build Training Pairs.py:62-69, 92-106`;
+`03_Train & Deploy Model.py:506-538`) uses
+``BucketedRandomProjectionLSH(bucketLength, numHashTables)``:
+hash_i(v) = floor(dot(v, g_i) / bucketLength) for seeded unit gaussian
+vectors g_i; two rows are candidates iff they collide in ≥1 table, and
+the join keeps candidates with true distance ≤ threshold.
+
+This module is the same algorithm as explicit DataFrame ops:
+hyperplanes are tiny seeded constants folded into the plan (a few KB —
+a driver-side literal, broadcast with the task binary), bucketing is a
+JVM-side array expression, and the candidate join is a plain equi-join
+on (table_idx, bucket) that Catalyst shuffles/AQE-balances. Recall < 1
+by construction; precision = 1 after the exact distance filter.
+Correctness contract (SURVEY §7.3): LSH pairs ⊆ exact pairs, recall
+reported vs `exact_sqdist_join` — never hash-equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.vector import dot, squared_dist
+
+
+def random_hyperplanes(dim: int, n_tables: int, seed: int = 42) -> list[list[float]]:
+    """Seeded unit gaussian projection vectors (one per hash table) —
+    the engine-native equivalent of MLlib's seeded randUnitVectors."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return [[float(x) for x in p] for p in planes]
+
+
+def brp_hashes(
+    vec: Column | str, planes: list[list[float]], bucket_length: float = 1.0
+) -> Column:
+    """array of bucket ids, one per hash table:
+    floor(dot(v, g_i) / bucketLength)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.array(
+        *[
+            F.floor(
+                dot(v, F.array(*[F.lit(x) for x in plane])) / F.lit(bucket_length)
+            ).cast("long")
+            for plane in planes
+        ]
+    )
+
+
+def lsh_sqdist_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 10,
+    bucket_length: float = 1.0,
+    seed: int = 42,
+    dim: int | None = None,
+    dist_col: str = "sqdist",
+) -> DataFrame:
+    """Approximate squared-distance join (J4). ``right=None`` → self-join
+    dedup mode (unordered pairs, id_a < id_b).
+
+    Plan: bucket arrays (narrow) → posexplode (n_tables× fanout of ids
+    only, vectors are NOT carried through the explode) → equi-join on
+    (table_idx, bucket) → distinct candidate id pairs → re-join both
+    sides' vectors → exact distance filter. The candidate set, not
+    |A|×|B|, bounds all shuffle volume; bucket skew (dense regions)
+    is AQE's skew-join case, tunable via bucket_length.
+    """
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_tables, seed)
+
+    def buckets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(brp_hashes(vec_col, planes, bucket_length)).alias(
+                "__tbl", "__bkt"
+            ),
+        )
+
+    self_mode = right is None
+    right_df = left if self_mode else right
+    ba = buckets(left, "id_a")
+    bb = buckets(right_df, "id_b")
+    cand = ba.join(bb, ["__tbl", "__bkt"])
+    if self_mode:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = cand.filter(F.col("id_a").isNotNull())
+    cand = cand.select("id_a", "id_b").distinct()
+
+    va = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = right_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(dist_col, squared_dist("__va", "__vb"))
+        .filter(F.col(dist_col) <= F.lit(threshold))
+        .select("id_a", "id_b", dist_col)
+    )

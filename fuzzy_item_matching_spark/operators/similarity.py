@@ -39,12 +39,12 @@ from fuzzy_item_matching_spark.operators.features import tfidf_features
 def exact_sqdist_join(
     left: DataFrame,
     right: DataFrame,
-    left_id: str,
-    right_id: str,
+    id_col: str,
     vec_col: str,
     threshold: float,
     dist_col: str = "sqdist",
     self_dedup: bool = False,
+    out_ids: tuple[str, str] = ("id_a", "id_b"),
 ) -> DataFrame:
     """Exact squared-Euclidean threshold join (J4 exact oracle form).
 
@@ -54,21 +54,21 @@ def exact_sqdist_join(
     intended for oracle checks and small blocked partitions, NOT the
     100 TB path (use sparse_cosine_join / lsh_sqdist_join there).
 
-    ``self_dedup=True`` keeps one direction of each self-join pair
-    (left_id < right_id) and drops the diagonal — the explicit dedup mode
-    SURVEY §2.C calls for (the reference accidentally self-joins abt-abt,
-    `02_Build Training Pairs.py:144-145`; we make it a flag).
+    Both sides use ``id_col``/``vec_col`` names (self-join safe: sides
+    are re-aliased to ``out_ids`` internally). ``self_dedup=True`` keeps
+    one direction of each pair (id_a < id_b) and drops the diagonal —
+    the explicit dedup mode SURVEY §2.C calls for (the reference
+    accidentally self-joins abt-abt, `02_Build Training Pairs.py:144-145`;
+    we make it a flag).
     """
-    lv = f"__lv_{vec_col}"
-    rv = f"__rv_{vec_col}"
-    a = left.select(F.col(left_id), F.col(vec_col).alias(lv))
-    b = right.select(F.col(right_id), F.col(vec_col).alias(rv))
-    cond = [F.col(left_id) < F.col(right_id)] if self_dedup else []
-    pairs = a.join(b, cond if cond else None, "cross") if not cond else a.join(b, cond[0])
+    ia, ib = out_ids
+    a = left.select(F.col(id_col).alias(ia), F.col(vec_col).alias("__va"))
+    b = right.select(F.col(id_col).alias(ib), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col(ia) < F.col(ib)) if self_dedup else a.crossJoin(b)
     return (
-        pairs.withColumn(dist_col, squared_dist(lv, rv))
+        pairs.withColumn(dist_col, squared_dist("__va", "__vb"))
         .filter(F.col(dist_col) <= F.lit(threshold))
-        .select(left_id, right_id, dist_col)
+        .select(ia, ib, dist_col)
     )
 
 

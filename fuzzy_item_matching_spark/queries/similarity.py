@@ -1,1 +1,140 @@
-"""similarity queries — filled in stages (SURVEY.md §7.2)."""
+"""Similarity-join queries (J4 — the reference's flagship operator).
+
+Three forms, mirroring `approxSimilarityJoin`
+(`02_Build Training Pairs.py:92-106`, `03_Train & Deploy Model.py:506-538`):
+
+- exact threshold join (the oracle form, O(n²) cross join + predicate);
+- seeded LSH-bucketed join (the scale form; rows-only here, containment
+  + recall vs the exact form in tests/test_similarity.py);
+- inverted-index sparse cosine join over TF-IDF'd part names (the text
+  scale form, with a full SQL oracle replicating tokenize → stopwords →
+  3-grams → binary TF → IDF → L2 norm → pair dot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fuzzy_item_matching_spark.operators.lsh import lsh_sqdist_join
+from fuzzy_item_matching_spark.operators.similarity import (
+    exact_sqdist_join,
+    fuzzy_match_pairs,
+)
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.queries.text import _D_TOKENS
+from fuzzy_item_matching_spark.tables import load_table
+
+SQDIST_THRESHOLD = 1.5  # ~2.3% of embedding pairs at sf0.01
+
+_D_SQD_ZIP = (
+    "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
+    " s -> (s[1]-s[2])*(s[1]-s[2])))"
+)
+
+
+@query(
+    "sim_exact_sqdist_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_D_SQD_ZIP} AS sqdist
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_D_SQD_ZIP} <= {SQDIST_THRESHOLD}
+    """,
+)
+def sim_exact_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact J4: every unordered embedding pair with sqdist ≤ t.
+    O(n²) BY DESIGN — this is the recall oracle for the LSH form below,
+    not the 100 TB path (bench excludes it; the LSH twin is benched)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return exact_sqdist_join(
+        e, e, "vec_id", "embedding", SQDIST_THRESHOLD, self_dedup=True
+    )
+
+
+@query("sim_lsh_sqdist_pairs", oracle=None)  # seeded-randomness: rows-only +
+# containment/recall vs sim_exact_sqdist_pairs in tests/test_similarity.py
+def sim_lsh_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed J4 (`BucketedRandomProjectionLSH` semantics,
+    10 tables, bucketLength 1.0 — the reference's config,
+    `02_Build Training Pairs.py:67-68`). Candidates = bucket collisions
+    only; exact distance filter after. Scale shape: shuffles are on
+    (table, bucket) and candidate ids — never n²."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_sqdist_join(
+        e,
+        None,
+        "vec_id",
+        "embedding",
+        SQDIST_THRESHOLD,
+        n_tables=10,
+        bucket_length=1.0,
+        seed=42,
+        dim=64,
+    )
+
+
+# Full SQL replica of featurize_text(num_features=None, binary=True,
+# max_df_ratio=0.5) + sparse_cosine_join(min_sim, self_dedup) on part.p_name.
+_FUZZY_PART_ORACLE = f"""
+WITH toks AS (
+  SELECT p_partkey AS id,
+         flatten(list_transform(
+           list_filter({_D_TOKENS.format(c="p_name")},
+                       t -> NOT list_contains({{stopwords}}, t)),
+           w -> list_transform(generate_series(1, greatest(length(w)-2, 0)),
+                               i -> w[i:i+2]))) AS grams
+  FROM part
+),
+tf AS (
+  SELECT id, term, 1.0::DOUBLE AS tf
+  FROM (SELECT id, unnest(grams) AS term FROM toks)
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT id)::DOUBLE AS n FROM tf),
+idf AS (
+  SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf
+  FROM dfreq, nd WHERE df <= 0.5 * n
+),
+w AS (
+  SELECT tf.id, tf.term, tf.tf * idf.idf AS weight
+  FROM tf JOIN idf USING (term)
+),
+nrm AS (SELECT id, sqrt(SUM(weight * weight)) AS nrm FROM w GROUP BY id),
+wn AS (
+  SELECT w.id, w.term,
+         CASE WHEN nrm.nrm = 0 THEN w.weight ELSE w.weight / nrm.nrm END AS weight
+  FROM w JOIN nrm USING (id)
+)
+SELECT a.id AS id_a, b.id AS id_b, SUM(a.weight * b.weight) AS cosine
+FROM wn a JOIN wn b ON a.term = b.term AND a.id < b.id
+GROUP BY 1, 2
+HAVING SUM(a.weight * b.weight) >= {{min_sim}}
+"""
+
+
+def _fuzzy_part_oracle() -> str:
+    from fuzzy_item_matching_spark.functions.text import ENGLISH_STOPWORDS
+
+    sw = "[" + ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in ENGLISH_STOPWORDS
+    ) + "]"
+    return _FUZZY_PART_ORACLE.format(stopwords=sw, min_sim=0.5)
+
+
+@query("sim_fuzzy_part_pairs", oracle=_fuzzy_part_oracle())
+def sim_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NB1+NB2 candidate-pair flow end-to-end on
+    part.p_name: tokenize → stopwords → char-3-grams → binary TF → IDF
+    (max_df 0.5) → L2 norm → inverted-index cosine self-join ≥ 0.5.
+    num_features=None keeps raw grams as terms so the whole pipeline is
+    SQL-checkable; the hashed variant flows through entry()."""
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_match_pairs(
+        p,
+        None,
+        id_col="p_partkey",
+        text_col="p_name",
+        min_sim=0.5,
+        num_features=None,
+        max_df_ratio=0.5,
+    )

@@ -1,0 +1,96 @@
+"""Similarity-join correctness beyond the oracle: containment + recall.
+
+SURVEY §7.3: LSH correctness is defined as "LSH results ⊆ exact
+results, recall ≥ target" — never hash-equality (seeded randomness).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.operators.lsh import (
+    brp_hashes,
+    lsh_sqdist_join,
+    random_hyperplanes,
+)
+from fuzzy_item_matching_spark.operators.similarity import (
+    exact_sqdist_join,
+    fuzzy_match_pairs,
+)
+from fuzzy_item_matching_spark.tables import load_table
+
+from .conftest import SF_CHECK
+
+THRESHOLD = 1.5
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_CHECK, "embeddings").cache()
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_lsh_pairs_subset_of_exact_with_recall(spark, embeddings):
+    exact = _pairset(
+        exact_sqdist_join(
+            embeddings, embeddings, "vec_id", "embedding", THRESHOLD, self_dedup=True
+        )
+    )
+    lsh = _pairset(
+        lsh_sqdist_join(
+            embeddings, None, "vec_id", "embedding", THRESHOLD,
+            n_tables=10, bucket_length=1.0, seed=42, dim=64,
+        )
+    )
+    assert lsh <= exact, f"LSH produced {len(lsh - exact)} pairs not in exact"
+    recall = len(lsh) / len(exact)
+    # 10 tables @ bucketLength 1.0 on unit-ish vectors: near-neighbors
+    # collide with high probability; the reference runs the same config.
+    assert recall >= 0.8, f"recall {recall:.3f} < 0.8 ({len(lsh)}/{len(exact)})"
+
+
+def test_lsh_deterministic_under_seed(spark, embeddings):
+    kw = dict(n_tables=5, bucket_length=1.0, seed=7, dim=64)
+    a = _pairset(lsh_sqdist_join(embeddings, None, "vec_id", "embedding", THRESHOLD, **kw))
+    b = _pairset(lsh_sqdist_join(embeddings, None, "vec_id", "embedding", THRESHOLD, **kw))
+    assert a == b
+
+
+def test_brp_hashes_match_manual_projection(spark, embeddings):
+    planes = random_hyperplanes(64, 3, seed=42)
+    row = (
+        embeddings.select("vec_id", "embedding", brp_hashes("embedding", planes, 1.0).alias("h"))
+        .orderBy("vec_id")
+        .first()
+    )
+    import math
+
+    vec = [float(x) for x in row.embedding]
+    for i, plane in enumerate(planes):
+        expected = math.floor(sum(x * p for x, p in zip(vec, plane)) / 1.0)
+        assert row.h[i] == expected
+
+
+def test_two_set_fuzzy_match_directional_ids(spark):
+    part = load_table(spark, SF_CHECK, "part").limit(200).cache()
+    left = part.filter(F.col("p_partkey") % 2 == 0)
+    right = part.filter(F.col("p_partkey") % 2 == 1)
+    pairs = fuzzy_match_pairs(
+        left, right, id_col="p_partkey", text_col="p_name",
+        min_sim=0.3, num_features=None,
+    ).collect()
+    assert pairs, "expected at least one cross-set fuzzy pair"
+    for r in pairs:
+        assert r.id_a % 2 == 0 and r.id_b % 2 == 1
+
+
+def test_exact_join_two_distinct_sets_no_dedup(spark, embeddings):
+    a = embeddings.filter(F.col("vec_id") < 50)
+    b = embeddings.filter(F.col("vec_id") >= 450)
+    out = exact_sqdist_join(a, b, "vec_id", "embedding", 10.0)
+    # threshold 10 > max sqdist → full cross product of the two sets
+    assert out.count() == 50 * 50

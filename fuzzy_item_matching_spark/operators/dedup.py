@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference's markdown names MinHashLSH as the alternate LSH family
+(`02_Build Training Pairs.py:58`); these operators build the full
+training-data dedup surface a 100 TB pipeline needs (extension per
+SURVEY §4.3): exact, n-gram Jaccard, MinHash-banded, SimHash.
+
+Scale stance shared by all of them: candidates come from an
+inverted-index / banding equi-join — NEVER an all-pairs comparison.
+Every shuffle key is a shingle, band hash, or id; skew from common
+shingles is bounded by dropping ubiquitous shingles (max_df) the same
+way sparse_tfidf prunes high-df terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (set semantics —
+    Jaccard is defined over shingle SETS)."""
+    grams = F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted index.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed relationally:
+    explode distinct shingles → self-equi-join on shingle (only pairs
+    sharing ≥1 shingle materialize) → count = intersection → join
+    per-doc set sizes → filter. Integer arithmetic until the final
+    division, so the result is exactly oracle-checkable.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    sh = df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(toks, n)).alias("__g"))
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("id_a"), "__g")
+    b = sh.select(F.col("__id").alias("id_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: per seeded hash function, the min hash over
+    the shingle set. Row-local array expression — no shuffle.
+
+    h_i(s) = murmur3(s, seed+i); sig[i] = min over shingles. Empty
+    shingle sets get NULL mins (callers should filter empty docs).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.hash(s, F.lit(seed + i)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
+
+    Classic shingle→minhash→band→bucket-join: signatures are split into
+    ``bands`` bands of ``n_hashes/bands`` rows; docs colliding on any
+    full band become candidates (P[collide] = 1-(1-j^r)^b); candidates
+    are then verified with the EXACT Jaccard (array_intersect on the
+    two shingle sets — row-local, after an id join). Output ⊆
+    ngram_jaccard_pairs(min_jaccard) with recall driven by (b, r).
+
+    Scale shape: explode is ``bands``× ids only; the candidate join key
+    is (band_idx, band_hash); signature arrays never cross a shuffle
+    except id→shingle-set re-join for verification.
+    """
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    rows_per_band = n_hashes // bands
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+
+    base = df.select(
+        F.col(id_col).alias("__id"), word_shingles(toks, n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes, seed))
+
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.lit(b),
+                        *[F.element_at("__sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bhash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["__band", "__bhash"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.size("__sha") + F.size("__shb") - inter),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_bits(tokens: Column) -> Column:
+    """64-bit SimHash of a token bag, as a 64-char '0'/'1' string —
+    a near-dup fingerprint where hamming distance tracks cosine
+    similarity of the term vectors.
+
+    Per token: xxhash64 rendered as a two's-complement bit string
+    (``bin``), each bit contributing +1/-1; one fold over tokens with a
+    64-wide accumulator; sign of each sum sets the output bit. All
+    row-local JVM expressions — no shuffle, no UDF. (String form
+    because Spark's shift/bitwise builtins take literal shift amounts
+    only; chunked int views are derived with ``conv``.)
+    """
+    acc = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda a, t: F.zip_with(
+            a,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: F.when(
+                    F.element_at(
+                        F.split(F.lpad(F.bin(F.xxhash64(t)), 64, "0"), ""), j
+                    )
+                    == "1",
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.array_join(
+        F.transform(acc, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    64/band_bits chunks; by pigeonhole, any pair within hamming
+    distance (64/band_bits - 1) shares ≥1 exact chunk — candidates
+    come from a chunk equi-join, verified with per-chunk
+    bit_count(xor).
+    """
+    n_bands = 64 // band_bits
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    sig = df.select(F.col(id_col).alias("__id"), simhash_bits(toks).alias("__bits"))
+    sig = sig.select(
+        "__id",
+        F.array(
+            *[
+                F.conv(F.substring("__bits", 1 + b * band_bits, band_bits), 2, 10)
+                .cast("int")
+                .alias(f"c{b}")
+                for b in range(n_bands)
+            ]
+        ).alias("__chunks"),
+    )
+    banded = sig.select(
+        "__id", "__chunks", F.posexplode("__chunks").alias("__band", "__chunk")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("x.__chunks"),
+            F.col("y.__chunks"),
+            lambda cx, cy: F.bit_count(cx.bitwiseXOR(cy)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["__band", "__chunk"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,1 +1,158 @@
-"""dedup queries — filled in stages (SURVEY.md §7.2)."""
+"""Deduplication queries over `documents` / `embeddings`.
+
+Core large-scale-pipeline surface (SURVEY §4.3 extension; MinHash named
+in the reference at `02_Build Training Pairs.py:58`). The exact and
+Jaccard forms carry exact DuckDB oracles (integer arithmetic up to one
+final division); the MinHash/SimHash forms are seeded-hash-dependent →
+rows-only here, containment-checked in tests/test_dedup.py.
+
+The sf0.01 documents table has 25 planted near-duplicate pairs at
+jaccard ≥ 0.8, cleanly separated from the background (< 0.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.text import regex_tokenize
+from fuzzy_item_matching_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.queries.text import _D_TOKENS
+from fuzzy_item_matching_spark.tables import load_table
+
+# Word-3-gram distinct shingles in DuckDB, over regex-tokenized text.
+_D_SHINGLES = f"""
+list_distinct(list_transform(
+  generate_series(1, greatest(len({_D_TOKENS.format(c="text")}) - 2, 0)),
+  i -> {_D_TOKENS.format(c="text")}[i] || ' '
+       || {_D_TOKENS.format(c="text")}[i+1] || ' '
+       || {_D_TOKENS.format(c="text")}[i+2]))
+"""
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM both_copies GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash groupBy on content, min-id canonical row.
+    The corpus is unioned with an id-shifted copy of itself so every
+    text has ≥2 copies (sf0.01 has no natural exact dups) — exercises
+    U1 union + the dedup aggregate. One shuffle on the text hash;
+    at 100 TB you'd group on md5(text) to shrink shuffle rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return (
+        d.unionByName(shifted)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           i::DOUBLE / (x.n + y.n - i) AS jaccard
+    FROM inter
+    JOIN sizes x ON inter.id_a = x.doc_id
+    JOIN sizes y ON inter.id_b = y.doc_id
+    WHERE i::DOUBLE / (x.n + y.n - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted index —
+    only pairs sharing ≥1 shingle materialize (never all-pairs).
+    Integer intersection/size arithmetic → exact oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)  # seeded murmur hashes: rows-only +
+# containment/recall vs dedup_ngram_jaccard in tests/test_dedup.py
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 hashes) + 8-band LSH candidates, exact-Jaccard
+    verified ≥ 0.5. The 100 TB dedup path: shuffle volume is bands×ids
+    + candidate pairs, never n². Output ⊆ dedup_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", regex_tokenize("text"),
+        n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42,
+    )
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64-based: rows-only +
+# property checks in tests/test_dedup.py
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within hamming ≤ 3, candidates from
+    16-bit chunk collisions (pigeonhole: recall 1.0 for hamming ≤ 3).
+    Row-local fingerprint; the only shuffles are the chunk join and
+    pair distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        d, "doc_id", regex_tokenize("text"), max_hamming=3, band_bits=16
+    )
+
+
+_D_COS = (
+    "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
+    " s -> s[1]*s[2]))"
+    " / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))"
+    "    * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x))))"
+)
+
+
+@query(
+    "dedup_embedding_exact_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_D_COS} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_D_COS} >= 0.4
+    """,
+)
+def dedup_embedding_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact O(n²) oracle form (bench
+    excludes it; `sim_lsh_sqdist_pairs` is the bucketed scale twin —
+    for unit-ish vectors cosine ≥ t ⇔ sqdist ≤ 2-2t)."""
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,0 +1,102 @@
+"""Dedup correctness beyond the oracle: containment, recall, properties.
+
+The sf0.01 documents corpus has 25 planted near-dup pairs at
+jaccard ≥ 0.8 with background pairs < 0.2 — a clean separation the
+approximate variants are graded against.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.text import regex_tokenize
+from fuzzy_item_matching_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_pairs,
+    word_shingles,
+)
+from fuzzy_item_matching_spark.tables import load_table
+
+from .conftest import SF_CHECK
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_CHECK, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def jaccard_pairs(documents):
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+        ).collect()
+    }
+
+
+def test_minhash_subset_and_recall(documents, jaccard_pairs):
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            documents, "doc_id", regex_tokenize("text"),
+            n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42,
+        ).collect()
+    }
+    assert mh <= jaccard_pairs, f"minhash emitted {len(mh - jaccard_pairs)} false pairs"
+    # b=8, r=4: P[candidate | j=0.8] = 1-(1-0.8^4)^8 ≈ 0.985; planted
+    # dups sit at j≥0.8, so near-total recall is expected.
+    assert len(mh) / len(jaccard_pairs) >= 0.9
+
+
+def test_minhash_signature_similarity_tracks_jaccard(spark):
+    # Identical shingle sets -> identical signatures.
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        ["id", "text"],
+    ).select("id", minhash_signature(word_shingles(regex_tokenize("text"), 3), 16).alias("sig"))
+    a, b = [r.sig for r in df.collect()]
+    assert a == b
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven eight")],
+        ["id", "text"],
+    ).select("id", simhash_bits(regex_tokenize("text")).alias("bits"))
+    rows = {r.id: r.bits for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 64 and set(rows[1]) <= {"0", "1"}
+    hamming_13 = sum(x != y for x, y in zip(rows[1], rows[3]))
+    assert hamming_13 > 10, "disjoint token sets should differ in many bits"
+
+
+def test_simhash_pairs_track_planted_dups(documents, jaccard_pairs):
+    sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            documents, "doc_id", regex_tokenize("text"), max_hamming=3, band_bits=16
+        ).collect()
+    }
+    assert sh, "expected simhash to find the planted near-dups"
+    # SimHash measures weighted-bag cosine, not shingle Jaccard — most
+    # but not necessarily all planted pairs appear, few extras.
+    assert len(sh & jaccard_pairs) / len(jaccard_pairs) >= 0.5
+    assert len(sh - jaccard_pairs) <= len(sh) // 2
+
+
+def test_jaccard_pair_values_bounded(documents):
+    rows = ngram_jaccard_pairs(
+        documents, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b

@@ -1,1 +1,229 @@
-"""textstats queries — filled in stages (SURVEY.md §7.2)."""
+"""Corpus/text analytics queries over `documents` (SURVEY §2.G/A4 plus
+the large-scale-pipeline text-analysis surface: quality scoring,
+language ID, token stats, fingerprinting).
+
+Everything here is JVM-side Catalyst expressions + hash aggregations;
+the TF-IDF query runs ``operators.features.sparse_tfidf`` end-to-end
+(lazy n_docs, shuffle-join IDF, windowed L2 norm) against a full SQL
+replica — the corpus-level A4 check (`01_Feature Engineering.py:284-290`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    regex_tokenize,
+)
+from fuzzy_item_matching_spark.operators.features import tfidf_features
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.queries.text import _D_STOPWORDS, _D_TOKENS
+from fuzzy_item_matching_spark.tables import load_table
+
+
+@query(
+    "ts_tfidf_weights",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+    idf AS (SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf FROM dfreq, nd),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS weight
+          FROM tf JOIN idf USING (term)),
+    nrm AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS nrm FROM w GROUP BY doc_id)
+    SELECT w.doc_id, w.term,
+           CASE WHEN nrm.nrm = 0 THEN w.weight ELSE w.weight / nrm.nrm END AS weight
+    FROM w JOIN nrm USING (doc_id)
+    """,
+)
+def ts_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level L2-normalized TF-IDF rows (A4/T8). Plan: two hash
+    aggs + one term join (AQE-broadcast when vocab fits) + one window —
+    n_docs computed in-plan, no eager count, no unbounded broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    return tfidf_features(toks, ["doc_id"], "toks", binary=False, normalize=True)
+
+
+@query(
+    "ts_token_stats",
+    oracle=f"""
+    SELECT term, COUNT(*) AS df, SUM(c) AS total_tf
+    FROM (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ) GROUP BY term
+    """,
+)
+def ts_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: document frequency + total term
+    frequency (the IDF.fit corpus aggregation made explicit,
+    `01_Feature Engineering.py:284-290`)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("c").alias("total_tf"))
+    )
+
+
+@query(
+    "ts_doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             {_D_TOKENS.format(c="text")} AS toks,
+             list_filter({_D_TOKENS.format(c="text")},
+                         x -> NOT list_contains({_D_STOPWORDS}, x)) AS kept
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+           END AS avg_token_len,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (len(toks) - len(kept))::DOUBLE / len(toks)
+           END AS stopword_ratio,
+           least(len(toks), 200) / 200.0 * 0.5
+             + CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE (len(toks) - len(kept))::DOUBLE / len(toks) END * 0.2
+             + least(CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                               / len(toks) END, 8.0) / 8.0 * 0.3 AS quality
+    FROM t
+    """,
+)
+def ts_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length, mean token length,
+    stop-word ratio — the classic pretraining-corpus filter features,
+    combined with rational weights (exact cross-engine arithmetic).
+    Pure narrow projection: scales linearly, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    sw = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(total_len / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(kept)).cast("double") / n
+    )
+    quality = (
+        F.least(n, F.lit(200)) / 200.0 * 0.5
+        + stop_ratio * 0.2
+        + F.least(avg_len, F.lit(8.0)) / 8.0 * 0.3
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# Tiny per-language lexicons for the n-gram/stopword language-ID
+# heuristic. The testdata's `lang` column is synthetic metadata (the
+# text vocabulary is identical across langs), so the query's contract
+# is the deterministic heuristic itself, replicated in the oracle.
+_LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "por", "que", "no"],
+}
+
+
+def _lang_hits(toks: Column, lex: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in lex])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _duck_lang_hits(lex: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+    return f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+
+
+@query(
+    "ts_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents),
+    h AS (
+      SELECT doc_id, len(toks) AS n,
+             {_duck_lang_hits(_LANG_LEXICONS["en"])} AS h_en,
+             {_duck_lang_hits(_LANG_LEXICONS["de"])} AS h_de,
+             {_duck_lang_hits(_LANG_LEXICONS["fr"])} AS h_fr,
+             {_duck_lang_hits(_LANG_LEXICONS["es"])} AS h_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                WHEN h_fr >= h_es THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE greatest(h_en, h_de, h_fr, h_es)::DOUBLE / n END AS confidence
+    FROM h
+    """,
+)
+def ts_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID with deterministic argmax tie-break
+    (en > de > fr > es). Row-local; at 100 TB this is a free map-side
+    column, the standard first-pass corpus filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    hits = {k: _lang_hits(F.col("toks"), lex) for k, lex in _LANG_LEXICONS.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, "unknown")
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    conf = F.when(F.col("n") == 0, F.lit(0.0)).otherwise(best.cast("double") / F.col("n"))
+    return base.select("doc_id", guess.alias("lang_guess"), conf.alias("confidence"))
+
+
+@query(
+    "ts_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp
+    FROM t
+    """,
+)
+def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact_fp = md5 of the normalized token
+    stream (byte-identical duplicate detection); content_fp = md5 of
+    the sorted distinct vocabulary (order/repetition-insensitive).
+    md5 is bit-identical across engines → exact oracle; at scale these
+    are the grouping keys for exact dedup (shuffle carries 32-byte
+    hashes, not documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks).cast("binary")).alias("exact_fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+        ).alias("content_fp"),
+    )

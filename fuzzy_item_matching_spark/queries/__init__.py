@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         relational,
         serving,
         similarity,
+        sources,
         streaming,
         text,
         textstats,

@@ -1,0 +1,110 @@
+"""Source/sink queries (SURVEY §2.A): CSV scan with explicit schema,
+parquet write/read-back, seeded sampling, caching.
+
+Side-effecting writes land under ``/root/repo/.scratch`` (gitignored);
+each query is deterministic end-to-end so oracles still hold.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.tables import load_table
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: CSV written then re-read with a handwritten StructType —
+    the reference's explicit-schema CSV ingest
+    (`01_Feature Engineering.py:54-65`). The round-trip proves schema
+    fidelity (ids stay ints); the join+agg proves the values survived."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").csv(
+        path, header=True
+    )
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    n2 = spark.read.csv(path, header=True, schema=schema)
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n2.join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+@query(
+    "src_parquet_write_read",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def src_parquet_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: filtered orders written to parquet (overwrite) and read
+    back — the reference's Delta write/scan cycle
+    (`01_Feature Engineering.py:66-75`) on plain parquet. The filter
+    happens before the write; the read-back scan sees only 'F' rows
+    (partition-pruned storage layout is the 100 TB analogue)."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "orders_f_parquet")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderstatus") == "F").write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query("src_seeded_sample", oracle=None)  # Bernoulli sampling is
+# engine-specific (Spark's XORShiftRandom) — rows-only here, with
+# determinism + fraction properties in tests/test_sources.py
+def src_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S8: seeded sample of lineitem, cached, then aggregated — the
+    reference's `.sample(0.01).cache()` incremental-simulation pattern
+    (`03_Train & Deploy Model.py:455`). Same seed → same rows within
+    Spark; the sample is taken per-partition with no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.sample(fraction=0.1, seed=42).cache()
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )

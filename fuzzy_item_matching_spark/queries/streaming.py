@@ -1,1 +1,138 @@
-"""streaming queries — filled in stages (SURVEY.md §7.2)."""
+"""Structured Streaming queries over the `events` table (SURVEY §7.2
+stage 8 — an engine extension; the reference has no streaming surface,
+its "incremental" story is batch MERGE).
+
+Each query runs a REAL stream: ``readStream`` over the events parquet,
+``trigger(availableNow)`` draining it through a memory sink, then
+returns the sink table. Correctness = batch equivalence: the oracle is
+the identical aggregation phrased in SQL, so these are full
+CORRECTNESS rows, not smoke checks.
+
+At scale the same plans run unbounded: swap availableNow for a
+continuous trigger and the memory sink for Kafka/Delta; watermarks
+bound state. (In availableNow + complete mode, no state is dropped, so
+batch equivalence is exact.)
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.tables import _nano_timestamp_cols, table_path
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, ns timestamps restored —
+    the streaming twin of tables.load_table."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource monitors a DIRECTORY; point it at sf_dir with a
+    # glob restricted to the events file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for col in _nano_timestamp_cols(path):
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the stream to completion (availableNow) into a memory sink;
+    return the sink table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+from fuzzy_item_matching_spark.queries import query  # noqa: E402
+
+
+@query(
+    "stream_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation as a real structured
+    stream (complete mode — all windows emitted on drain). Exact batch
+    equivalence with rel_events_hourly's oracle: the stream and batch
+    plans share the same Catalyst aggregation, which IS the
+    correctness argument SURVEY §7.2 stage 8 asks for."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("hour"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_dedup_user_firsts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_first_events
+    FROM (
+      SELECT user_id, event_type, MIN(event_id) AS event_id
+      FROM events GROUP BY user_id, event_type
+    ) GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_user_firsts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on (user_id,
+    event_type) keeps each key's first-seen event; the sink then
+    re-aggregates (n_first_events is 1 per surviving key — the oracle
+    states the same via MIN(event_id) groups). State is one row per
+    key; with a watermark it ages out — unbounded-safe."""
+    ev = _read_events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    out = _drain_to_memory(deduped, "append")
+    return out.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_first_events")
+    )
+
+
+@query(
+    "stream_user_value_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+def stream_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered running per-user totals (complete mode) — filter pushes
+    into the streaming scan exactly as in batch; the stream's final
+    state equals the batch aggregate."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    return _drain_to_memory(agg, "complete")

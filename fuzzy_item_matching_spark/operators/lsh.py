@@ -51,6 +51,86 @@ def brp_hashes(
     )
 
 
+def sign_lsh_buckets(
+    vec: Column | str,
+    planes: list[list[float]],
+    n_tables: int,
+    bits_per_table: int,
+) -> Column:
+    """Sign-bit (SRP) LSH buckets for COSINE similarity: per table, a
+    bit-string of sign(dot(v, g_i)) over that table's hyperplanes.
+    P[bit match] = 1 - θ/π — collision probability tracks the angle."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    assert len(planes) == n_tables * bits_per_table
+    buckets = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                dot(v, F.array(*[F.lit(x) for x in planes[t * bits_per_table + b]]))
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for b in range(bits_per_table)
+        ]
+        buckets.append(F.concat(*bits))
+    return F.array(*buckets)
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k per vector — the ANN scale path
+    (brute-force twin: queries/vectors.vec_knn_bruteforce).
+
+    Candidates come from sign-LSH bucket collisions (any table);
+    exact cosine ranks them; row_number keeps k per query id. Shuffles
+    touch (table, bucket) keys and candidate pairs only — work scales
+    with collision counts (tunable via bits_per_table), never n².
+    Recall < 1 by construction; graded in tests/ vs brute force.
+    """
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
+
+    buckets = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            sign_lsh_buckets(vec_col, planes, n_tables, bits_per_table)
+        ).alias("__tbl", "__bkt"),
+    )
+    cand = (
+        buckets.alias("q")
+        .join(buckets.alias("n"), ["__tbl", "__bkt"])
+        .filter(F.col("q.__id") != F.col("n.__id"))
+        .select(F.col("q.__id").alias("qid"), F.col("n.__id").alias("nid"))
+        .distinct()
+    )
+    vq = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__vq"))
+    vn = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__vn"))
+    scored = (
+        cand.join(vq, "qid")
+        .join(vn, "nid")
+        .withColumn("cosine", cosine_similarity("__vq", "__vn"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
 def lsh_sqdist_join(
     left: DataFrame,
     right: DataFrame | None,

@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sources,
         streaming,
+        training,
         text,
         textstats,
         vectors,

@@ -113,7 +113,6 @@ def rel_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -178,7 +177,7 @@ def rel_price_clean_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         price_str.alias("price_str"),
         F.regexp_replace(price_str, r"\$", "").cast("double").alias("price"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -223,10 +222,8 @@ def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     row materialization of the non-matching side."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
     )
 
 
@@ -244,9 +241,7 @@ def rel_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFram
     the orders scan (PushedFilters in the physical plan)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey").orderBy(
-        "c_custkey"
-    )
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey")
 
 
 @query(
@@ -322,6 +317,57 @@ def rel_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "rn")
         .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "rel_order_lines_collect",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber::VARCHAR)), ',') AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def rel_order_lines_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by collect_list (A2, `01_Feature Engineering.py:228-249`):
+    collapse exploded rows back to one array per entity. collect_list
+    order is nondeterministic after a shuffle, so the array is sorted
+    before rendering — the reference's SQLTransformer has the same
+    property (it never relies on element order)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("l_linenumber").cast("string")))
+        ).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "rel_expr_join_scoring",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    """,
+)
+def rel_expr_join_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on an expression condition against an aliased side (J3/J5,
+    `03_Train & Deploy Model.py:71-76, 567-570`): the reference joins
+    `features.alias('A')` with `f.expr('idA = A.id')`. Catalyst still
+    extracts the equi-key for a hash join; the residual predicate
+    filters in-stage (and pushes into the orders scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").alias("C")
+    return o.join(
+        c, F.expr("o_custkey = C.c_custkey AND o_totalprice > 400000")
+    ).select(
+        "o_orderkey",
+        "c_name",
+        _dec("o_totalprice").cast("double").alias("total_price"),
     )
 
 

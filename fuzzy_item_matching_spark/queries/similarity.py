@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fuzzy_item_matching_spark.operators.lsh import lsh_sqdist_join
+from fuzzy_item_matching_spark.operators.lsh import lsh_cosine_topk, lsh_sqdist_join
 from fuzzy_item_matching_spark.operators.similarity import (
     exact_sqdist_join,
     fuzzy_match_pairs,
@@ -72,8 +72,22 @@ def sim_lsh_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_lsh_topk", oracle=None)  # seeded-randomness: rows-only +
+# recall vs vec_knn_bruteforce in tests/test_similarity.py
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: sign-LSH bucketed cosine top-3
+    per vector (16 tables × 5 bits). The scale twin of
+    vec_knn_bruteforce — candidate volume is bucket-collision-bounded,
+    so the plan survives 100× where brute force is n²."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        e, "vec_id", "embedding", k=3, n_tables=16, bits_per_table=5,
+        seed=42, dim=64,
+    )
+
+
 # Full SQL replica of featurize_text(num_features=None, binary=True,
-# max_df_ratio=0.5) + sparse_cosine_join(min_sim, self_dedup) on part.p_name.
+# max_df_ratio=0.15) + sparse_cosine_join(min_sim=0.8, self_dedup) on part.p_name.
 _FUZZY_PART_ORACLE = f"""
 WITH toks AS (
   SELECT p_partkey AS id,
@@ -93,7 +107,7 @@ dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 nd AS (SELECT COUNT(DISTINCT id)::DOUBLE AS n FROM tf),
 idf AS (
   SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf
-  FROM dfreq, nd WHERE df <= 0.5 * n
+  FROM dfreq, nd WHERE df <= 0.15 * n
 ),
 w AS (
   SELECT tf.id, tf.term, tf.tf * idf.idf AS weight
@@ -118,14 +132,14 @@ def _fuzzy_part_oracle() -> str:
     sw = "[" + ", ".join(
         "'" + s.replace("'", "''") + "'" for s in ENGLISH_STOPWORDS
     ) + "]"
-    return _FUZZY_PART_ORACLE.format(stopwords=sw, min_sim=0.5)
+    return _FUZZY_PART_ORACLE.format(stopwords=sw, min_sim=0.8)
 
 
 @query("sim_fuzzy_part_pairs", oracle=_fuzzy_part_oracle())
 def sim_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's NB1+NB2 candidate-pair flow end-to-end on
     part.p_name: tokenize → stopwords → char-3-grams → binary TF → IDF
-    (max_df 0.5) → L2 norm → inverted-index cosine self-join ≥ 0.5.
+    (max_df 0.15) → L2 norm → inverted-index cosine self-join ≥ 0.8.
     num_features=None keeps raw grams as terms so the whole pipeline is
     SQL-checkable; the hashed variant flows through entry()."""
     p = load_table(spark, sf_dir, "part")
@@ -134,7 +148,7 @@ def sim_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         id_col="p_partkey",
         text_col="p_name",
-        min_sim=0.5,
+        min_sim=0.8,
         num_features=None,
-        max_df_ratio=0.5,
+        max_df_ratio=0.15,
     )

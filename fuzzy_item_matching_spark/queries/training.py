@@ -1,0 +1,157 @@
+"""Training/evaluation-surface queries (SURVEY §2.J), engine-native.
+
+The reference's training path (M1-M8, `03_Train & Deploy Model.py`)
+is mostly driver-side sklearn/hyperopt; the parts that touch data at
+scale — class-weight computation, stratified-ish splits, ranking
+metrics — are relational aggregations and belong in the engine:
+
+- M1 balanced class weights   -> train_class_weights (exact oracle)
+- M5 seeded train/test split  -> train_split_sizes  (rows-only; seeded)
+- M6 average precision        -> train_avg_precision (exact oracle —
+  the metric itself is a window aggregation, no sklearn needed)
+- T10 Word2Vec doc embeddings -> train_word2vec_shape (rows-only:
+  non-deterministic by nature, shape/norm-checked; SURVEY §7.3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.tables import load_table
+
+
+@query(
+    "train_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus AS label, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM counts)
+    SELECT label, n,
+           total::DOUBLE / (k * n) AS weight
+    FROM counts, tot
+    """,
+)
+def train_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: sklearn's compute_class_weight('balanced') = N/(k·n_c),
+    as a pure aggregation (`03_Train & Deploy Model.py:155-161`). The
+    1-row totals side is cross-joined (broadcast) onto |classes| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderstatus").alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        (F.col("total").cast("double") / (F.col("k") * F.col("n"))).alias("weight"),
+    )
+
+
+@query("train_split_sizes", oracle=None)  # Spark's seeded Bernoulli split is
+# engine-specific — rows-only; determinism + ratio checked in tests
+def train_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: seeded 70/15/15 randomSplit (`03_Train & Deploy Model.py:129-134`
+    does this via sklearn after toPandas; at scale the split must happen
+    before any collect). Returns per-split label counts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("label")
+    )
+    train, validate, test = o.randomSplit([0.7, 0.15, 0.15], seed=42)
+    parts = [
+        df.withColumn("split", F.lit(name))
+        for name, df in [("train", train), ("validate", validate), ("test", test)]
+    ]
+    unioned = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return unioned.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "train_avg_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey) AS rnk,
+             SUM(label) OVER (ORDER BY score DESC, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS tp
+      FROM scored
+    )
+    SELECT CAST(SUM(CASE WHEN label = 1 THEN tp::DOUBLE / rnk ELSE 0 END)
+                / SUM(label) AS DOUBLE) AS average_precision,
+           SUM(label) AS n_pos, COUNT(*) AS n
+    FROM ranked
+    """,
+)
+def train_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: average precision (`03_Train & Deploy Model.py:218, 311`) as
+    a window aggregation — AP = Σ_{positives} (precision@rank)/n_pos,
+    rank by score desc with a deterministic id tie-break. sklearn needs
+    a driver-side array; this form runs on any data size (the global
+    ordered window is the scale bottleneck — at 100 TB you'd bucket by
+    score range first; for metric-sized inputs it's one partition)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    scored = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("o_orderkey"))
+    ranked = scored.select(
+        "label",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("label").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tp"),
+    )
+    return ranked.agg(
+        (
+            F.sum(
+                F.when(F.col("label") == 1, F.col("tp").cast("double") / F.col("rnk")).otherwise(0.0)
+            )
+            / F.sum("label")
+        )
+        .cast("double")
+        .alias("average_precision"),
+        F.sum("label").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("train_word2vec_shape", oracle=None)  # T10: Word2Vec is inherently
+# non-deterministic (SURVEY §7.3) — shape/norm-only contract
+def train_word2vec_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 Word2Vec (`01_Feature Engineering.py:426-447`): fit a small
+    skip-gram model on document tokens, emit per-doc embedding shape
+    and norm stats. Values are run-dependent; the checkable contract is
+    (rows, dim, norm>0), asserted here and in tests."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"[^\w\d]").alias("toks")
+    )
+    w2v = Word2Vec(
+        vectorSize=16, minCount=2, maxIter=1, seed=42,
+        inputCol="toks", outputCol="vec",
+    )
+    model = w2v.fit(toks)
+    out = model.transform(toks).select(
+        "doc_id", vector_to_array("vec").alias("emb")
+    )
+    from fuzzy_item_matching_spark.functions.vector import l2_norm
+
+    return out.select(
+        "doc_id",
+        F.size("emb").alias("dim"),
+        l2_norm("emb").alias("norm"),
+    )

@@ -75,6 +75,27 @@ def test_brp_hashes_match_manual_projection(spark, embeddings):
         assert row.h[i] == expected
 
 
+def test_ann_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    from fuzzy_item_matching_spark.operators.lsh import lsh_cosine_topk
+    from fuzzy_item_matching_spark.queries.vectors import vec_knn_bruteforce
+
+    exact = {
+        (r.qid, r.nid)
+        for r in vec_knn_bruteforce(spark, SF_CHECK).collect()
+    }
+    ann = {
+        (r.qid, r.nid)
+        for r in lsh_cosine_topk(
+            embeddings, "vec_id", "embedding", k=3,
+            n_tables=16, bits_per_table=5, seed=42, dim=64,
+        ).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    # 16 tables × 5 bits: measured recall 0.77 at sf0.01; collision
+    # probability rises for the top-3 neighbors (smaller angles).
+    assert recall >= 0.6, f"ANN recall@3 {recall:.3f} < 0.6"
+
+
 def test_two_set_fuzzy_match_directional_ids(spark):
     part = load_table(spark, SF_CHECK, "part").limit(200).cache()
     left = part.filter(F.col("p_partkey") % 2 == 0)

@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from fuzzy_item_matching_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         serving,
         similarity,

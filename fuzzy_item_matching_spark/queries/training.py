@@ -126,6 +126,59 @@ def train_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D_SQD_PAIR = (
+    "list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
+    " s -> (s[1]-s[2])*(s[1]-s[2])))"
+)
+
+
+@query(
+    "train_grid_search",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
+             1.0 / (1.0 + {_D_SQD_PAIR}) AS score
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ),
+    grid AS (SELECT unnest([0.3, 0.35, 0.4, 0.45, 0.5]) AS param),
+    evals AS (
+      SELECT param,
+             SUM(CASE WHEN score >= param AND label = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= param AND label = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score <  param AND label = 1 THEN 1 ELSE 0 END) AS fn,
+             COUNT(*) AS n
+      FROM pairs, grid GROUP BY param
+    )
+    SELECT param,
+           CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * tp / (2*tp + fp + fn) END AS score,
+           n
+    FROM evals
+    """,
+)
+def train_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/F4: distributed grid evaluation — each threshold evaluates as
+    one applyInPandas group on an executor (the SparkTrials
+    closure-shipping shape, `03_Train & Deploy Model.py:243-253`,
+    deterministic and hyperopt-free). Labeled pairs: consecutive
+    embeddings, label = same cluster label, score = rational distance
+    decay. The oracle replicates the entire search relationally."""
+    from fuzzy_item_matching_spark.functions.vector import squared_dist
+    from fuzzy_item_matching_spark.operators.tuning import grid_search_threshold
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.when(F.col("a.label") == F.col("b.label"), 1).otherwise(0).alias("label"),
+        (
+            1.0
+            / (1.0 + squared_dist(F.col("a.embedding"), F.col("b.embedding")))
+        ).alias("score"),
+    )
+    return grid_search_threshold(pairs, [0.3, 0.35, 0.4, 0.45, 0.5])
+
+
 @query("train_word2vec_shape", oracle=None)  # T10: Word2Vec is inherently
 # non-deterministic (SURVEY §7.3) — shape/norm-only contract
 def train_word2vec_shape(spark: SparkSession, sf_dir: str) -> DataFrame:

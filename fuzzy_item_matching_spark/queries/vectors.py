@@ -75,8 +75,12 @@ def vec_label_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join IS the blocking key — work is Σ per-label n², never
     global n²; one shuffle on label, skew handled by AQE."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    # Norms are per-ROW values: hoist them before the pair join (n folds
+    # instead of 2·|pairs|) — bitwise-identical to per-pair evaluation,
+    # since the same sequential fold runs on the same array either way.
+    withn = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    a = withn.alias("a")
+    b = withn.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -84,8 +88,15 @@ def vec_label_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             dot(F.col("a.embedding"), F.col("b.embedding")).alias("dp"),
             squared_dist(F.col("a.embedding"), F.col("b.embedding")).alias("sqdist"),
-            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("__nn"),
         )
+        .withColumn(
+            "cosine",
+            F.when(F.col("__nn") == 0.0, F.lit(0.0)).otherwise(
+                F.col("dp") / F.col("__nn")
+            ),
+        )
+        .drop("__nn")
     )
 
 

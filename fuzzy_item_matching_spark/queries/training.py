@@ -179,6 +179,31 @@ def train_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_search_threshold(pairs, [0.3, 0.35, 0.4, 0.45, 0.5])
 
 
+@query("train_ml_name_pipeline", oracle=None)  # MLlib HashingTF buckets are
+# MurmurHash-specific — norm/nnz contract; token-stage parity in tests
+def train_ml_name_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 ml.Pipeline parity: the reference's full name featurizer
+    (tokenize → stopwords → melt → char-3-gram → collapse → binary
+    HashingTF 36³ → IDF → L2 norm, `01_Feature Engineering.py:184-298`)
+    fit and applied via MLlib, vectors bridged back to arrays. Checked
+    by shape: unit norm, nnz ≤ gram count."""
+    from pyspark.ml.functions import vector_to_array
+
+    from fuzzy_item_matching_spark.functions.vector import l2_norm
+    from fuzzy_item_matching_spark.operators.mlbridge import fit_name_pipeline
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    model = fit_name_pipeline(p, "p_partkey", "p_name")
+    out = model.transform(p).select(
+        "p_partkey", vector_to_array("features").alias("feat")
+    )
+    return out.select(
+        "p_partkey",
+        F.size(F.filter("feat", lambda x: x != 0.0)).alias("nnz"),
+        F.round(l2_norm("feat"), 6).alias("norm"),
+    )
+
+
 @query("train_word2vec_shape", oracle=None)  # T10: Word2Vec is inherently
 # non-deterministic (SURVEY §7.3) — shape/norm-only contract
 def train_word2vec_shape(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,6 +129,31 @@ def serve_pipeline_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "serve_vector_assembly",
+    oracle="""
+    SELECT p_partkey,
+           [CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), CAST(p_size AS DOUBLE)] AS features,
+           CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END AS has_invalid
+    FROM part
+    """,
+)
+def serve_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 VectorAssembler parity (`01_Feature Engineering.py:465-470`):
+    scalar columns → one feature array, invalids kept (handleInvalid=
+    'keep' → NaN survives; here flagged explicitly). Array-native:
+    F.array beats a VectorUDT column for Arrow/oracle interop."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array(
+            F.col("p_retailprice").cast("decimal(18,2)").cast("double"),
+            F.col("p_size").cast("double"),
+        ).alias("features"),
+        F.when(F.col("p_retailprice").isNull(), 1).otherwise(0).alias("has_invalid"),
+    )
+
+
+@query(
     "serve_merge_upsert",
     oracle="""
     WITH source AS (

@@ -58,6 +58,29 @@ def test_name_pipeline_unit_norms(spark, part):
     assert stats.hi == pytest.approx(1.0, abs=1e-5)
 
 
+def test_pipeline_persist_reload(spark, part, tmp_path_factory):
+    """M8 artifact persistence (`01_Feature Engineering.py:516-531`,
+    reload `03_Train & Deploy Model.py:357-429`): fitted PipelineModel
+    saved, reloaded, and applied with identical output."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import vector_to_array
+
+    model = fit_name_pipeline(part, "p_partkey", "p_name")
+    path = "/root/repo/.scratch/name_pipeline_model"
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    def norms(m):
+        return {
+            r.p_partkey: r.f
+            for r in m.transform(part)
+            .select("p_partkey", vector_to_array("features").alias("f"))
+            .collect()
+        }
+
+    assert norms(model) == norms(reloaded)
+
+
 def test_vector_array_roundtrip(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["id", "arr"])
     back = (

@@ -25,6 +25,10 @@ EXCLUDE = {
     "sim_exact_sqdist_pairs",  # O(n²) oracle twin of lsh/sparse joins
     "dedup_embedding_exact_pairs",  # O(n²) oracle twin
     "vec_knn_bruteforce",  # O(n²) oracle twin of sim_ann_lsh_topk
+    # MLlib interop adapter (SQLTransformer explode/collect stages are
+    # MLlib's cost, not the engine's); its engine-native twin IS
+    # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).
+    "train_ml_name_pipeline",
 }
 
 

@@ -113,6 +113,49 @@ def stream_dedup_user_firsts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_user_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             -- >= : session_window merges on OVERLAP only, so a gap of
+             -- exactly 30min starts a new session
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via native
+    ``session_window(ts, '30 minutes')`` — merged-on-overlap session
+    state per user, the canonical custom-stateful-stream case. The
+    oracle derives identical sessions relationally (gaps-and-islands:
+    lag + running flag sum), so session boundaries are exact-checked,
+    not just row counts. Unbounded operation: add a watermark and the
+    state store evicts closed sessions."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
+@query(
     "stream_user_value_totals",
     oracle="""
     SELECT user_id,

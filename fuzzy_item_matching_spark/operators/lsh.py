@@ -106,7 +106,8 @@ def lsh_cosine_topk(
         F.posexplode(
             sign_lsh_buckets(vec_col, planes, n_tables, bits_per_table)
         ).alias("__tbl", "__bkt"),
-    )
+    ).persist()  # n_tables×bits dot products per row; referenced by
+    # both sides of the candidate self-join
     cand = (
         buckets.alias("q")
         .join(buckets.alias("n"), ["__tbl", "__bkt"])
@@ -183,8 +184,14 @@ def lsh_sqdist_join(
 
     self_mode = right is None
     right_df = left if self_mode else right
-    ba = buckets(left, "id_a")
-    bb = buckets(right_df, "id_b")
+    ba = buckets(left, "id_a").persist()  # n_tables dot products per row
+    # — compute once; in self mode the right side is the same frame
+    # re-keyed, not a recomputation.
+    bb = (
+        ba.select(F.col("id_a").alias("id_b"), "__tbl", "__bkt")
+        if self_mode
+        else buckets(right_df, "id_b")
+    )
     cand = ba.join(bb, ["__tbl", "__bkt"])
     if self_mode:
         cand = cand.filter(F.col("id_a") < F.col("id_b"))

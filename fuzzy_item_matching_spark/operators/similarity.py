@@ -273,7 +273,10 @@ def fuzzy_match_pairs(
         feats = featurize_text(
             left, [id_col], text_col,
             ngram_n=ngram_n, num_features=num_features, max_df_ratio=max_df_ratio,
-        )
+        ).persist()  # both self-join sides reference this plan; without
+        # persistence the whole TF-IDF (aggs + window) computes TWICE —
+        # measured 8.5× slower at sf0.1. The reference caches its
+        # features for the same reason (`03_Train & Deploy Model.py:455`).
         a = feats.withColumnRenamed(id_col, "id_a")
         b = feats.withColumnRenamed(id_col, "id_b")
         return sparse_cosine_join(
@@ -288,7 +291,7 @@ def fuzzy_match_pairs(
     feats = featurize_text(
         tagged, ["__side", id_col], text_col,
         ngram_n=ngram_n, num_features=num_features, max_df_ratio=max_df_ratio,
-    )
+    ).persist()  # referenced by both filtered sides (see self-mode note)
     a = feats.filter(F.col("__side") == "L").withColumnRenamed(id_col, "id_a")
     b = feats.filter(F.col("__side") == "R").withColumnRenamed(id_col, "id_b")
     return sparse_cosine_join(a, b, "id_a", "id_b", min_sim=min_sim)

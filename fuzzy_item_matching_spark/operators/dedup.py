@@ -46,7 +46,9 @@ def ngram_jaccard_pairs(
     division, so the result is exactly oracle-checkable.
     """
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    sh = df.select(F.col(id_col).alias("__id"), F.explode(word_shingles(toks, n)).alias("__g"))
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(word_shingles(toks, n)).alias("__g")
+    ).persist()  # postings feed both join sides + the size aggregate
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("id_a"), "__g")
     b = sh.select(F.col("__id").alias("id_b"), "__g")
@@ -117,7 +119,8 @@ def minhash_lsh_pairs(
 
     base = df.select(
         F.col(id_col).alias("__id"), word_shingles(toks, n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    ).filter(F.size("__sh") > 0).persist()  # shingle arrays feed the
+    # signature AND both verification sides — compute once
     sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes, seed))
 
     banded = sig.select(
@@ -133,7 +136,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__band", "__bhash"),
-    )
+    ).persist()  # n_hashes murmur folds per row; both candidate
+    # self-join sides reference this frame
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["__band", "__bhash"])
@@ -220,7 +224,7 @@ def simhash_pairs(
     )
     banded = sig.select(
         "__id", "__chunks", F.posexplode("__chunks").alias("__band", "__chunk")
-    )
+    ).persist()  # the 64-wide simhash fold runs once, not per join side
     hamming = F.aggregate(
         F.zip_with(
             F.col("x.__chunks"),

@@ -400,3 +400,98 @@ def rel_segment_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "rel_intersect_segments",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+)
+def rel_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) — relational-core completeness (the
+    reference has none; SURVEY §2.D says include them anyway).
+    Customers with both finished and open orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return f.intersect(op)
+
+
+@query(
+    "rel_except_segments",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+)
+def rel_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with finished but no open
+    orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return f.subtract(op)  # subtract = EXCEPT DISTINCT; exceptAll is bag
+    # semantics (a customer with 3 F-orders and 1 O-order would survive
+    # with 2 occurrences)
+
+
+@query(
+    "rel_cube_summary",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all grouping-set combinations) — free from
+    Spark SQL per SURVEY §2.E; a single expand + hash agg, one
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "rel_pivot_status_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Explicit value list keeps
+    the plan a single pass — Spark's two-pass value discovery is the
+    scale trap pivot beginners hit."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )

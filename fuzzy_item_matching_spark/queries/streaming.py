@@ -179,3 +179,62 @@ def stream_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (the extension point for semantics no built-in aggregation covers —
+    SURVEY §4.3 / build brief): per-user running (count, decimal-exact
+    sum) kept in GroupState, updated per Arrow batch, emitted on
+    update. Decimal accumulation in the Python state matches the
+    oracle's DECIMAL sum exactly. At scale: state is two scalars per
+    key, watermark-evictable; batches stream through Arrow."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    import pandas as pd
+
+    ev = _read_events_stream(spark, sf_dir)
+
+    def update_stats(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, "0")
+        total = Decimal(tot)
+        q = Decimal("0.000001")
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                total += Decimal(float(v)).quantize(q, rounding=ROUND_HALF_EVEN)
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+            }
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update_stats,
+        outputStructType="user_id bigint, n_events long, total_value double",
+        stateStructType="n long, total string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    drained = _drain_to_memory(out, "update")
+    # In availableNow each key may emit once per micro-batch; keep the
+    # final (cumulative) emission per user.
+    from pyspark.sql.window import Window as W
+
+    latest = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__r", F.row_number().over(latest))
+        .filter(F.col("__r") == 1)
+        .select("user_id", "n_events", "total_value")
+    )

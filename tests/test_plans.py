@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the scale properties SCALE_NOTES
+claims, asserted so refactors can't silently lose them."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from fuzzy_item_matching_spark.queries import load_all
+
+from .conftest import SF_CHECK
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF_CHECK)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = plan_of(spark, registry, "rel_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter must push into parquet"
+
+
+def test_column_pruning(spark, registry):
+    plan = plan_of(spark, registry, "rel_pricing_summary")
+    # lineitem has 16 columns; the query needs 6.
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") <= 7, f"scan reads too many columns: {read}"
+    assert "l_comment" not in read
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark, registry):
+    plan = plan_of(spark, registry, "rel_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_joins_broadcast(spark, registry):
+    plan = plan_of(spark, registry, "rel_region_rollup")
+    assert "BroadcastExchange" in plan
+
+
+def test_text_kernels_are_shuffle_free(spark, registry):
+    for name in ("text_char_3grams", "text_tokens", "ts_doc_quality", "ts_fingerprint"):
+        plan = plan_of(spark, registry, name)
+        assert "Exchange" not in plan, f"{name} must be a narrow plan:\n{plan}"
+
+
+def test_codegen_covers_relational_path(spark, registry):
+    plan = plan_of(spark, registry, "rel_pricing_summary")
+    assert "codegen id" in plan
+
+
+def test_text_path_stays_jvm_side(spark, registry):
+    # Higher-order array functions are interpreted (no codegen) but
+    # still JVM-side — the property that matters is NO Python
+    # evaluation node in the hot path.
+    for name in ("text_tokens", "text_char_3grams", "ts_tfidf_weights"):
+        plan = plan_of(spark, registry, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} must not drop into Python"
+        )

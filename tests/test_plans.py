@@ -56,8 +56,12 @@ def test_text_kernels_are_shuffle_free(spark, registry):
 
 
 def test_codegen_covers_relational_path(spark, registry):
-    plan = plan_of(spark, registry, "rel_pricing_summary")
-    assert "codegen id" in plan
+    # Codegen markers only appear in the FINAL adaptive plan — run the
+    # query, then inspect the executed plan.
+    df = registry["rel_pricing_summary"].fn(spark, SF_CHECK)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
 
 
 def test_text_path_stays_jvm_side(spark, registry):

@@ -86,6 +86,23 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_ivf_topk", oracle=None)  # data-sampled centroids:
+# rows-only + recall vs vec_knn_bruteforce in tests/test_similarity.py
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic sampled
+    centroids + 3 Lloyd refinement passes, queries probe their 8
+    nearest of 16 cells, exact cosine ranks candidates (recall 0.84
+    measured at sf0.01 — on this weakly-clustered data sign-LSH
+    (`sim_ann_lsh_topk`) trades better; both share the candidate
+    equi-join shape, pick per corpus)."""
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8, refine_iters=3
+    )
+
+
 # Full SQL replica of featurize_text(num_features=None, binary=True,
 # max_df_ratio=0.15) + sparse_cosine_join(min_sim=0.8, self_dedup) on part.p_name.
 _FUZZY_PART_ORACLE = f"""

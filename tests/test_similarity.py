@@ -96,6 +96,23 @@ def test_ann_lsh_topk_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.6, f"ANN recall@3 {recall:.3f} < 0.6"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
+    from fuzzy_item_matching_spark.queries.vectors import vec_knn_bruteforce
+
+    exact = {(r.qid, r.nid) for r in vec_knn_bruteforce(spark, SF_CHECK).collect()}
+    ann = {
+        (r.qid, r.nid)
+        for r in ivf_cosine_topk(
+            embeddings, "vec_id", "embedding", k=3,
+            n_centroids=16, n_probe=8, refine_iters=3,
+        ).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    # measured 0.84 at sf0.01 with this config; 0.6 is the floor
+    assert recall >= 0.6, f"IVF recall@3 {recall:.3f} < 0.6"
+
+
 def test_two_set_fuzzy_match_directional_ids(spark):
     part = load_table(spark, SF_CHECK, "part").limit(200).cache()
     left = part.filter(F.col("p_partkey") % 2 == 0)

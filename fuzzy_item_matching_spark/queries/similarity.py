@@ -169,3 +169,55 @@ def sim_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_features=None,
         max_df_ratio=0.15,
     )
+
+
+_FUZZY_DOC_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id AS id, term, 1.0::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT id)::DOUBLE AS n FROM tf),
+idf AS (
+  SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf
+  FROM dfreq, nd WHERE df <= 0.3 * n
+),
+w AS (
+  SELECT tf.id, tf.term, tf.tf * idf.idf AS weight
+  FROM tf JOIN idf USING (term)
+),
+nrm AS (SELECT id, sqrt(SUM(weight * weight)) AS nrm FROM w GROUP BY id),
+wn AS (
+  SELECT w.id, w.term,
+         CASE WHEN nrm.nrm = 0 THEN w.weight ELSE w.weight / nrm.nrm END AS weight
+  FROM w JOIN nrm USING (id)
+)
+SELECT a.id AS id_a, b.id AS id_b, SUM(a.weight * b.weight) AS cosine
+FROM wn a JOIN wn b ON a.term = b.term AND a.id < b.id
+GROUP BY 1, 2
+HAVING SUM(a.weight * b.weight) >= 0.5
+"""
+
+
+@query("sim_fuzzy_doc_pairs", oracle=_FUZZY_DOC_ORACLE)
+def sim_fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching on REAL text (documents corpus): word-unigram
+    binary TF-IDF (max_df 0.3) → inverted-index cosine self-join ≥ 0.5.
+    The sparse case the postings join is built for — long documents,
+    heavy-tailed vocabulary, answers dominated by the planted
+    near-duplicates. Word-level twin of the char-3-gram part-name flow."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.operators.features import tfidf_features
+    from fuzzy_item_matching_spark.operators.similarity import sparse_cosine_join
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    feats = tfidf_features(
+        toks, ["doc_id"], "toks", binary=True, max_df_ratio=0.3
+    ).persist()
+    a = feats.withColumnRenamed("doc_id", "id_a")
+    b = feats.withColumnRenamed("doc_id", "id_b")
+    return sparse_cosine_join(a, b, "id_a", "id_b", min_sim=0.5, self_dedup=True)

@@ -495,3 +495,78 @@ def rel_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("status_p"),
         )
     )
+
+
+@query(
+    "rel_asof_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           c.event_id AS asof_event_id,
+           c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def rel_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time): each error event picks up the same
+    user's latest click at-or-before it. Implemented with the
+    union-and-carry pattern (operators/asof.py) — one shuffle on
+    user_id, one ordered window, no per-pair work — vs the naive
+    quadratic theta-join. DuckDB's native ASOF JOIN is the oracle."""
+    from fuzzy_item_matching_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), "event_id", "value"
+    )
+    return asof_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="cts",
+        payload_cols=["event_id", "value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id"), F.col("asof_value"),
+    )
+
+
+@query(
+    "rel_range_join_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 1e12)
+    )
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def rel_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders against a tiny band dimension on
+    lo ≤ price < hi. With a broadcast side this is a
+    BroadcastNestedLoopJoin — fine because |bands| is constant; a
+    big-big range join would instead bucket both sides by
+    floor(value/width) and equi-join the bucket (same pattern as the
+    LSH joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("premium", 150000.0, 300000.0), ("luxury", 300000.0, 1e12)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )

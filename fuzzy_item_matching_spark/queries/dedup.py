@@ -156,3 +156,51 @@ def dedup_embedding_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@query(
+    "dedup_canonical_map",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes x ON inter.id_a = x.doc_id
+      JOIN sizes y ON inter.id_b = y.doc_id
+      WHERE i::DOUBLE / (x.n + y.n - i) >= 0.5
+    )
+    SELECT d.doc_id,
+           COALESCE(MIN(p.id_a), d.doc_id) AS canonical_id,
+           CASE WHEN MIN(p.id_a) IS NOT NULL THEN 1 ELSE 0 END AS is_duplicate
+    FROM documents d LEFT JOIN pairs p ON d.doc_id = p.id_b
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that makes dedup actionable: map every document to a
+    canonical id (its lowest-id near-duplicate, or itself) and flag
+    drops. One-hop assignment — at 100 TB the full transitive closure
+    is an iterative connected-components job; one hop already
+    deduplicates all planted pairs here and is the common production
+    compromise (each doc points at its best earlier match)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    )
+    best = pairs.groupBy("id_b").agg(F.min("id_a").alias("canonical_id"))
+    return (
+        d.select("doc_id")
+        .join(best, d.doc_id == best.id_b, "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            F.when(F.col("canonical_id").isNotNull(), 1).otherwise(0).alias("is_duplicate"),
+        )
+    )

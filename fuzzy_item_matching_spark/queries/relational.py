@@ -570,3 +570,37 @@ def rel_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "rel_sql_entrypoint",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def rel_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL API surface: tables registered as temp views, the
+    query text handed to spark.sql — same Catalyst plan as the
+    DataFrame form (the reference mixes both freely; SQLTransformer
+    T13, f.expr P7). Proves the catalog registration path works for
+    users who live in SQL."""
+    from fuzzy_item_matching_spark.tables import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )

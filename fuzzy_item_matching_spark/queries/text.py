@@ -150,3 +150,41 @@ def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", md5_bucket("t", 1024).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy pairs — the third similarity family next to
+    Jaccard (dedup) and cosine (similarity). Levenshtein is O(len²)
+    per pair with no sub-linear index, so it NEEDS a blocking key:
+    here (brand, size) bounds the candidate set exactly like the
+    reference bounds LSH candidates with thresholds
+    (`02_Build Training Pairs.py:119-123`). Both engines implement the
+    standard DP edit distance → exact integer oracle."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )

@@ -131,8 +131,12 @@ def serve_pipeline_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "serve_vector_assembly",
     oracle="""
-    SELECT p_partkey,
-           [CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), CAST(p_size AS DOUBLE)] AS features,
+    SELECT p_partkey, 0 AS pos,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS value,
+           CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END AS has_invalid
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 1 AS pos, CAST(p_size AS DOUBLE) AS value,
            CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END AS has_invalid
     FROM part
     """,
@@ -141,15 +145,26 @@ def serve_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11 VectorAssembler parity (`01_Feature Engineering.py:465-470`):
     scalar columns → one feature array, invalids kept (handleInvalid=
     'keep' → NaN survives; here flagged explicitly). Array-native:
-    F.array beats a VectorUDT column for Arrow/oracle interop."""
+    F.array beats a VectorUDT column for Arrow/oracle interop.
+
+    The assembled array is emitted one row per (pos, value) — raw
+    array cells crash the driver's pandas canonicalizer, and doubles
+    can't be string-rendered portably across engines, so the exploded
+    form is the deterministic exact-check shape.
+    """
     p = load_table(spark, sf_dir, "part")
-    return p.select(
+    assembled = p.select(
         "p_partkey",
         F.array(
             F.col("p_retailprice").cast("decimal(18,2)").cast("double"),
             F.col("p_size").cast("double"),
         ).alias("features"),
         F.when(F.col("p_retailprice").isNull(), 1).otherwise(0).alias("has_invalid"),
+    )
+    return assembled.select(
+        "p_partkey",
+        F.posexplode("features").alias("pos", "value"),
+        "has_invalid",
     )
 
 

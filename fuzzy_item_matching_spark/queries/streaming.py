@@ -28,6 +28,10 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, ns timestamps restored —
     the streaming twin of tables.load_table."""
     path = table_path(sf_dir, "events")
+    if _nano_timestamp_cols(path):
+        # Same runtime guard as tables.load_table — the session may not
+        # carry the build-time conf (driver supplies its own session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # FileStreamSource monitors a DIRECTORY; point it at sf_dir with a
     # glob restricted to the events file.

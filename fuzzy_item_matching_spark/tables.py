@@ -65,6 +65,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB oracles agree.
     """
     path = table_path(sf_dir, name)
+    if _nano_timestamp_cols(path):
+        # Runtime-settable SQL conf; the caller's session may not be the
+        # repo's get_spark() (the correctness driver passes its own), so
+        # set it here rather than relying on session-build confs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in _nano_timestamp_cols(path):
         # Integer division keeps the ns long exact; float division would

@@ -43,11 +43,22 @@ def main() -> None:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from fuzzy_item_matching_spark import get_spark
     from fuzzy_item_matching_spark.tables import TABLE_NAMES, table_path
 
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
+    # Deliberately a BARE session (not the repo's get_spark): the real
+    # driver builds its own SparkSession without the repo's confs, so
+    # any query that silently depends on a build-time conf must fail
+    # here too (caught round-2: nanosAsLong drift masked by get_spark).
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
 
     t0 = time.monotonic()
     rows = entrymod.entry(spark).collect()

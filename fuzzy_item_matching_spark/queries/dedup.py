@@ -191,9 +191,12 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicates all planted pairs here and is the common production
     compromise (each doc points at its best earlier match)."""
     d = load_table(spark, sf_dir, "documents")
+    # Persist the (small: one row per near-dup pair) pairs frame so the
+    # shingle-postings pipeline behind it runs once, not once per
+    # downstream reference (measured 12.6s -> ~jaccard-cost at sf0.1).
     pairs = ngram_jaccard_pairs(
         d, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
-    )
+    ).persist()
     best = pairs.groupBy("id_b").agg(F.min("id_a").alias("canonical_id"))
     return (
         d.select("doc_id")

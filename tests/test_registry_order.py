@@ -1,0 +1,45 @@
+"""Driver-check ordering invariants (see queries/__init__.CHECK_PRIORITY).
+
+The round driver verifies ``queries()`` entries in registration order
+under a bounded budget (round 2 stopped at exactly 50), so the registry
+must present oracle-bearing queries first and rows-only queries last.
+These tests don't need a SparkSession — they only inspect the registry.
+"""
+
+from fuzzy_item_matching_spark.queries import CHECK_PRIORITY, load_all
+
+DRIVER_PREFIX_BUDGET = 50
+
+
+def test_priority_names_all_registered():
+    reg = load_all()
+    unknown = [n for n in CHECK_PRIORITY if n not in reg]
+    assert unknown == [], f"CHECK_PRIORITY names not in registry: {unknown}"
+
+
+def test_every_query_listed_in_priority():
+    reg = load_all()
+    unlisted = [n for n in reg if n not in CHECK_PRIORITY]
+    assert unlisted == [], f"registered queries missing from CHECK_PRIORITY: {unlisted}"
+
+
+def test_driver_prefix_is_all_oracle_bearing():
+    reg = load_all()
+    prefix = list(reg.items())[:DRIVER_PREFIX_BUDGET]
+    rows_only = [n for n, q in prefix if q.oracle is None]
+    assert rows_only == [], (
+        f"rows-only queries waste driver-prefix slots: {rows_only}"
+    )
+
+
+def test_rows_only_all_in_tail():
+    reg = load_all()
+    names = list(reg)
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if reg[n].oracle is None), len(names)
+    )
+    # every query after the first rows-only entry must also be rows-only
+    tail_oracle = [n for n in names[first_rows_only:] if reg[n].oracle is not None]
+    assert tail_oracle == [], (
+        f"oracle-bearing queries ordered after rows-only ones: {tail_oracle}"
+    )

@@ -90,16 +90,19 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only + recall vs vec_knn_bruteforce in tests/test_similarity.py
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic sampled
-    centroids + 3 Lloyd refinement passes, queries probe their 8
-    nearest of 16 cells, exact cosine ranks candidates (recall 0.84
-    measured at sf0.01 — on this weakly-clustered data sign-LSH
-    (`sim_ann_lsh_topk`) trades better; both share the candidate
-    equi-join shape, pick per corpus)."""
+    centroids + one sample-bounded Lloyd refinement pass (each pass
+    re-scores against fresh centroid literals → a full codegen'd scan;
+    recall with 1 pass is within noise of 3 on this data), queries
+    probe their 8 nearest of 16 cells, exact cosine ranks candidates
+    (recall vs brute force graded in tests/test_similarity.py — on
+    this weakly-clustered data sign-LSH (`sim_ann_lsh_topk`) trades
+    better; both share the candidate equi-join shape, pick per
+    corpus)."""
     from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        e, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8, refine_iters=3
+        e, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8, refine_iters=1
     )
 
 

@@ -105,12 +105,13 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
         (r.qid, r.nid)
         for r in ivf_cosine_topk(
             embeddings, "vec_id", "embedding", k=3,
-            n_centroids=16, n_probe=8, refine_iters=3,
+            n_centroids=16, n_probe=8, refine_iters=1,
         ).collect()
     }
     recall = len(ann & exact) / len(exact)
-    # measured 0.84 at sf0.01 with this config; 0.6 is the floor
-    assert recall >= 0.6, f"IVF recall@3 {recall:.3f} < 0.6"
+    # measured 0.84 at sf0.01 with 3 Lloyd passes, within noise at 1
+    # (the query's config); 0.8 is the floor
+    assert recall >= 0.8, f"IVF recall@3 {recall:.3f} < 0.8"
 
 
 def test_two_set_fuzzy_match_directional_ids(spark):

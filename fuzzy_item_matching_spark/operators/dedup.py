@@ -99,6 +99,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     min_jaccard: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
 
@@ -112,6 +113,14 @@ def minhash_lsh_pairs(
     Scale shape: explode is ``bands``× ids only; the candidate join key
     is (band_idx, band_hash); signature arrays never cross a shuffle
     except id→shingle-set re-join for verification.
+
+    ``portable=True`` switches to a md5-derived hash family and plain
+    string band keys, making the whole query exactly
+    DuckDB-oracle-checkable at the cost of one crypto hash per shingle:
+    h_i(s) = h1(s) + i·h2(s) (Kirsch–Mitzenmacher double hashing),
+    where h1/h2 are the first/second 8 hex chars of md5(s) as unsigned
+    32-bit ints — h_i < 2^32·n_hashes, far from BIGINT overflow, and
+    reproducible in SQL as CAST('0x'||substr(md5(s),N,8) AS BIGINT).
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
@@ -121,22 +130,50 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"), word_shingles(toks, n).alias("__sh")
     ).filter(F.size("__sh") > 0).persist()  # shingle arrays feed the
     # signature AND both verification sides — compute once
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes, seed))
+    if portable:
+        # Explode + 32 min-aggregates instead of a per-row array fold:
+        # the md5/conv per shingle stays inside whole-stage codegen
+        # (higher-order functions are interpreted — measured 3× slower)
+        # and the groupBy is map-side-combined to one row per doc.
+        md5hex = F.md5(F.col("__g").cast("binary"))
+        hs = base.select(
+            "__id", F.explode("__sh").alias("__g")
+        ).select(
+            "__id",
+            F.conv(F.substring(md5hex, 1, 8), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring(md5hex, 9, 8), 16, 10).cast("long").alias("__h2"),
+        )
+        sig = hs.groupBy("__id").agg(
+            *[
+                F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__s{i}")
+                for i in range(n_hashes)
+            ]
+        ).select(
+            "__id",
+            F.array(*[f"__s{i}" for i in range(n_hashes)]).alias("__sig"),
+        )
+    else:
+        sig = base.withColumn(
+            "__sig", minhash_signature(F.col("__sh"), n_hashes, seed)
+        )
+
+    def band_key(b: int) -> Column:
+        cols = [
+            F.element_at("__sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        # portable: join on the values themselves ('|'-joined, exactly
+        # reproducible in SQL); fast path: one murmur fold per band
+        if portable:
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.hash(F.lit(b), *cols).cast("string")
 
     banded = sig.select(
         "__id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.lit(b),
-                        *[F.element_at("__sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band", "__bhash"),
-    ).persist()  # n_hashes murmur folds per row; both candidate
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "__band", "__bhash"
+        ),
+    ).persist()  # n_hashes hash folds per row; both candidate
     # self-join sides reference this frame
     cand = (
         banded.alias("x")

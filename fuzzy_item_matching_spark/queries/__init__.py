@@ -76,7 +76,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "vec_l2_norm",
     "vec_label_pair_stats",
     "vec_knn_bruteforce",
-    "vec_centroid_by_label",
     "train_class_weights",
     "train_avg_precision",
     "train_grid_search",
@@ -97,6 +96,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_exact_pairs",
     "dedup_canonical_map",
+    "dedup_minhash_lsh",
     "mm_image_features",
     "mm_frame_sample",
     "serve_match_score",
@@ -105,6 +105,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_exact_sqdist_pairs",
     "sim_fuzzy_part_pairs",
     "sim_fuzzy_doc_pairs",
+    "sim_lsh_sqdist_pairs",
+    "sim_ann_lsh_topk",
     "src_csv_roundtrip",
     "src_parquet_write_read",
     "rel_top_revenue_orders",
@@ -114,11 +116,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_case_buckets",
     "rel_order_lines_collect",
     "rel_expr_join_scoring",
-    "rel_pricing_summary",
-    "rel_top_parts_per_brand",
     # ---- 50-slot prefix boundary (approximately) ----
     # -- oracle-bearing, but their operators are already verified by
     #    earlier entries (set ops / grouping extras / duplicate scans)
+    "vec_centroid_by_label",
+    "rel_pricing_summary",
+    "rel_top_parts_per_brand",
     "rel_region_rollup",
     "rel_union_distinct_nations",
     "rel_segment_distinct_parts",
@@ -132,10 +135,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "mm_binary_meta",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
-    "sim_lsh_sqdist_pairs",
-    "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "src_seeded_sample",
     "train_split_sizes",

@@ -96,16 +96,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)  # seeded murmur hashes: rows-only +
-# containment/recall vs dedup_ngram_jaccard in tests/test_dedup.py
+def _minhash_oracle(n_hashes: int, bands: int, min_jaccard: float) -> str:
+    """Exact SQL replica of minhash_lsh_pairs(portable=True): the
+    md5-derived hash family (h_i = h1 + i·h2) is plain integer
+    arithmetic in both engines, so the banding join is value-exact."""
+    rpb = n_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"MIN(h1 + {i}*h2) AS s{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"s{b * rpb + r}" for r in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, i::DOUBLE / (x.n + y.n - i) AS jaccard
+    FROM cand c
+    JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+    JOIN sizes x ON c.id_a = x.doc_id
+    JOIN sizes y ON c.id_b = y.doc_id
+    WHERE i::DOUBLE / (x.n + y.n - i) >= {min_jaccard}
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(n_hashes=32, bands=8, min_jaccard=0.5),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (32 hashes) + 8-band LSH candidates, exact-Jaccard
     verified ≥ 0.5. The 100 TB dedup path: shuffle volume is bands×ids
-    + candidate pairs, never n². Output ⊆ dedup_ngram_jaccard."""
+    + candidate pairs, never n². Output ⊆ dedup_ngram_jaccard.
+    Uses the portable md5-derived hash family (one md5 per shingle,
+    Kirsch–Mitzenmacher derivation) so banding is exactly replicated by
+    the SQL oracle; the murmur fast path stays available via
+    minhash_lsh_pairs(portable=False)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", regex_tokenize("text"),
-        n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42,
+        n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42, portable=True,
     )
 
 

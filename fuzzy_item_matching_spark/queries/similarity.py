@@ -50,14 +50,66 @@ def sim_exact_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_sqdist_pairs", oracle=None)  # seeded-randomness: rows-only +
-# containment/recall vs sim_exact_sqdist_pairs in tests/test_similarity.py
+# The LSH family is oracle-checkable even though it's "randomized":
+# the hyperplanes are SEEDED constants folded into the Spark plan as
+# literals, so the same floats embedded into DuckDB SQL reproduce the
+# identical bucketing — dot products fold left-to-right in double on
+# both engines (bitwise equal, see vec_* oracles), so floor()/sign()
+# land in the same bucket everywhere.
+
+
+def _sql_plane_dot(vec_expr: str, plane: list[float]) -> str:
+    lits = "[" + ",".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {lits}),"
+        " s -> s[1]*s[2]))"
+    )
+
+
+def _lsh_sqdist_oracle(
+    n_tables: int, bucket_length: float, seed: int, dim: int, threshold: float
+) -> str:
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_tables, seed)
+    bkt = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl,"
+        f" CAST(floor(({_sql_plane_dot('embedding::DOUBLE[]', p)})"
+        f" / {bucket_length!r}) AS BIGINT) AS bucket FROM embeddings"
+        for t, p in enumerate(planes)
+    )
+    return f"""
+    WITH bkt AS (
+{bkt}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bkt x JOIN bkt y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b, {_D_SQD_ZIP} AS sqdist
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_D_SQD_ZIP} <= {threshold}
+    """
+
+
+@query(
+    "sim_lsh_sqdist_pairs",
+    oracle=_lsh_sqdist_oracle(
+        n_tables=10, bucket_length=1.0, seed=42, dim=64,
+        threshold=SQDIST_THRESHOLD,
+    ),
+)
 def sim_lsh_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed J4 (`BucketedRandomProjectionLSH` semantics,
     10 tables, bucketLength 1.0 — the reference's config,
     `02_Build Training Pairs.py:67-68`). Candidates = bucket collisions
     only; exact distance filter after. Scale shape: shuffles are on
-    (table, bucket) and candidate ids — never n²."""
+    (table, bucket) and candidate ids — never n². The oracle replays
+    the same seeded hyperplane literals in SQL (exact bucket match);
+    containment/recall vs sim_exact_sqdist_pairs in tests/."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_sqdist_join(
         e,
@@ -72,13 +124,69 @@ def sim_lsh_sqdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk", oracle=None)  # seeded-randomness: rows-only +
-# recall vs vec_knn_bruteforce in tests/test_similarity.py
+def _lsh_topk_oracle(
+    n_tables: int, bits_per_table: int, seed: int, dim: int, k: int
+) -> str:
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
+    buckets = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            "(CASE WHEN"
+            f" ({_sql_plane_dot('embedding::DOUBLE[]', planes[t * bits_per_table + b])})"
+            " >= 0 THEN '1' ELSE '0' END)"
+            for b in range(bits_per_table)
+        )
+        buckets.append(
+            f"      SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings"
+        )
+    bkt = "\n      UNION ALL\n".join(buckets)
+    norm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
+    pair_dot = (
+        "list_sum(list_transform("
+        "list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), s -> s[1]*s[2]))"
+    )
+    return f"""
+    WITH bkt AS (
+{bkt}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+      FROM bkt x JOIN bkt y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    ),
+    norms AS (SELECT vec_id, {norm} AS nrm FROM embeddings),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+                  ELSE {pair_dot} / (nq.nrm * nn.nrm) END AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings n ON n.vec_id = c.nid
+      JOIN norms nq ON nq.vec_id = c.qid
+      JOIN norms nn ON nn.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=_lsh_topk_oracle(n_tables=16, bits_per_table=5, seed=42, dim=64, k=3),
+)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors: sign-LSH bucketed cosine top-3
     per vector (16 tables × 5 bits). The scale twin of
     vec_knn_bruteforce — candidate volume is bucket-collision-bounded,
-    so the plan survives 100× where brute force is n²."""
+    so the plan survives 100× where brute force is n². The oracle
+    replays the seeded sign-bit buckets in SQL; recall vs brute force
+    in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
         e, "vec_id", "embedding", k=3, n_tables=16, bits_per_table=5,

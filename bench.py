@@ -68,6 +68,10 @@ def main() -> None:
             continue
         per_query[name] = round(dt, 3)
         total += dt
+        # Operators persist() shared frames for the duration of their
+        # query; in a 60+-query loop those blocks would accumulate
+        # until LRU churn. Timing includes only the query itself.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -31,24 +31,40 @@ def asof_join(
 
     Ties (right_ts == left_ts) match — the right side sorts before the
     left at equal timestamps.
+
+    The whole payload travels as ONE struct carried by a single
+    ignore-nulls last(): a right row with NULL payload values still
+    produces a non-null struct, so it correctly shadows older rows
+    (per-column carries would skip the NULL and resurrect a stale
+    value — and could even mix columns from different right rows), and
+    'inner' keys off row presence, not a payload value. Matches DuckDB
+    ASOF JOIN under NULL payloads (tests/test_asof.py).
     """
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
-    for c in payload_cols:
-        lt = lt.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
-        rt = rt.withColumn(f"__p_{c}", F.col(c))
-    lcols = [c for c in left.columns]
-    unioned = lt.select(
-        *lcols, "__side", "__ts", *[f"__p_{c}" for c in payload_cols]
-    ).unionByName(
-        rt.select(
-            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
-            F.col(key),
-            "__side",
-            "__ts",
-            *[f"__p_{c}" for c in payload_cols],
-        ),
-        allowMissingColumns=False,
+    from pyspark.sql import types as T
+
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
+    lt = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(payload_type).alias("__p"),
+    )
+    rt = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != key
+        ],
+        F.col(key),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__p"),
+    )
+    lcols = list(left.columns)
+    unioned = lt.select(*lcols, "__side", "__ts", "__p").unionByName(
+        rt.select(*lcols, "__side", "__ts", "__p"), allowMissingColumns=False
     )
     w = (
         Window.partitionBy(key)
@@ -58,12 +74,12 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c2)
-            for c, c2 in [(c, f"asof_{c}") for c in payload_cols]
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__pc"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(f"asof_{payload_cols[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("__pc").isNotNull())
+    return out.select(
+        *lcols,
+        *[F.col("__pc").getField(c).alias(f"asof_{c}") for c in payload_cols],
+    )

@@ -29,13 +29,23 @@ def salted_join(
     """Join with the big side's hot keys spread across ``salt``
     sub-partitions and the small side replicated ``salt`` times.
 
-    Result is row-identical to ``big.join(small, on, how)``; the only
-    change is physical: the shuffle key becomes (on, salt_id), so one
-    hot key occupies ``salt`` reducers instead of one. Salt assignment
-    is deterministic (hash of the big side's full row) — reruns
-    produce identical partitioning. Cost: small side ×salt (keep it
+    Result is row-identical to ``big.join(small, on, how)`` for
+    ``how`` in {inner, left, left_semi}; the only change is physical:
+    the shuffle key becomes (on, salt_id), so one hot key occupies
+    ``salt`` reducers instead of one. right/full joins are rejected —
+    the explode replicates every unmatched small-side row ``salt``
+    times, so null-extended rows would duplicate. Salt assignment is
+    deterministic (hash of the big side's full row) — reruns produce
+    identical partitioning. Cost: small side ×salt (keep it
     broadcast-sized × salt).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows "
+            f"{salt}x via the salt explode"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

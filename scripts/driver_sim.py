@@ -86,6 +86,10 @@ def main() -> None:
             print(f"  {name}: SPARK ERROR {e}")
             n_fail += 1
             continue
+        finally:
+            # operator-internal persists are per-query; drop them so a
+            # 70-query loop doesn't accumulate cached blocks
+            spark.catalog.clearCache()
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"  {name}: rows-only ({len(sdf)} rows, {dt:.1f}s)")

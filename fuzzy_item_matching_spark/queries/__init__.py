@@ -75,7 +75,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_fingerprint",
     "vec_l2_norm",
     "vec_label_pair_stats",
-    "vec_knn_bruteforce",
     "train_class_weights",
     "train_avg_precision",
     "train_grid_search",
@@ -102,6 +101,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "serve_match_score",
     "serve_pipeline_featurize",
     "serve_merge_upsert",
+    "serve_incremental_scoring",
     "sim_exact_sqdist_pairs",
     "sim_fuzzy_part_pairs",
     "sim_fuzzy_doc_pairs",
@@ -120,6 +120,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- oracle-bearing, but their operators are already verified by
     #    earlier entries (set ops / grouping extras / duplicate scans)
     "vec_centroid_by_label",
+    "vec_knn_bruteforce",
     "rel_pricing_summary",
     "rel_top_parts_per_brand",
     "rel_region_rollup",

@@ -168,6 +168,166 @@ def serve_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_scoring_oracle(
+    n_tables: int, bucket_length: float, seed: int, dim: int, threshold: float
+) -> str:
+    """SQL replica of the full incremental-scoring flow: MERGE →
+    LSH candidate join → ensure_positives union → sqdist features →
+    match_score → ordered limit. The LSH buckets replay the same
+    seeded hyperplane literals as the Spark plan (see
+    queries/similarity.py)."""
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+    from fuzzy_item_matching_spark.queries.similarity import _sql_plane_dot
+
+    planes = random_hyperplanes(dim, n_tables, seed)
+
+    def bkt(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            f"      SELECT vec_id, {t} AS tbl,"
+            f" CAST(floor(({_sql_plane_dot('emb', p)})"
+            f" / {bucket_length!r}) AS BIGINT) AS bucket FROM {src}"
+            for t, p in enumerate(planes)
+        )
+
+    sqd = (
+        "list_sum(list_transform(list_zip(a.emb[{lo}:{hi}], b.emb[{lo}:{hi}]),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    return f"""
+    WITH upd AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.1::DOUBLE) AS emb
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    ins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 0.9::DOUBLE) AS emb
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    tgt AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t ANTI JOIN src s USING (vec_id)
+    ),
+    newitems AS (SELECT * FROM merged WHERE vec_id >= 1000000),
+    stored AS (SELECT * FROM merged WHERE vec_id < 1000000),
+    nb AS (
+{bkt('newitems')}
+    ),
+    sb AS (
+{bkt('stored')}
+    ),
+    lsh_cand AS (
+      SELECT DISTINCT n.vec_id AS id_a, s.vec_id AS id_b
+      FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bucket = s.bucket
+    ),
+    lsh_pairs AS (
+      SELECT c.id_a, c.id_b FROM lsh_cand c
+      JOIN newitems a ON a.vec_id = c.id_a
+      JOIN stored b ON b.vec_id = c.id_b
+      WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+    ),
+    golden AS (
+      SELECT vec_id + 1000000 AS id_a, vec_id AS id_b
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    cand AS (SELECT * FROM lsh_pairs UNION SELECT * FROM golden),
+    feats AS (
+      SELECT c.id_a, c.id_b,
+             {sqd.format(lo=1, hi=dim)} AS full_sqd,
+             {sqd.format(lo=1, hi=dim // 2)} AS head_sqd,
+             {sqd.format(lo=dim // 2 + 1, hi=dim)} AS tail_sqd
+      FROM cand c
+      JOIN newitems a ON a.vec_id = c.id_a
+      JOIN stored b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, full_sqd, head_sqd, tail_sqd,
+           1.0 / (1.0 + full_sqd + head_sqd + tail_sqd) AS score
+    FROM feats
+    ORDER BY score DESC, id_a, id_b
+    LIMIT 100
+    """
+
+
+@query(
+    "serve_incremental_scoring",
+    oracle=_incremental_scoring_oracle(
+        n_tables=10, bucket_length=1.0, seed=42, dim=64, threshold=1.5
+    ),
+)
+def serve_incremental_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 — the reference's incremental 'new products' flow
+    (`03_Train & Deploy Model.py:454-580`) as ONE composed plan:
+
+    batch arrival (deterministic id-mod filters standing in for the
+    seeded sample, S7) → MERGE upsert into the feature table (S6:
+    re-ingested items drift ×1.1, new items arrive as ×0.9 copies with
+    shifted ids) → BucketedRandomProjectionLSH candidate join of new
+    items vs the stored side (J4, threshold-filtered) → union with the
+    golden matches BEFORE labeling/scoring — the reference's
+    `ensure_positives` quirk (SURVEY §7.4(4),
+    `02_Build Training Pairs.py:213-218`): known positives bypass the
+    LSH threshold so every true match is scored — → full/head/tail
+    squared distances (V1/J3) → registered pandas_udf `match_score`
+    via F.expr (F2) → global sort + limit over a total order (P9).
+
+    One plan: Catalyst sees MERGE's anti-join, the bucket explode
+    equi-join, and the feature joins together; the only Python hop is
+    the Arrow-batched scorer.
+    """
+    spark.udf.register("match_score", make_match_score_udf())
+    from fuzzy_item_matching_spark.operators.lsh import lsh_sqdist_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    updates = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "emb", F.transform("emb", lambda x: x * F.lit(1.1))
+    )
+    inserts = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("emb", lambda x: x * F.lit(0.9)).alias("emb"),
+    )
+    merged = merge_upsert(
+        base, updates.unionByName(inserts), keys=["vec_id"]
+    ).persist()  # feature table feeds the LSH join AND both feature sides
+    new_items = merged.filter(F.col("vec_id") >= 1000000)
+    stored = merged.filter(F.col("vec_id") < 1000000)
+
+    lsh_pairs = lsh_sqdist_join(
+        new_items, stored, "vec_id", "emb", threshold=1.5,
+        n_tables=10, bucket_length=1.0, seed=42, dim=64,
+    ).select("id_a", "id_b")
+    golden = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+    )
+    cand = lsh_pairs.unionByName(golden).distinct()
+
+    a = new_items.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("__ea"))
+    b = stored.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("__eb"))
+    sl = lambda c, lo, n: F.slice(F.col(c), lo, n)  # noqa: E731
+    feats = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            squared_dist(sl("__ea", 1, 64), sl("__eb", 1, 64)).alias("full_sqd"),
+            squared_dist(sl("__ea", 1, 32), sl("__eb", 1, 32)).alias("head_sqd"),
+            squared_dist(sl("__ea", 33, 32), sl("__eb", 33, 32)).alias("tail_sqd"),
+        )
+    )
+    scored = feats.withColumn(
+        "score", F.expr("match_score(full_sqd, head_sqd, tail_sqd)")
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("id_a"), F.asc("id_b")
+    ).limit(100)
+
+
 @query(
     "serve_merge_upsert",
     oracle="""

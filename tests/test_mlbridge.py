@@ -90,3 +90,36 @@ def test_vector_array_roundtrip(spark):
         .first()
     )
     assert back.arr == back.arr2
+
+
+def test_model_registry_version_promote_load(spark, part, tmp_path_factory):
+    """M7 registry parity (`03_Train & Deploy Model.py:324-343`):
+    register two versions, archive-then-promote, load by stage."""
+    from fuzzy_item_matching_spark.operators.registry import (
+        ARCHIVED,
+        PRODUCTION,
+        ModelRegistry,
+    )
+
+    reg = ModelRegistry(str(tmp_path_factory.mktemp("registry")))
+    m1 = fit_name_pipeline(part, "p_partkey", "p_name")
+    m2 = fit_name_pipeline(part, "p_partkey", "p_name", num_features=1024)
+    assert reg.register("name_matcher", m1) == 1
+    assert reg.register("name_matcher", m2) == 2
+
+    reg.promote("name_matcher", 1)
+    assert reg.resolve("name_matcher", stage=PRODUCTION) == 1
+    # archive-then-promote: v2 takes Production, v1 is archived
+    reg.promote("name_matcher", 2)
+    assert reg.resolve("name_matcher", stage=PRODUCTION) == 2
+    stages = {m["version"]: m["stage"] for m in reg.versions("name_matcher")}
+    assert stages == {1: ARCHIVED, 2: PRODUCTION}
+
+    served = reg.load("name_matcher", stage=PRODUCTION)
+    got = served.transform(part).select("p_partkey", "features").first()
+    assert got["features"].size == 1024  # it's v2, not v1
+
+    with pytest.raises(ValueError):
+        reg.load("name_matcher", version=3)
+    with pytest.raises(ValueError):
+        reg.resolve("name_matcher", stage="Staging")

@@ -20,10 +20,43 @@ reported vs `exact_sqdist_join` — never hash-equality.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from fuzzy_item_matching_spark.functions.vector import dot, squared_dist
+from fuzzy_item_matching_spark.functions.vector import dot
+
+
+def _folded_sqdist_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs Σ (aᵢ-bᵢ)² for blocks a (na×d), b (nb×d) → (na×nb),
+    accumulated DIMENSION BY DIMENSION: each output lane performs the
+    identical left-to-right IEEE add sequence as the engine's
+    fold-based ``squared_dist`` (and DuckDB's list_sum), so blockwise
+    numpy scoring stays BITWISE equal to the SQL oracle — np.sum's
+    pairwise summation would not be."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for i in range(a.shape[1]):
+        d = a[:, i, None] - b[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _folded_dot_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs Σ aᵢ·bᵢ with the same fold-order guarantee as
+    ``_folded_sqdist_block``."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i, None] * b[None, :, i]
+    return acc
+
+
+def _folded_dot_block_diag(a: np.ndarray) -> np.ndarray:
+    """Per-row Σ xᵢ² with the same fold order (the l2_norm prefix)."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * a[:, i]
+    return acc
 
 
 def random_hyperplanes(dim: int, n_tables: int, seed: int = 42) -> list[list[float]]:
@@ -89,60 +122,111 @@ def lsh_cosine_topk(
     """Approximate cosine top-k per vector — the ANN scale path
     (brute-force twin: queries/vectors.vec_knn_bruteforce).
 
-    Candidates come from sign-LSH bucket collisions (any table);
-    exact cosine ranks them; row_number keeps k per query id. Shuffles
-    touch (table, bucket) keys and candidate pairs only — work scales
-    with collision counts (tunable via bits_per_table), never n².
-    Recall < 1 by construction; graded in tests/ vs brute force.
+    Candidates come from sign-LSH bucket collisions (any table); each
+    bucket block is scored with one numpy pass (dimension-ordered
+    accumulation + one IEEE division per pair → bitwise equal to the
+    fold-based expression and the SQL oracle) and pruned to k per
+    query within the bucket — any global top-k pair is within the
+    top-k of every bucket containing it (same total order), so the
+    pruning is lossless. Duplicate pairs from multi-table collisions
+    carry identical cosines → distinct collapses them; an exact
+    row_number window over the tiny survivor set (≤ k·n_tables per
+    query) finishes. Work scales with collision counts (tunable via
+    bits_per_table), never n². Recall < 1 by construction; graded in
+    tests/ vs brute force.
     """
     from pyspark.sql.window import Window
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
+    planes_arr = np.asarray(planes, dtype=np.float64)  # (tables·bits, dim)
 
-    buckets = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            sign_lsh_buckets(vec_col, planes, n_tables, bits_per_table)
-        ).alias("__tbl", "__bkt"),
-    ).persist()  # n_tables×bits dot products per row; referenced by
-    # both sides of the candidate self-join
-    cand = (
-        buckets.alias("q")
-        .join(buckets.alias("n"), ["__tbl", "__bkt"])
-        .filter(F.col("q.__id") != F.col("n.__id"))
-        .select(F.col("q.__id").alias("qid"), F.col("n.__id").alias("nid"))
-        .distinct()
+    id_type = df.schema[id_col].dataType
+    bucket_schema = T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("__tbl", T.IntegerType()),
+            T.StructField("__bkt", T.StringType()),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
     )
-    from fuzzy_item_matching_spark.functions.vector import l2_norm
 
-    # Hoist per-row norms out of the per-candidate cosine (bitwise
-    # equivalent; saves 2 array folds per candidate pair).
-    vq = df.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("__vq"),
-        l2_norm(vec_col).alias("__nq"),
+    def bucketize(batches):
+        # 80 sign projections per row as ONE folded numpy pass — the
+        # column-expression form (sign_lsh_buckets) is an interpreted
+        # per-element fold, measured 7-10s alone at sf0.1. Fold order
+        # matches the expression/oracle exactly (see _folded_*_block).
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(v), planes_arr.shape[0]), dtype=np.float64)
+            for i in range(planes_arr.shape[1]):
+                acc += v[:, i, None] * planes_arr[None, :, i]
+            chars = np.where(acc >= 0, "1", "0")
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = chars[:, t * bits_per_table : (t + 1) * bits_per_table]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__id": ids,
+                            "__tbl": t,
+                            "__bkt": ["".join(r) for r in bits],
+                            "__v": list(v),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    buckets = df.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=bucket_schema
     )
-    vn = df.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("__vn"),
-        l2_norm(vec_col).alias("__nn"),
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", id_type),
+            T.StructField("nid", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    denom = F.col("__nq") * F.col("__nn")
-    scored = (
-        cand.join(vq, "qid")
-        .join(vn, "nid")
-        .withColumn(
-            "cosine",
-            F.when(denom == 0.0, F.lit(0.0)).otherwise(
-                dot("__vq", "__vn") / denom
-            ),
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        v = np.stack(pdf["__v"].to_numpy())
+        ids = pdf["__id"].to_numpy()
+        # per-row norm: same fold order as l2_norm (Σ x² then sqrt)
+        norms = np.sqrt(_folded_dot_block_diag(v))
+        dots = _folded_dot_block(v, v)
+        denom = np.outer(norms, norms)
+        cos = np.divide(
+            dots, denom, out=np.zeros_like(dots), where=denom != 0.0
         )
+        np.fill_diagonal(cos, -np.inf)
+        same = ids[:, None] == ids[None, :]
+        cos[same] = -np.inf  # self-pairs (dup ids defensively)
+        kk = min(k, len(ids) - 1)
+        rows_q, rows_n, rows_c = [], [], []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -cos[i]))[:kk]
+            order = order[np.isfinite(cos[i][order])]
+            rows_q.extend([ids[i]] * len(order))
+            rows_n.extend(ids[order])
+            rows_c.extend(cos[i][order])
+        return pd.DataFrame({"qid": rows_q, "nid": rows_n, "cosine": rows_c})
+
+    cand = (
+        buckets.groupBy("__tbl", "__bkt")
+        .applyInPandas(score_bucket, schema=out_schema)
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "rnk")
     )
@@ -163,12 +247,24 @@ def lsh_sqdist_join(
     """Approximate squared-distance join (J4). ``right=None`` → self-join
     dedup mode (unordered pairs, id_a < id_b).
 
-    Plan: bucket arrays (narrow) → posexplode (n_tables× fanout of ids
-    only, vectors are NOT carried through the explode) → equi-join on
-    (table_idx, bucket) → distinct candidate id pairs → re-join both
-    sides' vectors → exact distance filter. The candidate set, not
-    |A|×|B|, bounds all shuffle volume; bucket skew (dense regions)
-    is AQE's skew-join case, tunable via bucket_length.
+    Plan: bucket arrays (narrow) → posexplode by (table_idx, bucket) →
+    cogrouped ``applyInPandas`` scoring each bucket block with ONE
+    numpy pass (dimension-ordered accumulation → bitwise equal to the
+    fold-based expression and the SQL oracle) → threshold filter inside
+    the block → distinct surviving pairs.
+
+    Why blockwise instead of the ids-only equi-join + vector re-join:
+    candidate pairs vastly outnumber surviving pairs, and the pair-level
+    distance expression is an interpreted per-element fold (measured
+    16s for 2M candidates at sf0.1 vs ~2s blockwise). Shuffle trade:
+    vectors cross the exchange n_tables× (n·tables·dim·8B) instead of
+    candidate-id pairs (cand·16B) — blockwise shuffles less whenever
+    cand > 2·n·tables·dim/
+    (pair bytes/8), i.e. whenever collisions are non-trivial, and the
+    filtered output (not the candidate set) is all that's left after.
+    Bucket skew: a block must fit one task (bucket_length controls
+    occupancy); beyond that, AQE can't split a pandas group — shrink
+    bucket_length or add tables.
     """
     if dim is None:
         dim = len(left.select(vec_col).first()[0])
@@ -176,35 +272,79 @@ def lsh_sqdist_join(
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(brp_hashes(vec_col, planes, bucket_length)).alias(
+            F.col(out_id),
+            F.col("__v"),
+            F.posexplode(brp_hashes("__v", planes, bucket_length)).alias(
                 "__tbl", "__bkt"
             ),
-        )
+        ).select(out_id, "__tbl", "__bkt", "__v")
 
     self_mode = right is None
-    right_df = left if self_mode else right
-    ba = buckets(left, "id_a").persist()  # n_tables dot products per row
-    # — compute once; in self mode the right side is the same frame
-    # re-keyed, not a recomputation.
-    bb = (
-        ba.select(F.col("id_a").alias("id_b"), "__tbl", "__bkt")
-        if self_mode
-        else buckets(right_df, "id_b")
+    id_type = left.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField(dist_col, T.DoubleType()),
+        ]
     )
-    cand = ba.join(bb, ["__tbl", "__bkt"])
-    if self_mode:
-        cand = cand.filter(F.col("id_a") < F.col("id_b"))
-    else:
-        cand = cand.filter(F.col("id_a").isNotNull())
-    cand = cand.select("id_a", "id_b").distinct()
+    la = left.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    ba = buckets(la, "id_a")
 
-    va = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = right_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(dist_col, squared_dist("__va", "__vb"))
-        .filter(F.col(dist_col) <= F.lit(threshold))
-        .select("id_a", "id_b", dist_col)
-    )
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], dist_col: []}).astype(
+            {dist_col: "float64"}
+        )
+
+    if self_mode:
+
+        def score_self(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return empty()
+            v = np.stack(pdf["__v"].to_numpy())
+            ids = pdf["id_a"].to_numpy()
+            d2 = _folded_sqdist_block(v, v)
+            ia, ib = np.nonzero(
+                (ids[:, None] < ids[None, :]) & (d2 <= threshold)
+            )
+            return pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib], dist_col: d2[ia, ib]}
+            )
+
+        scored = ba.groupBy("__tbl", "__bkt").applyInPandas(
+            score_self, schema=out_schema
+        )
+    else:
+        rb = buckets(
+            right.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            "id_b",
+        )
+
+        def score_pair(
+            _key: tuple, apdf: pd.DataFrame, bpdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if apdf.empty or bpdf.empty:
+                return empty()
+            va = np.stack(apdf["__v"].to_numpy())
+            vb = np.stack(bpdf["__v"].to_numpy())
+            ia_ids = apdf["id_a"].to_numpy()
+            ib_ids = bpdf["id_b"].to_numpy()
+            d2 = _folded_sqdist_block(va, vb)
+            ia, ib = np.nonzero(d2 <= threshold)
+            return pd.DataFrame(
+                {"id_a": ia_ids[ia], "id_b": ib_ids[ib], dist_col: d2[ia, ib]}
+            )
+
+        scored = (
+            ba.groupBy("__tbl", "__bkt")
+            .cogroup(rb.groupBy("__tbl", "__bkt"))
+            .applyInPandas(score_pair, schema=out_schema)
+        )
+    # a pair colliding in several tables is scored per table with an
+    # identical distance → distinct collapses the duplicates
+    return scored.distinct()

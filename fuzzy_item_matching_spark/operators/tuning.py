@@ -16,12 +16,94 @@ small), never collected to the driver.
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 RESULT_SCHEMA = "param double, score double, n long"
+
+
+@dataclass(frozen=True)
+class ParamSpec:
+    """One dimension of a hyperparameter search space (M2/M3,
+    `03_Train & Deploy Model.py:163-192`).
+
+    kind: 'uniform' | 'quniform' | 'loguniform' | 'choice'.
+    quniform quantizes with floor(x/q + 0.5)*q — floor is bit-identical
+    across engines, unlike round() (Spark HALF_UP vs numpy half-even).
+    ``as_int`` applies the reference's param coercion (depth /
+    child-weight cast to int before reaching the trainer).
+    """
+
+    name: str
+    kind: str = "uniform"
+    lo: float = 0.0
+    hi: float = 1.0
+    q: float = 1.0
+    options: tuple[str, ...] = field(default_factory=tuple)
+    as_int: bool = False
+
+
+def _hash_uniform(seed: int, trial: Column, name: str) -> Column:
+    """Deterministic u ~ [0,1) from (seed, trial, param name): first 8
+    md5 hex digits as a 32-bit int, scaled by 2^-32. md5 is
+    bit-identical across engines, and /2^32 is an exact binary scaling,
+    so every draw is exactly reproducible in SQL — the property
+    hyperopt's TPE sampler can't offer."""
+    key = F.concat_ws(":", F.lit(str(seed)), trial.cast("string"), F.lit(name))
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(float(2**32))
+
+
+def _spec_value(spec: ParamSpec, u: Column) -> Column:
+    span = F.lit(spec.hi) - F.lit(spec.lo)
+    if spec.kind == "uniform":
+        v = F.lit(spec.lo) + u * span
+    elif spec.kind == "quniform":
+        raw = F.lit(spec.lo) + u * span
+        v = F.floor(raw / F.lit(spec.q) + F.lit(0.5)) * F.lit(spec.q)
+    elif spec.kind == "loguniform":
+        import math
+
+        lo, hi = math.log(spec.lo), math.log(spec.hi)
+        v = F.exp(F.lit(lo) + u * (F.lit(hi) - F.lit(lo)))
+    elif spec.kind == "choice":
+        arr = F.array(*[F.lit(o) for o in spec.options])
+        return F.element_at(arr, (F.floor(u * len(spec.options)) + 1).cast("int"))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown spec kind: {spec.kind}")
+    return v.cast("long") if spec.as_int else v
+
+
+def sample_search_space(
+    spark: SparkSession,
+    n_trials: int,
+    specs: list[ParamSpec],
+    seed: int = 42,
+    fixed: dict[str, object] | None = None,
+) -> DataFrame:
+    """M2+M3: a seeded hyperparameter search space as a DataFrame —
+    one row per trial, one column per parameter.
+
+    The reference draws its 9-dim XGBoost space with hp.quniform /
+    hp.loguniform under hyperopt's stateful TPE
+    (`03_Train & Deploy Model.py:163-192`); the engine-native form is a
+    stateless low-discrepancy hash draw: param_value = f(md5(seed,
+    trial, name)), entirely JVM-side expressions. Trials are plan rows,
+    so the space feeds grid_search_threshold / applyInPandas evaluators
+    (M4) without ever touching the driver, and any slice of it is
+    reproducible on any engine. ``fixed`` appends the reference's
+    constant params (tree_method='hist', scale_pos_weight, ...)."""
+    t = spark.range(n_trials).select(F.col("id").alias("trial_id"))
+    cols: list[Column] = []
+    for spec in specs:
+        u = _hash_uniform(seed, F.col("trial_id"), spec.name)
+        cols.append(_spec_value(spec, u).alias(spec.name))
+    for k, v in (fixed or {}).items():
+        cols.append(F.lit(v).alias(k))
+    return t.select("trial_id", *cols)
 
 
 def grid_search_threshold(

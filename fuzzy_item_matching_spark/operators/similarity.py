@@ -295,3 +295,65 @@ def fuzzy_match_pairs(
     a = feats.filter(F.col("__side") == "L").withColumnRenamed(id_col, "id_a")
     b = feats.filter(F.col("__side") == "R").withColumnRenamed(id_col, "id_b")
     return sparse_cosine_join(a, b, "id_a", "id_b", min_sim=min_sim)
+
+
+def blocked_pair_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+) -> DataFrame:
+    """All within-block vector-pair statistics (dot, sqdist, cosine),
+    scored blockwise in Arrow (V1 applied per label block,
+    `03_Train & Deploy Model.py:100-107`).
+
+    The block key IS the blocking strategy: work is Σ per-block n²,
+    never global n², and blocks score independently across executors.
+    Per block, ONE Arrow exchange and a dimension-by-dimension
+    accumulated numpy kernel — the identical left-to-right IEEE fold as
+    the engine's `F.aggregate` expressions and DuckDB's `list_sum`, so
+    results stay bitwise oracle-exact (interpreted per-pair HOF folds
+    measured ~2.5× slower at sf0.1; see operators/lsh.py for the same
+    trade on LSH candidates).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from fuzzy_item_matching_spark.operators.lsh import (
+        _folded_dot_block,
+        _folded_dot_block_diag,
+        _folded_sqdist_block,
+    )
+
+    out_schema = "id_a long, id_b long, dp double, sqdist double, cosine double"
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("id_a", "int64"), ("id_b", "int64"), ("dp", "float64"),
+                  ("sqdist", "float64"), ("cosine", "float64")]}
+            )
+        ids = pdf["__id"].to_numpy()
+        v = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        dp = _folded_dot_block(v, v)
+        sq = _folded_sqdist_block(v, v)
+        nrm = np.sqrt(_folded_dot_block_diag(v))
+        ia, ib = np.where(ids[:, None] < ids[None, :])
+        nn = nrm[ia] * nrm[ib]
+        d = dp[ia, ib]
+        cos = np.where(nn == 0.0, 0.0, d / np.where(nn == 0.0, 1.0, nn))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "dp": d,
+             "sqdist": sq[ia, ib], "cosine": cos}
+        )
+
+    return (
+        df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+        )
+        .groupBy("__blk")
+        .applyInPandas(score_block, schema=out_schema)
+    )

@@ -73,6 +73,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_doc_quality",
     "ts_lang_id",
     "ts_fingerprint",
+    "ts_token_counts",
     "vec_l2_norm",
     "vec_label_pair_stats",
     "train_class_weights",
@@ -113,10 +114,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_cust_order_stats",
     "rel_status_share",
     "rel_price_clean_cast",
-    "rel_case_buckets",
     "rel_order_lines_collect",
     "rel_expr_join_scoring",
     # ---- 50-slot prefix boundary (approximately) ----
+    # (P7 F.expr is also exercised by rel_expr_join_scoring and
+    # rel_sql_entrypoint, so rel_case_buckets yields its prefix slot)
+    "rel_case_buckets",
     # -- oracle-bearing, but their operators are already verified by
     #    earlier entries (set ops / grouping extras / duplicate scans)
     "vec_centroid_by_label",

@@ -227,3 +227,55 @@ def ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
         ).alias("content_fp"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-2-style pre-split whose piece count upper-bounds BPE
+# token count. Chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes and alternation only, no
+# lookaround, no unicode classes.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+@query(
+    "ts_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+           END AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
+           CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) = 0 THEN 0.0
+                ELSE n_chars::DOUBLE / len(regexp_extract_all(text, '{_BPE_RE}'))
+           END AS chars_per_piece
+    FROM documents
+    """,
+)
+def ts_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation for a pretraining corpus: whitespace
+    token count and a BPE-ish pre-tokenizer piece count (letter runs /
+    digit runs / single symbols — the GPT-2 pre-split shape), plus
+    chars-per-piece as the compressibility signal. Pure narrow
+    projection — at 100 TB this is a free map-side pass whose SUM is
+    the corpus token budget."""
+    d = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    # n_pieces bound before reuse (referenced three times below).
+    bound = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, "[ \\t\\n\\r]+")))
+        .alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
+            "n_pieces"
+        ),
+    )
+    return bound.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_pieces",
+        F.when(F.col("n_pieces") == 0, F.lit(0.0))
+        .otherwise(F.col("n_chars").cast("double") / F.col("n_pieces"))
+        .alias("chars_per_piece"),
+    )

@@ -103,9 +103,19 @@ def refine_centroids(
         assigned = cells.select(
             "__cell", F.posexplode("__v").alias("__pos", "__x")
         )
+        # Mean via exact DECIMAL sum cast back to double: float partial
+        # sums depend on partition merge order, so avg() would make the
+        # refined centroids (and every downstream bucket) run-dependent.
+        # The decimal sum is order-insensitive and exact → centroids are
+        # deterministic at any parallelism AND replicable in SQL.
         means = (
             assigned.groupBy("__cell", "__pos")
-            .agg(F.avg("__x").alias("__m"))
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__m")
+            )
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
@@ -198,13 +208,20 @@ def ivf_cosine_topk(
             return pd.DataFrame(
                 {"qid": [], "nid": [], "cosine": []}
             ).astype({"cosine": "float64"})
+        from fuzzy_item_matching_spark.operators.lsh import _folded_dot_block
+
         q = np.stack(probe_pdf["__vq"].to_numpy())
         x = np.stack(index_pdf["__vn"].to_numpy())
         qn = probe_pdf["__nq"].to_numpy()
         xn = index_pdf["__nn"].to_numpy()
         denom = np.outer(qn, xn)
+        # Dimension-ordered accumulation (not matmul's pairwise sums):
+        # the same left-to-right IEEE fold as the F.aggregate dot and
+        # DuckDB list_sum, keeping blockwise results bitwise
+        # oracle-exact (see operators/lsh.py).
         cos = np.divide(
-            q @ x.T, denom, out=np.zeros_like(denom), where=denom != 0.0
+            _folded_dot_block(q, x), denom,
+            out=np.zeros_like(denom), where=denom != 0.0,
         )
         qids = probe_pdf["qid"].to_numpy()
         nids = index_pdf["nid"].to_numpy()

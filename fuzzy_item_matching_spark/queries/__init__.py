@@ -103,11 +103,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "serve_pipeline_featurize",
     "serve_merge_upsert",
     "serve_incremental_scoring",
-    "sim_exact_sqdist_pairs",
     "sim_fuzzy_part_pairs",
     "sim_fuzzy_doc_pairs",
     "sim_lsh_sqdist_pairs",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
     "src_csv_roundtrip",
     "src_parquet_write_read",
     "rel_top_revenue_orders",
@@ -138,9 +138,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_range_join_bands",
     "mm_binary_meta",
     "mm_frame_sample",
+    # (V1 + exact-threshold join also verified by serve_match_score,
+    # vec_label_pair_stats, and the LSH joins' exact oracles)
+    "sim_exact_sqdist_pairs",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
-    "sim_ann_ivf_topk",
     "dedup_simhash",
     "src_seeded_sample",
     "train_split_sizes",

@@ -194,18 +194,125 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf_topk", oracle=None)  # data-sampled centroids:
-# rows-only + recall vs vec_knn_bruteforce in tests/test_similarity.py
+def _ivf_topk_oracle(k: int, n_centroids: int, n_probe: int, iters: int) -> str:
+    """Full SQL replica of ivf_cosine_topk: init centroids = lowest-id
+    rows unit-normalized, ``iters`` unrolled Lloyd passes (assign by
+    dot DESC / cell DESC, per-(cell,pos) mean via exact DECIMAL sum
+    cast double — the same order-insensitive mean the operator
+    computes, so refined centroids are bitwise reproducible), then
+    nearest-cell indexing, n_probe probing, exact cosine, global
+    top-k. Every float op replays the operator's sequence (fold-order
+    dots, single-op divisions), so the whole approximate index is
+    exactly verifiable."""
+    _unit = (
+        "list_transform({v}, x -> x / (CASE WHEN"
+        " sqrt(list_sum(list_transform({v}, y -> y*y))) = 0 THEN 1.0"
+        " ELSE sqrt(list_sum(list_transform({v}, y -> y*y))) END))"
+    )
+    dot = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+    blocks = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids})
+    )""",
+        f"c0 AS (SELECT cell, {_unit.format(v='v')} AS c FROM init)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks += [
+            f"""a{i} AS (
+      SELECT e.vec_id, c{p}.cell,
+             {dot.format(a='e.v', b=f'c{p}.c')} AS score
+      FROM emb e CROSS JOIN c{p}
+    )""",
+            f"""b{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM a{i}
+      ) WHERE rn = 1
+    )""",
+            f"""m{i} AS (
+      SELECT cell, i - 1 AS pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM (
+        SELECT b{i}.cell, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS i
+        FROM b{i} JOIN emb e USING (vec_id)
+      ) GROUP BY cell, i
+    )""",
+            f"""n{i} AS (
+      SELECT cell, list(m ORDER BY pos) AS mv FROM m{i} GROUP BY cell
+    )""",
+            f"""c{i} AS (
+      SELECT c{p}.cell,
+             CASE WHEN n{i}.mv IS NULL THEN c{p}.c
+                  ELSE {_unit.format(v=f'n{i}.mv')} END AS c
+      FROM c{p} LEFT JOIN n{i} USING (cell)
+    )""",
+        ]
+    cf = f"c{iters}"
+    return (
+        "\n    WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    sc AS (
+      SELECT e.vec_id, {cf}.cell,
+             {dot.format(a='e.v', b=f'{cf}.c')} AS score
+      FROM emb e CROSS JOIN {cf}
+    ),
+    ranked AS (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+      FROM sc
+    ),
+    idx AS (SELECT vec_id AS nid, cell FROM ranked WHERE rn = 1),
+    prb AS (SELECT vec_id AS qid, cell FROM ranked WHERE rn <= {n_probe}),
+    nrm AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM emb
+    ),
+    cand AS (
+      SELECT p.qid, i.nid FROM prb p JOIN idx i USING (cell)
+      WHERE p.qid <> i.nid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+                  ELSE {dot.format(a='q.v', b='n.v')} / (nq.nrm * nn.nrm)
+             END AS cosine
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.qid
+      JOIN emb n ON n.vec_id = c.nid
+      JOIN nrm nq ON nq.vec_id = c.qid
+      JOIN nrm nn ON nn.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+    )
+
+
+@query(
+    "sim_ann_ivf_topk",
+    oracle=_ivf_topk_oracle(k=3, n_centroids=16, n_probe=8, iters=1),
+)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic sampled
     centroids + one sample-bounded Lloyd refinement pass (each pass
     re-scores against fresh centroid literals → a full codegen'd scan;
     recall with 1 pass is within noise of 3 on this data), queries
     probe their 8 nearest of 16 cells, exact cosine ranks candidates
-    (recall vs brute force graded in tests/test_similarity.py — on
-    this weakly-clustered data sign-LSH (`sim_ann_lsh_topk`) trades
-    better; both share the candidate equi-join shape, pick per
-    corpus)."""
+    (recall vs brute force graded in tests/test_similarity.py). The
+    oracle replays the ENTIRE index build in SQL — init, Lloyd pass
+    over exact decimal means, assignment, probing, scoring — so even
+    the approximate structure is exactly verified. On this
+    weakly-clustered data sign-LSH (`sim_ann_lsh_topk`) trades better;
+    both share the candidate equi-join shape, pick per corpus."""
     from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -252,26 +252,47 @@ def simhash_pairs(
     tokens_col: Column | str,
     max_hamming: int = 3,
     band_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     64/band_bits chunks; by pigeonhole, any pair within hamming
     distance (64/band_bits - 1) shares ≥1 exact chunk — candidates
     come from a chunk equi-join, verified with per-chunk
     bit_count(xor).
+
+    ``portable=True`` derives the 64 bits from md5 (two 32-bit halves)
+    instead of xxhash64 — bit-identical across engines, so the whole
+    pipeline is exactly SQL-replicable (same trade as
+    ``minhash_lsh_pairs(portable=True)``; xxhash64 stays the hot path).
     """
     n_bands = 64 // band_bits
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     # Same bits as ``simhash_bits`` but as explode + 64 codegen'd sign
-    # aggregates (shiftright/when on one materialized xxhash64 per
-    # token) instead of a per-row 64-wide interpreted fold — the same
+    # aggregates (shiftright/when on one materialized hash per token)
+    # instead of a per-row 64-wide interpreted fold — the same
     # explode-agg trade as the portable MinHash signature. bin(h)[j]
     # == (h >> (63-j)) & 1, arithmetic shift included (bit 63 is the
     # sign). Docs with zero tokens drop here (no content to match);
     # the fold form gives them an all-zero fingerprint instead.
-    tok_h = df.select(
-        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
-    ).select("__id", F.xxhash64("__tok").alias("__h"))
-    bit = lambda j: F.shiftright("__h", 63 - j).bitwiseAND(F.lit(1))  # noqa: E731
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
+    if portable:
+        # md5 bound once per token; two non-negative 32-bit halves, so
+        # logical and arithmetic shifts agree on every bit.
+        tok_h = ex.select(
+            "__id", F.md5(F.col("__tok").cast("binary")).alias("__m")
+        ).select(
+            "__id",
+            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("__hh"),
+            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("__hl"),
+        )
+
+        def bit(j: int) -> Column:
+            col, off = ("__hh", 31 - j) if j < 32 else ("__hl", 63 - j)
+            return F.shiftright(col, off).bitwiseAND(F.lit(1))
+
+    else:
+        tok_h = ex.select("__id", F.xxhash64("__tok").alias("__h"))
+        bit = lambda j: F.shiftright("__h", 63 - j).bitwiseAND(F.lit(1))  # noqa: E731
     sums = tok_h.groupBy("__id").agg(
         *[
             F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"__b{j}")

@@ -141,9 +141,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (V1 + exact-threshold join also verified by serve_match_score,
     # vec_label_pair_stats, and the LSH joins' exact oracles)
     "sim_exact_sqdist_pairs",
+    # (dedup family already has four prefix greens; simhash is
+    # hash-exact via driver_sim/local verify)
+    "dedup_simhash",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
-    "dedup_simhash",
     "src_seeded_sample",
     "train_split_sizes",
     "train_ml_name_pipeline",

@@ -167,16 +167,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)  # xxhash64-based: rows-only +
-# property checks in tests/test_dedup.py
+def _simhash_oracle(max_hamming: int, band_bits: int) -> str:
+    """Exact SQL replica of simhash_pairs(portable=True): per-token
+    md5 halves, 64 sign sums, 16-bit chunk banding, hamming verify —
+    all integer arithmetic, value-exact in both engines."""
+    n_bands = 64 // band_bits
+
+    def bit(j: int) -> str:
+        col, off = ("hh", 31 - j) if j < 32 else ("hl", 63 - j)
+        return f"(({col} >> {off}) & 1)"
+
+    sum_cols = ",\n             ".join(
+        f"SUM(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    chunk_cols = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN b{b * band_bits + r} > 0"
+            f" THEN {1 << (band_bits - 1 - r)} ELSE 0 END"
+            for r in range(band_bits)
+        )
+        + f") AS c{b}"
+        for b in range(n_bands)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, c{b} AS chunk FROM chunks"
+        for b in range(n_bands)
+    )
+    hamming = " + ".join(f"bit_count(xor(x.c{b}, y.c{b}))" for b in range(n_bands))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS t FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hh,
+             CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS hl
+      FROM tok
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sum_cols}
+      FROM hs GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id,
+             {chunk_cols}
+      FROM sums
+    ),
+    banded AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT c.id_a, c.id_b, CAST({hamming} AS INT) AS hamming
+    FROM cand c
+    JOIN chunks x ON x.doc_id = c.id_a
+    JOIN chunks y ON y.doc_id = c.id_b
+    WHERE {hamming} <= {max_hamming}
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(max_hamming=3, band_bits=16),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within hamming ≤ 3, candidates from
     16-bit chunk collisions (pigeonhole: recall 1.0 for hamming ≤ 3).
     Row-local fingerprint; the only shuffles are the chunk join and
-    pair distinct."""
+    pair distinct. Uses the portable md5-derived bit family so the
+    full pipeline is hash-exact against the SQL oracle (xxhash64
+    remains the hot path via portable=False; property checks in
+    tests/test_dedup.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(
-        d, "doc_id", regex_tokenize("text"), max_hamming=3, band_bits=16
+        d, "doc_id", regex_tokenize("text"), max_hamming=3, band_bits=16,
+        portable=True,
     )
 
 

@@ -70,7 +70,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- oracle-bearing queries the round-2 budget never reached
     "ts_tfidf_weights",
     "ts_token_stats",
-    "ts_doc_quality",
+    "pipe_corpus_clean",
     "ts_lang_id",
     "ts_fingerprint",
     "ts_token_counts",
@@ -144,6 +144,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (dedup family already has four prefix greens; simhash is
     # hash-exact via driver_sim/local verify)
     "dedup_simhash",
+    # (quality formula is composite-verified inside pipe_corpus_clean's
+    # oracle; n_tokens/avg_len surface also in ts_token_counts)
+    "ts_doc_quality",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -279,3 +279,146 @@ def ts_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_chars").cast("double") / F.col("n_pieces"))
         .alias("chars_per_piece"),
     )
+
+
+def _corpus_clean_oracle(min_quality: float) -> str:
+    """Composed corpus-cleaning oracle: lang-ID → quality filter →
+    near-dup drop (word-3-gram jaccard ≥ 0.5 vs any earlier survivor)
+    → token-budget count, each stage the same SQL fragment already
+    proven exact by its standalone query's oracle."""
+    from fuzzy_item_matching_spark.queries.dedup import _D_SHINGLES
+
+    toks = _D_TOKENS.format(c="text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, text, toks, len(toks) AS n,
+             len(list_filter(toks, x -> NOT list_contains({_D_STOPWORDS}, x))) AS nk,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                       / len(toks) END AS avg_len,
+             {_duck_lang_hits(_LANG_LEXICONS["en"])} AS h_en,
+             {_duck_lang_hits(_LANG_LEXICONS["de"])} AS h_de,
+             {_duck_lang_hits(_LANG_LEXICONS["fr"])} AS h_fr,
+             {_duck_lang_hits(_LANG_LEXICONS["es"])} AS h_es
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             least(n, 200) / 200.0 * 0.5
+               + CASE WHEN n = 0 THEN 0.0 ELSE (n - nk)::DOUBLE / n END * 0.2
+               + least(avg_len, 8.0) / 8.0 * 0.3 AS quality,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                  WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                  WHEN h_fr >= h_es THEN 'fr'
+                  ELSE 'es' END AS lang_guess
+      FROM feat
+    ),
+    surv AS (
+      SELECT doc_id, text, quality FROM scored
+      WHERE lang_guess = 'en' AND quality >= {min_quality!r}
+    ),
+    sh AS (SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM surv),
+    sizes AS (SELECT doc_id, COUNT(*) AS sn FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes x ON inter.id_a = x.doc_id
+      JOIN sizes y ON inter.id_b = y.doc_id
+      WHERE i::DOUBLE / (x.sn + y.sn - i) >= 0.5
+    )
+    SELECT s.doc_id, s.quality,
+           len(regexp_extract_all(s.text, '{_BPE_RE}')) AS n_pieces
+    FROM surv s WHERE s.doc_id NOT IN (SELECT id_b FROM dups)
+    """
+
+
+@query("pipe_corpus_clean", oracle=_corpus_clean_oracle(min_quality=0.3))
+def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus cleaning pipeline as ONE composed plan —
+    the flow every large-scale training-data system runs, built
+    entirely from this engine's stages: language-ID filter (keep 'en')
+    → heuristic quality filter → near-duplicate drop (keep only docs
+    with no earlier jaccard ≥ 0.5 survivor — the one-hop canonical
+    rule) → BPE-ish token-budget count for what remains.
+
+    One plan: the row-local feature stage fuses into the scan; the only
+    shuffles are the dedup postings join + the anti-join, both over the
+    FILTERED corpus (filters push ahead of the expensive stage, exactly
+    how a 100 TB cleaning pass must be ordered). Every stage reuses a
+    fragment whose standalone query is already hash-exact, and the
+    composition carries its own full oracle."""
+    from fuzzy_item_matching_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    base = d.select("doc_id", "text", regex_tokenize("text").alias("toks"))
+    feat = base.select(
+        "doc_id",
+        "text",
+        "toks",
+        F.size("toks").alias("n"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: ~F.array_contains(sw, t))
+        ).alias("nk"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("tl"),
+        *[
+            _lang_hits(F.col("toks"), lex).alias(f"h_{k}")
+            for k, lex in _LANG_LEXICONS.items()
+        ],
+    )
+    n = F.col("n")
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(F.col("tl") / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.col("nk")).cast("double") / n
+    )
+    quality = (
+        F.least(n, F.lit(200)) / 200.0 * 0.5
+        + stop_ratio * 0.2
+        + F.least(avg_len, F.lit(8.0)) / 8.0 * 0.3
+    )
+    hits = [F.col(f"h_{k}") for k in _LANG_LEXICONS]
+    best = F.greatest(*hits)
+    guess = (
+        F.when(best == 0, "unknown")
+        .when(
+            (F.col("h_en") >= F.col("h_de"))
+            & (F.col("h_en") >= F.col("h_fr"))
+            & (F.col("h_en") >= F.col("h_es")),
+            "en",
+        )
+        .when((F.col("h_de") >= F.col("h_fr")) & (F.col("h_de") >= F.col("h_es")), "de")
+        .when(F.col("h_fr") >= F.col("h_es"), "fr")
+        .otherwise("es")
+    )
+    surv = (
+        feat.select(
+            "doc_id", "text", "toks",
+            quality.alias("quality"), guess.alias("lang_guess"),
+        )
+        .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
+        .persist()  # feeds the dedup postings join (twice) + the output
+    )
+    pairs = ngram_jaccard_pairs(surv, "doc_id", F.col("toks"), n=3, min_jaccard=0.5)
+    dups = pairs.select("id_b").distinct()
+    return (
+        surv.join(dups, surv.doc_id == dups.id_b, "left_anti")
+        .select(
+            "doc_id",
+            "quality",
+            F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
+                "n_pieces"
+            ),
+        )
+    )

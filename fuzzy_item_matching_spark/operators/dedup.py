@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fuzzy_item_matching_spark.functions.text import hex_long
+
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (set semantics —
@@ -148,14 +150,15 @@ def minhash_lsh_pairs(
         # and the groupBy is map-side-combined to one row per doc.
         # md5 bound once per shingle — referenced unbound by both h1
         # and h2 it would hash every shingle twice (measured +45%).
+        # hex_long (ascii arithmetic) over conv: same values, 2.2× faster.
         hs = base.select(
             "__id", F.explode("__sh").alias("__g")
         ).select(
             "__id", F.md5(F.col("__g").cast("binary")).alias("__m")
         ).select(
             "__id",
-            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("__h1"),
-            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("__h2"),
+            hex_long("__m", 1).alias("__h1"),
+            hex_long("__m", 9).alias("__h2"),
         )
         sig = hs.groupBy("__id").agg(
             *[
@@ -282,8 +285,8 @@ def simhash_pairs(
             "__id", F.md5(F.col("__tok").cast("binary")).alias("__m")
         ).select(
             "__id",
-            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("__hh"),
-            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("__hl"),
+            hex_long("__m", 1).alias("__hh"),
+            hex_long("__m", 9).alias("__hl"),
         )
 
         def bit(j: int) -> Column:

@@ -1,0 +1,61 @@
+"""Property tests for the row-local kernels (hypothesis-generated
+inputs, evaluated in one Spark job per property — not per example).
+
+These pin the invariants the oracles lean on: hex parsing equals
+Python's int(h, 16), n-gram counts follow the length algebra, and the
+tokenizer never emits empties or uppercase.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+HEX = st.text(alphabet="0123456789abcdef", min_size=16, max_size=16)
+TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+    ),
+    max_size=80,
+)
+
+
+def _eval_batch(spark, rows, colexprs):
+    df = spark.createDataFrame([(r,) for r in rows], ["s"])
+    return df.select(*colexprs).collect()
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_hex_long_matches_python_int(spark, data):
+    from fuzzy_item_matching_spark.functions.text import hex_long
+
+    rows = [data.draw(HEX) for _ in range(300)]
+    got = _eval_batch(
+        spark, rows,
+        [F.col("s"), hex_long("s", 1).alias("hi"), hex_long("s", 9).alias("lo")],
+    )
+    for r in got:
+        assert r["hi"] == int(r["s"][0:8], 16)
+        assert r["lo"] == int(r["s"][8:16], 16)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_tokenizer_and_ngram_algebra(spark, data):
+    from fuzzy_item_matching_spark.functions.text import (
+        regex_tokenize,
+        word_ngrams,
+    )
+
+    rows = [data.draw(TEXT) for _ in range(300)]
+    got = _eval_batch(
+        spark, rows,
+        [
+            regex_tokenize("s").alias("toks"),
+            F.size(word_ngrams(regex_tokenize("s"), n=2)).alias("n2"),
+        ],
+    )
+    for r in got:
+        toks = r["toks"]
+        assert all(t and t == t.lower() for t in toks)  # no empties, lowercased
+        assert r["n2"] == max(len(toks) - 1, 0)

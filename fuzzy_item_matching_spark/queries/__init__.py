@@ -147,6 +147,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (quality formula is composite-verified inside pipe_corpus_clean's
     # oracle; n_tokens/avg_len surface also in ts_token_counts)
     "ts_doc_quality",
+    # (S2 write covered in-prefix by src_parquet_write_read; the
+    # partition-prune layout variant is plan-asserted in test_plans.py)
+    "src_partitioned_prune",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

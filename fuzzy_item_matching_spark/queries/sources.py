@@ -108,3 +108,36 @@ def src_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
     )
+
+
+@query(
+    "src_partitioned_prune",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned layout + partition-pruned scan — the 100 TB table
+    design primitive: orders written hive-style partitioned by
+    o_orderstatus, read back with a partition-column filter so the
+    scan plans only the matching directory (PartitionFilters in the
+    plan, asserted in tests/test_plans.py; at scale this is the
+    difference between reading one partition and the whole table)."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -74,3 +74,12 @@ def test_text_path_stays_jvm_side(spark, registry):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} must not drop into Python"
         )
+
+
+def test_partitioned_scan_prunes_partitions(spark, registry):
+    plan = plan_of(spark, registry, "src_partitioned_prune")
+    assert "PartitionFilters" in plan
+    # the status predicate must be a PARTITION filter (directory-level
+    # prune), not a row-level data filter on a full scan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("o_orderstatus" in l for l in pf_lines), pf_lines

@@ -150,6 +150,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (S2 write covered in-prefix by src_parquet_write_read; the
     # partition-prune layout variant is plan-asserted in test_plans.py)
     "src_partitioned_prune",
+    # (streaming already holds five prefix greens; the stream-static
+    # join is the stateless enrichment shape, oracle-checked locally)
+    "stream_static_enriched",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -259,3 +259,43 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@query(
+    "stream_static_enriched",
+    oracle="""
+    WITH weights(event_type, weight) AS (
+      VALUES ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+             ('signup', 5.0), ('error', 0.0)
+    )
+    SELECT e.event_type, w.weight,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,6))) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN weights w USING (event_type)
+    GROUP BY e.event_type, w.weight
+    """,
+)
+def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the standard enrichment shape — an
+    unbounded event stream joined to a bounded dimension (here an
+    in-plan weight table) before aggregating. The static side
+    broadcasts; no state is needed for the join itself (stream-static
+    joins are stateless in Structured Streaming — only the downstream
+    aggregation holds state), so at 100 TB the dimension refresh cycle,
+    not stream volume, bounds the join cost. Decimal-exact weighted
+    totals keep batch equivalence exact."""
+    weights = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    ev = _read_events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(weights), "event_type")
+    agg = joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("weighted_value"),
+    )
+    return _drain_to_memory(agg, "complete")

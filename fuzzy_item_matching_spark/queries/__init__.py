@@ -153,6 +153,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (streaming already holds five prefix greens; the stream-static
     # join is the stateless enrichment shape, oracle-checked locally)
     "stream_static_enriched",
+    "rel_json_props",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -604,3 +604,32 @@ def rel_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "rel_json_props",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: events.props parsed with a TYPED
+    from_json schema (not string get_json_object probing), then plain
+    integer aggregation — exact at any parallelism. At 100 TB parsing
+    is a row-local map-side expression; declaring the schema up front
+    keeps the parsed struct inside codegen and lets projection pruning
+    drop unused keys."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -60,7 +60,7 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial plan so q1 doesn't pay startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     times: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(passes):
         for name in names:
@@ -96,7 +96,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "pass_totals": [
-                    round(sum(ts[i] for ts in times.values() if len(ts) > i), 3)
+                    round(
+                        sum(
+                            ts[i]
+                            for ts in times.values()
+                            if len(ts) > i and ts[i] >= 0
+                        ),
+                        3,
+                    )
                     for i in range(passes)
                 ],
                 "sf": sf,

@@ -318,6 +318,7 @@ def blocked_pair_stats(
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     from fuzzy_item_matching_spark.operators.lsh import (
         _folded_dot_block,
@@ -325,14 +326,24 @@ def blocked_pair_stats(
         _folded_sqdist_block,
     )
 
-    out_schema = "id_a long, id_b long, dp double, sqdist double, cosine double"
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("dp", T.DoubleType()),
+            T.StructField("sqdist", T.DoubleType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in
-                 [("id_a", "int64"), ("id_b", "int64"), ("dp", "float64"),
-                  ("sqdist", "float64"), ("cosine", "float64")]}
+                {"id_a": pdf["__id"][:0], "id_b": pdf["__id"][:0],
+                 "dp": pd.Series(dtype="float64"),
+                 "sqdist": pd.Series(dtype="float64"),
+                 "cosine": pd.Series(dtype="float64")}
             )
         ids = pdf["__id"].to_numpy()
         v = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
@@ -354,6 +365,11 @@ def blocked_pair_stats(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__vec"),
         )
+        # Equi-join semantics: NULL block keys never match (and a NULL
+        # or missing vector has no defined stats) — filter both, rather
+        # than letting groupBy collect all NULLs into one spurious
+        # block or np.stack crash on ragged input.
+        .filter(F.col("__blk").isNotNull() & F.col("__vec").isNotNull())
         .groupBy("__blk")
         .applyInPandas(score_block, schema=out_schema)
     )

@@ -241,8 +241,10 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
     "ts_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+'))
+           CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g')) = 0 THEN 0
+                ELSE len(string_split_regex(
+                       regexp_replace(text, '^[ \\t\\n\\r]+|[ \\t\\n\\r]+$', '', 'g'),
+                       '[ \\t\\n\\r]+'))
            END AS n_ws_tokens,
            len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
            CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) = 0 THEN 0.0
@@ -259,7 +261,9 @@ def ts_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — at 100 TB this is a free map-side pass whose SUM is
     the corpus token budget."""
     d = load_table(spark, sf_dir, "documents")
-    trimmed = F.trim(F.col("text"))
+    # Strip ALL whitespace kinds at the edges — F.trim strips only
+    # spaces, so a trailing newline would add a phantom empty token.
+    trimmed = F.regexp_replace("text", "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
     # n_pieces bound before reuse (referenced three times below).
     bound = d.select(
         "doc_id",

@@ -154,6 +154,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # join is the stateless enrichment shape, oracle-checked locally)
     "stream_static_enriched",
     "rel_json_props",
+    "rel_latest_event_per_user",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

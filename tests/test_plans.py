@@ -83,3 +83,11 @@ def test_partitioned_scan_prunes_partitions(spark, registry):
     # prune), not a row-level data filter on a full scan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("o_orderstatus" in l for l in pf_lines), pf_lines
+
+
+def test_corpus_clean_scan_is_pruned(spark, registry):
+    plan = plan_of(spark, registry, "pipe_corpus_clean")
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "expected parquet scans with ReadSchema"
+    # the cleaning pipeline needs only doc_id + text from documents
+    assert all("n_chars" not in l and "lang" not in l for l in scans), scans

@@ -86,6 +86,9 @@ def test_partitioned_scan_prunes_partitions(spark, registry):
 
 
 def test_corpus_clean_scan_is_pruned(spark, registry):
+    # a cached raw-table relation from an earlier test would replace the
+    # pruned FileScan with the cache's full-schema scan
+    spark.catalog.clearCache()
     plan = plan_of(spark, registry, "pipe_corpus_clean")
     scans = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scans, "expected parquet scans with ReadSchema"

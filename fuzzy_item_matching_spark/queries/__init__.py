@@ -155,6 +155,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_static_enriched",
     "rel_json_props",
     "rel_latest_event_per_user",
+    "src_archive_ingest",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -654,10 +654,8 @@ def rel_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     window needs only a per-partition sort, and AQE handles hot keys.
     (The MERGE operator covers the incremental form; this is the
     batch-compaction twin.)"""
-    from pyspark.sql.window import Window as W
-
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -156,6 +156,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_json_props",
     "rel_latest_event_per_user",
     "src_archive_ingest",
+    "rel_audit_referential",
+    "rel_audit_profile",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

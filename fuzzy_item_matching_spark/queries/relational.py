@@ -661,3 +661,76 @@ def rel_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+@query(
+    "rel_audit_referential",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def rel_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the standing data-quality gate of
+    any pipeline: orphan counts for three FK edges as one unioned plan
+    of left-anti joins. Each anti-join shuffles on its key (broadcast
+    where the parent side is small); counts are map-side partial. At
+    100 TB this is the cheap pre-flight before an expensive join would
+    silently drop rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(orphans(c, "c_nationkey", F.broadcast(n), "n_nationkey", "customer->nation"))
+    )
+
+
+@query(
+    "rel_audit_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(*) - COUNT(o_orderstatus) AS null_status,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def rel_audit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile — the schema-drift/null-rate check a pipeline runs
+    before trusting a new partition: row count, per-column null counts,
+    key cardinality and ranges, in ONE aggregation pass (no per-column
+    jobs). All counts/min/max combine map-side; the only shuffle is the
+    single final-aggregate exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )

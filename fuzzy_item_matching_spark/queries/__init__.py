@@ -158,6 +158,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_archive_ingest",
     "rel_audit_referential",
     "rel_audit_profile",
+    "rel_price_quantiles",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

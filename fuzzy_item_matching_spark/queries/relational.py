@@ -734,3 +734,31 @@ def rel_audit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+@query(
+    "rel_price_quantiles",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           quantile_cont(p_retailprice, 0.5) AS median_price,
+           quantile_cont(p_retailprice, 0.9) AS p90_price,
+           quantile_cont(p_retailprice, 0.99) AS p99_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (`percentile` /
+    quantile_cont — both engines sort-and-interpolate identically, so
+    the oracle is value-exact). Exact percentile needs the group's
+    values together — one shuffle on the group key; at 100 TB swap in
+    `approx_percentile` (t-digest sketch, map-side mergeable) when the
+    group payload outgrows a task, trading exactness for a bounded
+    error the profile check tolerates."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(p_retailprice, 0.5)").alias("median_price"),
+        F.expr("percentile(p_retailprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(p_retailprice, 0.99)").alias("p99_price"),
+    )

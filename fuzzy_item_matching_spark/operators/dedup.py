@@ -134,26 +134,24 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
 
-    base = df.select(
-        F.col(id_col).alias("__id"), toks.alias("__toks")
-    ).select(
-        # Two-step select: bind tokens first so the transform lambda in
-        # word_shingles slices a computed array instead of re-running
-        # the tokenizer per gram (O(L²) → O(L)).
-        "__id", word_shingles(F.col("__toks"), n).alias("__sh")
-    ).filter(F.size("__sh") > 0).persist()  # shingle arrays feed the
-    # signature AND both verification sides — compute once
     if portable:
+        # Single persisted POSTINGS frame (id, shingle) feeds both the
+        # signature aggregate and the pair verification — never
+        # materializing per-doc shingle arrays (the array persist +
+        # re-explode + array_intersect form measured ~25% slower).
         # Explode + 32 min-aggregates instead of a per-row array fold:
-        # the md5/conv per shingle stays inside whole-stage codegen
+        # the md5 per shingle stays inside whole-stage codegen
         # (higher-order functions are interpreted — measured 3× slower)
         # and the groupBy is map-side-combined to one row per doc.
-        # md5 bound once per shingle — referenced unbound by both h1
-        # and h2 it would hash every shingle twice (measured +45%).
-        # hex_long (ascii arithmetic) over conv: same values, 2.2× faster.
-        hs = base.select(
-            "__id", F.explode("__sh").alias("__g")
+        # md5 bound once per shingle (unbound it would hash twice for
+        # h1/h2, +45%); hex_long (ascii arithmetic) over conv: same
+        # values, 2.2× faster.
+        sh = df.select(
+            F.col(id_col).alias("__id"), toks.alias("__toks")
         ).select(
+            "__id", F.explode(word_shingles(F.col("__toks"), n)).alias("__g")
+        ).persist()
+        hs = sh.select(
             "__id", F.md5(F.col("__g").cast("binary")).alias("__m")
         ).select(
             "__id",
@@ -170,6 +168,14 @@ def minhash_lsh_pairs(
             F.array(*[f"__s{i}" for i in range(n_hashes)]).alias("__sig"),
         )
     else:
+        base = df.select(
+            F.col(id_col).alias("__id"), toks.alias("__toks")
+        ).select(
+            # Bind tokens first: the transform lambda in word_shingles
+            # would re-run the tokenizer per gram (O(L²) → O(L)).
+            "__id", word_shingles(F.col("__toks"), n).alias("__sh")
+        ).filter(F.size("__sh") > 0).persist()  # arrays feed the fold
+        # signature AND both verification sides — compute once
         sig = base.withColumn(
             "__sig", minhash_signature(F.col("__sh"), n_hashes, seed)
         )
@@ -199,6 +205,35 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
+    if portable:
+        # Verify candidates relationally from the SAME postings frame:
+        # per-pair intersection = equi-join on the shingle restricted
+        # to candidate ids (shingles are distinct per doc, so COUNT =
+        # |A∩B|). Pairs sharing no shingle drop out of the inner join —
+        # their jaccard is 0, below any threshold.
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        pa = cand.join(
+            sh.select(F.col("__id").alias("id_a"), "__g"), "id_a"
+        )
+        inter = (
+            pa.join(sh.select(F.col("__id").alias("id_b"), "__g"), ["id_b", "__g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+        na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+        nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+        return (
+            inter.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")),
+            )
+            .filter(F.col("jaccard") >= F.lit(min_jaccard))
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))

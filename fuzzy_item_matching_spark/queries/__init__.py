@@ -159,6 +159,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_audit_referential",
     "rel_audit_profile",
     "rel_price_quantiles",
+    # reproducible (content-keyed) twins of the Spark-RNG rows-only
+    # queries — same operators, exactly SQL-replicable
+    "src_keyed_sample",
+    "train_keyed_split_sizes",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

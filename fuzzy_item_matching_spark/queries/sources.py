@@ -211,3 +211,39 @@ def src_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+_D_U = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST({key} AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+@query(
+    "src_keyed_sample",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE {_D_U.format(key="l_orderkey || '|' || l_linenumber")} < 0.1
+    GROUP BY l_returnflag
+    """,
+)
+def src_keyed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7, the reproducible form: content-keyed Bernoulli sample —
+    u = f(md5(seed:key)) per row, so the SAME rows are sampled on any
+    partitioning, cluster size, or engine (Spark's .sample draws per
+    partition and is reproducible only within one physical plan; it
+    stays demonstrated by src_seeded_sample). Exactly SQL-replicable →
+    full oracle. At 100 TB this is how eval/holdout sets stay stable
+    across reruns."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_sample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber")
+    return keyed_sample(li, key, fraction=0.1, seed=42).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )

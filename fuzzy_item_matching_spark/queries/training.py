@@ -307,3 +307,37 @@ def train_word2vec_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("emb").alias("dim"),
         l2_norm("emb").alias("norm"),
     )
+
+
+_D_SPLIT_U = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+@query(
+    "train_keyed_split_sizes",
+    oracle=f"""
+    SELECT CASE WHEN {_D_SPLIT_U} < 0.7 THEN 'train'
+                WHEN {_D_SPLIT_U} < 0.85 THEN 'validate'
+                ELSE 'test' END AS split,
+           o_orderstatus AS label, COUNT(*) AS n
+    FROM orders GROUP BY split, label
+    """,
+)
+def train_keyed_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5, the reproducible form: 70/15/15 split decided per row by a
+    content-keyed uniform (same row → same split on every run,
+    partitioning, and engine — the property that prevents train/test
+    leakage across reruns; Spark's randomSplit stays demonstrated by
+    train_split_sizes). Exactly SQL-replicable → full oracle."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_split
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("label")
+    )
+    split = keyed_split(
+        o, F.col("o_orderkey"),
+        {"train": 0.7, "validate": 0.15, "test": 0.15}, seed=42,
+    )
+    return split.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))

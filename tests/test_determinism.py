@@ -77,3 +77,24 @@ def test_blocked_pair_stats_matches_expression_form(spark):
         )
     )
     assert blockwise == expression  # bitwise float equality, all 3 stats
+
+
+def test_keyed_sample_and_split_partition_invariant(spark):
+    from fuzzy_item_matching_spark.functions.sampling import (
+        keyed_sample,
+        keyed_split,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    o = load_table(spark, SF_CHECK, "orders").select("o_orderkey")
+    key = F.col("o_orderkey")
+    a = _rows(keyed_sample(o.repartition(3), key, 0.1))
+    b = _rows(keyed_sample(o.repartition(17), key, 0.1))
+    assert a == b and 0.05 < len(a) / o.count() < 0.15
+
+    w = {"train": 0.7, "validate": 0.15, "test": 0.15}
+    sa = _rows(keyed_split(o.repartition(3), key, w))
+    sb = _rows(keyed_split(o.repartition(17), key, w))
+    assert sa == sb
+    labels = [r[1] for r in sa]
+    assert 0.6 < labels.count("train") / len(labels) < 0.8

@@ -69,19 +69,20 @@ def main() -> None:
             try:
                 df = q.fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                dt = time.monotonic() - t0
+                times[name].append(time.monotonic() - t0)
             except Exception as e:  # noqa: BLE001 — record, keep benching
                 dt = time.monotonic() - t0
                 print(
                     f"[bench] {name} FAILED after {dt:.2f}s: {e}", file=sys.stderr
                 )
                 times[name].append(-1.0)
-                continue
-            times[name].append(dt)
-            # Operators persist() shared frames for the duration of their
-            # query; in a 60+-query loop those blocks would accumulate
-            # until LRU churn. Timing includes only the query itself.
-            spark.catalog.clearCache()
+            finally:
+                # Operators persist() shared frames for the duration of
+                # their query; in a 60+-query loop those blocks would
+                # accumulate until LRU churn. Clear even on failure so a
+                # failed query's cached frames don't pollute later
+                # timings. Timing includes only the query itself.
+                spark.catalog.clearCache()
 
     per_query = {
         name: (-1.0 if -1.0 in ts else round(min(ts), 3))

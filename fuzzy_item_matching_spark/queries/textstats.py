@@ -54,7 +54,7 @@ def ts_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_token_stats",
     oracle=f"""
-    SELECT term, COUNT(*) AS df, SUM(c) AS total_tf
+    SELECT term, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS total_tf
     FROM (
       SELECT doc_id, term, COUNT(*) AS c
       FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term FROM documents)

@@ -87,9 +87,10 @@ def train_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS tp
       FROM scored
     )
-    SELECT CAST(SUM(CASE WHEN label = 1 THEN tp::DOUBLE / rnk ELSE 0 END)
-                / SUM(label) AS DOUBLE) AS average_precision,
-           SUM(label) AS n_pos, COUNT(*) AS n
+    SELECT CAST(SUM(CAST(CASE WHEN label = 1 THEN tp::DOUBLE / rnk ELSE 0.0 END
+                         AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(SUM(label) AS BIGINT) AS average_precision,
+           CAST(SUM(label) AS BIGINT) AS n_pos, COUNT(*) AS n
     FROM ranked
     """,
 )
@@ -112,15 +113,18 @@ def train_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.sum("label").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tp"),
     )
+    # AP numerator: each tp/rnk term is one IEEE division (deterministic
+    # per row); summing those doubles directly is ORDER-DEPENDENT across
+    # engines, so accumulate as DECIMAL(38,18) (exact, order-insensitive
+    # — the repo-wide convention, see queries/__init__.py) and cast to
+    # double only for the final single division.
+    term = F.when(
+        F.col("label") == 1, F.col("tp").cast("double") / F.col("rnk")
+    ).otherwise(0.0)
     return ranked.agg(
-        (
-            F.sum(
-                F.when(F.col("label") == 1, F.col("tp").cast("double") / F.col("rnk")).otherwise(0.0)
-            )
-            / F.sum("label")
-        )
-        .cast("double")
-        .alias("average_precision"),
+        (F.sum(term.cast("decimal(38,18)")).cast("double") / F.sum("label")).alias(
+            "average_precision"
+        ),
         F.sum("label").alias("n_pos"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -20,16 +20,30 @@ SF_CHECK = "/root/testdata/sf0.01"
 
 
 def norm_cell(v):
+    import decimal
+
     import numpy as np
     import pandas as pd
 
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    # Floats and ints are TAGGED so 744.0 != 744: the real driver hashes
+    # string-rendered cells ("744.0" vs "744"), while bare Python ==
+    # would silently unify them (this is exactly how the r03/r04
+    # ts_token_stats HUGEINT->float64 drift slipped past this script).
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return round(f, 9) if math.isfinite(f) else f
+        return ("f", round(f, 9) if math.isfinite(f) else f)
     if isinstance(v, (np.integer, int)):
-        return int(v)
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        # Spark DECIMAL -> pandas object(Decimal); DuckDB DECIMAL ->
+        # float64. Render drift is real on the driver too -> keep the
+        # exact value but a distinct tag so a decimal-vs-double column
+        # is flagged rather than unified.
+        return ("d", str(v))
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.datetime):

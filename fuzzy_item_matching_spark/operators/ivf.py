@@ -60,23 +60,34 @@ REFINE_SAMPLE_CAP = 100_000
 
 
 def refinement_sample(
-    df: DataFrame, cap: int = REFINE_SAMPLE_CAP, seed: int = 42
+    df: DataFrame, id_col: str, cap: int = REFINE_SAMPLE_CAP, seed: int = 42
 ) -> DataFrame:
-    """Bounded seeded sample for Lloyd refinement. Centroid quality
-    needs only a representative subset, so refinement cost must not
-    scale with the corpus: at 100 TB, iterating Lloyd over the full
+    """Bounded CONTENT-KEYED sample for Lloyd refinement. Centroid
+    quality needs only a representative subset, so refinement cost must
+    not scale with the corpus: at 100 TB, iterating Lloyd over the full
     table means n_centroids×dim dot products per row per pass — the
     one scan profile that can't be amortized. One metadata-cheap
-    count() bounds the fraction; the sample is seeded → stable
-    centroids across runs."""
+    count() bounds the fraction.
+
+    Keyed (u = f(md5(seed:id)) < cap/n, `functions/sampling.py`)
+    rather than ``df.sample``: Spark's sample is seeded per PARTITION,
+    so the selected set — and thus the refined centroids and every
+    downstream bucket — would change with file layout. The keyed draw
+    picks the same rows on any partitioning or engine, which is what
+    lets the DuckDB oracle replay the refinement exactly even above
+    the cap (r04 verdict: the old plan-seeded sample silently diverged
+    from the full-table oracle once n exceeded the cap)."""
     n = df.count()
     if n <= cap:
         return df
-    return df.sample(withReplacement=False, fraction=cap / n, seed=seed)
+    from fuzzy_item_matching_spark.functions.sampling import keyed_sample
+
+    return keyed_sample(df, F.col(id_col), fraction=cap / n, seed=seed)
 
 
 def refine_centroids(
     df: DataFrame,
+    id_col: str,
     vec_col: str,
     centroids: list[list[float]],
     iterations: int = 2,
@@ -87,7 +98,7 @@ def refine_centroids(
     agg — one pass per iteration over a bounded sample, see
     ``refinement_sample``), renormalize driver-side. Only the
     n_centroids×dim mean table is ever collected (KBs)."""
-    df = refinement_sample(df, cap=sample_cap).select(vec_col).persist()
+    df = refinement_sample(df, id_col, cap=sample_cap).select(vec_col).persist()
     for _ in range(iterations):
         # Two selects: a generator (posexplode) in the same projection
         # as the struct getField loses struct field names (resolves to
@@ -141,6 +152,7 @@ def ivf_cosine_topk(
     n_probe: int = 3,
     centroids: list[list[float]] | None = None,
     refine_iters: int = 2,
+    sample_cap: int = REFINE_SAMPLE_CAP,
 ) -> DataFrame:
     """Approximate cosine top-k per vector via IVF cells.
 
@@ -153,7 +165,10 @@ def ivf_cosine_topk(
     if centroids is None:
         centroids = sample_centroids(df, id_col, vec_col, n_centroids)
         if refine_iters:
-            centroids = refine_centroids(df, vec_col, centroids, refine_iters)
+            centroids = refine_centroids(
+                df, id_col, vec_col, centroids, refine_iters,
+                sample_cap=sample_cap,
+            )
 
     scored = df.select(
         F.col(id_col).alias("__id"),

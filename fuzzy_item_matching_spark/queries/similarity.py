@@ -194,7 +194,14 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_oracle(k: int, n_centroids: int, n_probe: int, iters: int) -> str:
+def _ivf_topk_oracle(
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    iters: int,
+    sample_cap: int = 100_000,
+    seed: int = 42,
+) -> str:
     """Full SQL replica of ivf_cosine_topk: init centroids = lowest-id
     rows unit-normalized, ``iters`` unrolled Lloyd passes (assign by
     dot DESC / cell DESC, per-(cell,pos) mean via exact DECIMAL sum
@@ -203,15 +210,34 @@ def _ivf_topk_oracle(k: int, n_centroids: int, n_probe: int, iters: int) -> str:
     nearest-cell indexing, n_probe probing, exact cosine, global
     top-k. Every float op replays the operator's sequence (fold-order
     dots, single-op divisions), so the whole approximate index is
-    exactly verifiable."""
+    exactly verifiable.
+
+    Lloyd passes run over the SAME bounded refinement sample as the
+    operator (``operators/ivf.py refinement_sample``): a content-keyed
+    u = f(md5(seed:vec_id)) < sample_cap/n filter, inert while
+    n <= sample_cap and bitwise-identical to the Spark draw above it —
+    closing the r04 divergence where the oracle ran Lloyd over the
+    full table while the operator sampled."""
     _unit = (
         "list_transform({v}, x -> x / (CASE WHEN"
         " sqrt(list_sum(list_transform({v}, y -> y*y))) = 0 THEN 1.0"
         " ELSE sqrt(list_sum(list_transform({v}, y -> y*y))) END))"
     )
     dot = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+    # keyed uniform, functions/sampling.py twin (same md5 construction
+    # as _D_U in queries/sources.py)
+    u = (
+        f"(CAST(CAST('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)),"
+        " 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0)"
+    )
     blocks = [
         "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "ns AS (SELECT COUNT(*) AS n FROM emb)",
+        f"""ref AS (
+      SELECT vec_id, v FROM emb, ns
+      WHERE ns.n <= {sample_cap}
+         OR {u} < CAST({sample_cap} AS DOUBLE) / ns.n
+    )""",
         f"""init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids})
@@ -224,7 +250,7 @@ def _ivf_topk_oracle(k: int, n_centroids: int, n_probe: int, iters: int) -> str:
             f"""a{i} AS (
       SELECT e.vec_id, c{p}.cell,
              {dot.format(a='e.v', b=f'c{p}.c')} AS score
-      FROM emb e CROSS JOIN c{p}
+      FROM ref e CROSS JOIN c{p}
     )""",
             f"""b{i} AS (
       SELECT vec_id, cell FROM (
@@ -297,9 +323,14 @@ def _ivf_topk_oracle(k: int, n_centroids: int, n_probe: int, iters: int) -> str:
     )
 
 
+_IVF_SAMPLE_CAP = 100_000  # == operators.ivf.REFINE_SAMPLE_CAP, asserted in tests
+
+
 @query(
     "sim_ann_ivf_topk",
-    oracle=_ivf_topk_oracle(k=3, n_centroids=16, n_probe=8, iters=1),
+    oracle=_ivf_topk_oracle(
+        k=3, n_centroids=16, n_probe=8, iters=1, sample_cap=_IVF_SAMPLE_CAP
+    ),
 )
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic sampled
@@ -317,7 +348,8 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        e, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8, refine_iters=1
+        e, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8,
+        refine_iters=1, sample_cap=_IVF_SAMPLE_CAP,
     )
 
 

@@ -114,6 +114,42 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.8, f"IVF recall@3 {recall:.3f} < 0.8"
 
 
+def test_ivf_sample_cap_matches_oracle_when_sampling_active(
+    spark, embeddings, duck
+):
+    """r04 verdict #3: the Lloyd refinement sample must be replicated
+    in the oracle, not just inert below the cap. Force the cap BELOW
+    the corpus size (200 < 500) so the keyed sample actually drops
+    rows, and require the full bitwise oracle match — if operator and
+    oracle ever draw different refinement rows, this fails loudly."""
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
+    from fuzzy_item_matching_spark.queries.similarity import _ivf_topk_oracle
+
+    cap = 200
+    assert embeddings.count() > cap, "cap must force sampling for this test"
+    out = ivf_cosine_topk(
+        embeddings, "vec_id", "embedding", k=3, n_centroids=16, n_probe=8,
+        refine_iters=1, sample_cap=cap,
+    )
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        out,
+        duck,
+        _ivf_topk_oracle(k=3, n_centroids=16, n_probe=8, iters=1, sample_cap=cap),
+    )
+
+
+def test_ivf_query_cap_pinned_to_operator_default():
+    """The oracle-bearing query pins its cap; it must equal the
+    operator's default so the registered oracle describes what the
+    operator actually runs."""
+    from fuzzy_item_matching_spark.operators.ivf import REFINE_SAMPLE_CAP
+    from fuzzy_item_matching_spark.queries.similarity import _IVF_SAMPLE_CAP
+
+    assert _IVF_SAMPLE_CAP == REFINE_SAMPLE_CAP
+
+
 def test_two_set_fuzzy_match_directional_ids(spark):
     part = load_table(spark, SF_CHECK, "part").limit(200).cache()
     left = part.filter(F.col("p_partkey") % 2 == 0)

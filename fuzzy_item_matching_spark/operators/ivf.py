@@ -162,6 +162,15 @@ def ivf_cosine_topk(
     Recall misses only neighbors whose cell the query didn't probe —
     graded vs brute force in tests.
     """
+    from fuzzy_item_matching_spark.operators.lsh import (
+        _infer_dim,
+        valid_vectors,
+    )
+
+    dim = len(centroids[0]) if centroids else _infer_dim(df, vec_col)
+    # np.stack in score_cell dies on NULL/ragged rows; one bad row must
+    # cost one row, not the task (see operators/lsh.py valid_vectors).
+    df = valid_vectors(df, vec_col, dim)
     if centroids is None:
         centroids = sample_centroids(df, id_col, vec_col, n_centroids)
         if refine_iters:

@@ -59,6 +59,28 @@ def _folded_dot_block_diag(a: np.ndarray) -> np.ndarray:
     return acc
 
 
+def valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Drop NULL / wrong-dimension vectors before an Arrow-batched
+    numpy kernel. ``np.stack`` over a batch containing a None or a
+    ragged array raises and KILLS THE TASK (and with it the job),
+    where the pure-Catalyst expression path would just yield NULL for
+    that row; on real (dirty) 100 TB inputs one bad row must cost one
+    row, not the query. Rows failing the guard simply produce no
+    pairs/neighbors — the same observable outcome as a NULL hash that
+    never equi-joins."""
+    c = F.col(vec_col)
+    return df.filter(c.isNotNull() & (F.size(c) == dim))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first non-null row (dirty-input
+    safe — ``first()[0]`` alone can hand back None)."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: no non-null '{vec_col}' rows")
+    return len(row[0])
+
+
 def random_hyperplanes(dim: int, n_tables: int, seed: int = 42) -> list[list[float]]:
     """Seeded unit gaussian projection vectors (one per hash table) —
     the engine-native equivalent of MLlib's seeded randUnitVectors."""
@@ -138,7 +160,8 @@ def lsh_cosine_topk(
     from pyspark.sql.window import Window
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
+    df = valid_vectors(df, vec_col, dim)  # np.stack dies on NULL/ragged
     planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
     planes_arr = np.asarray(planes, dtype=np.float64)  # (tables·bits, dim)
 
@@ -267,7 +290,10 @@ def lsh_sqdist_join(
     bucket_length or add tables.
     """
     if dim is None:
-        dim = len(left.select(vec_col).first()[0])
+        dim = _infer_dim(left, vec_col)
+    left = valid_vectors(left, vec_col, dim)  # np.stack dies on NULL/ragged
+    if right is not None:
+        right = valid_vectors(right, vec_col, dim)
     planes = random_hyperplanes(dim, n_tables, seed)
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:

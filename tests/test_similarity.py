@@ -150,6 +150,45 @@ def test_ivf_query_cap_pinned_to_operator_default():
     assert _IVF_SAMPLE_CAP == REFINE_SAMPLE_CAP
 
 
+def test_vector_kernels_survive_null_and_ragged_rows(spark, embeddings):
+    """r04 verdict #4: np.stack over a batch with a None or ragged
+    vector kills the whole task where the Catalyst path would degrade
+    to NULL for that row. Dirty rows must cost one row, not the query:
+    inject a NULL vector and a wrong-dim vector and require every
+    Arrow-kernel operator to return exactly its clean-input answer."""
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cosine_topk
+    from fuzzy_item_matching_spark.operators.lsh import lsh_cosine_topk
+
+    clean = embeddings.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(100_000, None), (100_001, [1.0, 2.0, 3.0])],
+            schema=clean.schema,
+        )
+    )
+
+    lsh_kw = dict(k=3, n_tables=4, bits_per_table=3, seed=42, dim=64)
+    assert _pairset_qn(
+        lsh_cosine_topk(dirty, "vec_id", "embedding", **lsh_kw)
+    ) == _pairset_qn(lsh_cosine_topk(clean, "vec_id", "embedding", **lsh_kw))
+
+    sq_kw = dict(n_tables=4, bucket_length=1.0, seed=42, dim=64)
+    assert _pairset(
+        lsh_sqdist_join(dirty, None, "vec_id", "embedding", THRESHOLD, **sq_kw)
+    ) == _pairset(
+        lsh_sqdist_join(clean, None, "vec_id", "embedding", THRESHOLD, **sq_kw)
+    )
+
+    ivf_kw = dict(k=3, n_centroids=8, n_probe=4, refine_iters=1)
+    assert _pairset_qn(
+        ivf_cosine_topk(dirty, "vec_id", "embedding", **ivf_kw)
+    ) == _pairset_qn(ivf_cosine_topk(clean, "vec_id", "embedding", **ivf_kw))
+
+
+def _pairset_qn(df):
+    return {(r.qid, r.nid) for r in df.collect()}
+
+
 def test_two_set_fuzzy_match_directional_ids(spark):
     part = load_table(spark, SF_CHECK, "part").limit(200).cache()
     left = part.filter(F.col("p_partkey") % 2 == 0)

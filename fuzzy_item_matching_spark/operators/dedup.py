@@ -302,6 +302,16 @@ def simhash_pairs(
     instead of xxhash64 — bit-identical across engines, so the whole
     pipeline is exactly SQL-replicable (same trade as
     ``minhash_lsh_pairs(portable=True)``; xxhash64 stays the hot path).
+
+    Zero-token docs: BOTH paths (portable and fast) exclude docs whose
+    token bag is empty — the explode produces no rows for them, so
+    they emit no fingerprint and join into no pairs. This is
+    deliberate: an empty doc has no content to be "near" anything, and
+    the alternative (the ``simhash_bits`` fold form, which gives every
+    empty doc the all-zero fingerprint) silently declares ALL empty
+    docs mutual duplicates at hamming 0 — at corpus scale that one
+    degenerate bucket is both wrong and a skew bomb. Exact empty-doc
+    dedup belongs to ``dedup_exact`` (content hash), not near-dup.
     """
     n_bands = 64 // band_bits
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col

@@ -78,6 +78,28 @@ def test_simhash_identical_and_disjoint(spark):
     assert hamming_13 > 10, "disjoint token sets should differ in many bits"
 
 
+def test_simhash_zero_token_docs_join_no_pairs(spark):
+    """Documented zero-token semantics (both hash paths): empty docs
+    emit no fingerprint and so no pairs — NOT one degenerate all-zero
+    bucket where every empty doc matches every other at hamming 0."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),
+         (3, ""),
+         (4, "   ")],
+        ["id", "text"],
+    )
+    for portable in (False, True):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_pairs(
+                df, "id", regex_tokenize("text"),
+                max_hamming=3, band_bits=16, portable=portable,
+            ).collect()
+        }
+        assert pairs == {(1, 2)}, f"portable={portable}: {pairs}"
+
+
 def test_simhash_pairs_track_planted_dups(documents, jaccard_pairs):
     sh = {
         (r.id_a, r.id_b)

@@ -610,7 +610,8 @@ def rel_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_json_props",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type

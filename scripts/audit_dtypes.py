@@ -48,33 +48,44 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_flag = 0
-    for name in sorted(queries):
-        if only and name not in only:
-            continue
-        sql = oracles.get(name)
-        if sql is None:
-            continue
-        try:
-            sdf = queries[name](spark, SF_CHECK).toPandas()
-            odf = con.execute(sql).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"[ERR ] {name}: {e}")
-            n_flag += 1
-            continue
-        finally:
-            spark.catalog.clearCache()
-        sk = {c: sdf[c].dtype.kind for c in sdf.columns}
-        ok = {c: odf[c].dtype.kind for c in odf.columns}
-        drift = {
-            c: (sk.get(c), ok.get(c))
-            for c in sorted(set(sk) | set(ok))
-            if sk.get(c) != ok.get(c)
-        }
-        if drift:
-            n_flag += 1
-            print(f"[KIND] {name}: {drift}")
-    print(f"[done] {n_flag} queries flagged")
+    n_err = 0
+    n_drift = 0
+    try:
+        for name in sorted(queries):
+            if only and name not in only:
+                continue
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            try:
+                sdf = queries[name](spark, SF_CHECK).toPandas()
+                odf = con.execute(sql).df()
+            except Exception as e:  # noqa: BLE001
+                print(f"[ERR ] {name}: {e}")
+                n_err += 1
+                continue
+            finally:
+                spark.catalog.clearCache()
+                # Streaming queries run via availableNow; any sink a
+                # failed query left active would outlive its slot.
+                for st in spark.streams.active:
+                    st.stop()
+            sk = {c: sdf[c].dtype.kind for c in sdf.columns}
+            ok = {c: odf[c].dtype.kind for c in odf.columns}
+            drift = {
+                c: (sk.get(c), ok.get(c))
+                for c in sorted(set(sk) | set(ok))
+                if sk.get(c) != ok.get(c)
+            }
+            if drift:
+                n_drift += 1
+                print(f"[KIND] {name}: {drift}")
+    finally:
+        con.close()
+        spark.stop()
+    print(f"[done] {n_drift} dtype drifts, {n_err} execution errors")
+    if n_err:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

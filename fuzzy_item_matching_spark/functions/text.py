@@ -139,13 +139,32 @@ def hex_long(hexstr: Column | str, start: int, n: int = 8) -> Column:
     exceptAll-empty both ways at sf0.1), but stays in primitive
     codegen where conv round-trips through BigInteger — measured 2.2×
     faster over 2.5M postings. SQL twin stays
-    ``CAST('0x' || substr(h, start, n) AS BIGINT)``."""
+    ``CAST('0x' || substr(h, start, n) AS BIGINT)``.
+
+    ONLY for bound (named) columns: the arithmetic references
+    ``hexstr`` 2n times, and codegen's subexpression elimination does
+    not dedupe filter conditions or grouping keys — an inline
+    ``F.md5(...)`` argument is recomputed 2n× per row (measured 9× on
+    the keyed-sample filter). For inline expressions use
+    ``hex_long_once``."""
     c = F.col(hexstr) if isinstance(hexstr, str) else hexstr
     acc: Column = F.lit(0).cast("long")
     for i in range(n):
         a = F.ascii(F.substring(c, start + i, 1))
         acc = acc * 16 + (a - 48 - F.when(a >= 97, 39).otherwise(0))
     return acc
+
+
+def hex_long_once(hexstr: Column, start: int, n: int = 8) -> Column:
+    """``hex_long`` for INLINE expressions (e.g. ``F.md5(...)`` inside
+    a filter or groupBy key): ``conv`` references its input exactly
+    once, so the hex source is evaluated once per row. conv's
+    BigInteger round-trip costs ~2× vs ascii arithmetic on a bound
+    column, but 1×md5 + conv beats 16×md5 by ~8× (measured on the
+    sf0.1 keyed-sample filter: 6.7s → 0.8s). Values are identical
+    (verified mismatch-count 0 over sf0.1 lineitem); same SQL twin as
+    ``hex_long``."""
+    return F.conv(F.substring(hexstr, start, n), 16, 10).cast("long")
 
 
 def md5_bucket(term: Column | str, num_features: int) -> Column:
@@ -159,7 +178,7 @@ def md5_bucket(term: Column | str, num_features: int) -> Column:
     crypto rounds — and this for verification pipelines.
     """
     t = F.col(term) if isinstance(term, str) else term
-    return F.pmod(hex_long(F.md5(t), 1), F.lit(num_features))
+    return F.pmod(hex_long_once(F.md5(t), 1), F.lit(num_features))
 
 
 def hashed_tf(terms: Column, num_features: int = 46656, binary: bool = True) -> Column:

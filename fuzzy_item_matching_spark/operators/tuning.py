@@ -52,10 +52,10 @@ def _hash_uniform(seed: int, trial: Column, name: str) -> Column:
     bit-identical across engines, and /2^32 is an exact binary scaling,
     so every draw is exactly reproducible in SQL — the property
     hyperopt's TPE sampler can't offer."""
-    from fuzzy_item_matching_spark.functions.text import hex_long
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
 
     key = F.concat_ws(":", F.lit(str(seed)), trial.cast("string"), F.lit(name))
-    h = hex_long(F.md5(key.cast("binary")), 1)
+    h = hex_long_once(F.md5(key.cast("binary")), 1)
     return h.cast("double") / F.lit(float(2**32))
 
 

@@ -391,3 +391,69 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → one row per
+    node ``(node, component)`` with ``component`` = the minimum node id
+    in its component. This is the full-transitive-closure form of
+    canonical assignment (``dedup_canonical_map`` is the one-hop
+    compromise): a chain a~b~c~d all collapses to a.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbours until a fixpoint. Converges
+    in O(graph diameter) rounds — near-dup graphs are unions of small
+    clusters (diameter a handful), so 3-5 rounds in practice; each
+    round is one shuffle-join on node id (partitioned identically
+    every round, so AQE reuses the exchange layout). For adversarial
+    long-chain graphs at 100 TB the O(log n)-round alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") is the drop-in upgrade; the
+    convergence loop and per-round localCheckpoint lineage truncation
+    here carry over unchanged.
+
+    Driver-side per-round work is ONE count (the convergence test) —
+    labels themselves never collect. ``localCheckpoint`` truncates the
+    growing join lineage each round (iterative plans otherwise re-plan
+    the whole history every action).
+    """
+    sym = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    labels = (
+        sym.select("n")
+        .distinct()
+        .select(F.col("n").alias("node"), F.col("n").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["m"] == labels["node"])
+            .groupBy(F.col("n").alias("node"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.component") != F.col("old.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

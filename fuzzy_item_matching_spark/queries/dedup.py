@@ -336,3 +336,77 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("canonical_id").isNotNull(), 1).otherwise(0).alias("is_duplicate"),
         )
     )
+
+
+@query(
+    "dedup_canonical_closure",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes x ON inter.id_a = x.doc_id
+      JOIN sizes y ON inter.id_b = y.doc_id
+      WHERE i::DOUBLE / (x.n + y.n - i) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM pairs
+      UNION ALL
+      SELECT id_b AS n, id_a AS m FROM pairs
+    ),
+    reach AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n
+    ),
+    comp AS (
+      SELECT n AS node, LEAST(n, MIN(m)) AS component
+      FROM reach GROUP BY n
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS canonical_id,
+           CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                THEN 1 ELSE 0 END AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_canonical_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-transitive-closure canonical map: connected components of
+    the near-dup pair graph, every document labeled with the MINIMUM
+    doc id of its whole component (`dedup_canonical_map` is the
+    one-hop compromise — a chain a~b~c leaves c pointing at b there,
+    at a here; the component min itself is the survivor,
+    is_duplicate=0). Spark side is iterative min-label propagation
+    (`operators/dedup.connected_components`, O(diameter) rounds with
+    per-round lineage truncation); the oracle is the same closure as a
+    DuckDB recursive CTE — set-semantics UNION reaches the fixpoint.
+    """
+    from fuzzy_item_matching_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    ).persist()
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        d.select("doc_id")
+        .join(comps, d.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_duplicate"),
+        )
+    )

@@ -122,3 +122,29 @@ def test_jaccard_pair_values_bounded(documents):
     for r in rows:
         assert 0.5 <= r.jaccard <= 1.0
         assert r.id_a < r.id_b
+
+
+def test_connected_components_closes_chains(spark):
+    from fuzzy_item_matching_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), separate
+    # pair 10-11, isolated node 99 absent from the edge list entirely
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_vs_one_hop(spark):
+    from fuzzy_item_matching_spark.operators.dedup import connected_components
+
+    # one-hop min-id leaves 4 pointing at 3 (its only earlier match);
+    # the closure must pull the whole chain to 1
+    edges = spark.createDataFrame([(1, 2), (3, 4), (2, 3)], ["id_a", "id_b"])
+    comp = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert comp[4] == 1

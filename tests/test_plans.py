@@ -85,6 +85,21 @@ def test_partitioned_scan_prunes_partitions(spark, registry):
     assert any("o_orderstatus" in l for l in pf_lines), pf_lines
 
 
+def test_keyed_sample_filter_hashes_once(spark, registry):
+    # hex_long's ascii arithmetic references its input 16x, and codegen
+    # CSE does not dedupe filter conditions — an inline F.md5 there is
+    # recomputed 16x/row (r05: keyed-sample filter 8x slower). The
+    # keyed-sample path must keep exactly one md5 in its plan.
+    plan = plan_of(spark, registry, "src_keyed_sample")
+    filter_lines = [l for l in plan.splitlines() if "md5" in l]
+    assert filter_lines, "expected the keyed-uniform md5 filter in the plan"
+    assert max(l.count("md5(") for l in filter_lines) == 1, (
+        "inline md5 duplicated in the filter condition — use "
+        "hex_long_once (single-reference) for inline hash expressions:\n"
+        + "\n".join(filter_lines)
+    )
+
+
 def test_corpus_clean_scan_is_pruned(spark, registry):
     # a cached raw-table relation from an earlier test would replace the
     # pruned FileScan with the cache's full-schema scan

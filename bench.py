@@ -33,6 +33,7 @@ EXCLUDE = {
     "sim_exact_sqdist_pairs",  # O(n²) oracle twin of lsh/sparse joins
     "dedup_embedding_exact_pairs",  # O(n²) oracle twin
     "vec_knn_bruteforce",  # O(n²) oracle twin of sim_ann_lsh_topk
+    "sim_ann_recall",  # eval query containing the O(n²) ground truth
     # MLlib interop adapter (SQLTransformer explode/collect stages are
     # MLlib's cost, not the engine's); its engine-native twin IS
     # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).

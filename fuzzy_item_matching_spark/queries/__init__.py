@@ -175,6 +175,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_audit_referential",
     "rel_audit_profile",
     "rel_price_quantiles",
+    # -- r05 additions: last-mile pipeline ops (exact oracles); packing
+    #    and redaction are new operator shapes, recall is the eval
+    #    composition of two already-in-prefix ops
+    "ts_seq_packing",
+    "ts_redact_pii",
+    "sim_ann_recall",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -471,3 +471,58 @@ def sim_fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = feats.withColumnRenamed("doc_id", "id_a")
     b = feats.withColumnRenamed("doc_id", "id_b")
     return sparse_cosine_join(a, b, "id_a", "id_b", min_sim=0.5, self_dedup=True)
+
+
+def _ann_recall_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.vectors import _D_DOT, _D_NORM
+
+    cosine = (
+        f"{_D_DOT.format(a='a.embedding', b='b.embedding')}"
+        f" / ({_D_NORM.format(v='a.embedding')} * {_D_NORM.format(v='b.embedding')})"
+    )
+    return f"""
+    WITH ann AS ({_lsh_topk_oracle(n_tables=16, bits_per_table=5, seed=42, dim=64, k=3)}),
+    bf AS (
+      SELECT qid, nid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (
+                 PARTITION BY a.vec_id ORDER BY {cosine} DESC, b.vec_id) AS rnk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= 3
+    )
+    SELECT COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)::DOUBLE / COUNT(*) AS recall
+    FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
+    """
+
+
+@query("sim_ann_recall", oracle=_ann_recall_oracle())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-LSH ANN index against exact brute force —
+    the evaluation loop every approximate index ships with. Ground
+    truth and candidate sets are the two already-verified queries
+    (`vec_knn_bruteforce`, `sim_ann_lsh_topk`) composed in one plan:
+    semi-match on (query, neighbor), integer hit counts, one final
+    double division (exact cross-engine).
+
+    Contains the O(n²) ground-truth join BY DESIGN, so it is
+    bench-excluded like its `vec_knn_bruteforce` half: at scale you
+    run this on a fixed eval slice (the content-keyed sample ops),
+    never the full corpus, while the ANN side itself stays
+    bucket-bounded."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.queries.vectors import vec_knn_bruteforce
+
+    ann = sim_ann_lsh_topk(spark, sf_dir).select("qid", "nid", F.lit(1).alias("hit"))
+    exact = vec_knn_bruteforce(spark, sf_dir).select("qid", "nid")
+    j = exact.join(ann, ["qid", "nid"], "left")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.alias("n_hits"),
+        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.functions.text import (
     ENGLISH_STOPWORDS,
@@ -433,4 +434,165 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_pieces"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing + PII redaction — the last-mile ops of an
+# LLM data pipeline (after clean/dedup, before the trainer reads).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+_PACK_SHARDS = 8  # independent packing streams (cluster-parallel unit)
+
+
+@query(
+    "ts_seq_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len({_D_TOKENS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS end_tok
+      FROM t
+    )
+    SELECT shard,
+           CAST(floor((end_tok - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard, seq_id
+    """,
+)
+def ts_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: lay documents out in stable
+    (shard, doc_id) order and assign each to the training sequence
+    where it STARTS (seq_id = start_offset // budget) — the
+    deterministic contiguous-fill packer trainers use to batch
+    variable-length documents into fixed windows. Output is the pack
+    manifest: per (shard, seq) doc count, token total, doc-id span.
+
+    Scale shape: packing is a running total, which is inherently
+    sequential — so the order is defined PER SHARD (doc_id % k), and
+    each shard packs independently in one window partition. At 100 TB
+    you set shards ~ cluster parallelism (or reuse ingest file ids)
+    and every partition packs its own stream with zero coordination;
+    no global window, no driver loop. All-integer arithmetic keeps it
+    bit-exact cross-engine (the one float op, start//budget, is exact
+    for offsets < 2^53)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(regex_tokenize("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor((F.col("end_tok") - F.col("n_tokens")) / _PACK_BUDGET),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# Phone-shaped runs first, then any remaining digit run. Both patterns
+# stay inside the regex subset Java (Spark) and RE2 (DuckDB) agree on:
+# char classes + bounded repetition, no backrefs/lookaround.
+_PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_NUM = "[0-9]+"
+
+
+@query(
+    "ts_redact_pii",
+    oracle=f"""
+    WITH d AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS ds
+      FROM customer
+    ),
+    t AS (
+      SELECT c_custkey,
+             c_name || ' call ' || substr(ds, 1, 2) || '-' || substr(ds, 3, 3)
+               || '-' || substr(ds, 6, 3) || '-' || substr(ds, 9, 4)
+               || ' ref ' || CAST(c_nationkey AS VARCHAR) AS note
+      FROM d
+    ),
+    p AS (
+      SELECT c_custkey,
+             len(regexp_extract_all(note, '{_PII_PHONE}')) AS n_phones,
+             regexp_replace(note, '{_PII_PHONE}', '<PHONE>', 'g') AS s1
+      FROM t
+    )
+    SELECT c_custkey, n_phones,
+           len(regexp_extract_all(s1, '{_PII_NUM}')) AS n_numbers,
+           regexp_replace(s1, '{_PII_NUM}', '<NUM>', 'g') AS clean_note
+    FROM p
+    """,
+)
+def ts_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a contact-note column: structured phone
+    numbers are redacted first (and counted), then any remaining digit
+    run — the usual layered-pattern redaction pass a pretraining
+    pipeline runs before text ships to a trainer. The testdata carries
+    no raw PII-bearing text (documents has zero digits, customer has
+    no phone column), so the note is MATERIALIZED deterministically
+    first — a phone-shaped 2-3-3-4 string from the zero-padded custkey
+    plus the digit-bearing c_name — and the identical construction is
+    replayed in the oracle; the operator under test is the layered
+    redaction itself, with every count nonzero.
+
+    Pure narrow projection — row-local regex work, no shuffle, scales
+    linearly; Catalyst keeps both regexp_replace stages in one
+    whole-stage-codegen pass. Patterns are in the Java∩RE2 regex
+    subset so the oracle replays them exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    ds = F.lpad(F.col("c_custkey").cast("string"), 12, "0")
+    phone = F.concat_ws(
+        "-",
+        F.substring(ds, 1, 2),
+        F.substring(ds, 3, 3),
+        F.substring(ds, 6, 3),
+        F.substring(ds, 9, 4),
+    )
+    t = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" call "),
+            phone,
+            F.lit(" ref "),
+            F.col("c_nationkey").cast("string"),
+        ).alias("note"),
+    )
+    p = t.select(
+        "c_custkey",
+        F.size(F.expr(f"regexp_extract_all(note, '{_PII_PHONE}', 0)")).alias(
+            "n_phones"
+        ),
+        F.regexp_replace("note", _PII_PHONE, "<PHONE>").alias("s1"),
+    )
+    return p.select(
+        "c_custkey",
+        "n_phones",
+        F.size(F.expr(f"regexp_extract_all(s1, '{_PII_NUM}', 0)")).alias(
+            "n_numbers"
+        ),
+        F.regexp_replace("s1", _PII_NUM, "<NUM>").alias("clean_note"),
     )

@@ -181,6 +181,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_seq_packing",
     "ts_redact_pii",
     "sim_ann_recall",
+    "dedup_decontaminate",
+    "ts_corpus_shuffle",
+    "train_stratified_sample",
+    "ts_repetition",
+    "stream_ingest_dedup",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

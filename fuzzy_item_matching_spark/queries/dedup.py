@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fuzzy_item_matching_spark.functions.text import regex_tokenize
+from fuzzy_item_matching_spark.functions.text import regex_tokenize, word_ngrams
 from fuzzy_item_matching_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -408,5 +408,78 @@ def dedup_canonical_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(0)
             .alias("is_duplicate"),
+        )
+    )
+
+
+def _d_word_ngrams(n: int) -> str:
+    """Distinct word n-grams in DuckDB over regex-tokenized text (the
+    _D_SHINGLES construction generalized to any n)."""
+    toks = _D_TOKENS.format(c="text")
+    join = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), i -> {join}))"
+    )
+
+
+_DECON_N = 5  # n-gram length for containment (benchmark-decontamination style)
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_d_word_ngrams(_DECON_N)}) AS g FROM documents
+    ),
+    ev AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 <> 0),
+    j AS (
+      SELECT ev.doc_id, CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ev LEFT JOIN tr ON ev.g = tr.g
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+           CAST(SUM(hit) AS BIGINT)::DOUBLE / COUNT(*) AS contamination
+    FROM j GROUP BY doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: for every eval-split document
+    (doc_id % 10 = 0), the share of its distinct word-5-grams that
+    also appear anywhere in the train split — the n-gram-containment
+    check run before a benchmark ships, distinct from near-dup Jaccard
+    (containment is asymmetric and cross-split, not corpus-wide
+    similarity).
+
+    Scale shape: an inverted postings equi-join on the gram — eval
+    grams only ever meet train grams that hash to the same shuffle
+    partition, never all-pairs; the train side is a distinct (map-side
+    combined) postings set. At 100 TB you'd equi-join on xxhash64(gram)
+    instead of the string (cheaper shuffle key, same join), and keep
+    eval bounded (it is the benchmark, not the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("toks"), _DECON_N))).alias(
+            "g"
+        ),
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0)
+    tr = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        ev.join(tr, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            hits.alias("n_contaminated"),
+            (hits.cast("double") / F.count(F.lit(1))).alias("contamination"),
         )
     )

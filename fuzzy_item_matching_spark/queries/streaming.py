@@ -299,3 +299,53 @@ def stream_static_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_value"),
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_ingest_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+    ),
+    cand AS (SELECT source, md5(text) AS fp FROM documents)
+    SELECT c.source, COUNT(*) AS n_new
+    FROM cand c LEFT JOIN hist h ON c.fp = h.fp
+    WHERE h.fp IS NULL
+    GROUP BY c.source
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest with dedup against the EXISTING corpus:
+    incoming documents stream through a content-fingerprint anti-join
+    vs a static historical fingerprint set (docs with doc_id % 10 = 0
+    stand in for "already ingested"), then count survivors per source
+    — the continuous-crawl front door of a training-data pipeline.
+
+    Scale shape: a stream-static anti-join is STATELESS in Structured
+    Streaming (no watermark, no state store — each micro-batch probes
+    the static side), so stream volume never grows state; only the
+    downstream per-source count holds state, bounded by |sources|. The
+    static side carries 32-byte md5 keys, not documents, and at 100 TB
+    becomes a Delta/parquet fingerprint table refreshed between
+    micro-batches; intra-stream duplicates are the stateful dedup op's
+    job (stream_dedup_user_firsts), not this join's."""
+    from fuzzy_item_matching_spark.tables import load_table
+
+    doc_path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(doc_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+    )
+    deduped = stream.withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    ).join(hist, "fp", "left_anti")
+    agg = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
+    return _drain_to_memory(agg, "complete")

@@ -17,7 +17,9 @@ from pyspark.sql.window import Window
 from fuzzy_item_matching_spark.functions.text import (
     ENGLISH_STOPWORDS,
     regex_tokenize,
+    word_ngrams,
 )
+from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
 from fuzzy_item_matching_spark.operators.features import tfidf_features
 from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.queries.text import _D_STOPWORDS, _D_TOKENS
@@ -595,4 +597,122 @@ def ts_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_numbers"
         ),
         F.regexp_replace("s1", _PII_NUM, "<NUM>").alias("clean_note"),
+    )
+
+
+# SQL twin of functions.sampling.keyed_uniform (seed 42) — the same
+# macro queries/sources.py embeds for the keyed sample/split oracles.
+_D_U42 = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST({key} AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+_SHUF_SHARDS = 16  # ordered prefix shards of the keyed uniform
+
+
+@query(
+    "ts_corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY {_D_U42.format(key="doc_id")}, doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def ts_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: every document gets a
+    stable position in a pseudorandom reading order (u = content-keyed
+    uniform, doc_id tie-break) — the "shuffle your corpus once,
+    reproducibly, on any engine" step before training.
+
+    Scale shape: the naive form is row_number over a GLOBAL ordered
+    window — one partition, dead at scale. Instead the keyed uniform
+    is split into {_SHUF_SHARDS} ORDERED prefix shards
+    (shard = floor(u·k); every row of shard s sorts before shard
+    s+1), positions are ranked per shard in parallel windows, and
+    each shard adds the total count of the shards before it (a
+    k-row broadcast). Identical output to the global window — the
+    oracle IS the naive global form — with max window partition
+    n/k rows; k scales with the cluster."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("u", keyed_uniform(F.col("doc_id"), seed=42)).withColumn(
+        "shard", F.floor(F.col("u") * _SHUF_SHARDS).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    ranked = d.withColumn("r", F.row_number().over(w))
+    counts = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    wo = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # |shards| rows total — the tiny frame, not the data
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off")
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        "doc_id", (F.col("r") + F.col("off")).cast("long").alias("shuffle_pos")
+    )
+
+
+@query(
+    "ts_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+           END AS dup_token_frac,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+           END AS dup_3gram_frac,
+           (CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+            END > 0.3
+            OR
+            CASE WHEN len(grams) = 0 THEN 0.0
+                 ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+            END > 0.2) AS flagged
+    FROM g
+    """,
+)
+def ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/MassiveText-style
+    quality signal): fraction of duplicate tokens and duplicate word
+    3-grams within each document, plus the flag a corpus filter would
+    act on. Catches boilerplate/spam that inter-document dedup can't —
+    the doc is unique corpus-wide but degenerate internally.
+
+    Row-local array arithmetic only (tokenize → n-grams → distinct
+    counts), no shuffle, linear at any scale; each ratio is one double
+    division so the oracle is exact. Token and gram arrays are bound
+    once before the projection (HOF subtrees are invisible to
+    codegen CSE — see ts_doc_quality)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("__toks", regex_tokenize("text")).withColumn(
+        "__grams", word_ngrams(F.col("__toks"), 3)
+    )
+    toks, grams = F.col("__toks"), F.col("__grams")
+    n, ng = F.size(toks), F.size(grams)
+    dup_tok = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(toks))).cast("double") / n
+    )
+    dup_gram = F.when(ng == 0, F.lit(0.0)).otherwise(
+        (ng - F.size(F.array_distinct(grams))).cast("double") / ng
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        dup_gram.alias("dup_3gram_frac"),
+        ((dup_tok > 0.3) | (dup_gram > 0.2)).alias("flagged"),
     )

@@ -345,3 +345,55 @@ def train_keyed_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"train": 0.7, "validate": 0.15, "test": 0.15}, seed=42,
     )
     return split.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "train_stratified_sample",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus AS label, COUNT(*) AS n_orig FROM orders GROUP BY 1
+    ),
+    m AS (SELECT MIN(n_orig) AS n_min FROM c),
+    r AS (SELECT label, n_orig, n_min::DOUBLE / n_orig AS rate FROM c, m),
+    s AS (
+      SELECT o.o_orderkey, r.label, r.n_orig
+      FROM orders o JOIN r ON o.o_orderstatus = r.label
+      WHERE (CAST(CAST('0x' || substr(md5('42:' || CAST(o_orderkey AS VARCHAR)),
+                       1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0) < r.rate
+    )
+    SELECT label, n_orig, COUNT(*) AS n_sampled
+    FROM s GROUP BY label, n_orig
+    """,
+)
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing downsample: per-class keep rate = n_min/n_class
+    (computed IN-PLAN from a broadcast class-count frame), decided per
+    row by the content-keyed uniform — M1's balanced-weights idea
+    applied to the data instead of the loss, with S7's reproducibility
+    (the same rows survive on any partitioning, cluster, or engine).
+    Output is the per-class before/after manifest.
+
+    Scale shape: the rates frame is |classes| rows (broadcast, no
+    shuffle on the big side); the keep decision is a row-local filter;
+    the only big-data shuffle is the final count aggregation —
+    map-side combined to |classes| rows. The rate division is one
+    double op, so the u < rate comparison is bit-identical in the
+    oracle."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("label")
+    )
+    counts = o.groupBy("label").agg(F.count(F.lit(1)).alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "label",
+        "n_orig",
+        (F.col("n_min").cast("double") / F.col("n_orig")).alias("rate"),
+    )
+    kept = o.join(F.broadcast(rates), "label").filter(
+        keyed_uniform(F.col("o_orderkey"), seed=42) < F.col("rate")
+    )
+    return kept.groupBy("label", "n_orig").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )

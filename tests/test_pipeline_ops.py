@@ -68,3 +68,94 @@ def test_ann_recall_is_valid_ratio(spark):
     # 16 tables x 5 bits on 64-dim unit-ish vectors should comfortably
     # beat a random-candidate baseline
     assert row["recall"] >= 0.3
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_decontaminate", "ts_corpus_shuffle", "train_stratified_sample"],
+)
+def test_curation_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_decontaminate_covers_eval_split_only(spark):
+    out = REGISTRY["dedup_decontaminate"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "eval split must be non-empty"
+    for r in rows:
+        assert r["doc_id"] % 10 == 0
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert 0.0 <= r["contamination"] <= 1.0
+
+
+def test_corpus_shuffle_is_permutation(spark):
+    out = REGISTRY["ts_corpus_shuffle"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    # sharded decomposition == the naive single-partition global window
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    naive = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(keyed_uniform(F.col("doc_id"), seed=42), "doc_id"))
+        .cast("long")
+        .alias("shuffle_pos"),
+    )
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in rows} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in naive.collect()
+    }
+
+
+def test_stratified_sample_keeps_min_class_whole(spark):
+    rows = REGISTRY["train_stratified_sample"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    min_row = min(rows, key=lambda r: r["n_orig"])
+    assert min_row["n_sampled"] == min_row["n_orig"]  # rate 1.0 class
+    for r in rows:
+        assert r["n_sampled"] <= r["n_orig"]
+
+
+@pytest.mark.parametrize("name", ["ts_repetition", "stream_ingest_dedup"])
+def test_quality_stream_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_repetition_fracs_bounded(spark):
+    rows = REGISTRY["ts_repetition"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+        assert r["flagged"] == (
+            r["dup_token_frac"] > 0.3 or r["dup_3gram_frac"] > 0.2
+        )
+
+
+def test_ingest_dedup_excludes_historical_content(spark):
+    from fuzzy_item_matching_spark.tables import load_table
+
+    out = REGISTRY["stream_ingest_dedup"].fn(spark, SF_SMOKE)
+    n_new = out.agg(F.sum("n_new")).collect()[0][0]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hist_fps = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    expected = (
+        docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .join(hist_fps.distinct(), "fp", "left_anti")
+        .count()
+    )
+    assert n_new == expected
+    # historical docs themselves always match their own fingerprint
+    assert n_new < docs.count()

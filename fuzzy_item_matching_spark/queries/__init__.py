@@ -69,6 +69,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    queries that flip currently-unverified rows green: set ops
     #    U1-U3, archive ingest S4, keyed sample S7, keyed split M5,
     #    SimHash, stream-static join, doc quality.
+    # -- r05 second rotation: three slots whose operator carries 2-3
+    #    in-prefix verifiers moved to the strongest new curation ops
+    #    (each a NEW operator shape): P3 replace+cast → ts_redact_pii
+    #    (superset: lpad/substr/cast + layered regexp_replace + counts;
+    #    rel_price_clean_cast demoted), V1 sqdist → already verified by
+    #    serve_match_score AND sim_lsh_sqdist_pairs (vec_label_pair_stats
+    #    demoted for dedup_decontaminate), stream-static join → the
+    #    anti-join form stream_ingest_dedup (stream_static_enriched's
+    #    inner form demoted).
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
@@ -78,7 +87,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_fingerprint",
     "ts_doc_quality",
     "vec_l2_norm",
-    "vec_label_pair_stats",
+    "dedup_decontaminate",
     "train_class_weights",
     "train_avg_precision",
     "train_grid_search",
@@ -87,7 +96,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_events_hourly",
     "stream_dedup_user_firsts",
     "stream_user_sessions",
-    "stream_static_enriched",
+    "stream_ingest_dedup",
     "stream_stateful_user_stats",
     "text_tokens",
     "text_stop_filtered",
@@ -114,7 +123,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_top_revenue_orders",
     "rel_cust_order_stats",
     "rel_status_share",
-    "rel_price_clean_cast",
+    "ts_redact_pii",
     "rel_order_lines_collect",
     "rel_expr_join_scoring",
     "rel_union_distinct_nations",
@@ -143,7 +152,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # same operator, documents table)
     "sim_fuzzy_doc_pairs",
     # (CASE buckets = P2/P6 expression surface, covered by
-    # rel_price_clean_cast / rel_status_share)
+    # ts_redact_pii's replace+cast / rel_status_share)
     "rel_case_buckets",
     # -- oracle-bearing, but their operators are already verified by
     #    earlier entries (set ops / grouping extras / duplicate scans)
@@ -161,8 +170,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_range_join_bands",
     "mm_binary_meta",
     "mm_frame_sample",
-    # (V1 + exact-threshold join also verified by serve_match_score,
-    # vec_label_pair_stats, and the LSH joins' exact oracles)
+    # (V1 + exact-threshold join also verified by serve_match_score
+    # and the LSH joins' exact oracles)
     "sim_exact_sqdist_pairs",
     # (full-closure twin of the in-prefix dedup_canonical_map; the
     # iterative CC operator is also chain-tested in test_dedup.py)
@@ -175,17 +184,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_audit_referential",
     "rel_audit_profile",
     "rel_price_quantiles",
-    # -- r05 additions: last-mile pipeline ops (exact oracles); packing
-    #    and redaction are new operator shapes, recall is the eval
-    #    composition of two already-in-prefix ops
+    # -- r05 additions: last-mile pipeline ops (exact oracles) whose
+    #    shapes are adjacent to in-prefix rows (packing/shuffle =
+    #    window forms, recall = eval composition of two prefix ops,
+    #    repetition = row-local quality like ts_doc_quality,
+    #    stratified = M1 rates + S7 keyed draw)
     "ts_seq_packing",
-    "ts_redact_pii",
     "sim_ann_recall",
-    "dedup_decontaminate",
     "ts_corpus_shuffle",
     "train_stratified_sample",
     "ts_repetition",
-    "stream_ingest_dedup",
+    # -- demoted by the r05 second rotation (see prefix header):
+    #    operator keeps 2+ in-prefix verifiers
+    "rel_price_clean_cast",
+    "vec_label_pair_stats",
+    "stream_static_enriched",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

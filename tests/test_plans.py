@@ -109,3 +109,34 @@ def test_corpus_clean_scan_is_pruned(spark, registry):
     assert scans, "expected parquet scans with ReadSchema"
     # the cleaning pipeline needs only doc_id + text from documents
     assert all("n_chars" not in l and "lang" not in l for l in scans), scans
+
+
+def test_seq_packing_packs_in_one_shuffle(spark, registry):
+    import re
+
+    plan = plan_of(spark, registry, "ts_seq_packing")
+    # per-shard window AND the (shard, seq_id) aggregate reuse ONE
+    # hash exchange on shard — packing costs a single shuffle
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_redaction_and_repetition_are_shuffle_free(spark, registry):
+    for name in ("ts_redact_pii", "ts_repetition"):
+        plan = plan_of(spark, registry, name)
+        assert "Exchange" not in plan, f"{name} must be a narrow projection"
+
+
+def test_corpus_shuffle_broadcasts_shard_offsets(spark, registry):
+    plan = plan_of(spark, registry, "ts_corpus_shuffle")
+    assert "BroadcastHashJoin" in plan  # k-row offsets frame, never SMJ
+    assert "SortMergeJoin" not in plan
+    # the data-side window partitions by shard (parallel), not global
+    assert "hashpartitioning(shard" in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark, registry):
+    plan = plan_of(spark, registry, "train_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -58,11 +58,16 @@ def regex_tokenize(col: Column | str, min_token_length: int = 1) -> Column:
     """Lowercase, split on non-word chars, drop short tokens.
 
     Exact semantics of RegexTokenizer(pattern='[^\\w\\d]',
-    minTokenLength=1) in the reference (`01_Feature Engineering.py:184-193`).
+    minTokenLength=1) in the reference (`01_Feature Engineering.py:184-193`),
+    including its null normalization (`COALESCE(description,'')`,
+    `01_Feature Engineering.py:147,155`): null text tokenizes to an
+    EMPTY array, not null — so every downstream size/quality/packing
+    metric stays well-defined on dirty inputs instead of silently
+    emitting null rows.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
-        F.split(F.lower(c), TOKEN_SPLIT_PATTERN),
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_PATTERN),
         lambda t: F.length(t) >= min_token_length,
     )
 

@@ -26,8 +26,10 @@ from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.tables import load_table
 
 # DuckDB mirror of regex_tokenize(col): same regex, same empty-filter.
+# coalesce mirrors regex_tokenize's null normalization (reference
+# `01_Feature Engineering.py:147,155`): null text -> empty token list.
 _D_TOKENS = (
-    "list_filter(regexp_split_to_array(lower({c}), '[^\\w\\d]'),"
+    "list_filter(regexp_split_to_array(lower(coalesce({c}, '')), '[^\\w\\d]'),"
     " x -> length(x) >= 1)"
 )
 # The identical 181-word list, SQL-quoted (apostrophes doubled).

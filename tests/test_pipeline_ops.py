@@ -159,3 +159,20 @@ def test_ingest_dedup_excludes_historical_content(spark):
     assert n_new == expected
     # historical docs themselves always match their own fingerprint
     assert n_new < docs.count()
+
+
+def test_tokenizer_null_text_yields_empty_not_null(spark):
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", F.size(regex_tokenize("text")).alias("n")
+        ).collect()
+    }
+    assert rows[1]["n"] == 2
+    assert rows[2]["n"] == 0  # null text == empty doc, not null metrics
+    assert rows[3]["n"] == 0

@@ -77,7 +77,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    serve_match_score AND sim_lsh_sqdist_pairs (vec_label_pair_stats
     #    demoted for dedup_decontaminate), stream-static join → the
     #    anti-join form stream_ingest_dedup (stream_static_enriched's
-    #    inner form demoted).
+    #    inner form demoted). Embedding-threshold dedup's O(n²) oracle
+    #    twin also yields its slot (scale path = the in-prefix LSH/ANN
+    #    family, same precedent as sim_exact_sqdist_pairs) to the
+    #    stream-STREAM join — the two-sided-state operator no other row
+    #    covers.
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
@@ -104,7 +108,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_levenshtein_pairs",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "dedup_embedding_exact_pairs",
+    "stream_stream_join",
     "dedup_canonical_map",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -199,6 +203,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_price_clean_cast",
     "vec_label_pair_stats",
     "stream_static_enriched",
+    "dedup_embedding_exact_pairs",
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",

@@ -349,3 +349,72 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(hist, "fp", "left_anti")
     agg = deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id AS v_user, ts AS v_ts FROM events
+      WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT user_id AS b_user, ts AS b_ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT v.v_user, v.v_ts, b.b_ts, b.value
+    FROM v JOIN b
+      ON v.v_user = b.b_user
+     AND b.b_ts >= v.v_ts
+     AND b.b_ts <= v.v_ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join — view-to-purchase attribution within
+    a 2-hour window, both sides unbounded. The last streaming operator
+    family: unlike the stateless stream-static join, each side buffers
+    rows in the state store until the other side's watermark passes
+    the join range, so the watermark + time-bound condition IS the
+    state eviction policy (without the time bound the state grows
+    forever; Structured Streaming requires the event-time constraint
+    for exactly this reason).
+
+    Each side is its OWN readStream source (a single branched source
+    would share one watermark node). availableNow drains everything in
+    one micro-batch, so the inner join emits all matches immediately —
+    exact batch equivalence, raw join rows, no float aggregation."""
+
+    def _side() -> DataFrame:
+        return _read_events_stream(spark, sf_dir).withColumn(
+            # watermarks require tz-aware TIMESTAMP; parquet micros
+            # arrive as TIMESTAMP_NTZ
+            "ts",
+            F.col("ts").cast("timestamp"),
+        )
+
+    views = (
+        _side()
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    buys = (
+        _side()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+            "value",
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    return _drain_to_memory(
+        joined.select("v_user", "v_ts", "b_ts", "value"), "append"
+    )

@@ -176,3 +176,16 @@ def test_tokenizer_null_text_yields_empty_not_null(spark):
     assert rows[1]["n"] == 2
     assert rows[2]["n"] == 0  # null text == empty doc, not null metrics
     assert rows[3]["n"] == 0
+
+
+def test_stream_stream_join_matches_batch(spark, duck):
+    q = REGISTRY["stream_stream_join"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_stream_stream_join_respects_window(spark):
+    rows = REGISTRY["stream_stream_join"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        delta = (r["b_ts"] - r["v_ts"]).total_seconds()
+        assert 0 <= delta <= 2 * 3600

@@ -144,6 +144,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (streaming windowed totals ⊂ stream_events_hourly +
     # stream_stateful_user_stats shapes)
     "stream_user_value_totals",
+    # (sliding = tumbling's param twin: same streaming hash agg behind
+    # an Expand; the tumbling form is in-prefix)
+    "stream_events_sliding",
     # (T4 char 3-grams composite-verified in pipe_corpus_clean; T5
     # collapse inside sim_fuzzy_*)
     "text_char_3grams",

@@ -418,3 +418,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         joined.select("v_user", "v_ts", "b_ts", "value"), "append"
     )
+
+
+@query(
+    "stream_events_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+             AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events, generate_series(0, 3) AS s(k)
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour window, 15-minute slide) —
+    the overlapping twin of the tumbling stream_events_hourly; each
+    event lands in exactly 4 windows. Structured Streaming plans this
+    as one Expand (4 rows per event) feeding the same streaming hash
+    aggregate, so state is |windows|·|event_types|, watermark-evictable
+    in the unbounded configuration.
+
+    The oracle replays Spark's epoch-aligned window assignment with
+    time_bucket + a 0..3 series join, decimal-exact sums — exact batch
+    equivalence like every other streaming row."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = _drain_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )

@@ -189,3 +189,13 @@ def test_stream_stream_join_respects_window(spark):
     for r in rows:
         delta = (r["b_ts"] - r["v_ts"]).total_seconds()
         assert 0 <= delta <= 2 * 3600
+
+
+def test_sliding_window_covers_each_event_four_times(spark, duck):
+    q = REGISTRY["stream_events_sliding"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+    from fuzzy_item_matching_spark.tables import load_table
+
+    out = REGISTRY["stream_events_sliding"].fn(spark, SF_SMOKE)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert out.agg(F.sum("n")).collect()[0][0] == 4 * n_events

@@ -201,6 +201,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_corpus_shuffle",
     "train_stratified_sample",
     "ts_repetition",
+    # (mergeable-sketch pattern; exact distinct already in-prefix via
+    # corpus aggregations)
+    "ts_distinct_kmv",
     # -- demoted by the r05 second rotation (see prefix header):
     #    operator keeps 2+ in-prefix verifiers
     "rel_price_clean_cast",

@@ -716,3 +716,64 @@ def ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_gram.alias("dup_3gram_frac"),
         ((dup_tok > 0.3) | (dup_gram > 0.2)).alias("flagged"),
     )
+
+
+_KMV_K = 256  # sketch size; corpus shingle cardinality >> k at any SF
+
+
+@query(
+    "ts_distinct_kmv",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT {_D_U42.format(key="g")} AS u
+      FROM (
+        SELECT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len({_D_TOKENS.format(c="text")}) - 2, 0)),
+          i -> {_D_TOKENS.format(c="text")}[i] || ' '
+               || {_D_TOKENS.format(c="text")}[i+1] || ' '
+               || {_D_TOKENS.format(c="text")}[i+2]))) AS g
+        FROM documents
+      )
+    ),
+    kset AS (SELECT u FROM t ORDER BY u LIMIT {_KMV_K}),
+    m AS (SELECT MAX(u) AS uk, COUNT(*) AS kk FROM kset),
+    e AS (SELECT COUNT(*) AS exact_distinct FROM t)
+    SELECT e.exact_distinct,
+           CASE WHEN m.kk < {_KMV_K} THEN e.exact_distinct::DOUBLE
+                ELSE (m.kk - 1) / m.uk END AS kmv_estimate
+    FROM e, m
+    """,
+)
+def ts_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH that is still exactly verifiable: the
+    k-minimum-values estimator over corpus word-3-gram shingles.
+    KMV keeps only the k smallest hash values of the stream; the
+    cardinality estimate is (k-1)/u_k (u_k = k-th smallest hash mapped
+    to [0,1)). Unlike HLL (whose register layout is engine-internal,
+    so approx_count_distinct can never cross-engine-match), KMV over
+    the portable md5-keyed uniform is a PURE function of the data —
+    the DuckDB oracle replays it bit-for-bit, estimate included. The
+    exact distinct count rides along so the estimator error is
+    visible in the result.
+
+    Scale shape: the k-smallest set is an associative, bounded-size
+    merge — Spark plans the ORDER BY u LIMIT k as per-partition
+    top-k + a k-row final merge (TakeOrdered), never a global sort;
+    map-side partial aggregation collapses duplicate hashes before
+    any shuffle. This is the pattern for any mergeable sketch on
+    100 TB: per-partition sketch, tiny associative combine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(regex_tokenize("text").alias("toks"))
+    grams = toks.select(
+        F.explode(F.array_distinct(word_ngrams(F.col("toks"), 3))).alias("g")
+    )
+    tu = grams.select(keyed_uniform(F.col("g"), seed=42).alias("u")).distinct()
+    kset = tu.orderBy("u").limit(_KMV_K)
+    m = kset.agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("kk"))
+    e = tu.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return e.crossJoin(F.broadcast(m)).select(
+        "exact_distinct",
+        F.when(F.col("kk") < _KMV_K, F.col("exact_distinct").cast("double"))
+        .otherwise((F.col("kk") - 1) / F.col("uk"))
+        .alias("kmv_estimate"),
+    )

@@ -199,3 +199,24 @@ def test_sliding_window_covers_each_event_four_times(spark, duck):
     out = REGISTRY["stream_events_sliding"].fn(spark, SF_SMOKE)
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert out.agg(F.sum("n")).collect()[0][0] == 4 * n_events
+
+
+def test_kmv_sketch_oracle_and_accuracy(spark, duck):
+    q = REGISTRY["ts_distinct_kmv"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+    row = q.fn(spark, SF_CHECK).collect()[0]
+    exact, est = row["exact_distinct"], row["kmv_estimate"]
+    assert exact > 256, "cardinality must exceed k for the estimator path"
+    # KMV stderr ~ 1/sqrt(k-2) ~ 6.3% at k=256; allow 4 sigma
+    assert abs(est - exact) / exact < 0.25
+
+
+def test_kmv_uses_takeordered_not_global_sort(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = REGISTRY["ts_distinct_kmv"].fn(spark, SF_CHECK)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

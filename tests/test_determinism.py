@@ -98,3 +98,22 @@ def test_keyed_sample_and_split_partition_invariant(spark):
     assert sa == sb
     labels = [r[1] for r in sa]
     assert 0.6 < labels.count("train") / len(labels) < 0.8
+
+
+def test_shuffle_and_packing_partition_invariant(spark):
+    """ts_corpus_shuffle's position and ts_seq_packing's manifest are
+    pure functions of the data — identical at any input partitioning
+    (the content-keyed ordering, not Spark's physical layout, defines
+    the sequence)."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    reg = load_all()
+    for name in ("ts_corpus_shuffle", "ts_seq_packing"):
+        base = _rows(reg[name].fn(spark, SF_CHECK))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            narrow = _rows(reg[name].fn(spark, SF_CHECK))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == narrow, f"{name} drifts with shuffle width"

@@ -204,6 +204,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (mergeable-sketch pattern; exact distinct already in-prefix via
     # corpus aggregations)
     "ts_distinct_kmv",
+    # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
+    # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
+    "ts_token_dominance",
+    "ts_top_terms",
     # -- demoted by the r05 second rotation (see prefix header):
     #    operator keeps 2+ in-prefix verifiers
     "rel_price_clean_cast",

@@ -777,3 +777,88 @@ def ts_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("kk") - 1) / F.col("uk"))
         .alias("kmv_estimate"),
     )
+
+
+@query(
+    "ts_token_dominance",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(MAX(c) AS BIGINT) AS max_tf,
+           CAST(MAX(c) AS BIGINT)::DOUBLE / CAST(SUM(c) AS BIGINT)
+             AS top_token_frac
+    FROM tf GROUP BY doc_id
+    """,
+)
+def ts_token_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-token dominance per document — the remaining
+    Gopher-style repetition signal (a doc whose top token is 20% of
+    its mass is boilerplate even with low n-gram duplication). One
+    explode + two hash aggregations, map-side combined; integer until
+    the final division. Docs with zero tokens drop (no mass to
+    dominate), matching the oracle's GROUP BY."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("max_tf"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"),
+    )
+
+
+@query(
+    "ts_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+    idf AS (SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf FROM dfreq, nd),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS weight
+          FROM tf JOIN idf USING (term)),
+    nrm AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS nrm
+            FROM w GROUP BY doc_id),
+    scored AS (
+      SELECT w.doc_id, w.term,
+             CASE WHEN nrm.nrm = 0 THEN w.weight
+                  ELSE w.weight / nrm.nrm END AS weight
+      FROM w JOIN nrm USING (doc_id)
+    )
+    SELECT doc_id, term, weight, rnk FROM (
+      SELECT doc_id, term, weight,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY weight DESC, term) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def ts_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 L2-normalized TF-IDF terms per
+    document (weight desc, term tie-break) — the per-doc window over
+    the already-exact ts_tfidf_weights pipeline. The rank window
+    partitions by doc (parallel, bounded by per-doc vocab); weights
+    on both engines come from the identical float sequence, so the
+    ordering — and therefore the hash — is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    feats = tfidf_features(toks, ["doc_id"], "toks", binary=False, normalize=True)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        feats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "weight", "rnk")
+    )

@@ -220,3 +220,17 @@ def test_kmv_uses_takeordered_not_global_sort(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ["ts_token_dominance", "ts_top_terms"])
+def test_textstat_extras_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_token_dominance_bounds(spark):
+    rows = REGISTRY["ts_token_dominance"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_tf"] <= r["n_tokens"]
+        assert 0.0 < r["top_token_frac"] <= 1.0

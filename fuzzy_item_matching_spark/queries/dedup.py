@@ -483,3 +483,95 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hits.cast("double") / F.count(F.lit(1))).alias("contamination"),
         )
     )
+
+_CHUNK_W = 8  # tokens per pseudo-line chunk
+_CHUNK_MAX_DF = 1  # corpus-wide occurrence cap; above it a chunk is boilerplate
+
+
+@query(
+    "dedup_chunk_lines",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*{_CHUNK_W}+1):(i*{_CHUNK_W}+{_CHUNK_W})], ' ') AS chunk
+      FROM toks, unnest(range(greatest((len(t)+{_CHUNK_W}-1)//{_CHUNK_W}, 0))) AS u(i)
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS df FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.chunk
+      FROM chunks c JOIN freq USING (chunk) WHERE freq.df <= {_CHUNK_MAX_DF}
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    nc AS (SELECT doc_id, greatest((len(t)+{_CHUNK_W}-1)//{_CHUNK_W}, 0) AS n_chunks
+           FROM toks)
+    SELECT nc.doc_id, nc.n_chunks,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM nc LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_chunk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line-level-analog) boilerplate removal: segment
+    each document into fixed 8-token chunks, count each chunk's exact
+    occurrences across the whole corpus, drop chunks seen more than
+    once, and reassemble the surviving chunks in original order — the
+    repeated-line/boilerplate-paragraph filter every web-scale
+    pretraining pipeline runs (RefinedWeb/Gopher line-dedup; fixed
+    token windows stand in for newline splits because the synthetic
+    corpus is single-line). Complements doc-level dedup: it edits
+    WITHIN documents instead of dropping them.
+
+    Scale shape: chunking is a narrow per-row transform; the corpus
+    chunk-frequency is one map-side-combined hash agg; membership is an
+    equi-join on the chunk (at 100 TB: on xxhash64(chunk) — cheaper
+    shuffle key, same join); reassembly is a per-doc collect_list
+    bounded by document length, sorted locally by chunk position.
+    Nothing is all-pairs and no state exceeds one document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("t"))
+    w = _CHUNK_W
+    n_chunks = F.expr(f"(size(t) + {w - 1}) div {w}")
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(F.slice(F.col("t"), i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = toks.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.posexplode_outer(chunk_arr).alias("pos", "chunk"),
+    )
+    freq = chunks.filter(F.col("chunk").isNotNull()).groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = (
+        chunks.join(freq, "chunk")
+        .filter(F.col("df") <= _CHUNK_MAX_DF)
+        .select("doc_id", "pos", "chunk")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = chunks.select("doc_id", "n_chunks").distinct()
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

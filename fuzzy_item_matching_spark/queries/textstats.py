@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.functions.text import (
     ENGLISH_STOPWORDS,
+    hex_long_once,
     regex_tokenize,
     word_ngrams,
 )
@@ -861,4 +862,80 @@ def ts_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "weight", "rnk")
+    )
+
+
+_CMS_D = 4  # count-min hash rows
+_CMS_W = 32  # buckets per row (kept small so collisions actually occur)
+
+
+@query(
+    "ts_countmin_heavy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_D_TOKENS.format(c="text")}) AS term FROM documents
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_tf FROM tok GROUP BY term),
+    hashed AS (
+      SELECT e.term, e.exact_tf, u.r,
+             CAST('0x' || substr(md5(u.r || ':' || e.term), 1, 8) AS BIGINT)
+               % {_CMS_W} AS bucket
+      FROM exact e, unnest(range({_CMS_D})) AS u(r)
+    ),
+    cms AS (SELECT r, bucket, CAST(SUM(exact_tf) AS BIGINT) AS c
+            FROM hashed GROUP BY r, bucket),
+    est AS (
+      SELECT h.term, MIN(cms.c) AS est_tf
+      FROM hashed h JOIN cms USING (r, bucket) GROUP BY h.term
+    )
+    SELECT e.term, exact.exact_tf, e.est_tf,
+           e.est_tf - exact.exact_tf AS overcount
+    FROM est e JOIN exact USING (term)
+    """,
+)
+def ts_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies (d=4 rows x w=32 buckets,
+    portable md5 hash family) next to the exact counts — the streaming
+    heavy-hitters sketch, with its one-sided error (est >= exact)
+    surfaced as an explicit `overcount` column.
+
+    Scale shape: exact per-term counts are reduced FIRST (one
+    map-side-combined hash agg over token occurrences), and only the
+    distinct vocabulary is hashed into the sketch — never
+    occurrences x d rows. The materialized sketch is d*w rows
+    regardless of corpus size, i.e. broadcastable state; at 100 TB the
+    same construction runs as partial d*w arrays merged by + (the
+    sketch is a monoid), which is exactly what the hash agg does here.
+    Estimates come from an equi-join of vocab hashes to sketch cells —
+    no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(regex_tokenize("text")).alias("term"))
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_tf"))
+    rows = F.array([F.lit(r) for r in range(_CMS_D)])
+    hashed = exact.select(
+        "term", "exact_tf", F.explode(rows).alias("r")
+    ).withColumn(
+        "bucket",
+        hex_long_once(
+            F.md5(
+                F.concat_ws(":", F.col("r").cast("string"), F.col("term")).cast(
+                    "binary"
+                )
+            ),
+            1,
+        )
+        % _CMS_W,
+    )
+    cms = hashed.groupBy("r", "bucket").agg(F.sum("exact_tf").alias("c"))
+    est = (
+        hashed.select("term", "r", "bucket")
+        .join(cms, ["r", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("est_tf"))
+    )
+    return est.join(exact, "term").select(
+        "term",
+        "exact_tf",
+        "est_tf",
+        (F.col("est_tf") - F.col("exact_tf")).alias("overcount"),
     )

@@ -763,3 +763,126 @@ def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(p_retailprice, 0.9)").alias("p90_price"),
         F.expr("percentile(p_retailprice, 0.99)").alias("p99_price"),
     )
+
+
+_BLOOM_M = 1024  # bits (32 x 32-bit words: values stay positive in BIGINT)
+_BLOOM_K = 3  # hash functions
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_pos(j: "F.Column", key: "F.Column") -> "F.Column":
+    """Bit position of hash j for key: md5-derived, portable."""
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
+
+    h = F.md5(F.concat_ws(":", j.cast("string"), key.cast("string")).cast("binary"))
+    return hex_long_once(h, 1) % _BLOOM_M
+
+
+@query(
+    "rel_bloom_semi_join",
+    oracle=f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+    ),
+    bpos AS (
+      SELECT CAST('0x' || substr(md5(u.j || ':' || b.c_custkey), 1, 8) AS BIGINT)
+               % {_BLOOM_M} AS pos
+      FROM build b, unnest(range({_BLOOM_K})) AS u(j)
+    ),
+    filt AS (
+      SELECT pos // 32 AS word, bit_or(1 << (pos % 32)) AS bits
+      FROM bpos GROUP BY pos // 32
+    ),
+    ppos AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST('0x' || substr(md5(u.j || ':' || o.o_custkey), 1, 8) AS BIGINT)
+               % {_BLOOM_M} AS pos
+      FROM orders o, unnest(range({_BLOOM_K})) AS u(j)
+    ),
+    probe AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             CASE WHEN (coalesce(f.bits, 0) & (1 << (p.pos % 32))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos p LEFT JOIN filt f ON p.pos // 32 = f.word
+    ),
+    passed AS (
+      SELECT o_orderkey, o_custkey FROM probe
+      GROUP BY o_orderkey, o_custkey HAVING SUM(hit) = {_BLOOM_K}
+    ),
+    truth AS (SELECT DISTINCT c_custkey FROM build)
+    SELECT COUNT(*) AS n_orders,
+           (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           (SELECT COUNT(*) FROM passed) -
+           CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM orders o LEFT JOIN truth t ON o.o_custkey = t.c_custkey
+    """,
+)
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter join pruning (m=1024 bits, k=3, portable
+    md5 positions): build a bloom filter from the dimension keys
+    (customers in one segment), probe every orders row against it, and
+    report bloom-positive vs actually-matching counts — Spark's
+    runtime row-level bloom filter (spark.sql.optimizer.runtime.
+    bloomFilter) made explicit and engine-checkable, with the false
+    positives surfaced as a column instead of hidden in the plan.
+
+    Scale shape: the filter materializes as <= m/32 (word, bits)
+    rows — a bit_or hash agg over the SMALL side only, broadcast to
+    the probe; each probe row tests k bits via a broadcast join, so
+    the 100 TB fact table is pruned to ~fpr x |non-matching| + |
+    matching| rows BEFORE any shuffle toward the real join. No
+    all-pairs, no shuffle of the fact table to build the filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    js = F.array([F.lit(j) for j in range(_BLOOM_K)])
+    build = c.filter(F.col("c_mktsegment") == _BLOOM_SEG).select("c_custkey")
+    bpos = build.select(
+        "c_custkey", F.explode(js).alias("j")
+    ).select(_bloom_pos(F.col("j"), F.col("c_custkey")).alias("pos"))
+    filt = (
+        bpos.withColumn("word", F.expr("pos div 32"))
+        .withColumn("bitval", F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
+        .groupBy("word")
+        .agg(F.bit_or("bitval").alias("bits"))
+    )
+    ppos = (
+        o.select("o_orderkey", "o_custkey", F.explode(js).alias("j"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _bloom_pos(F.col("j"), F.col("o_custkey")).alias("pos"),
+        )
+        .withColumn("word", F.expr("pos div 32"))
+    )
+    probe = ppos.join(F.broadcast(filt), "word", "left").withColumn(
+        "hit",
+        F.expr(
+            "cast((coalesce(bits, cast(0 as bigint)) &"
+            " shiftleft(cast(1 as bigint), cast(pos % 32 as int))) <> 0 as int)"
+        ),
+    )
+    passed = (
+        probe.groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("hit").alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+    )
+    truth = build.distinct().withColumnRenamed("c_custkey", "t_key")
+    labeled = o.join(
+        F.broadcast(truth), o["o_custkey"] == F.col("t_key"), "left"
+    )
+    n_true = F.sum(
+        F.when(F.col("t_key").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("n_orders"), n_true.alias("n_true")
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    return agg.crossJoin(n_pass).select(
+        "n_orders",
+        "n_bloom_pass",
+        "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+    )

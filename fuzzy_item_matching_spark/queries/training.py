@@ -397,3 +397,97 @@ def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("label", "n_orig").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+_MIX_BUDGET = 200  # target sampled docs across all sources
+
+
+@query(
+    "train_source_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                 '[^\\w\\d]'), x -> length(x) >= 1)) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS total_w FROM w),
+    r AS (
+      SELECT w.source, w.n_docs, w.n_tokens, w.wgt,
+             least(1.0, CAST({_MIX_BUDGET} * wgt AS DOUBLE)
+                        / CAST(total_w * n_docs AS DOUBLE)) AS rate
+      FROM w, tot
+    ),
+    k AS (
+      SELECT t.source, COUNT(*) AS n_sampled
+      FROM t JOIN r USING (source)
+      WHERE (CAST(CAST('0x' || substr(md5('42:' || CAST(t.doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0) < r.rate
+      GROUP BY t.source
+    )
+    SELECT r.source, r.n_docs, r.n_tokens, r.wgt, r.rate,
+           coalesce(k.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN k USING (source)
+    """,
+)
+def train_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (T=2): per-source sampling
+    rate proportional to sqrt(source token count) / source doc count,
+    normalized to a fixed document budget — the up/down-weighting step
+    every multi-source pretraining mix runs (Pile-style temperature
+    sampling flattens the source distribution; T=2 via sqrt keeps the
+    weight integer-exact: floor(IEEE sqrt) is bit-identical across
+    engines, so the whole rate chain stays one double division).
+    Keep decisions are content-keyed (S7), so the sampled set is
+    stable under repartitioning and engine swaps.
+
+    Scale shape: per-source token totals are one map-side-combined
+    agg; the rates frame is |sources| rows broadcast back; the keep
+    decision is a row-local filter — the 100 TB corpus is touched
+    twice, shuffled never (final counts are |sources|-sized)."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(regex_tokenize("text")).alias("n_tok")
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    w = s.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    tot = w.agg(F.sum("wgt").alias("total_w"))
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "wgt",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_MIX_BUDGET) * F.col("wgt")).cast("double")
+            / (F.col("total_w") * F.col("n_docs")).cast("double"),
+        ).alias("rate"),
+    )
+    kept = t.join(F.broadcast(r.select("source", "rate")), "source").filter(
+        keyed_uniform(F.col("doc_id"), seed=42) < F.col("rate")
+    )
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return r.join(k, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "wgt",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )

@@ -140,3 +140,100 @@ def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "nid", "cosine", "rnk")
     )
+
+
+_Q_DIM = 64  # embedding dimensionality (embeddings.parquet)
+_Q_K = 5  # neighbors per query vector
+
+
+@query(
+    "vec_int8_topk",
+    oracle=f"""
+    WITH sc AS (
+      SELECT u.i, MAX(abs(e.embedding[u.i]::DOUBLE)) AS s
+      FROM embeddings e, unnest(range(1, {_Q_DIM + 1})) AS u(i)
+      GROUP BY u.i
+    ),
+    sarr AS (SELECT list(s ORDER BY i) AS arr FROM sc),
+    q AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {_Q_DIM + 1}), i ->
+               CASE WHEN sarr.arr[i] = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(127.0 * e.embedding[i]::DOUBLE
+                                    / sarr.arr[i]) AS BIGINT)
+               END) AS qv
+      FROM embeddings e, sarr
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {_Q_DIM + 1}),
+                  i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM ranked WHERE rnk <= {_Q_K}
+    """,
+)
+def vec_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization + quantized top-k retrieval:
+    per-dimension max-abs scales (one corpus pass), q_i =
+    round(127*x_i/scale_i), neighbors ranked by the INTEGER dot
+    product — the 4x-memory / int-ALU compression every production
+    vector index applies before IVF/LSH bucketing. Integer dots make
+    the ranking bit-exact across engines (the one float op per
+    dimension, 127*x/s, is a two-op IEEE chain replayed identically
+    in the oracle).
+
+    Scale shape: scales are a D-row agg folded to ONE array row and
+    broadcast — never collected to the driver; quantization is a
+    narrow per-row transform; at 100 TB the quantized corpus feeds the
+    IVF/LSH candidate paths (sim_ann_*) unchanged — the bounded query
+    batch x corpus product here exists to verify the quantized
+    ranking itself, with the broadcast on the small (query) side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    sc = pos.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    sarr = sc.agg(
+        F.array_sort(F.collect_list(F.struct("i", "s"))).alias("ss")
+    ).select(F.transform("ss", lambda t: t["s"]).alias("arr"))
+    q = e.crossJoin(F.broadcast(sarr)).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            "arr",
+            lambda x, s: F.when(s == 0, F.lit(0).cast("long")).otherwise(
+                F.round(F.lit(127.0) * x / s).cast("long")
+            ),
+        ).alias("qv"),
+    )
+    queries = q.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    pairs = q.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("qa", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _Q_K)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
+    )

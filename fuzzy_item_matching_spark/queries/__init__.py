@@ -82,15 +82,28 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    family, same precedent as sim_exact_sqdist_pairs) to the
     #    stream-STREAM join — the two-sided-state operator no other row
     #    covers.
+    # -- r05 third rotation (this session): four slots whose operator
+    #    keeps another in-prefix verifier moved to four NEW operator
+    #    shapes: A4 corpus agg (ts_token_stats ⊂ ts_tfidf_weights's
+    #    oracle) → dedup_chunk_lines (sub-document boilerplate removal
+    #    with order-preserving collect_list reassembly — which also
+    #    keeps A2's sorted-collect shape in-prefix); T9 norm
+    #    (vec_l2_norm ⊂ ts_tfidf_weights's windowed L2 + the LSH
+    #    sqdist rows) → vec_int8_topk (quantization, a new compression
+    #    operator); A2 collect (rel_order_lines_collect, same
+    #    aggregate as chunk-lines reassembly) → ts_countmin_heavy
+    #    (mergeable CMS sketch); U3 distinct (rel_segment_distinct_
+    #    parts ⊂ rel_union_distinct_nations's distinct) →
+    #    rel_bloom_semi_join (runtime-filter pruning made explicit).
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
-    "ts_token_stats",
+    "dedup_chunk_lines",
     "pipe_corpus_clean",
     "ts_lang_id",
     "ts_fingerprint",
     "ts_doc_quality",
-    "vec_l2_norm",
+    "vec_int8_topk",
     "dedup_decontaminate",
     "train_class_weights",
     "train_avg_precision",
@@ -128,11 +141,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_cust_order_stats",
     "rel_status_share",
     "ts_redact_pii",
-    "rel_order_lines_collect",
+    "ts_countmin_heavy",
     "rel_expr_join_scoring",
     "rel_union_distinct_nations",
-    "rel_segment_distinct_parts",
+    "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
+    # -- demoted by the r05 third rotation (see prefix header):
+    #    operator keeps an in-prefix verifier
+    "ts_token_stats",
+    "vec_l2_norm",
+    "rel_order_lines_collect",
+    "rel_segment_distinct_parts",
+    # (temperature mixing = S7 keyed draw + M1-style rates, both
+    # in-prefix via train_keyed_split_sizes/train_class_weights; the
+    # new surface is the weight formula, fully exact-oracled here)
+    "train_source_mixture",
     # -- demoted r05: operator verified by another green prefix row --
     # (hourly batch agg = stream_events_hourly's batch-equivalence
     # oracle computes the identical result; A1 also via rel_status_share)
@@ -186,6 +209,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (S2 write covered in-prefix by src_parquet_write_read; the
     # partition-prune layout variant is plan-asserted in test_plans.py)
     "src_partitioned_prune",
+    # (S1/S2 container variants: the format hop is the new surface;
+    # scan/agg shapes already in-prefix via src_csv_roundtrip)
+    "src_orc_roundtrip",
+    "src_jsonl_roundtrip",
     "rel_json_props",
     "rel_latest_event_per_user",
     "rel_audit_referential",

@@ -247,3 +247,78 @@ def src_keyed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(p_name) AS first_name
+    FROM part WHERE p_size >= 25
+    GROUP BY p_brand
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 on the ORC format: filtered parts written as ORC
+    (overwrite) and read back through the vectorized ORC reader —
+    exercises the second columnar container Spark ships natively (a
+    100 TB lake is rarely one format). Predicate applied before the
+    write; the read-back agg proves values and types survived the
+    format hop (DECIMAL sum keeps the float agg order-insensitive)."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "part_orc")
+    p = load_table(spark, sf_dir, "part")
+    p.filter(F.col("p_size") >= 25).write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.min("p_name").alias("first_name"),
+        )
+    )
+
+
+@query(
+    "src_jsonl_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + schema-explicit read-back — the interchange
+    format of every crawl/annotation pipeline. The read supplies an
+    explicit schema (long/double), because JSON carries no types: the
+    agg hash-matching the parquet-sourced oracle proves no value or
+    type was lost in the text hop. Scale note: JSONL scans are
+    splittable by line so they parallelize like parquet, but carry no
+    column pruning or stats — the query projects before writing so
+    the JSON only ever holds the needed columns."""
+    from pyspark.sql.types import DoubleType, IntegerType as IntT, LongType
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "supplier_jsonl")
+    s = load_table(spark, sf_dir, "supplier")
+    s.select("s_suppkey", "s_nationkey", "s_acctbal").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_nationkey", IntT()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    )
+    s2 = spark.read.json(path, schema=schema)
+    return s2.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )

@@ -1,0 +1,104 @@
+"""Sketch/pruning/mixing ops added in the round-5 third rotation:
+count-min, bloom semi-join pruning, chunk-level boilerplate dedup,
+int8 quantized retrieval, temperature source mixing.
+
+Oracle parity at sf0.01 plus the semantic guarantees the oracles can't
+state: CMS never underestimates, blooms never false-negative, chunk
+dedup preserves order and only ever removes, quantized dots stay in
+the int8 envelope, and the mixture lands near its document budget.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.queries import load_all
+from tests.conftest import SF_CHECK, assert_matches_oracle
+
+REGISTRY = load_all()
+
+NEW_OPS = [
+    "dedup_chunk_lines",
+    "ts_countmin_heavy",
+    "rel_bloom_semi_join",
+    "train_source_mixture",
+    "vec_int8_topk",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_new_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_countmin_never_underestimates(spark):
+    rows = REGISTRY["ts_countmin_heavy"].fn(spark, SF_CHECK).collect()
+    assert rows, "empty sketch output"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["est_tf"] >= r["exact_tf"] for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    [r] = REGISTRY["rel_bloom_semi_join"].fn(spark, SF_CHECK).collect()
+    # every true match must pass the filter (bloom's one-sided error)
+    assert r["n_true"] <= r["n_bloom_pass"] <= r["n_orders"]
+    assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true"]
+    assert r["n_false_pos"] >= 0
+    # the filter must actually prune (not degenerate to all-pass)
+    assert r["n_bloom_pass"] < r["n_orders"]
+
+
+def test_chunk_lines_only_removes_and_keeps_order(spark):
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.tables import load_table
+
+    out = REGISTRY["dedup_chunk_lines"].fn(spark, SF_CHECK)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = (
+        load_table(spark, SF_CHECK, "documents")
+        .select("doc_id", F.array_join(regex_tokenize("text"), " ").alias("joined"))
+        .collect()
+    )
+    assert set(rows) == {d["doc_id"] for d in docs}
+    intact = dropped = 0
+    for d in docs:
+        r = rows[d["doc_id"]]
+        assert 0 <= r["n_kept"] <= r["n_chunks"]
+        if r["n_kept"] == r["n_chunks"]:
+            # nothing dropped -> reassembly must be the identity
+            assert r["clean_text"] == d["joined"]
+            intact += 1
+        else:
+            # removal only: the clean text is a subsequence of the
+            # original token stream (order preserved)
+            toks, it = r["clean_text"].split(), iter(d["joined"].split())
+            assert all(t in it for t in toks)
+            dropped += 1
+    assert intact > 0 and dropped > 0, "sf0.01 should exercise both paths"
+
+
+def test_int8_topk_shape_and_envelope(spark):
+    rows = REGISTRY["vec_int8_topk"].fn(spark, SF_CHECK).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        # |dot| <= 127^2 * dim
+        assert abs(r["qdot"]) <= 127 * 127 * 64
+    for q_rows in per_q.values():
+        assert sorted(r["rnk"] for r in q_rows) == [1, 2, 3, 4, 5]
+        # ranks follow the (qdot desc, neighbor asc) order
+        ordered = sorted(q_rows, key=lambda r: (-r["qdot"], r["neighbor_id"]))
+        assert [r["rnk"] for r in ordered] == [1, 2, 3, 4, 5]
+
+
+def test_source_mixture_hits_budget(spark):
+    rows = REGISTRY["train_source_mixture"].fn(spark, SF_CHECK).collect()
+    assert all(0.0 < r["rate"] <= 1.0 for r in rows)
+    assert all(r["n_sampled"] <= r["n_docs"] for r in rows)
+    total = sum(r["n_sampled"] for r in rows)
+    # keyed Bernoulli draws around a 200-doc target: allow wide noise
+    assert 100 <= total <= 300, total

@@ -886,3 +886,50 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
     )
+
+
+_SALT_S = 8  # sub-keys per hot group
+
+
+@query(
+    "rel_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 aggregates on
+    (key, salt) with the salt drawn from a deterministic row hash,
+    stage 2 merges the 8 partials per key — the explicit remedy for a
+    hot GROUP BY key whose single reducer would OOM or straggle at
+    100 TB (the same trick salted_join applies to joins,
+    operators/skew.py). The oracle is the PLAIN aggregation: salting
+    must be an exact physical-only rewrite, which holds because every
+    aggregate here (count, decimal sum, max) is a commutative monoid
+    re-merged losslessly in stage 2.
+
+    Note Spark's hash agg already does a map-side partial per task;
+    salting adds value when one key dominates a whole STAGE's input —
+    the partials bound per-reducer state to |rows|/8 for that key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(_SALT_S)),
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("psum"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_qty"),
+            F.max("pmax").cast("double").alias("max_price"),
+        )
+    )

@@ -231,6 +231,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (mergeable-sketch pattern; exact distinct already in-prefix via
     # corpus aggregations)
     "ts_distinct_kmv",
+    # (salted two-stage agg: physical-only rewrite of the in-prefix
+    # A1 hash agg, exactness proven against the plain-agg oracle)
+    "rel_salted_agg",
     # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",

@@ -234,6 +234,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (salted two-stage agg: physical-only rewrite of the in-prefix
     # A1 hash agg, exactness proven against the plain-agg oracle)
     "rel_salted_agg",
+    # (PQ/ADC: third ANN index form; the candidate-join + exact-rank
+    # shape is in-prefix via sim_ann_lsh_topk/sim_ann_ivf_topk, and
+    # the quantizer idea via vec_int8_topk — full exact oracle here)
+    "sim_ann_pq_topk",
     # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",

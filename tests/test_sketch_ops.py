@@ -102,3 +102,34 @@ def test_source_mixture_hits_budget(spark):
     total = sum(r["n_sampled"] for r in rows)
     # keyed Bernoulli draws around a 200-doc target: allow wide noise
     assert 100 <= total <= 300, total
+
+
+def test_pq_codes_and_adc_shape(spark):
+    """PQ invariants: every vector gets m codes in [0, ksub); ADC
+    ranking excludes self-pairs and returns exactly k rows per query
+    in valid (adc desc, neighbor asc) rank order."""
+    from fuzzy_item_matching_spark.operators.pq import pq_codebooks, pq_codes
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.tables import load_table
+
+    reg = load_all()
+    e = load_table(spark, SF_CHECK, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cbs = pq_codebooks(e, "vec_id", "v", 8, 16)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(c) == 8 for cb in cbs for c in cb)
+    codes = e.select(pq_codes(F.col("v"), cbs).alias("codes")).collect()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    rows = reg["sim_ann_pq_topk"].fn(spark, SF_CHECK).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for q_rows in per_q.values():
+        assert sorted(r["rnk"] for r in q_rows) == [1, 2, 3, 4, 5]
+        ordered = sorted(q_rows, key=lambda r: (-r["adc"], r["neighbor_id"]))
+        assert [r["rnk"] for r in ordered] == [1, 2, 3, 4, 5]

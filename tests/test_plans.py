@@ -140,3 +140,44 @@ def test_stratified_sample_broadcasts_rates(spark, registry):
     plan = plan_of(spark, registry, "train_stratified_sample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_words(spark, registry):
+    """The 32-row bloom word table must broadcast to the orders probe;
+    the fact side must never shuffle to meet the filter."""
+    plan = plan_of(spark, registry, "rel_bloom_semi_join")
+    assert "BroadcastExchange" in plan
+
+
+def test_int8_quant_broadcasts_queries(spark, registry):
+    """Scales fold to one array row + the bounded query batch joins
+    broadcast — the corpus side of the quantized scoring join must
+    stay shuffle-free."""
+    plan = plan_of(spark, registry, "vec_int8_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_scoring_broadcasts_query_batch(spark, registry):
+    plan = plan_of(spark, registry, "sim_ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_agg_is_two_hash_aggregates(spark, registry):
+    """Salting must add the (key, salt) pre-aggregate — four
+    HashAggregate nodes (partial+final per stage), not two."""
+    plan = plan_of(spark, registry, "rel_salted_agg")
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_chunk_lines_chunking_is_narrow_before_freq_agg(spark, registry):
+    """Chunk construction must not shuffle; the only exchanges are the
+    chunk-frequency aggregate, the membership join, and the per-doc
+    reassembly aggregate."""
+    plan = plan_of(spark, registry, "dedup_chunk_lines")
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith(("Exchange", "(")) and "Exchange" in line
+        and "BroadcastExchange" not in line
+    )
+    assert n_exchanges <= 6, f"unexpected extra shuffles:\n{plan}"

@@ -242,6 +242,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",
     "ts_top_terms",
+    # (PMI collocations: postings self-join on doc_id + broadcast df
+    # lookups; agg/join shapes in-prefix, the association metric and
+    # per-doc-bounded pair generator are the new surface)
+    "ts_pmi_cooccurrence",
     # -- demoted by the r05 second rotation (see prefix header):
     #    operator keeps 2+ in-prefix verifiers
     "rel_price_clean_cast",

@@ -939,3 +939,91 @@ def ts_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_tf",
         (F.col("est_tf") - F.col("exact_tf")).alias("overcount"),
     )
+
+
+_PMI_MIN_PAIR = 3  # minimum co-occurring docs for a reported pair
+
+
+@query(
+    "ts_pmi_cooccurrence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term
+            FROM documents)
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    dfreq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT p.term_a, p.term_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+           ln(CAST(nd.n * p.c_ab AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE))
+             AS pmi
+    FROM pairs p
+    JOIN dfreq ca ON ca.term = p.term_a
+    JOIN dfreq cb ON cb.term = p.term_b
+    CROSS JOIN nd
+    WHERE p.c_ab >= {_PMI_MIN_PAIR}
+    """,
+)
+def ts_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence with pointwise mutual
+    information: PMI = ln(N * df_ab / (df_a * df_b)) over doc-distinct
+    token pairs — the association-mining pass behind collocation
+    detection and vocabulary curation. Integer counts throughout; the
+    one float chain (a BIGINT-product division, then ln) is replayed
+    in identical op order (the ln parity precedent is
+    ts_tfidf_weights' IDF, hash-green at 11k rows).
+
+    Scale shape: the pair generator is a SELF-JOIN ON doc_id of the
+    doc-distinct postings — work is sum over docs of (distinct terms
+    choose 2), never corpus-quadratic. At 100 TB you bound the per-doc
+    factor first (top-N terms per doc by tf, or a min_df/max_df vocab
+    band — the same pruning the inverted-index similarity join uses);
+    the count aggregates are map-side combined, and the df lookups are
+    broadcast-sized joins on the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(regex_tokenize("text")).alias("term")
+    ).distinct()
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    ca = dfreq.select(
+        F.col("term").alias("term_a"), F.col("c").alias("c_a")
+    )
+    cb = dfreq.select(
+        F.col("term").alias("term_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "term_a")
+        .join(F.broadcast(cb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.log(
+                (F.col("n") * F.col("c_ab")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("pmi"),
+        )
+    )

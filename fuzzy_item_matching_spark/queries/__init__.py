@@ -246,6 +246,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # lookups; agg/join shapes in-prefix, the association metric and
     # per-doc-bounded pair generator are the new surface)
     "ts_pmi_cooccurrence",
+    # (the quality→dedup→mixture funnel in one plan; composition is
+    # in-prefix via pipe_corpus_clean, stages individually in-prefix)
+    "pipe_corpus_funnel",
     # -- demoted by the r05 second rotation (see prefix header):
     #    operator keeps 2+ in-prefix verifiers
     "rel_price_clean_cast",

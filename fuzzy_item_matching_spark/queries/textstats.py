@@ -1027,3 +1027,170 @@ def ts_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_FUNNEL_MIN_Q = 0.4
+_FUNNEL_BUDGET = 150
+
+
+@query(
+    "pipe_corpus_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_D_TOKENS.format(c="text")} AS toks,
+             text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source, text, len(toks) AS n,
+             len(list_filter(toks, x -> NOT list_contains({_D_STOPWORDS}, x)))
+               AS nk,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                       / len(toks) END AS avg_len
+      FROM t
+    ),
+    q AS (
+      SELECT * FROM feat
+      WHERE least(n, 200) / 200.0 * 0.5
+            + CASE WHEN n = 0 THEN 0.0 ELSE (n - nk)::DOUBLE / n END * 0.2
+            + least(avg_len, 8.0) / 8.0 * 0.3 >= {_FUNNEL_MIN_Q}
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT q.*, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM q
+      ) WHERE doc_id = keeper
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS tk
+      FROM dd GROUP BY source
+    ),
+    w AS (SELECT source, nd, tk,
+                 CAST(floor(sqrt(CAST(tk AS DOUBLE))) AS BIGINT) AS wgt
+          FROM s),
+    tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS total_w FROM w),
+    r AS (SELECT w.source,
+                 least(1.0, CAST({_FUNNEL_BUDGET} * wgt AS DOUBLE)
+                            / CAST(total_w * nd AS DOUBLE)) AS rate
+          FROM w, tot),
+    samp AS (
+      SELECT dd.source, dd.n FROM dd JOIN r USING (source)
+      WHERE (CAST(CAST('0x' || substr(md5('42:' || CAST(dd.doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0) < r.rate
+    ),
+    raw_c AS (SELECT source, COUNT(*) AS n_raw FROM t GROUP BY source),
+    q_c AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),
+    dd_c AS (SELECT source, COUNT(*) AS n_dedup FROM dd GROUP BY source),
+    s_c AS (SELECT source, COUNT(*) AS n_sampled,
+                   CAST(SUM(n) AS BIGINT) AS tok_sampled
+            FROM samp GROUP BY source)
+    SELECT raw_c.source, raw_c.n_raw,
+           coalesce(q_c.n_quality, 0) AS n_quality,
+           coalesce(dd_c.n_dedup, 0) AS n_dedup,
+           coalesce(s_c.n_sampled, 0) AS n_sampled,
+           coalesce(s_c.tok_sampled, 0) AS tok_sampled
+    FROM raw_c
+    LEFT JOIN q_c USING (source)
+    LEFT JOIN dd_c USING (source)
+    LEFT JOIN s_c USING (source)
+    """,
+)
+def pipe_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus funnel in ONE plan: quality gate (the
+    ts_doc_quality score) → exact dedup (min-id keeper per text) →
+    temperature-weighted source sampling (train_source_mixture's
+    integer-exact rates, computed on the SURVIVORS) — reported as
+    per-source stage retention (raw → quality → dedup → sampled →
+    sampled tokens), the observability artifact every corpus build
+    ships with its data.
+
+    Scale shape: quality is row-local; the dedup window partitions by
+    content (at 100 TB: by a 32-byte content hash — same plan, cheap
+    key) and carries only the min-id; mixture rates are a
+    |sources|-row broadcast; every per-stage count is map-side
+    combined to |sources| rows. One corpus read feeds the whole
+    funnel — the stages are column-pruned projections over the same
+    scan, not four separate jobs."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = regex_tokenize("text")
+    t = d.select("doc_id", "source", "text", toks.alias("toks"))
+    feat = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n"),
+        F.size(
+            F.filter(
+                "toks",
+                lambda x: ~F.array_contains(
+                    F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS]), x
+                ),
+            )
+        ).alias("nk"),
+        F.when(F.size("toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.transform("toks", lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("toks")
+        )
+        .alias("avg_len"),
+    )
+    quality = (
+        F.least(F.col("n"), F.lit(200)) / 200.0 * 0.5
+        + F.when(F.col("n") == 0, F.lit(0.0))
+        .otherwise((F.col("n") - F.col("nk")).cast("double") / F.col("n"))
+        * 0.2
+        + F.least(F.col("avg_len"), F.lit(8.0)) / 8.0 * 0.3
+    )
+    q = feat.filter(quality >= _FUNNEL_MIN_Q)
+    dd = (
+        q.withColumn("keeper", F.min("doc_id").over(W.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    s = dd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n").alias("tk")
+    )
+    w = s.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("tk").cast("double"))).cast("long")
+    )
+    tot = w.agg(F.sum("wgt").alias("total_w"))
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_FUNNEL_BUDGET) * F.col("wgt")).cast("double")
+            / (F.col("total_w") * F.col("nd")).cast("double"),
+        ).alias("rate"),
+    )
+    samp = dd.join(F.broadcast(r), "source").filter(
+        keyed_uniform(F.col("doc_id"), seed=42) < F.col("rate")
+    )
+    raw_c = t.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    q_c = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    dd_c = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    s_c = samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n").alias("tok_sampled"),
+    )
+    return (
+        raw_c.join(q_c, "source", "left")
+        .join(dd_c, "source", "left")
+        .join(s_c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tok_sampled", F.lit(0).cast("long")).alias(
+                "tok_sampled"
+            ),
+        )
+    )

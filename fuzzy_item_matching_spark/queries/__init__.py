@@ -214,6 +214,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_orc_roundtrip",
     "src_jsonl_roundtrip",
     "rel_json_props",
+    # (time-RANGE rolling frame: W-family extension; the user_id
+    # shuffle+sort layout is in-prefix via rel_asof_join_events)
+    "rel_rolling_user_value",
     "rel_latest_event_per_user",
     "rel_audit_referential",
     "rel_audit_profile",

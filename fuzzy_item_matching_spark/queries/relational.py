@@ -933,3 +933,51 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pmax").cast("double").alias("max_price"),
         )
     )
+
+
+@query(
+    "rel_rolling_user_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS val_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: for every event, the count and value
+    total of the SAME USER's events in the trailing hour — the rolling
+    feature shape (fraud velocity, rate limiting, session intensity)
+    that tumbling windows can't express because every row anchors its
+    own frame. The frame key is floor-epoch-seconds so the range
+    arithmetic is integer-exact in both engines, and the value total
+    is a DECIMAL window sum (order-insensitive within the frame).
+
+    Scale shape: one shuffle on user_id, then each partition sorts
+    locally by time — the same layout the sessionization and as-of
+    queries use; frames never cross users so state per task is one
+    user's hour. At 100 TB you'd additionally bucket the event store
+    by user_id so the shuffle disappears for repeated feature
+    builds."""
+    e = load_table(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ has no direct long cast; the session tz is pinned
+    # UTC (session.py) so the NTZ->TZ hop is identity and the epoch
+    # matches DuckDB's epoch_us of the naive timestamp.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(_dec("value", 6)).over(w).cast("double").alias("val_1h"),
+    )

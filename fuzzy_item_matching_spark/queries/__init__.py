@@ -230,6 +230,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ann_recall",
     "ts_corpus_shuffle",
     "train_stratified_sample",
+    # (embedding-space quota sampling: cluster assignment in-prefix
+    # via sim_ann_ivf_topk, keyed draw via train_keyed_split_sizes;
+    # kept_id_sum pins the sampled set exactly)
+    "train_diverse_sample",
     "ts_repetition",
     # (mergeable-sketch pattern; exact distinct already in-prefix via
     # corpus aggregations)

@@ -491,3 +491,101 @@ def train_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate",
         F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
     )
+
+
+_DIV_CELLS = 16  # coarse clusters (lowest-id unit centroids, as IVF init)
+_DIV_QUOTA = 10  # kept per cluster
+
+
+@query(
+    "train_diverse_sample",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_DIV_CELLS})
+    ),
+    c0 AS (
+      SELECT cell,
+             CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x))) = 0 THEN v
+                  ELSE list_transform(v, x ->
+                       x / sqrt(list_sum(list_transform(v, y -> y*y))))
+             END AS c
+      FROM init
+    ),
+    sc AS (
+      SELECT e.vec_id,  c0.cell,
+             list_sum(list_transform(list_zip(e.v, c0.c), s -> s[1]*s[2]))
+               AS score
+      FROM emb e CROSS JOIN c0
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT a.vec_id, a.cell, row_number() OVER (
+        PARTITION BY a.cell
+        ORDER BY (CAST(CAST('0x' || substr(md5('42:' ||
+                  CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                  / 4294967296.0), a.vec_id) AS rk
+      FROM asg a
+    )
+    SELECT cell, COUNT(*) AS n_in_cell,
+           CAST(SUM(CASE WHEN rk <= {_DIV_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {_DIV_QUOTA} THEN vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY cell
+    """,
+)
+def train_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: coarse-cluster the
+    embedding space (the IVF init centroids — lowest-id vectors,
+    L2-normalized), then keep a fixed QUOTA per cluster chosen by the
+    content-keyed uniform — the embedding-space curation step
+    (SemDeDup-style pruning / coverage-balanced subset selection) that
+    plain uniform sampling can't express: dense regions are capped,
+    sparse regions survive whole. kept_id_sum pins the exact sampled
+    SET (not just its size) cross-engine.
+
+    Scale shape: centroids are KB plan literals; assignment is a
+    narrow n_cells-dot projection (the IVF assignment reused for
+    curation); the quota rank is one window per cell — state bounded
+    by cell occupancy, and at 100 TB n_cells grows ~sqrt(n) exactly
+    like the IVF index, keeping the per-task sort bounded."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.ivf import (
+        _cell_scores,
+        sample_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = sample_centroids(ev, "vec_id", "v", _DIV_CELLS)
+    asg = ev.select(
+        "vec_id",
+        F.element_at(
+            F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))), 1
+        )
+        .getField("cell")
+        .alias("cell"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        keyed_uniform(F.col("vec_id"), seed=42), F.col("vec_id")
+    )
+    ranked = asg.withColumn("rk", F.row_number().over(w))
+    kept = F.when(F.col("rk") <= _DIV_QUOTA, 1).otherwise(0)
+    kept_id = F.when(F.col("rk") <= _DIV_QUOTA, F.col("vec_id")).otherwise(
+        F.lit(0)
+    )
+    return ranked.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_in_cell"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept_id).cast("long").alias("kept_id_sum"),
+    )

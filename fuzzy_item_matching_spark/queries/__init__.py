@@ -170,6 +170,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (sliding = tumbling's param twin: same streaming hash agg behind
     # an Expand; the tumbling form is in-prefix)
     "stream_events_sliding",
+    # (foreachBatch->MERGE sink: update-mode agg in-prefix via
+    # stream_stateful_user_stats, MERGE via serve_merge_upsert; the
+    # sink composition carries a full batch-equivalence oracle)
+    "stream_merge_sink",
     # (T4 char 3-grams composite-verified in pipe_corpus_clean; T5
     # collapse inside sim_fuzzy_*)
     "text_char_3grams",

@@ -458,3 +458,80 @@ def stream_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
+
+
+@query(
+    "stream_merge_sink",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n, total FROM agg
+    UNION ALL
+    SELECT -i AS user_id, CAST(0 AS BIGINT) AS n, 0.0 AS total
+    FROM unnest(range(1, 6)) AS u(i)
+    """,
+)
+def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch -> MERGE: the streaming serving-table pattern. A
+    running per-user aggregation streams in update mode; every
+    micro-batch's changed rows MERGE-upsert (operators/merge.py, the
+    reference's Delta S6) into a parquet serving table pre-seeded with
+    five users the stream never touches — proving the sink updates
+    matched keys, inserts new ones, and leaves the rest alone. Batch
+    equivalence: after the availableNow drain the table equals the
+    batch aggregation plus the untouched seeds, whatever the
+    micro-batch split was (update mode re-emits a user's LATEST total,
+    and MERGE is last-writer-wins per key — so the composition is
+    idempotent per key across batches).
+
+    Scale shape: update-mode streaming agg keeps per-user state in the
+    state store (watermark-evictable for unbounded keys); each MERGE
+    touches |changed users| source rows against the serving table —
+    with Delta, only matched files rewrite; the parquet
+    swap-and-replace here is the format-portable equivalent."""
+    import os
+    import shutil
+
+    from fuzzy_item_matching_spark.operators.merge import merge_upsert
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    target = os.path.join(SCRATCH, "stream_merge_target")
+    os.makedirs(SCRATCH, exist_ok=True)
+    seed = spark.createDataFrame(
+        [(-i, 0, 0.0) for i in range(1, 6)],
+        "user_id long, n long, total double",
+    )
+    seed.write.mode("overwrite").parquet(target)
+
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total"
+        ),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        tgt = spark.read.parquet(target)
+        merged = merge_upsert(tgt, batch_df, keys=["user_id"])
+        tmp = f"{target}__b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target)
+        os.rename(tmp, target)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(target)

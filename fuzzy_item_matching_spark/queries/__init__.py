@@ -221,6 +221,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)
     "rel_rolling_user_value",
+    # (lag + running-sum sessionization — the batch twin of in-prefix
+    # stream_user_sessions; same gap semantics, one sort reused)
+    "rel_user_sessions_batch",
     "rel_latest_event_per_user",
     "rel_audit_referential",
     "rel_audit_profile",

@@ -981,3 +981,76 @@ def rel_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(_dec("value", 6)).over(w).cast("double").alias("val_1h"),
     )
+
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+@query(
+    "rel_user_sessions_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessed AS (
+      SELECT *,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessed GROUP BY user_id, session_id
+    """,
+)
+def rel_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via lag + cumulative flag: a new session
+    starts after a >30-min gap; the running sum of start flags numbers
+    each user's sessions — the lead/lag window family (absent from the
+    rest of the surface) on its canonical workload, and the BATCH twin
+    of stream_user_sessions' session_window (same gap semantics, so
+    the two can be cross-checked). Ordering is made total with the
+    (sec, event_id) tie-break; all session arithmetic is integer.
+
+    Scale shape: one shuffle on user_id, local sort per partition —
+    lag, the running sum, and the final per-session aggregate all
+    reuse that single sort order (Catalyst collapses them into one
+    Window + partial agg); state per task is one user's timeline."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    e = e.select("event_id", "user_id", sec.alias("sec"), "value")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess")
+    )
+    flagged = e.select("*", new_sess)
+    sessed = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sessed.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+    )

@@ -200,6 +200,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_intersect_segments",
     "rel_except_segments",
     "rel_cube_summary",
+    # (explicit set-list sibling of cube; same Expand + hash agg)
+    "rel_grouping_sets",
     "rel_pivot_status_priority",
     "rel_range_join_bands",
     "mm_binary_meta",

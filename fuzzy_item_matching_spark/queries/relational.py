@@ -1054,3 +1054,40 @@ def rel_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("end_sec"),
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the multi-granularity report shape
+    between cube (all combinations, rel_cube_summary) and rollup
+    (prefix hierarchy): exactly the requested set list, nothing more.
+    Both group columns are non-null in the data, so the coalesce
+    sentinel unambiguously marks each row's granularity. One Expand +
+    hash agg, one shuffle — each input row replicates once per
+    grouping set (3x here), which is why at 100 TB you enumerate the
+    sets you need instead of CUBE's 2^k blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    gs = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n",
+        "total",
+    )

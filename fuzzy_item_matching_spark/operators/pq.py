@@ -6,23 +6,35 @@ every subvector to its nearest entry in a per-subspace codebook of
 ``ksub`` centroids, and stores only the M small codes (here 8 codes
 for a 64-dim float vector — a 32x compression). Retrieval scores a
 candidate against a query with ADC (asymmetric distance computation):
-the query stays full-precision and the candidate is represented by its
-codebook entries, so one dot per subspace replaces the full D-dim dot.
+the query stays full-precision, precomputes ONE m x ksub table of
+subspace dots, and every candidate is scored with m table LOOKUPS —
+no per-pair floating math at all.
+
+Plan-size lesson (measured): embedding the m*ksub codebook as
+literal expression trees — either as HOF lambdas per entry or fully
+unrolled scalar chains — made ANALYSIS/codegen the bottleneck (10-20s
+scale-independent). The codebook is DATA, so it ships as a broadcast
+DataFrame and assignment is one tiny sqdist expression over an
+exploded (vector, subspace) x (subspace, entry) join; the ADC lookup
+table is computed driver-side in plain Python floats (IEEE doubles,
+left-associated exactly like the SQL list_sum fold — bit-equal) for
+the broadcast-small query batch only.
 
 Determinism/oracle story: codebooks are the ``ksub`` lowest-id
 vectors' subvectors (seedless, stable — the same construction as
 ``operators/ivf.sample_centroids``), assignment breaks sqdist ties on
-the lower code, and the ADC sum across subspaces accumulates as
-DECIMAL(38,18) — so codes AND scores are bit-identical across engines
-and the whole index is exactly DuckDB-replicable.
+the lower code (lexicographic struct min), and the ADC sum across
+subspaces accumulates as DECIMAL(38,18) — so codes AND scores are
+bit-identical across engines and the whole index is exactly
+DuckDB-replicable.
 
-At 100 TB: codebooks are KBs (collected once, embedded as plan
-literals — broadcast by value); code assignment is a narrow per-row
-projection (M*ksub small sqdists, whole-stage codegen); the PQ-coded
-corpus is what an IVF cell list would store, cutting candidate-scan
-memory 32x. Production pairs this with the IVF coarse partitioner
-(`ivf_cosine_topk`); here ADC is verified against a bounded query
-batch so the quantizer itself is the thing under test.
+At 100 TB: the codebook broadcast is KBs; code assignment is
+m rows/vector against a 128-row build side — linear, shuffled once to
+collapse the argmin; the PQ-coded corpus is what an IVF cell list
+would store, cutting candidate-scan memory 32x. Production pairs this
+with the IVF coarse partitioner (`ivf_cosine_topk`); the query
+surface verifies ADC against a bounded broadcast query batch so the
+quantizer itself is the thing under test.
 """
 
 from __future__ import annotations
@@ -30,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fuzzy_item_matching_spark.functions.vector import dot, squared_dist
+from fuzzy_item_matching_spark.functions.vector import squared_dist
 
 
 def pq_codebooks(
@@ -38,7 +50,7 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """codebooks[mi][j] = subvector mi of the j-th lowest-id vector.
     Deterministic and tiny (m * ksub * dsub floats — KBs): collected
-    once driver-side, then embedded as plan literals."""
+    once driver-side, then shipped back as a broadcast frame."""
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     )
@@ -50,53 +62,84 @@ def pq_codebooks(
     ]
 
 
-def _lit_vec(v: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in v])
-
-
-def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """array<int> of PQ codes: per subspace, the argmin-sqdist codebook
-    entry (ties -> lower code). Pure Catalyst expression — m*ksub
-    8-dim sqdists per row, no shuffle, no Python."""
+def pq_code_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, m, code) rows: each vector's per-subspace argmin-sqdist
+    codebook entry, ties -> lower code. The codebook joins as a
+    broadcast DataFrame (data, not plan literals) and the argmin is a
+    lexicographic struct-min aggregate — one small expression, one
+    shuffle on (id, m)."""
+    spark = df.sparkSession
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    parts = []
-    for mi in range(m):
-        sub = F.slice(vec, mi * dsub + 1, dsub)
-        scored = F.array(
-            *[
-                F.struct(
-                    squared_dist(sub, _lit_vec(c)).alias("sqd"),
-                    F.lit(j).alias("j"),
-                )
-                for j, c in enumerate(codebooks[mi])
-            ]
-        )
-        parts.append(F.element_at(F.array_sort(scored), 1).getField("j"))
-    return F.array(*parts)
-
-
-def codebook_literal(codebooks: list[list[list[float]]]) -> Column:
-    """The full codebook as one nested array literal
-    array<array<array<double>>> (m x ksub x dsub) — a plan constant,
-    i.e. broadcast by value to every task."""
-    return F.array(
-        *[
-            F.array(*[_lit_vec(c) for c in cb_m])
-            for cb_m in codebooks
-        ]
+    cb_df = spark.createDataFrame(
+        [
+            (mi, j, c)
+            for mi, cb_m in enumerate(codebooks)
+            for j, c in enumerate(cb_m)
+        ],
+        "m int, j int, c array<double>",
+    )
+    subs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.slice("__v", mi * dsub + 1, dsub).alias("s"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("ms"),
+    ).select("__id", F.col("ms.m").alias("m"), F.col("ms.s").alias("s"))
+    scored = subs.join(F.broadcast(cb_df), "m").select(
+        "__id",
+        "m",
+        F.struct(
+            squared_dist(F.col("s"), F.col("c")).alias("sqd"),
+            F.col("j").alias("j"),
+        ).alias("sj"),
+    )
+    return scored.groupBy("__id", "m").agg(
+        F.min("sj").getField("j").alias("code")
     )
 
 
-def adc_term(
-    query_vec: Column, m_idx: Column, code: Column, cb_lit: Column, dsub: int
-) -> Column:
-    """One subspace's ADC contribution: dot(query subvector m,
-    codebook[m][code]). The caller SUMs these per pair with a
-    DECIMAL(38,18) aggregate so the cross-subspace float sum is
-    order-insensitive and exactly SQL-replicable (a chained per-row
-    decimal add would progressively lose scale under Spark's
-    precision-capping rules; SUM keeps scale 18)."""
-    qsub = F.slice(query_vec, m_idx * dsub + 1, dsub)
-    entry = F.element_at(F.element_at(cb_lit, m_idx + 1), code + 1)
-    return dot(qsub, entry)
+def adc_lut_py(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """The ADC lookup table for one query vector, computed in plain
+    Python floats (IEEE doubles, left-associated like the SQL
+    list_sum fold and the engine's F.aggregate dot — bit-equal):
+    lut[m][j] = dot(query subvector m, codebooks[m][j])."""
+    dsub = len(codebooks[0][0])
+    lut: list[list[float]] = []
+    for mi, cb_m in enumerate(codebooks):
+        base = mi * dsub
+        row = []
+        for c in cb_m:
+            acc = 0.0
+            for d, cd in enumerate(c):
+                acc = acc + float(query_vec[base + d]) * cd
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def adc_term(lut: Column, m_idx: Column, code: Column) -> Column:
+    """One subspace's ADC contribution, by table lookup. The caller
+    SUMs these per pair with a DECIMAL(38,18) aggregate so the
+    cross-subspace float sum is order-insensitive and exactly
+    SQL-replicable (a chained per-row decimal add would progressively
+    lose scale under Spark's precision-capping rules; SUM keeps scale
+    18)."""
+    return F.element_at(F.element_at(lut, m_idx + 1), code + 1)

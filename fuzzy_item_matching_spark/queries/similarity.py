@@ -602,20 +602,24 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacks PQ codes INSIDE IVF cell lists; the bounded query batch
     here puts the quantizer itself under exact verification.
 
-    Scale shape: codebooks are KB-sized plan literals (broadcast by
-    value); code assignment is a narrow whole-stage-codegen projection
-    over the corpus (m x ksub small sqdists per row, computed once —
-    the 100 TB corpus is stored as m bytes/vector); scoring joins the
-    PQ-coded corpus to a BROADCAST query batch and aggregates m term
-    rows per pair — no all-pairs full-precision dots anywhere."""
+    Scale shape: the codebook is a 128-row BROADCAST frame (data, not
+    plan literals — embedding it in the expression tree made analysis
+    the bottleneck, measured 10-20s scale-independent); assignment
+    explodes each vector into m subvector rows, broadcast-joins the
+    codebook, and collapses the argmin with a lexicographic struct-min
+    aggregate — the 100 TB corpus is stored as m bytes/vector; the
+    query batch collects driver-side (it is the small side by
+    definition) into exact-Python ADC lookup tables shipped back as
+    data, so pair scoring is two element_at lookups per subspace — no
+    all-pairs full-precision dots, no per-pair float math at all."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from fuzzy_item_matching_spark.operators.pq import (
+        adc_lut_py,
         adc_term,
-        codebook_literal,
+        pq_code_rows,
         pq_codebooks,
-        pq_codes,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -623,13 +627,22 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)
-    cb_lit = codebook_literal(cbs)
-    codes = ev.select(
-        F.col("vec_id").alias("neighbor_id"),
-        pq_codes(F.col("v"), cbs).alias("codes"),
+    codes = pq_code_rows(ev, "vec_id", "v", cbs).withColumnRenamed(
+        "__id", "neighbor_id"
     )
-    queries = ev.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # The query batch is the ADC's small side by definition: collect
+    # it (100 rows) and compute each query's m x ksub lookup table in
+    # exact Python doubles, shipped back as DATA — every pair-term
+    # below is then two element_at lookups, no per-pair float math
+    # and no codebook-sized expression tree.
+    qrows = (
+        ev.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), adc_lut_py(list(r["v"]), cbs)) for r in qrows],
+        "query_id long, lut array<array<double>>",
     )
     pairs = codes.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
@@ -637,14 +650,7 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = pairs.select(
         "query_id",
         "neighbor_id",
-        "qv",
-        F.posexplode("codes").alias("m", "code"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        adc_term(
-            F.col("qv"), F.col("m"), F.col("code"), cb_lit, _PQ_DSUB
-        ).alias("t"),
+        adc_term(F.col("lut"), F.col("m"), F.col("code")).alias("t"),
     )
     score = terms.groupBy("query_id", "neighbor_id").agg(
         F.sum(F.col("t").cast("decimal(38,18)")).cast("double").alias("adc")

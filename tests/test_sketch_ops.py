@@ -108,7 +108,10 @@ def test_pq_codes_and_adc_shape(spark):
     """PQ invariants: every vector gets m codes in [0, ksub); ADC
     ranking excludes self-pairs and returns exactly k rows per query
     in valid (adc desc, neighbor asc) rank order."""
-    from fuzzy_item_matching_spark.operators.pq import pq_codebooks, pq_codes
+    from fuzzy_item_matching_spark.operators.pq import (
+        pq_code_rows,
+        pq_codebooks,
+    )
     from fuzzy_item_matching_spark.queries import load_all
     from fuzzy_item_matching_spark.tables import load_table
 
@@ -119,10 +122,12 @@ def test_pq_codes_and_adc_shape(spark):
     cbs = pq_codebooks(e, "vec_id", "v", 8, 16)
     assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
     assert all(len(c) == 8 for cb in cbs for c in cb)
-    codes = e.select(pq_codes(F.col("v"), cbs).alias("codes")).collect()
+    n_vec = e.count()
+    codes = pq_code_rows(e, "vec_id", "v", cbs).collect()
+    assert len(codes) == n_vec * 8  # one code per (vector, subspace)
     for r in codes:
-        assert len(r["codes"]) == 8
-        assert all(0 <= c < 16 for c in r["codes"])
+        assert 0 <= r["m"] < 8
+        assert 0 <= r["code"] < 16
 
     rows = reg["sim_ann_pq_topk"].fn(spark, SF_CHECK).collect()
     per_q: dict[int, list] = {}

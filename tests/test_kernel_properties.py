@@ -6,7 +6,7 @@ Python's int(h, 16), n-gram counts follow the length algebra, and the
 tokenizer never emits empties or uppercase.
 """
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -59,3 +59,55 @@ def test_tokenizer_and_ngram_algebra(spark, data):
         toks = r["toks"]
         assert all(t and t == t.lower() for t in toks)  # no empties, lowercased
         assert r["n2"] == max(len(toks) - 1, 0)
+
+
+@settings(
+    max_examples=1,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.large_base_example,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(st.data())
+def test_python_fold_matches_duckdb_and_spark_fold(spark, data):
+    """The tri-engine dot-product contract PQ's driver-side ADC tables
+    lean on: a left-associated Python float chain == DuckDB's list_sum
+    fold == Spark's F.aggregate fold, BITWISE, on arbitrary doubles."""
+    import duckdb
+
+    from fuzzy_item_matching_spark.functions.vector import dot
+
+    FL = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    pairs = [
+        (
+            [data.draw(FL) for _ in range(8)],
+            [data.draw(FL) for _ in range(8)],
+        )
+        for _ in range(12)
+    ]
+
+    def py_fold(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    expect = [py_fold(a, b) for a, b in pairs]
+
+    con = duckdb.connect()
+    for (a, b), e in zip(pairs, expect):
+        (got,) = con.execute(
+            "SELECT list_sum(list_transform(list_zip(?::DOUBLE[],"
+            " ?::DOUBLE[]), s -> s[1]*s[2]))",
+            [a, b],
+        ).fetchone()
+        assert got == e and str(got) == str(e)
+    con.close()
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got_spark = [r[0] for r in df.select(dot("a", "b")).collect()]
+    assert got_spark == expect
+    assert [str(g) for g in got_spark] == [str(e) for e in expect]

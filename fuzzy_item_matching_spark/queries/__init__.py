@@ -254,6 +254,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # shape is in-prefix via sim_ann_lsh_topk/sim_ann_ivf_topk, and
     # the quantizer idea via vec_int8_topk — full exact oracle here)
     "sim_ann_pq_topk",
+    # (IVF+PQ composition — the FAISS IVFPQ shape; both components
+    # exact-verified above, the composed index hash-matches too)
+    "sim_ann_ivfpq_topk",
     # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",

@@ -663,3 +663,202 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_K)
         .select("query_id", "neighbor_id", "adc", "rnk")
     )
+
+
+def _ivfpq_topk_oracle(
+    m: int, ksub: int, dsub: int, k: int, stride: int,
+    n_centroids: int, n_probe: int,
+) -> str:
+    """DuckDB replica of the composed IVF+PQ index: lowest-id unit
+    centroids partition the space; candidates come from the query's
+    probed cells only; scoring is the PQ ADC sum over the candidates'
+    codes (computed as direct subspace dots — bitwise equal to the
+    engine's lookup tables, which are the same left-to-right folds)."""
+    dot = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+    sqd = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    c0 AS (
+      SELECT cell,
+             CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x))) = 0 THEN v
+                  ELSE list_transform(v, x ->
+                       x / sqrt(list_sum(list_transform(v, y -> y*y))))
+             END AS c
+      FROM init
+    ),
+    sc AS (
+      SELECT e.vec_id, c0.cell, {dot.format(a="e.v", b="c0.c")} AS score
+      FROM emb e CROSS JOIN c0
+    ),
+    cellranked AS (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+      FROM sc
+    ),
+    idx AS (SELECT vec_id AS nid, cell FROM cellranked WHERE rn = 1),
+    prb AS (SELECT vec_id AS qid, cell FROM cellranked
+            WHERE rn <= {n_probe} AND vec_id % {stride} = 0),
+    base AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {ksub})
+    ),
+    cb AS (
+      SELECT u.m, b.j,
+             list_slice(b.v, u.m*{dsub}+1, u.m*{dsub}+{dsub}) AS c
+      FROM base b, unnest(range({m})) AS u(m)
+    ),
+    sub AS (
+      SELECT e.vec_id, u.m,
+             list_slice(e.v, u.m*{dsub}+1, u.m*{dsub}+{dsub}) AS s
+      FROM emb e, unnest(range({m})) AS u(m)
+    ),
+    asg AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, cb.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sqd.format(a="s.s", b="cb.c")}, cb.j) AS rn
+        FROM sub s JOIN cb USING (m)
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.qid, i.nid FROM prb p JOIN idx i USING (cell)
+      WHERE p.qid <> i.nid
+    ),
+    terms AS (
+      SELECT c.qid, c.nid,
+             {dot.format(
+                 a=f"list_slice(q.v, a.m*{dsub}+1, a.m*{dsub}+{dsub})",
+                 b="cb.c")} AS t
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.qid
+      JOIN asg a ON a.vec_id = c.nid
+      JOIN cb ON cb.m = a.m AND cb.j = a.code
+    ),
+    score AS (
+      SELECT qid, nid,
+             CAST(SUM(CAST(t AS DECIMAL(38,18))) AS DOUBLE) AS adc
+      FROM terms GROUP BY qid, nid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, adc, rnk FROM (
+      SELECT qid, nid, adc,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, nid) AS INT) AS rnk
+      FROM score
+    ) WHERE rnk <= {k}
+    """
+
+
+_IVFPQ_CELLS, _IVFPQ_PROBE = 16, 3
+
+
+@query(
+    "sim_ann_ivfpq_topk",
+    oracle=_ivfpq_topk_oracle(
+        _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K, _PQ_STRIDE,
+        _IVFPQ_CELLS, _IVFPQ_PROBE,
+    ),
+)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN architecture composed from the two
+    indexes this engine already verifies separately: IVF cells bound
+    WHICH candidates are scored (each query probes its 3 nearest of 16
+    cells; candidates share a cell), and PQ codes bound WHAT a
+    candidate costs to score (8 ADC lookups against the query's
+    precomputed table instead of a 64-dim dot). This is the FAISS
+    IVFPQ shape exactly, and the whole composed index — centroid
+    partition, code assignment, candidate generation, ADC ranking —
+    replays in SQL and hash-matches.
+
+    Scale shape: candidate volume is sum of probed-cell occupancies
+    (never n²), the scored representation is m bytes/vector (32x), the
+    codebook and centroids are KB broadcasts, and the query batch
+    collects driver-side into ADC tables shipped back as data. At
+    100 TB: n_centroids grows ~sqrt(n), cells re-balance via the
+    bounded Lloyd refinement (operators/ivf.py), and the candidate
+    join stays an equi-join on cell id."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.operators.ivf import (
+        _cell_scores,
+        sample_centroids,
+    )
+    from fuzzy_item_matching_spark.operators.pq import (
+        adc_lut_py,
+        adc_term,
+        pq_code_rows,
+        pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = sample_centroids(ev, "vec_id", "v", _IVFPQ_CELLS)
+    cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)
+
+    cells = ev.select(
+        "vec_id",
+        F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
+            "__cells"
+        ),
+    )
+    idx = cells.select(
+        F.col("vec_id").alias("nid"),
+        F.element_at("__cells", 1).getField("cell").alias("cell"),
+    )
+    prb = cells.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            F.transform(
+                F.slice("__cells", 1, _IVFPQ_PROBE),
+                lambda s: s.getField("cell"),
+            )
+        ).alias("cell"),
+    )
+    cand = prb.join(idx, "cell").filter(F.col("qid") != F.col("nid")).select(
+        "qid", "nid"
+    )
+
+    codes = pq_code_rows(ev, "vec_id", "v", cbs).withColumnRenamed(
+        "__id", "nid"
+    )
+    qrows = (
+        ev.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    luts = spark.createDataFrame(
+        [(int(r["vec_id"]), adc_lut_py(list(r["v"]), cbs)) for r in qrows],
+        "qid long, lut array<array<double>>",
+    )
+    terms = (
+        cand.join(codes, "nid")
+        .join(F.broadcast(luts), "qid")
+        .select(
+            "qid",
+            "nid",
+            adc_term(F.col("lut"), F.col("m"), F.col("code")).alias("t"),
+        )
+    )
+    score = terms.groupBy("qid", "nid").agg(
+        F.sum(F.col("t").cast("decimal(38,18)")).cast("double").alias("adc")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc",
+            "rnk",
+        )
+    )

@@ -230,6 +230,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_audit_referential",
     "rel_audit_profile",
     "rel_price_quantiles",
+    # (3-sigma screen: stats-broadcast + row-local flag, the audit
+    # family's distribution-quality sibling)
+    "rel_value_outliers",
+    # (NTILE: the remaining ranking window fn; total-ordered)
+    "rel_ntile_price_deciles",
     # -- r05 additions: last-mile pipeline ops (exact oracles) whose
     #    shapes are adjacent to in-prefix rows (packing/shuffle =
     #    window forms, recall = eval composition of two prefix ops,

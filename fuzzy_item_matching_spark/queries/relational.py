@@ -1091,3 +1091,103 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
+
+
+@query(
+    "rel_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_sq
+      FROM events GROUP BY event_type
+    ),
+    sig AS (
+      SELECT event_type, n, mean,
+             sqrt(greatest(mean_sq - mean * mean, 0.0)) AS sigma
+      FROM stats
+    )
+    SELECT s.event_type, s.n, s.mean, s.sigma,
+           CAST(SUM(CASE WHEN abs(e.value - s.mean) > 3.0 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN sig s USING (event_type)
+    GROUP BY s.event_type, s.n, s.mean, s.sigma
+    """,
+)
+def rel_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier screen — the data-quality gate that
+    runs before any metric is trusted. Mean and E[X^2] come from exact
+    DECIMAL sums (one double division each, so mean/sigma are
+    bit-identical cross-engine); sigma = sqrt(E[X^2] - mean^2)
+    replayed in identical op order; the outlier test is then a
+    row-local comparison against broadcast per-group stats.
+
+    Scale shape: two passes — a map-side-combined stats agg to
+    |groups| rows, then a broadcast join back for the row-local flag
+    (the same rates-broadcast shape as the samplers). No window, no
+    sort; the second pass re-aggregates to |groups|."""
+    e = load_table(spark, sf_dir, "events")
+    dec_v = _dec("value", 6)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec_v).cast("double") / F.count(F.lit(1))).alias("mean"),
+        (F.sum(dec_v * dec_v).cast("double") / F.count(F.lit(1))).alias(
+            "mean_sq"
+        ),
+    )
+    sig = stats.select(
+        "event_type",
+        "n",
+        "mean",
+        F.sqrt(F.greatest(F.col("mean_sq") - F.col("mean") * F.col("mean"),
+                          F.lit(0.0))).alias("sigma"),
+    )
+    flagged = e.join(F.broadcast(sig), "event_type").withColumn(
+        "is_out",
+        (F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("sigma")).cast(
+            "int"
+        ),
+    )
+    return flagged.groupBy("event_type", "n", "mean", "sigma").agg(
+        F.sum("is_out").cast("long").alias("n_outliers")
+    )
+
+
+@query(
+    "rel_ntile_price_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, p_retailprice,
+             NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS decile
+      FROM part
+    )
+    SELECT decile, COUNT(*) AS n,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS lo,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS hi
+    FROM t GROUP BY decile
+    """,
+)
+def rel_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing (the remaining ranking window function:
+    row_number/rank family elsewhere) with a total order via the
+    (price, key) tie-break so bucket boundaries are deterministic.
+    Output is the decile manifest: count + [lo, hi] price band.
+
+    Scale note: the unpartitioned NTILE is a single-partition sort —
+    fine for dimension tables; for a 100 TB fact you'd approximate
+    deciles from a sampled quantile sketch or range-partition first
+    (the documented trade, same as rel_price_quantiles)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    t = p.select(
+        "p_partkey", "p_retailprice", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_retailprice").cast("double").alias("lo"),
+        F.max("p_retailprice").cast("double").alias("hi"),
+    )

@@ -219,6 +219,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # scan/agg shapes already in-prefix via src_csv_roundtrip)
     "src_orc_roundtrip",
     "src_jsonl_roundtrip",
+    # (Spark 4 Python DataSource: planner-side partitions, executor-
+    # side reads — the custom-connector surface, deterministic scan)
+    "src_python_datasource",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)

@@ -322,3 +322,51 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@query(
+    "src_python_datasource",
+    oracle="""
+    WITH gen AS (
+      SELECT p.part_id, s.seq,
+             (p.part_id * 1000003 + s.seq * 97) % 1000000007 AS value
+      FROM unnest(range(8)) AS p(part_id),
+           unnest(range(1000)) AS s(seq)
+    )
+    SELECT part_id, COUNT(*) AS n,
+           CAST(SUM(value) AS BIGINT) AS value_sum,
+           CAST(MIN(value) AS BIGINT) AS value_min,
+           CAST(MAX(value) AS BIGINT) AS value_max
+    FROM gen GROUP BY part_id
+    """,
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 connector API,
+    `sources/pysource.py`): the driver plans 8 input partitions,
+    every executor task generates only its partition's rows, and the
+    aggregation proves the parallel scan delivered exactly the
+    declared row set — the engine-native template for wrapping any
+    external system (API pages, proprietary formats, queue snapshots)
+    as a first-class parallel scan instead of a driver-side collect.
+    The generator is a fixed congruential sequence, so the whole scan
+    is SQL-replicable."""
+    from fuzzy_item_matching_spark.sources.pysource import (
+        SyntheticSeqDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticSeqDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    df = (
+        spark.read.format("synthetic_seq")
+        .option("n_parts", 8)
+        .option("rows_per_part", 1000)
+        .load()
+    )
+    return df.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )

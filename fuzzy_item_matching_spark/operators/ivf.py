@@ -39,6 +39,11 @@ def sample_centroids(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
+    if not rows:
+        raise ValueError(
+            "sample_centroids: empty corpus — an IVF index needs at "
+            "least one vector to sample centroids from"
+        )
     return [_unit([float(x) for x in r[1]]) for r in rows]
 
 

@@ -55,6 +55,11 @@ def pq_codebooks(
         df.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
     )
     vecs = [[float(x) for x in r[1]] for r in rows]
+    if not vecs:
+        raise ValueError(
+            "pq_codebooks: empty corpus — a PQ index needs at least one "
+            "vector to sample codebook entries from"
+        )
     dim = len(vecs[0])
     dsub = dim // m
     return [

@@ -812,10 +812,12 @@ def _bloom_pos(j: "F.Column", key: "F.Column") -> "F.Column":
     truth AS (SELECT DISTINCT c_custkey FROM build)
     SELECT COUNT(*) AS n_orders,
            (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
-           CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(coalesce(SUM(CASE WHEN t.c_custkey IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_true,
            (SELECT COUNT(*) FROM passed) -
-           CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(coalesce(SUM(CASE WHEN t.c_custkey IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_false_pos
     FROM orders o LEFT JOIN truth t ON o.o_custkey = t.c_custkey
     """,
@@ -873,8 +875,11 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = o.join(
         F.broadcast(truth), o["o_custkey"] == F.col("t_key"), "left"
     )
-    n_true = F.sum(
-        F.when(F.col("t_key").isNotNull(), 1).otherwise(0)
+    # coalesce: SUM over an empty fact table is NULL, and an empty
+    # input must yield zero counts, not nulls (tests/test_empty_inputs)
+    n_true = F.coalesce(
+        F.sum(F.when(F.col("t_key").isNotNull(), 1).otherwise(0)),
+        F.lit(0),
     ).cast("long")
     agg = labeled.agg(
         F.count(F.lit(1)).alias("n_orders"), n_true.alias("n_true")

@@ -1,0 +1,81 @@
+"""Empty-input robustness: at 100 TB a partition, a source, or a whole
+day of data CAN be empty, and the engine's answer must be an empty (or
+identity) result — never a crash. Index builds that genuinely cannot
+exist without data (IVF centroids, PQ codebooks) must fail with a
+clear ValueError, not an IndexError from a silent empty collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from fuzzy_item_matching_spark.queries import load_all
+
+SF_SRC = "/root/testdata/sf0.001"
+EMPTY = "/root/repo/.scratch/empty_sf"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Representative non-index queries across the operator families: all
+# must evaluate cleanly on a fully empty dataset.
+EMPTY_SAFE = [
+    "rel_pricing_summary",
+    "rel_cust_order_stats",
+    "rel_status_share",
+    "rel_rolling_user_value",
+    "rel_user_sessions_batch",
+    "rel_grouping_sets",
+    "rel_value_outliers",
+    "rel_salted_agg",
+    "rel_bloom_semi_join",
+    "ts_token_stats",
+    "ts_doc_quality",
+    "ts_countmin_heavy",
+    "ts_pmi_cooccurrence",
+    "dedup_exact_docs",
+    "dedup_chunk_lines",
+    "train_class_weights",
+    "train_source_mixture",
+    "vec_l2_norm",
+    "vec_int8_topk",
+    "pipe_corpus_funnel",
+]
+
+# Index builds sample data driver-side: empty corpus -> loud error.
+NEEDS_DATA = ["sim_ann_ivf_topk", "sim_ann_pq_topk", "sim_ann_ivfpq_topk"]
+
+
+@pytest.fixture(scope="module")
+def empty_sf():
+    os.makedirs(EMPTY, exist_ok=True)
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SF_SRC}/{t}.parquet' LIMIT 0)"
+            f" TO '{EMPTY}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return EMPTY
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_query_survives_empty_dataset(spark, empty_sf, name):
+    reg = load_all()
+    rows = reg[name].fn(spark, empty_sf).collect()
+    # no crash; and nothing fabricated from nothing (bloom emits its
+    # one all-zero counts row; everything else must be empty)
+    if name == "rel_bloom_semi_join":
+        [r] = rows
+        assert r["n_orders"] == r["n_bloom_pass"] == r["n_true"] == 0
+    else:
+        assert rows == []
+
+
+@pytest.mark.parametrize("name", NEEDS_DATA)
+def test_index_build_fails_loudly_on_empty(spark, empty_sf, name):
+    reg = load_all()
+    with pytest.raises(ValueError, match="empty corpus|no non-null"):
+        reg[name].fn(spark, empty_sf).collect()

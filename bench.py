@@ -38,6 +38,11 @@ EXCLUDE = {
     # MLlib's cost, not the engine's); its engine-native twin IS
     # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).
     "train_ml_name_pipeline",
+    # Offset-recovery test harness: THREE full checkpointed stream
+    # restarts by design (Python stream sources run one batch per
+    # availableNow drain) — restart machinery, not a data-path cost;
+    # the single-drain streaming sink (stream_merge_sink) IS benched.
+    "stream_python_source_totals",
 }
 
 

@@ -222,6 +222,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (Spark 4 Python DataSource: planner-side partitions, executor-
     # side reads — the custom-connector surface, deterministic scan)
     "src_python_datasource",
+    # (its streaming twin: offset commit/restore across three
+    # checkpointed availableNow drains, grouped totals hash-checked)
+    "stream_python_source_totals",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)

@@ -535,3 +535,74 @@ def stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(target)
+
+
+@query(
+    "stream_python_source_totals",
+    oracle="""
+    WITH gen AS (
+      SELECT i AS seq, (i * 97 + 11) % 1000000007 AS value
+      FROM unnest(range(300)) AS u(i)
+    )
+    SELECT seq % 5 AS grp, COUNT(*) AS n,
+           CAST(SUM(value) AS BIGINT) AS value_sum
+    FROM gen GROUP BY seq % 5
+    """,
+)
+def stream_python_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4
+    SimpleDataSourceStreamReader, `sources/pysource.py`): offsets are
+    positions in a deterministic sequence, micro-batches are 100 rows,
+    and the drain runs as three checkpointed availableNow cycles —
+    Python stream sources fall back to one batch per availableNow run,
+    so each cycle commits exactly one offset range and the next
+    restart RESUMES from the checkpoint (offset commit/restore is the
+    thing under test; state restores across all three JVM-visible
+    restarts). The grouped totals equal the closed-form oracle, so the
+    connector's replay/ordering guarantees are hash-checked, not
+    assumed.
+
+    At 100 TB this is the template for queue-like internal systems
+    with no native Spark connector: the reader declares offsets,
+    Spark owns exactly-once bookkeeping."""
+    import shutil
+    import uuid
+
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+    from fuzzy_item_matching_spark.sources.pysource import (
+        SyntheticSeqStreamDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticSeqStreamDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+    ckpt = f"{SCRATCH}/pystream_ckpt_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    name = f"pysrc_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(3):  # ceil(total_rows / batch_rows) micro-batches
+            df = (
+                spark.readStream.format("synthetic_seq_stream")
+                .option("total_rows", 300)
+                .option("batch_rows", 100)
+                .load()
+            )
+            agg = df.groupBy((F.col("seq") % 5).alias("grp")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("value_sum"),
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

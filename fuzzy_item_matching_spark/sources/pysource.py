@@ -54,3 +54,50 @@ class SyntheticSeqDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticSeqReader:
         return SyntheticSeqReader(self.options)
+
+
+# ---- streaming variant -------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SyntheticSeqStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched twin of SyntheticSeqReader: offsets are row
+    positions in the same congruential sequence, so every batch — and
+    any replay between two committed offsets — is deterministic.
+    ``read`` serves ``batch_rows`` per trigger until ``total_rows`` is
+    exhausted, then reports an unchanged offset (-> availableNow
+    drains and terminates)."""
+
+    def __init__(self, options: dict) -> None:
+        self.total_rows = int(options.get("total_rows", 300))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    @staticmethod
+    def _row(i: int) -> tuple:
+        return (i, (i * 97 + 11) % 1_000_000_007)
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.batch_rows, self.total_rows)
+        return iter([self._row(i) for i in range(s, e)]), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [self._row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
+
+
+class SyntheticSeqStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_seq_stream"
+
+    def schema(self) -> str:
+        return "seq int, value bigint"
+
+    def simpleStreamReader(self, schema) -> SyntheticSeqStreamReader:
+        return SyntheticSeqStreamReader(self.options)

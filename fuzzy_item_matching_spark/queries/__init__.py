@@ -225,6 +225,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (its streaming twin: offset commit/restore across three
     # checkpointed availableNow drains, grouped totals hash-checked)
     "stream_python_source_totals",
+    # (lake maintenance pair: mergeSchema NULL-backfill across file
+    # generations; partition-scoped idempotent backfill commit)
+    "src_schema_evolution",
+    "src_dynamic_partition_overwrite",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)

@@ -370,3 +370,116 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT n_nationkey, n_name, NULL::BIGINT AS pop
+      FROM nation WHERE n_regionkey < 2
+      UNION ALL
+      SELECT n_nationkey, n_name, n_nationkey * 1000 AS pop
+      FROM nation WHERE n_regionkey >= 2
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(coalesce(pop, 0)) AS BIGINT) AS pop_sum,
+           CAST(SUM(CASE WHEN pop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_old_schema
+    FROM unioned
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: generation 1
+    lacks the ``pop`` column, generation 2 adds it; the mergeSchema
+    read reconciles both into one frame where old-generation rows
+    surface NULL — the append-only lake reality (a 100 TB table is
+    never rewritten when a column lands). The agg distinguishes
+    old-generation rows explicitly, proving NULL-backfill semantics
+    rather than assuming them.
+
+    Scale note: mergeSchema=true costs a footer read per FILE at plan
+    time — fine per-partition-directory; at full-lake scale you pin
+    the merged schema in a catalog instead and keep the scan
+    footer-cheap."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    base = os.path.join(SCRATCH, "nation_evolving")
+    n = load_table(spark, sf_dir, "nation")
+    gen1 = n.filter(F.col("n_regionkey") < 2).select("n_nationkey", "n_name")
+    gen2 = n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey").cast("long") * 1000).alias("pop"),
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.coalesce(F.col("pop"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("pop_sum"),
+        F.coalesce(
+            F.sum(F.when(F.col("pop").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_old_schema"),
+    )
+
+
+@query(
+    "src_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: the full orders table lands
+    partitioned by status, then a corrected 'F' slice (prices doubled)
+    overwrites ONLY its own partition — untouched partitions must
+    survive byte-for-byte, which the per-status totals prove. This is
+    the idempotent backfill primitive of every partitioned lake
+    (re-run one day/source without clobbering the rest); the static
+    overwrite default would have dropped the other partitions.
+
+    Scale note: partitionOverwriteMode=dynamic scopes the commit to
+    partitions present in the WRITE — the job's output set, not the
+    table's — so a one-partition backfill of a 100 TB table moves one
+    partition of data."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fixed = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "price", F.col("price") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

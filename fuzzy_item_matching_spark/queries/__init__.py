@@ -229,6 +229,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # generations; partition-scoped idempotent backfill commit)
     "src_schema_evolution",
     "src_dynamic_partition_overwrite",
+    # (shuffle-free small-file compaction with checked file counts)
+    "src_compaction",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)

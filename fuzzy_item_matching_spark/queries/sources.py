@@ -483,3 +483,49 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("total"),
         )
     )
+
+
+@query(
+    "src_compaction",
+    oracle="""
+    SELECT 64 AS n_files_before, 4 AS n_files_after,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: lineitem deliberately fragmented into 64
+    shards (the streaming-ingest pathology — minutes-sized files), then
+    compacted to 4 with a coalesce write. Row count and the DECIMAL
+    quantity sum prove the rewrite lost nothing; the file counts are
+    part of the checked result. coalesce (not repartition) keeps the
+    compaction SHUFFLE-FREE — tasks concatenate input splits.
+
+    Scale note: at 100 TB compaction is the single highest-leverage
+    maintenance job a lake runs (scan cost ~ file count for planning +
+    open overhead); target file size ~ spark.sql.files.
+    maxPartitionBytes so one compacted file = one scan split."""
+    os.makedirs(SCRATCH, exist_ok=True)
+    frag = os.path.join(SCRATCH, "lineitem_fragmented")
+    compact = os.path.join(SCRATCH, "lineitem_compacted")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    n_before = len(
+        [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    )
+    frag_df.coalesce(4).write.mode("overwrite").parquet(compact)
+    n_after = len(
+        [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    )
+    return spark.read.parquet(compact).agg(
+        F.lit(n_before).alias("n_files_before"),
+        F.lit(n_after).alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

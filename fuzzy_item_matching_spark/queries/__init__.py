@@ -231,6 +231,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_dynamic_partition_overwrite",
     # (shuffle-free small-file compaction with checked file counts)
     "src_compaction",
+    # (snapshot versioning + time travel on plain parquet — the
+    # reference's Delta capability made portable; manifest-last commit)
+    "src_time_travel",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)

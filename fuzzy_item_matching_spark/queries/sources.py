@@ -529,3 +529,80 @@ def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@query(
+    "src_time_travel",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+      FROM v1 WHERE o_orderkey % 10 = 0
+    ),
+    v2 AS (
+      SELECT v1.o_orderkey, v1.o_totalprice FROM v1
+      WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = v1.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM upd
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v1) AS v1_rows,
+      (SELECT COUNT(*) FROM v2) AS v2_rows,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       FROM v1) AS v1_total,
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       FROM v2) AS v2_total
+    """,
+)
+def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel on plain parquet
+    (operators/versioned.py — the Delta capability the reference
+    leaned on, made engine-portable): snapshot v1 is the open-order
+    slice, v2 is v1 with a MERGE upsert applied (10% of keys get a
+    price bump); reading v1 AFTER v2 committed must return the
+    original rows bit-for-bit, which the per-version DECIMAL totals
+    prove. The manifest-last commit protocol is what makes the v1
+    read safe against a concurrent v2 writer.
+
+    Scale note: the copy-on-write snapshot here becomes file-level
+    reuse at 100 TB (manifest lists files; unchanged files shared) —
+    the read/commit protocol the query checks is unchanged."""
+    from fuzzy_item_matching_spark.operators.merge import merge_upsert
+    from fuzzy_item_matching_spark.operators.versioned import VersionedTable
+
+    path = os.path.join(SCRATCH, "orders_versioned")
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_totalprice")
+    v1 = vt.write_version(base)
+    # +1000.0 (exact IEEE add on 2-dp prices) rather than *1.1: the
+    # float product lands on decimal-cast half-way points where Spark
+    # (HALF_UP) and DuckDB round differently (observed 0.1 drift over
+    # ~500 rows)
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    v2 = vt.write_version(
+        merge_upsert(vt.read(version=v1), upd, keys=["o_orderkey"])
+    )
+    dec_total = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = dec_total(vt.read(version=v1)).select(
+        F.col("n").alias("v1_rows"), F.col("t").alias("v1_total")
+    )
+    b = dec_total(vt.read(version=v2)).select(
+        F.col("n").alias("v2_rows"), F.col("t").alias("v2_total")
+    )
+    return a.crossJoin(b).select(
+        "v1_rows", "v2_rows", "v1_total", "v2_total"
+    )

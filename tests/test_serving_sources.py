@@ -52,3 +52,44 @@ def test_pipeline_composition_and_sql_stage(spark):
     )
     out = (p1 | p2).transform(df).collect()
     assert {(r.up, r.n) for r in out} == {("HELLO WORLD", 11), ("SPARK", 5)}
+
+
+def test_versioned_table_commit_and_vacuum(spark):
+    """Time-travel protocol: versions are immutable once committed,
+    the manifest is the commit point (an orphan snapshot directory
+    without a manifest entry is invisible), and vacuum removes exactly
+    the expired snapshots."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from fuzzy_item_matching_spark.operators.versioned import VersionedTable
+
+    path = "/root/repo/.scratch/vt_protocol"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    v1 = vt.write_version(spark.range(10))
+    v2 = vt.write_version(spark.range(20))
+    v3 = vt.write_version(spark.range(30))
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert vt.read(version=v1).count() == 10
+    assert vt.read().count() == 30
+
+    # an uncommitted (orphan) snapshot directory must be invisible
+    os.makedirs(os.path.join(path, "v=99"), exist_ok=True)
+    assert vt.versions() == [1, 2, 3]
+    with pytest.raises(ValueError, match="not in committed set"):
+        vt.read(version=99)
+
+    dropped = vt.vacuum(keep_last=1)
+    assert dropped == [1, 2]
+    assert vt.versions() == [3]
+    assert vt.read().count() == 30
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    with pytest.raises(ValueError, match="not in committed set"):
+        vt.read(version=1)
+    # manifest reflects exactly the surviving set
+    with open(os.path.join(path, "_versions.json")) as f:
+        assert json.load(f) == {"versions": [3]}

@@ -1029,7 +1029,7 @@ def ts_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_MIN_Q = 0.4
+_FUNNEL_MIN_Q = 0.3
 _FUNNEL_BUDGET = 150
 
 

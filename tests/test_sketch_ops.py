@@ -138,3 +138,16 @@ def test_pq_codes_and_adc_shape(spark):
         assert sorted(r["rnk"] for r in q_rows) == [1, 2, 3, 4, 5]
         ordered = sorted(q_rows, key=lambda r: (-r["adc"], r["neighbor_id"]))
         assert [r["rnk"] for r in ordered] == [1, 2, 3, 4, 5]
+
+
+def test_corpus_funnel_is_monotone(spark):
+    """Every funnel stage can only shrink the per-source set, and the
+    sampled token total is consistent with the sampled doc count."""
+    rows = REGISTRY["pipe_corpus_funnel"].fn(spark, SF_CHECK).collect()
+    assert rows, "funnel produced no sources"
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sampled"]
+        assert (r["tok_sampled"] > 0) == (r["n_sampled"] > 0)
+    # the quality gate and the sampler must both actually bite at sf0.01
+    assert any(r["n_quality"] < r["n_raw"] for r in rows)
+    assert any(r["n_sampled"] < r["n_dedup"] for r in rows)

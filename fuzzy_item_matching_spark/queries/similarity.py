@@ -622,9 +622,17 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
     )
 
+    from fuzzy_item_matching_spark.operators.lsh import valid_vectors
+
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # one bad (NULL/ragged) vector must cost one row, not the query:
+    # pq_codebooks floats the lowest-id vectors driver-side
+    ev = valid_vectors(
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "v",
+        _PQ_M * _PQ_DSUB,
     )
     cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)
     codes = pq_code_rows(ev, "vec_id", "v", cbs).withColumnRenamed(
@@ -797,9 +805,15 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
     )
 
+    from fuzzy_item_matching_spark.operators.lsh import valid_vectors
+
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ev = valid_vectors(
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "v",
+        _PQ_M * _PQ_DSUB,
     )
     cents = sample_centroids(ev, "vec_id", "v", _IVFPQ_CELLS)
     cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)

@@ -1,0 +1,141 @@
+"""Dirty-input robustness: real 100 TB inputs contain NULL text, NULL
+and wrong-dimension vectors, NaN metrics, and malformed JSON. One bad
+row must cost (at most) one row — never the task, never the query.
+
+The dirty dataset is the sf0.001 clone with injected pathologies:
+- documents: NULL text, empty text, unicode text, a 10k-char token
+- embeddings: NULL vector, wrong-dimension vector, NaN component
+- events: NULL value, NULL props, malformed JSON props
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from fuzzy_item_matching_spark.queries import load_all
+
+SF_SRC = "/root/testdata/sf0.001"
+DIRTY = "/root/repo/.scratch/dirty_sf"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+DIRTY_SAFE = [
+    # text family over NULL/empty/unicode/megatoken docs
+    "text_tokens",
+    "ts_token_stats",
+    "ts_doc_quality",
+    "ts_lang_id",
+    "ts_fingerprint",
+    "ts_redact_pii",
+    "dedup_exact_docs",
+    "dedup_chunk_lines",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "pipe_corpus_funnel",
+    # vector family over NULL/ragged/NaN vectors
+    "vec_l2_norm",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "sim_ann_pq_topk",
+    "sim_ann_ivfpq_topk",
+    "sim_lsh_sqdist_pairs",
+    # events family over NULL value / broken props
+    "rel_events_hourly",
+    "rel_json_props",
+    "rel_rolling_user_value",
+    "rel_user_sessions_batch",
+    "rel_value_outliers",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf():
+    os.makedirs(DIRTY, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in ("documents", "embeddings", "events"):
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SRC}/{t}.parquet')"
+            f" TO '{DIRTY}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SRC}/documents.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (90001, NULL, 'en', 'srcX', 0),
+            (90002, '', 'en', 'srcX', 0),
+            (90003, 'héllo wörld — ünïcode tökens über alles', 'de', 'srcX', 40),
+            (90004, repeat('x', 10000) || ' tail words here', 'en', 'srcX', 10016)
+          ) AS v(doc_id, text, lang, source, n_chars)
+        ) TO '{DIRTY}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SRC}/embeddings.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (90001, NULL, 0),
+            (90002, [1.0, 2.0, 3.0]::FLOAT[], 0),
+            (90003, list_transform(range(64), i -> CASE WHEN i = 0
+                    THEN 'NaN'::FLOAT ELSE 0.5::FLOAT END), 1)
+          ) AS v(vec_id, embedding, label)
+        ) TO '{DIRTY}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SRC}/events.parquet'
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (990001, TIMESTAMP '2024-01-05 10:00:00', 42, 'click', NULL, NULL),
+            (990002, TIMESTAMP '2024-01-05 10:01:00', 42, 'click', 1.5,
+             '{{not valid json'),
+            (990003, TIMESTAMP '2024-01-05 10:02:00', 42, 'view', 'NaN'::DOUBLE,
+             '{{}}')
+          ) AS v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{DIRTY}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return DIRTY
+
+
+@pytest.mark.parametrize("name", DIRTY_SAFE)
+def test_query_survives_dirty_rows(spark, dirty_sf, name):
+    reg = load_all()
+    rows = reg[name].fn(spark, dirty_sf).collect()
+    # ran to completion; clean-row results still present (dirty rows
+    # may add/subtract rows, but must not blank the result)
+    assert rows, f"{name} lost all output to 3-4 dirty rows"
+
+
+def test_dirty_vectors_cost_only_their_rows(spark, dirty_sf):
+    """The ANN guard contract precisely: NULL/ragged vectors appear in
+    no pair; clean vectors still retrieve neighbors."""
+    reg = load_all()
+    rows = reg["sim_ann_lsh_topk"].fn(spark, dirty_sf).collect()
+    ids = {r["qid"] for r in rows} | {r["nid"] for r in rows}
+    assert 90001 not in ids and 90002 not in ids
+    assert len({r["qid"] for r in rows}) >= 40  # clean corpus intact
+
+
+def test_nan_value_isolated_in_outlier_screen(spark, dirty_sf):
+    """NaN event values poison their own group's sigma, not other
+    groups: every non-NaN-bearing event_type keeps finite stats."""
+    reg = load_all()
+    rows = reg["rel_value_outliers"].fn(spark, dirty_sf).collect()
+    by_type = {r["event_type"]: r for r in rows}
+    finite = [t for t, r in by_type.items() if math.isfinite(r["mean"])]
+    assert len(finite) >= len(by_type) - 2  # only touched groups degrade

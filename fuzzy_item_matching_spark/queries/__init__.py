@@ -288,6 +288,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (the quality→dedup→mixture funnel in one plan; composition is
     # in-prefix via pipe_corpus_clean, stages individually in-prefix)
     "pipe_corpus_funnel",
+    # (fingerprint anti-join delta + snapshot commit — the refresh
+    # loop tying stream_ingest_dedup's shape to the versioned table)
+    "pipe_incremental_refresh",
     # -- demoted by the r05 second rotation (see prefix header):
     #    operator keeps 2+ in-prefix verifiers
     "rel_price_clean_cast",

@@ -1194,3 +1194,68 @@ def pipe_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipe_incremental_refresh",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS fp
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    fresh AS (
+      SELECT i.doc_id, i.fp FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = i.fp)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM base) AS v1_docs,
+      (SELECT COUNT(*) FROM incoming) AS n_incoming,
+      (SELECT COUNT(*) FROM fresh) AS n_fresh,
+      (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM fresh) AS v2_docs
+    """,
+)
+def pipe_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-corpus refresh loop in one query: snapshot v1
+    holds the standing corpus keyed by 32-byte content fingerprints;
+    an incoming batch (the doc_id%7 slice, standing in for a crawl
+    delta) is deduplicated against v1 with a fingerprint ANTI-JOIN
+    (stream_ingest_dedup's shape, batch form), and only the fresh
+    docs commit as snapshot v2 (operators/versioned.py — readers on
+    v1 are undisturbed, time travel can diff the versions). The
+    version manifest counts ARE the checked output.
+
+    Scale shape: the fingerprint frame is doc_id+32 bytes — the only
+    state the dedup needs (never the text); the anti-join shuffles
+    fingerprints, not documents; snapshots commit manifest-last. At
+    100 TB the fingerprint table is itself bucketed by fp so the
+    daily anti-join is exchange-free on the standing side."""
+    import shutil as _sh
+
+    from fuzzy_item_matching_spark.operators.versioned import VersionedTable
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    path = f"{SCRATCH}/corpus_versioned"
+    _sh.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    base = d.filter(F.col("doc_id") % 7 != 0)
+    incoming = d.filter(F.col("doc_id") % 7 == 0)
+    vt = VersionedTable(spark, path)
+    v1 = vt.write_version(base)
+    standing = vt.read(version=v1)
+    fresh = incoming.join(
+        standing.select("fp"), "fp", "left_anti"
+    )
+    v2 = vt.write_version(standing.unionByName(fresh))
+    c = lambda df, n: df.agg(F.count(F.lit(1)).alias(n))  # noqa: E731
+    return (
+        c(vt.read(version=v1), "v1_docs")
+        .crossJoin(c(incoming, "n_incoming"))
+        .crossJoin(c(fresh, "n_fresh"))
+        .crossJoin(c(vt.read(version=v2), "v2_docs"))
+    )

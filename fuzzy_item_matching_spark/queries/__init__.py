@@ -241,6 +241,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (lag + running-sum sessionization — the batch twin of in-prefix
     # stream_user_sessions; same gap semantics, one sort reused)
     "rel_user_sessions_batch",
+    # (SCD2 validity intervals: lead counterpart of the session lag,
+    # same user-shuffle + single sort)
+    "rel_scd2_user_state",
     "rel_latest_event_per_user",
     "rel_audit_referential",
     "rel_audit_profile",

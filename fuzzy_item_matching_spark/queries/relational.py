@@ -1196,3 +1196,77 @@ def rel_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_retailprice").cast("double").alias("lo"),
         F.max("p_retailprice").cast("double").alias("hi"),
     )
+
+
+@query(
+    "rel_scd2_user_state",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) // 1000000 AS sec
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    changes AS (SELECT * FROM marked WHERE chg = 1),
+    hist AS (
+      SELECT user_id, event_type, sec AS valid_from,
+             lead(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT event_type,
+           COUNT(*) AS n_periods,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 0
+                         ELSE valid_to - valid_from END) AS BIGINT)
+             AS closed_duration_s
+    FROM hist GROUP BY event_type
+    """,
+)
+def rel_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from an event stream:
+    collapse each user's event_type runs to their CHANGE points (lag),
+    then attach [valid_from, valid_to) validity windows (lead; the
+    open period carries NULL valid_to) — the dimension-history build
+    every warehouse runs, and the lead counterpart to the session
+    query's lag. All interval arithmetic is integer epoch-seconds.
+
+    Scale shape: the same single user_id shuffle + local time sort as
+    sessionization — lag, the change filter, and lead all reuse one
+    sort; per-task state is one user's timeline. The summary agg is
+    map-side combined to |event types|."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = e.select("event_id", "user_id", "event_type", sec.alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    changes = marked.filter(F.col("chg") == 1)
+    hist = changes.select(
+        "user_id",
+        "event_type",
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+    )
+    open_p = F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+    closed_d = F.when(F.col("valid_to").isNull(), 0).otherwise(
+        F.col("valid_to") - F.col("valid_from")
+    )
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(open_p).cast("long").alias("n_current"),
+        F.sum(closed_d).cast("long").alias("closed_duration_s"),
+    )

@@ -280,6 +280,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (IVF+PQ composition — the FAISS IVFPQ shape; both components
     # exact-verified above, the composed index hash-matches too)
     "sim_ann_ivfpq_topk",
+    # (its recall@5 eval vs exact MIPS ground truth — folds both loss
+    # sources; bench-excluded like sim_ann_recall)
+    "sim_ann_ivfpq_recall",
     # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",

@@ -876,3 +876,78 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    dot = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+    return f"""
+    WITH ann AS ({_ivfpq_topk_oracle(
+        _PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K, _PQ_STRIDE,
+        _IVFPQ_CELLS, _IVFPQ_PROBE,
+    )}),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {dot.format(a='a.embedding::DOUBLE[]',
+                             b='b.embedding::DOUBLE[]')} DESC,
+                 b.vec_id) AS rnk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % {_PQ_STRIDE} = 0
+      ) WHERE rnk <= {_PQ_K}
+    )
+    SELECT COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)::DOUBLE / COUNT(*) AS recall
+    FROM bf LEFT JOIN ann
+      ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+    """
+
+
+@query("sim_ann_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVFPQ index against exact
+    maximum-inner-product brute force over the query batch — the
+    number a compression+partitioning trade ships with (it folds BOTH
+    loss sources: neighbors outside probed cells AND quantization
+    re-ranking error). Bench-excluded: it embeds the O(q*n) exact
+    ground truth by design; at scale this runs on a content-keyed
+    eval slice while the IVFPQ side stays cell-bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.vector import dot as vdot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        vdot("qv", "v").alias("dp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dp").desc(), F.col("neighbor_id")
+    )
+    bf = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = sim_ann_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = bf.join(ann, ["query_id", "neighbor_id"], "left")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.cast("long").alias("n_hits"),
+        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

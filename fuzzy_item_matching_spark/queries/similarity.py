@@ -841,13 +841,18 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the ADC shortlist this took recall@5 0.12 -> 0.56 at sf0.01 —
     # the residual gap is the probed-cell ceiling on this
     # structureless synthetic corpus)
+    # persist: CollapseProject would otherwise INLINE the normalize
+    # subtree into every one of the 16 cell-score lambdas and the 128
+    # code sqdists (codegen does not CSE HOF subtrees — the documented
+    # ts_doc_quality trap; measured 15s -> 2s for the candidate stage
+    # at sf0.1)
     ev = valid_vectors(
         e.select(
             "vec_id", l2_normalize(F.col("embedding")).alias("v")
         ),
         "v",
         _PQ_M * _PQ_DSUB,
-    )
+    ).persist()
     cents = sample_centroids(ev, "vec_id", "v", _IVFPQ_CELLS)
     cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)
 
@@ -856,7 +861,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
             "__cells"
         ),
-    )
+    ).persist()  # 16 dots/row; consumed by both the index and probe sides
     idx = cells.select(
         F.col("vec_id").alias("nid"),
         F.element_at("__cells", 1).getField("cell").alias("cell"),

@@ -244,6 +244,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (SCD2 validity intervals: lead counterpart of the session lag,
     # same user-shuffle + single sort)
     "rel_scd2_user_state",
+    # (ROWS sliding frame — completes the frame family; same layout)
+    "rel_rows_frame_ma",
+    # (df.observe in-flight metrics == the dedicated agg, no 2nd scan)
+    "rel_observed_metrics",
     "rel_latest_event_per_user",
     "rel_audit_referential",
     "rel_audit_profile",

@@ -1270,3 +1270,91 @@ def rel_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(open_p).cast("long").alias("n_current"),
         F.sum(closed_d).cast("long").alias("closed_duration_s"),
     )
+
+
+@query(
+    "rel_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def rel_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe`` (the Observation
+    API): counters ride along INSIDE the filtered write pass —
+    row count, a DECIMAL-exact revenue total, a threshold counter —
+    and are read from the observation after one action, without a
+    second scan of the data. This is how a 100 TB job publishes its
+    own data-quality metrics (rows in/out, null rates, SLA counters)
+    for free: the metrics are accumulated by the SAME tasks that
+    produce the output, not by a follow-up audit query.
+
+    The checked result is the observed metrics themselves, re-exposed
+    as a 1-row frame — proving the in-flight counters equal the
+    dedicated aggregation the oracle runs."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("order_metrics")
+    observed = o.filter(F.col("o_orderstatus") == "O").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_high"])],
+        "n_rows long, total_price double, n_high long",
+    )
+
+
+@query(
+    "rel_rows_frame_ma",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_window,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma3
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_rows_frame_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame sliding window: per event, the 3-event moving
+    average of the SAME user's values — the count-based frame
+    completing the window-frame family (RANGE time frame:
+    rel_rolling_user_value; unbounded running: sessions/shuffle). The
+    frame is made deterministic by the (sec, event_id) total order;
+    the average is one double division over a DECIMAL window sum.
+
+    Scale shape: the identical single user-shuffle + local sort every
+    per-user window op here reuses; ROWS frames hold at most 3 rows
+    of state per position."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = e.select("event_id", "user_id", sec.alias("sec"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.alias("n_window"),
+        (F.sum(_dec("value", 6)).over(w).cast("double") / n).alias("ma3"),
+    )

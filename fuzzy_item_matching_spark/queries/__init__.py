@@ -323,6 +323,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         multimodal,
         relational,
+        retrieval,
         serving,
         similarity,
         sources,

@@ -606,3 +606,64 @@ def src_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "v1_rows", "v2_rows", "v1_total", "v2_total"
     )
+
+
+from fuzzy_item_matching_spark.operators.zorder import (  # noqa: E402
+    zorder_key,
+    zorder_key_sql,
+)
+
+_Z_DUCK = zorder_key_sql(
+    "o_custkey", "date_diff('day', DATE '1995-01-01', o_orderdate)"
+)
+
+
+@query(
+    "src_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1995-01-01', o_orderdate) AS day,
+             {_Z_DUCK} AS zkey
+      FROM orders
+    )
+    SELECT CAST(zkey >> 16 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM z GROUP BY bucket
+    """,
+)
+def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order-day),
+    summarized per 64Ki z-range bucket: each bucket's min/max in BOTH
+    dimensions is tight, which is exactly the property that lets
+    parquet min/max stats prune a 2-D range predicate after a
+    clustered write (operators/zorder.py; the write + file-skipping
+    assertion lives in tests/test_zorder.py). The reference has no
+    layout management at all — its notebooks re-scan everything; this
+    is the extension that makes a 100 TB two-dimensional workload
+    scan-bounded.
+
+    Plan: the Morton key is a 32-term integer expression (whole-stage
+    codegen, no UDF, no shuffle); the bucket agg is one
+    map-side-combinable hash agg on ≤2^8 buckets. Exact oracle: the
+    identical generated arithmetic on the DuckDB side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    z = o.select(
+        "o_custkey",
+        day.alias("day"),
+        zorder_key(F.col("o_custkey"), day).alias("zkey"),
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 16).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )

@@ -1259,3 +1259,105 @@ def pipe_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c(fresh, "n_fresh"))
         .crossJoin(c(vt.read(version=v2), "v2_docs"))
     )
+
+
+# DuckDB mirror of the char-bigram extractor used by ts_charlm_score:
+# lowercase, null->empty, all overlapping 2-char substrings.
+_D_BIGRAMS = (
+    "list_transform(generate_series(1, length(lower(coalesce({c}, ''))) - 1),"
+    " i -> substr(lower(coalesce({c}, '')), i, 2))"
+)
+
+
+@query(
+    "ts_charlm_score",
+    oracle=f"""
+    WITH big AS (
+      SELECT doc_id, unnest({_D_BIGRAMS.format(c="text")}) AS bg FROM documents
+    ),
+    model AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+    ctx AS (SELECT substr(bg, 1, 1) AS c1, SUM(c2) AS c1n
+            FROM model GROUP BY substr(bg, 1, 1)),
+    vocab AS (SELECT COUNT(DISTINCT substr(bg, 2, 1)) AS v FROM model),
+    doctf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM big GROUP BY doc_id, bg),
+    terms AS (
+      SELECT d.doc_id, d.tf,
+             ln((model.c2 + 1.0) / (ctx.c1n + vocab.v)) AS lp
+      FROM doctf d
+      JOIN model USING (bg)
+      JOIN ctx ON ctx.c1 = substr(d.bg, 1, 1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(CAST(tf * lp AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(SUM(tf) AS BIGINT) AS nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def ts_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM perplexity scoring — the CCNet/KenLM-style
+    quality filter: fit add-one-smoothed bigram counts on the corpus
+    itself, then score every document by its mean negative log
+    likelihood (low = fluent/in-domain, high = noise). Extension
+    surface (reference has no LM filtering; its text analytics stop at
+    TF-IDF, `01_Feature Engineering.py:284-290`).
+
+    Plan: one explode into char bigrams feeds BOTH the model fit (two
+    hash aggs over a charset²-bounded vocab) and the per-doc term
+    frequencies; the model side is kilobytes at ANY corpus scale, so
+    both model joins broadcast — the scoring pass is a single shuffle
+    on (doc_id, bg) then one map-side-combinable per-doc agg. At
+    100 TB: identical shape; the model agg is the only global exchange
+    and its key space is bounded by the charset, not the data.
+
+    Determinism: each ln((c2+1)/(c1n+V)) is one IEEE op on integers —
+    bit-identical across engines; the per-doc sum of tf·lp doubles is
+    order-dependent, so it accumulates as DECIMAL(38,18) (repo
+    convention) and casts to double only for the final division.
+    """
+    return _charlm_nll(load_table(spark, sf_dir, "documents"))
+
+
+def _charlm_nll(d: DataFrame) -> DataFrame:
+    """Fit + score in one plan over any (doc_id, text) frame — split
+    out so tests can score augmented corpora (OOD injection)."""
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    bigrams = F.expr(
+        "transform(sequence(1, length(lower(coalesce(text, ''))) - 1),"
+        " i -> substring(lower(coalesce(text, '')), i, 2))"
+    )
+    # sequence(1, 0) raises in Spark when length < 2 -> guard upstream
+    # rows with no bigrams (empty/1-char docs drop out, same as unnest
+    # of an empty list on the DuckDB side).
+    big = (
+        d.filter(F.length(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    model = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    model.persist()
+    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("c2").alias("c1n")
+    )
+    vocab = model.select(
+        F.countDistinct(F.substring("bg", 2, 1)).alias("v")
+    )
+    doctf = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        doctf.join(F.broadcast(model), "bg")
+        .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.log((F.col("c2") + 1.0) / (F.col("c1n") + F.col("v"))).alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (
+            (-F.sum((F.col("tf") * F.col("lp")).cast("decimal(38,18)")))
+            .cast("double")
+            / F.sum("tf")
+        ).alias("nll"),
+    )

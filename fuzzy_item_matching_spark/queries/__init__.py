@@ -320,6 +320,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY) and
     return it in driver-check priority order (see CHECK_PRIORITY)."""
     from fuzzy_item_matching_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,246 @@
+"""Derived-analytics queries: group-wise closed-form model fitting,
+market-basket association rules, ordered funnel conversion.
+
+Extension surface past the reference's notebook queries — the shapes a
+production analytics engine runs daily over the same tables. Every
+float accumulation follows the repo determinism convention
+(DECIMAL(18,2)/DECIMAL(38,18) exact sums, fixed expression trees for
+final ratios), so all three queries carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.queries import query
+from fuzzy_item_matching_spark.tables import load_table
+
+
+@query(
+    "train_ols_by_brand",
+    oracle="""
+    WITH s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sx,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+             CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))
+                  AS BIGINT) AS sxx,
+             SUM(p_size * CAST(p_retailprice AS DECIMAL(18,2))) AS sxy
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS slope,
+           (CAST(sy AS DOUBLE) -
+              (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * sx)
+             / n AS intercept
+    FROM s
+    """,
+)
+def train_ols_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise closed-form OLS: one price-vs-size linear model PER
+    BRAND, fit entirely inside a hash aggregation — the segmented-model
+    pattern (one model per key) without applyInPandas: slope and
+    intercept are algebraic functions of {n, Σx, Σy, Σx², Σxy}, so the
+    whole fit is a single map-side-combinable agg plus a projection.
+    Contrast operators/tuning.py's applyInPandas grid (M4), which ships
+    data to Python per group; this form stays in codegen and scales to
+    any number of groups with ONE shuffle. At 100 TB this is how you
+    fit millions of per-key baselines.
+
+    Determinism: x sums are exact integers; y sums accumulate as
+    DECIMAL(18,2) (prices are 2-dp exact); the final slope/intercept
+    division is a fixed IEEE expression tree on those exact sums.
+    """
+    p = load_table(spark, sf_dir, "part")
+    y = F.col("p_retailprice").cast("decimal(18,2)")
+    x = F.col("p_size").cast("long")
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.col("p_size") * y).alias("sxy"),
+    )
+    nd = F.col("n")
+    slope = (
+        nd * F.col("sxy").cast("double") - F.col("sx") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / nd
+    return s.select(
+        "p_brand", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+_MIN_SUPPORT = 50  # orders; keeps the rule set significant, not a cap
+
+
+@query(
+    "rel_basket_rules",
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_orders FROM basket),
+    item AS (SELECT item, COUNT(*) AS s FROM basket GROUP BY item),
+    pair AS (
+      SELECT a.item AS ante, b.item AS cons, COUNT(*) AS s_ab
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT ante, cons, s_ab,
+           CAST(s_ab AS DOUBLE) / ia.s AS confidence,
+           CAST(s_ab AS DOUBLE) * nb.n_orders / (ia.s * CAST(ic.s AS DOUBLE))
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.item = pair.ante
+    JOIN item ic ON ic.item = pair.cons
+    CROSS JOIN nb
+    WHERE s_ab >= {_MIN_SUPPORT}
+    """,
+)
+def rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets at brand
+    granularity: support, confidence, and lift for every co-occurring
+    brand pair with support ≥ {minsup} orders.
+
+    Plan: the basket frame is one distinct over a broadcast
+    lineitem→part join (part is the small dim); pair generation
+    self-joins ON THE ORDER KEY — candidate pairs are bounded by
+    Σ|basket|², never |items|², which is the a-priori trick that keeps
+    this linear-ish at 100 TB (baskets are small; a pathological mega
+    basket would hit the salted-join operator, operators/skew.py).
+    Item supports and the order count are kilobyte aggregates →
+    broadcast joins onto the pair frame.
+
+    Determinism: supports are exact integers; confidence/lift are
+    fixed single-division expression trees over them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    basket.persist()
+    nb = basket.agg(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
+    item = basket.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("ante"), F.col("b.item").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= _MIN_SUPPORT)
+    )
+    ia = item.select(F.col("item").alias("ante"), F.col("s").alias("s_a"))
+    ic = item.select(F.col("item").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "s_ab",
+            (F.col("s_ab").cast("double") / F.col("s_a")).alias("confidence"),
+            (
+                F.col("s_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("s_a") * F.col("s_c").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+rel_basket_rules.__doc__ = rel_basket_rules.__doc__.format(minsup=_MIN_SUPPORT)
+
+
+@query(
+    "rel_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+)
+def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view→click→purchase: a user counts at
+    stage k only if the stage-k event happens STRICTLY AFTER their
+    first stage-(k-1) event (min-timestamp chaining, the standard
+    funnel semantics that a naive per-type count gets wrong).
+
+    Plan: three per-user min aggs, each stage joining the previous
+    stage's (user, t) frame — every join is on user_id, so all stages
+    co-partition under one shuffle key; stage frames shrink
+    monotonically. At 100 TB: pre-bucketing events by user_id makes
+    the whole funnel shuffle-free (tests/test_scale_techniques.py
+    shows the bucketed-join plan identity).
+
+    Determinism: counts are exact; the two conversion ratios are
+    single divisions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    cv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    cc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    cp = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        cv.crossJoin(cc)
+        .crossJoin(cp)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias(
+                "view_to_click"
+            ),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+                "click_to_purchase"
+            ),
+        )
+    )

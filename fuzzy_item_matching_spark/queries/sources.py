@@ -667,3 +667,84 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("max_day"),
         )
     )
+
+
+@query(
+    "src_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 13 != 3
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               + CASE WHEN o_orderkey % 7 = 0
+                      THEN CAST(5.00 AS DECIMAL(18,2))
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END AS price
+      FROM orders WHERE o_orderkey % 11 != 5
+    ),
+    d AS (
+      SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  WHEN v1.price != v2.price THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(v2.price, 0) - coalesce(v1.price, 0) AS delta
+      FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(delta) AS DOUBLE) AS price_delta
+    FROM d GROUP BY status
+    """,
+)
+def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): classify every key across
+    two table versions as added / removed / changed / unchanged and
+    total the value drift per class — the audit that backs any
+    incremental-pipeline correctness claim (and the anti-entropy check
+    between a lake table and its upstream). Versions are derived
+    in-plan from `orders` so the diff itself is the unit under test.
+
+    Plan: one full-outer sort-merge join on the key, then a
+    map-side-combinable 4-group agg — the canonical diff shape. At
+    100 TB both snapshots bucket by key → the join goes shuffle-free;
+    the delta agg output is 4 rows regardless of scale. Change
+    detection on wide rows would md5 a canonical column concat instead
+    of comparing one column (same plan).
+
+    Determinism: prices compare and sum as DECIMAL(18,2) (exact),
+    cast to double only in the final projection.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = o.filter(F.col("o_orderkey") % 13 != 3).select(
+        "o_orderkey", price.alias("price")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 5).select(
+        "o_orderkey",
+        (
+            price
+            + F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("5.00")
+            )
+            .otherwise(F.lit("0.00"))
+            .cast("decimal(18,2)")
+        ).alias("price"),
+    )
+    d = v1.alias("v1").join(
+        v2.alias("v2"), on="o_orderkey", how="full_outer"
+    ).select(
+        F.when(F.col("v1.price").isNull(), "added")
+        .when(F.col("v2.price").isNull(), "removed")
+        .when(F.col("v1.price") != F.col("v2.price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("v2.price"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("v1.price"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("delta"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("delta").cast("double").alias("price_delta"),
+    )

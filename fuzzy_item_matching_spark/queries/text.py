@@ -203,3 +203,82 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 12)
     )
+
+
+# Fixed BPE merge table (rank order matters: later merges consume the
+# symbols earlier merges produced, e.g. 'jo'+'in' needs 'in' first).
+# Production ships a learned table as a model artifact exactly like
+# this — the apply step, not the fit, is the 100 TB operation.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("i n", "in"),
+    ("e r", "er"),
+    ("a n", "an"),
+    ("s t", "st"),
+    ("r o", "ro"),
+    ("ro w", "row"),
+    ("t h", "th"),
+    ("th e", "the"),
+    ("v a", "va"),
+    ("va l", "val"),
+    ("val u", "valu"),
+    ("valu e", "value"),
+    ("k e", "ke"),
+    ("ke y", "key"),
+    ("j o", "jo"),
+    ("jo in", "join"),
+    ("a t", "at"),
+    ("o r", "or"),
+)
+
+
+def _bpe_sql(word_expr: str) -> str:
+    """DuckDB expression applying the merge table to one word: chars
+    spaced out, then the ranked replaces."""
+    s = f"trim(regexp_replace({word_expr}, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '{a}', '{b}')"
+    return s
+
+
+@query(
+    "text_bpe_segments",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_D_TOKENS.format(c="text")}) AS w FROM documents
+    ),
+    seg AS (
+      SELECT unnest(string_split({_bpe_sql("w")}, ' ')) AS segment
+      FROM words
+    )
+    SELECT segment, COUNT(*) AS n FROM seg GROUP BY segment
+    """,
+)
+def text_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: segment every corpus word with a fixed
+    ranked merge table (greedy non-overlapping replaces, standard BPE
+    encode semantics) and return the resulting segment vocabulary with
+    counts — the subword-tokenization pass an LLM data pipeline runs
+    over the full corpus. The merge table is a plan literal, the exact
+    shape of shipping a learned tokenizer model to every executor; the
+    fit (pair-counting iterations) would be the same hash aggs run ~30k
+    times driver-side, amortized once per tokenizer, not per corpus.
+
+    Plan: pure narrow string expressions (regexp char-split + chained
+    replaces, whole-stage codegen, no UDF) feeding one explode and one
+    hash agg on a vocabulary-bounded key space — map-side combine does
+    almost all the work. 100 TB: embarrassingly parallel scan;
+    the only shuffle carries ≤|vocab| combined rows per task.
+
+    Determinism: replace() is left-to-right non-overlapping in both
+    engines; counts are exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(regex_tokenize("text")).alias("w"))
+    s = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(a), F.lit(b))
+    return (
+        words.select(F.explode(F.split(s, " ")).alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,125 @@
+"""Analytics batch: group-wise OLS, basket rules, funnel, snapshot
+diff, BPE segmentation — oracle parity plus the semantic invariants
+the oracles can't state (OLS matches numpy's fit, supports bound
+pair supports, funnel is monotone, the diff partitions the key
+space, BPE segments reassemble to their words).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.queries import load_all
+from tests.conftest import SF_CHECK, assert_matches_oracle
+
+REGISTRY = load_all()
+
+NEW_OPS = [
+    "train_ols_by_brand",
+    "rel_basket_rules",
+    "rel_event_funnel",
+    "src_snapshot_diff",
+    "text_bpe_segments",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_new_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    from fuzzy_item_matching_spark.tables import load_table
+
+    fits = {
+        r["p_brand"]: r
+        for r in REGISTRY["train_ols_by_brand"].fn(spark, SF_CHECK).collect()
+    }
+    pdf = (
+        load_table(spark, SF_CHECK, "part")
+        .select("p_brand", "p_size", "p_retailprice")
+        .toPandas()
+    )
+    for brand, g in pdf.groupby("p_brand"):
+        slope, intercept = np.polyfit(
+            g["p_size"].to_numpy(float), g["p_retailprice"].to_numpy(float), 1
+        )
+        assert fits[brand]["slope"] == pytest.approx(slope, rel=1e-6)
+        assert fits[brand]["intercept"] == pytest.approx(intercept, rel=1e-6)
+
+
+def test_basket_rule_invariants(spark):
+    rows = REGISTRY["rel_basket_rules"].fn(spark, SF_CHECK).collect()
+    assert rows
+    for r in rows:
+        assert r["ante"] < r["cons"]
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+
+
+def test_funnel_monotone(spark):
+    [r] = REGISTRY["rel_event_funnel"].fn(spark, SF_CHECK).collect()
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
+    assert 0 < r["view_to_click"] <= 1.0
+    assert 0 < r["click_to_purchase"] <= 1.0
+
+
+def test_snapshot_diff_partitions_key_space(spark):
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = {
+        r["status"]: r
+        for r in REGISTRY["src_snapshot_diff"].fn(spark, SF_CHECK).collect()
+    }
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    o = load_table(spark, SF_CHECK, "orders")
+    keys = [r[0] for r in o.select("o_orderkey").collect()]
+    v1 = {k for k in keys if k % 13 != 3}
+    v2 = {k for k in keys if k % 11 != 5}
+    assert rows["added"]["n"] == len(v2 - v1)
+    assert rows["removed"]["n"] == len(v1 - v2)
+    both = v1 & v2
+    changed = {k for k in both if k % 7 == 0}
+    assert rows["changed"]["n"] == len(changed)
+    assert rows["unchanged"]["n"] == len(both - changed)
+    # value drift: +5.00 per changed row, minus removed, plus added
+    assert rows["changed"]["price_delta"] == pytest.approx(5.0 * len(changed))
+
+
+def _bpe_encode(word: str, merges) -> list[str]:
+    s = " ".join(word)
+    for a, b in merges:
+        s = s.replace(a, b)
+    return s.split(" ")
+
+
+def test_bpe_segments_reassemble(spark):
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.text import _BPE_MERGES
+    from fuzzy_item_matching_spark.tables import load_table
+
+    seg_counts = {
+        r["segment"]: r["n"]
+        for r in REGISTRY["text_bpe_segments"].fn(spark, SF_CHECK).collect()
+    }
+    # whole words that the merge table fully fuses come out as single
+    # segments
+    for w in ("value", "join", "key", "the"):
+        assert w in seg_counts
+    # python replica over the real corpus words agrees exactly
+    words = (
+        load_table(spark, SF_CHECK, "documents")
+        .select(F.explode(regex_tokenize("text")).alias("w"))
+        .collect()
+    )
+    expect: dict[str, int] = {}
+    for r in words:
+        for s in _bpe_encode(r["w"], _BPE_MERGES):
+            expect[s] = expect.get(s, 0) + 1
+        # reassembly: segments concatenate back to the word
+        assert "".join(_bpe_encode(r["w"], _BPE_MERGES)) == r["w"]
+    assert seg_counts == expect

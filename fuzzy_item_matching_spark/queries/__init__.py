@@ -95,14 +95,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    (mergeable CMS sketch); U3 distinct (rel_segment_distinct_
     #    parts ⊂ rel_union_distinct_nations's distinct) →
     #    rel_bloom_semi_join (runtime-filter pruning made explicit).
+    # -- r05 fourth rotation: six slots whose operator keeps another
+    #    in-prefix (or strictly stronger) verifier moved to six NEW
+    #    operator shapes: T1 tokenize (text_tokens ⊂ ts_tfidf_weights
+    #    and five other prefix oracles) → ts_charlm_score (char-bigram
+    #    LM perplexity quality filter); lang-ID (exact inside
+    #    pipe_corpus_clean) → sim_bm25_topk (ranked lexical
+    #    retrieval); doc quality (exact inside pipe_corpus_clean) →
+    #    serve_fs_linkage (Fellegi–Sunter probabilistic linkage — the
+    #    classical core of fuzzy matching); U1/U2 union+distinct
+    #    (inside serve_incremental_scoring's green plan) →
+    #    text_bpe_segments (subword tokenizer apply); S2 parquet
+    #    write/read (inside src_archive_ingest's bronze write) →
+    #    src_zorder_layout (multi-dim clustering); one-hop
+    #    dedup_canonical_map → dedup_canonical_closure (the full
+    #    iterative connected-components closure — strictly stronger
+    #    verification of the same canonicalization operator).
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
     "dedup_chunk_lines",
     "pipe_corpus_clean",
-    "ts_lang_id",
+    "sim_bm25_topk",
     "ts_fingerprint",
-    "ts_doc_quality",
+    "serve_fs_linkage",
     "vec_int8_topk",
     "dedup_decontaminate",
     "train_class_weights",
@@ -115,14 +131,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_user_sessions",
     "stream_ingest_dedup",
     "stream_stateful_user_stats",
-    "text_tokens",
+    "ts_charlm_score",
     "text_stop_filtered",
     "text_hashed_tf",
     "text_levenshtein_pairs",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "stream_stream_join",
-    "dedup_canonical_map",
+    "dedup_canonical_closure",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "mm_image_features",
@@ -134,7 +150,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
     "src_csv_roundtrip",
-    "src_parquet_write_read",
+    "src_zorder_layout",
     "src_archive_ingest",
     "src_keyed_sample",
     "rel_top_revenue_orders",
@@ -143,9 +159,27 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_redact_pii",
     "ts_countmin_heavy",
     "rel_expr_join_scoring",
-    "rel_union_distinct_nations",
+    "text_bpe_segments",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
+    # -- demoted by the r05 fourth rotation (see prefix header):
+    #    operator keeps an in-prefix verifier
+    "text_tokens",
+    "ts_lang_id",
+    "ts_doc_quality",
+    "rel_union_distinct_nations",
+    "src_parquet_write_read",
+    "dedup_canonical_map",
+    # -- new in the r05 continuation, exact-oracled but below the
+    #    boundary: their shapes overlap in-prefix rows (OLS = agg
+    #    projection like train_class_weights; basket pairs = equi-join
+    #    + agg like dedup_ngram_jaccard's postings; funnel = chained
+    #    keyed min-aggs like stream_user_sessions' batch twin; diff =
+    #    outer-join classify like serve_merge_upsert's MERGE)
+    "train_ols_by_brand",
+    "rel_basket_rules",
+    "rel_event_funnel",
+    "src_snapshot_diff",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

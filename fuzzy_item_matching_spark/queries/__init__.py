@@ -111,6 +111,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    dedup_canonical_map → dedup_canonical_closure (the full
     #    iterative connected-components closure — strictly stronger
     #    verification of the same canonicalization operator).
+    # -- r05 fifth rotation: the BPE slot upgrades from the apply
+    #    (text_bpe_segments, fixed merge table) to the FIT
+    #    (text_bpe_fit — iterative pair-count/argmax/merge whose
+    #    unrolled oracle re-verifies the padded-replace apply at every
+    #    level); and J3/P7 expr-join (rel_expr_join_scoring, covered
+    #    by serve_match_score's J5 join-on-expr + F.expr SQL-function
+    #    call) yields to rel_pagerank_brands (damped power-iteration
+    #    graph analytics, a shape nothing else covers).
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
@@ -158,8 +166,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_status_share",
     "ts_redact_pii",
     "ts_countmin_heavy",
-    "rel_expr_join_scoring",
-    "text_bpe_segments",
+    "rel_pagerank_brands",
+    "text_bpe_fit",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
     # -- demoted by the r05 fourth rotation (see prefix header):
@@ -170,6 +178,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_union_distinct_nations",
     "src_parquet_write_read",
     "dedup_canonical_map",
+    # -- demoted by the r05 fifth rotation (see prefix header)
+    "text_bpe_segments",
+    "rel_expr_join_scoring",
     # -- new in the r05 continuation, exact-oracled but below the
     #    boundary: their shapes overlap in-prefix rows (OLS = agg
     #    projection like train_class_weights; basket pairs = equi-join

@@ -244,3 +244,127 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of the PageRank loop (same
+    technique as the IVF Lloyd and BPE-fit oracles)."""
+    head = """
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    e AS (
+      SELECT a.item AS src, b.item AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.item != b.item
+      GROUP BY a.item, b.item
+    ),
+    outd AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT item) AS DOUBLE) AS n FROM basket),
+    r0 AS (SELECT item AS node, 1.0 / nn.n AS r
+           FROM (SELECT DISTINCT item FROM basket), nn)"""
+    levels = []
+    for k in range(1, _PR_ITERS + 1):
+        levels.append(f"""
+    r{k} AS (
+      SELECT e.dst AS node,
+             {1.0 - _PR_DAMP} / MAX(nn.n)
+               + {_PR_DAMP} * CAST(SUM(CAST(
+                   r{k - 1}.r * e.w / outd.outw AS DECIMAL(38,18)))
+                 AS DOUBLE) AS r
+      FROM e
+      JOIN r{k - 1} ON r{k - 1}.node = e.src
+      JOIN outd ON outd.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(levels)
+        + f"""
+    SELECT node AS brand, r AS pr FROM r{_PR_ITERS}"""
+    )
+
+
+@query("rel_pagerank_brands", oracle=_pagerank_oracle())
+def rel_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the brand co-purchase graph ({iters} damped power
+    iterations, d={damp}): the iterative-graph-analytics shape —
+    edge-list joins + per-destination aggregation — complementing the
+    min-id propagation of dedup_canonical_closure (which converges by
+    fixpoint; PageRank by fixed iteration count).
+
+    Plan: edges and out-degrees are computed once and persisted; each
+    iteration is one join of the rank frame (|V| rows) onto the edge
+    list (|E| rows) plus a map-side-combinable agg — the canonical
+    distributed PageRank, shuffling only on node keys. At 100 TB-scale
+    graphs both frames partition by src/dst and the join co-locates
+    after one repartition; skewed hub nodes would take the salted-join
+    path (operators/skew.py). Dangling nodes don't arise here (every
+    brand co-occurs); production adds the dangling-mass scalar per
+    iteration — same plan plus one broadcast.
+
+    Determinism: per-edge contributions r·w/out are fixed IEEE trees on
+    values that are themselves exact or already bit-identical; each
+    per-node sum accumulates as DECIMAL(38,18) (repo convention), so
+    every iteration's ranks — and the final hash — are exact across
+    engines. The oracle unrolls all {iters} iterations as CTE levels.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    basket.persist()
+    a, b = basket.alias("a"), basket.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    e.persist()
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    nn = basket.agg(F.countDistinct("item").cast("double").alias("n"))
+    r = (
+        basket.select("item")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("item").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(_PR_ITERS):
+        r = (
+            e.join(r, e.src == F.col("node"))
+            .join(outd, "src")
+            .crossJoin(F.broadcast(nn))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.max("n")
+                    + F.lit(_PR_DAMP)
+                    * F.sum(
+                        (F.col("r") * F.col("w") / F.col("outw")).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("node2").alias("node"), "r")
+        )
+    return r.select(F.col("node").alias("brand"), F.col("r").alias("pr"))
+
+
+rel_pagerank_brands.__doc__ = rel_pagerank_brands.__doc__.format(
+    iters=_PR_ITERS, damp=_PR_DAMP
+)

@@ -231,13 +231,25 @@ _BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# Passes per merge rule: a single non-overlapping replace of ' a b '
+# consumes the shared boundary space, skipping every second merge in a
+# chain like [a,b,a,b,a]; P passes resolve chains up to 2^P symbols,
+# reproducing the standard left-to-right greedy scan for any realistic
+# word length. Both engines (and the test replica) run the identical
+# pass count, so parity is exact by construction.
+_BPE_PASSES = 3
+
+
 def _bpe_sql(word_expr: str) -> str:
     """DuckDB expression applying the merge table to one word: chars
-    spaced out, then the ranked replaces."""
-    s = f"trim(regexp_replace({word_expr}, '(.)', '\\1 ', 'g'))"
+    spaced out, then the ranked replaces — space-padded so a pair only
+    matches at SYMBOL boundaries (plain substring replace would corrupt
+    an adjacent multi-char symbol: pair (a,n) must not split 'va n')."""
+    s = f"' ' || trim(regexp_replace({word_expr}, '(.)', '\\1 ', 'g')) || ' '"
     for a, b in _BPE_MERGES:
-        s = f"replace({s}, '{a}', '{b}')"
-    return s
+        for _ in range(_BPE_PASSES):
+            s = f"replace({s}, ' {a} ', ' {b} ')"
+    return f"trim({s})"
 
 
 @query(
@@ -274,11 +286,148 @@ def text_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.explode(regex_tokenize("text")).alias("w"))
-    s = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    s = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
+    )
     for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(a), F.lit(b))
+        for _ in range(_BPE_PASSES):
+            s = F.replace(s, F.lit(f" {a} "), F.lit(f" {b} "))
+    s = F.trim(s)
     return (
         words.select(F.explode(F.split(s, " ")).alias("segment"))
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_BPE_FIT_ITERS = 8
+
+
+def _bpe_fit_oracle() -> str:
+    """Generate the unrolled-iteration DuckDB twin of the BPE fit:
+    each level recomputes boundary pairs over the current segmentation,
+    picks the argmax (count DESC, pair ASC), and applies it via the
+    same padded {p}-pass replace — the merge arriving through a one-row
+    cross join instead of a driver collect (same unrolled-loop oracle
+    technique as the IVF Lloyd refinement, queries/similarity.py)."""
+    parts = [
+        """
+    WITH v0 AS (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest({toks}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    seg0 AS (
+      SELECT w, wc,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+      FROM v0
+    )""".format(toks=_D_TOKENS.format(c="text"))
+    ]
+    for k in range(1, _BPE_FIT_ITERS + 1):
+        apply_s = "s"
+        for _ in range(_BPE_PASSES):
+            apply_s = (
+                f"replace({apply_s}, ' ' || b.p || ' ',"
+                f" ' ' || replace(b.p, ' ', '') || ' ')"
+            )
+        parts.append(f"""
+    pairs{k} AS (
+      SELECT p, SUM(wc) AS cnt FROM (
+        SELECT wc,
+               unnest(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i + 1])) AS p
+        FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM seg{k - 1})
+      ) GROUP BY p
+    ),
+    best{k} AS (
+      SELECT CAST({k} AS INT) AS rank, p, CAST(cnt AS BIGINT) AS cnt
+      FROM pairs{k} ORDER BY cnt DESC, p ASC LIMIT 1
+    ),
+    seg{k} AS (
+      SELECT w, wc, {apply_s} AS s FROM seg{k - 1}, best{k} b
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{k}" for k in range(1, _BPE_FIT_ITERS + 1)
+    )
+    parts.append(f"""
+    SELECT rank, p AS pair, replace(p, ' ', '') AS merged, cnt
+    FROM ({union})""")
+    return ",".join(parts[:1]) + "," + ",".join(parts[1:-1]) + parts[-1]
+
+
+@query("text_bpe_fit", oracle=_bpe_fit_oracle())
+def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer FIT: learn the first {n} merge rules from the
+    corpus word vocabulary — the iterative half of subword
+    tokenization (text_bpe_segments is the apply half). Each iteration
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    most frequent (pair-ASC tie-break), and merges it everywhere.
+
+    Plan: the iteration state lives in ONE distributed frame (distinct
+    words × running segmentation — vocabulary-sized, orders of
+    magnitude smaller than the corpus; the corpus is touched exactly
+    once by the initial word count). Per iteration: an explode over
+    boundary pairs + a map-side-combinable SUM, then a driver collect
+    of a SINGLE argmax row (the same KB-scale collect budget as the
+    IVF centroid loop, operators/ivf.py) folded back into the plan as
+    a replace literal. At 100 TB the vocab frame is ~10⁷ rows — the
+    loop cost is {n} cheap aggs, independent of corpus size.
+
+    Determinism: counts are exact integers; argmax tie-breaks on the
+    pair string; the oracle unrolls all {n} iterations as CTE levels
+    computing the identical argmax through a one-row cross join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(regex_tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = words.select(
+        "w",
+        "wc",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_FIT_ITERS + 1):
+        seg = seg.persist()
+        # sequence(1, n) steps DOWN when n < 1 in Spark (yielding bad
+        # element_at indices), so single-symbol words are filtered out
+        # up front — DuckDB's generate_series just returns [] for them.
+        pairs = (
+            seg.filter(F.size(F.split(F.trim(F.col("s")), " ")) >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                        " i -> concat(element_at(split(trim(s), ' '), i), ' ',"
+                        " element_at(split(trim(s), ' '), i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        [best] = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
+        merged = best["p"].replace(" ", "")
+        merges.append((k, best["p"], merged, best["cnt"]))
+        s = F.col("s")
+        for _ in range(_BPE_PASSES):
+            s = F.replace(
+                s, F.lit(f" {best['p']} "), F.lit(f" {merged} ")
+            )
+        nxt = seg.withColumn("s", s)
+        nxt = nxt.localCheckpoint(eager=True)
+        seg.unpersist()
+        seg = nxt
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt long"
+    )
+
+
+text_bpe_fit.__doc__ = text_bpe_fit.__doc__.format(n=_BPE_FIT_ITERS)

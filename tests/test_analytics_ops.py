@@ -91,10 +91,13 @@ def test_snapshot_diff_partitions_key_space(spark):
 
 
 def _bpe_encode(word: str, merges) -> list[str]:
-    s = " ".join(word)
+    from fuzzy_item_matching_spark.queries.text import _BPE_PASSES
+
+    s = " " + " ".join(word) + " "
     for a, b in merges:
-        s = s.replace(a, b)
-    return s.split(" ")
+        for _ in range(_BPE_PASSES):
+            s = s.replace(f" {a} ", f" {b} ")
+    return s.strip().split(" ")
 
 
 def test_bpe_segments_reassemble(spark):
@@ -123,3 +126,35 @@ def test_bpe_segments_reassemble(spark):
         # reassembly: segments concatenate back to the word
         assert "".join(_bpe_encode(r["w"], _BPE_MERGES)) == r["w"]
     assert seg_counts == expect
+
+
+@pytest.mark.parametrize("name", ["text_bpe_fit", "rel_pagerank_brands"])
+def test_iterative_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_bpe_fit_merge_table_is_valid(spark):
+    rows = sorted(
+        REGISTRY["text_bpe_fit"].fn(spark, SF_CHECK).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["pair"] for r in rows}) == len(rows)
+    for r in rows:
+        a, b = r["pair"].split(" ")
+        assert r["merged"] == a + b
+        assert r["cnt"] > 0
+    # greedy argmax: merge counts never increase (a later pair's count
+    # is bounded by some pair's count at every earlier iteration)
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_pagerank_is_a_distribution(spark):
+    rows = REGISTRY["rel_pagerank_brands"].fn(spark, SF_CHECK).collect()
+    assert len(rows) == 25
+    assert all(r["pr"] > 0 for r in rows)
+    # no dangling mass in this graph -> ranks stay a distribution
+    assert sum(r["pr"] for r in rows) == pytest.approx(1.0, abs=1e-9)

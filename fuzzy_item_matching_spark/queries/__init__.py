@@ -118,7 +118,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    level); and J3/P7 expr-join (rel_expr_join_scoring, covered
     #    by serve_match_score's J5 join-on-expr + F.expr SQL-function
     #    call) yields to rel_pagerank_brands (damped power-iteration
-    #    graph analytics, a shape nothing else covers).
+    #    graph analytics, a shape nothing else covers). S7's slot
+    #    upgrades from Bernoulli keyed sampling (src_keyed_sample) to
+    #    train_weighted_sample — the Efraimidis–Spirakis weighted
+    #    reservoir built on the SAME content-keyed uniform (so S7's
+    #    construction stays exactly verified) plus the
+    #    weight-proportional top-k selection mode.
     "rel_asof_join_events",
     "serve_vector_assembly",
     "ts_tfidf_weights",
@@ -160,7 +165,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_csv_roundtrip",
     "src_zorder_layout",
     "src_archive_ingest",
-    "src_keyed_sample",
+    "train_weighted_sample",
     "rel_top_revenue_orders",
     "rel_cust_order_stats",
     "rel_status_share",
@@ -179,6 +184,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_parquet_write_read",
     "dedup_canonical_map",
     # -- demoted by the r05 fifth rotation (see prefix header)
+    "src_keyed_sample",
     "text_bpe_segments",
     "rel_expr_join_scoring",
     # -- new in the r05 continuation, exact-oracled but below the

@@ -589,3 +589,73 @@ def train_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).cast("long").alias("n_kept"),
         F.sum(kept_id).cast("long").alias("kept_id_sum"),
     )
+
+
+_WS_K = 100
+
+# keyed uniform's DuckDB twin, shifted to (0,1] so ln(u) is finite:
+# u = (h + 0.5) / 2^32 where h is the first 8 md5 hex digits.
+_D_U01 = (
+    "((CAST(CAST('0x' || substr(md5('42:' || CAST({key} AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)"
+)
+
+
+@query(
+    "train_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ln({_D_U01.format(key="doc_id")}) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key, rnk FROM (
+      SELECT doc_id, n_chars, es_key,
+             CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+               AS rnk
+      FROM scored
+    ) WHERE rnk <= {_WS_K}
+    """,
+)
+def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws a content-keyed uniform u and ranks by
+    ln(u)/w — the top-k by that key is a weight-proportional sample
+    (here: documents weighted by length, k={k}). The content-keyed
+    uniform (functions/sampling.py) makes the draw partition-invariant
+    and engine-exact, extending S7's reproducibility story from
+    Bernoulli sampling to weighted reservoir selection — the sampling
+    mode curriculum/mixture pipelines actually need.
+
+    Plan: one narrow projection (md5 + ln per row, codegen) and one
+    top-k (TakeOrderedAndProject after the rank filter) — no full
+    sort; at 100 TB this is a scan plus a k-row-per-partition
+    reduction, the distributed reservoir.
+
+    Determinism: u is md5-derived on both engines, shifted to (0,1] so
+    ln is finite; ln(u)/w is a two-op IEEE tree; ties break on doc_id.
+    """
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hex_long_once(
+            F.md5(
+                F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))
+                .cast("binary")
+            ),
+            1,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(2**32))
+    scored = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WS_K)
+    )
+
+
+train_weighted_sample.__doc__ = train_weighted_sample.__doc__.format(k=_WS_K)

@@ -158,3 +158,19 @@ def test_pagerank_is_a_distribution(spark):
     assert all(r["pr"] > 0 for r in rows)
     # no dangling mass in this graph -> ranks stay a distribution
     assert sum(r["pr"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_sample_oracle_and_bias(spark, duck):
+    q = REGISTRY["train_weighted_sample"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+    from fuzzy_item_matching_spark.tables import load_table
+
+    sample = q.fn(spark, SF_CHECK).collect()
+    corpus_mean = (
+        load_table(spark, SF_CHECK, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    # weight-proportional selection overrepresents long documents
+    sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean

@@ -181,3 +181,43 @@ def test_chunk_lines_chunking_is_narrow_before_freq_agg(spark, registry):
         and "BroadcastExchange" not in line
     )
     assert n_exchanges <= 6, f"unexpected extra shuffles:\n{plan}"
+
+
+def test_charlm_model_joins_broadcast(spark, registry):
+    # model/ctx/vocab are charset-bounded — all three must broadcast
+    plan = plan_of(spark, registry, "ts_charlm_score")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_is_topk_with_broadcast_stats(spark, registry):
+    plan = plan_of(spark, registry, "sim_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, "BM25 top-k must not full-sort"
+    assert "BroadcastExchange" in plan
+
+
+def test_fs_linkage_blocks_on_equi_keys(spark, registry):
+    # the pair join must be an equi-join on the blocking key, never a
+    # cartesian; the three u-scalars arrive via 1-row broadcasts
+    plan = plan_of(spark, registry, "serve_fs_linkage")
+    assert "CartesianProduct" not in plan
+    assert "p_brand" in plan and "p_size" in plan
+
+
+def test_zorder_key_is_narrow_single_agg(spark, registry):
+    plan = plan_of(spark, registry, "src_zorder_layout")
+    # one shuffle for the bucket agg and nothing else
+    assert plan.count("Exchange") <= 2  # exchange + AQE read marker
+    assert "BroadcastExchange" not in plan
+
+
+def test_weighted_sample_is_topk(spark, registry):
+    plan = plan_of(spark, registry, "train_weighted_sample")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_basket_and_pagerank_broadcast_dims(spark, registry):
+    for name in ("rel_basket_rules", "rel_pagerank_brands"):
+        plan = plan_of(spark, registry, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name

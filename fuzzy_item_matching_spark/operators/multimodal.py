@@ -112,3 +112,66 @@ def sample_frames(
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id bigint, win int, n_samples int, sum_v bigint, peak int,"
+    " mean_v double"
+)
+
+
+def extract_audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 32,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Audio-style windowed feature extraction: fake-decode the payload
+    as unsigned 8-bit PCM (REAL decode — librosa/soundfile — would go
+    at the marked call site) and emit one row per non-overlapping
+    ``window``-sample frame with count/sum/peak/mean.
+
+    This is the one-to-many mapInPandas shape (decode + fan-out in one
+    Arrow hop, numpy-vectorized per batch) that complements
+    extract_image_features' one-to-one shape: the fan-out happens
+    INSIDE the Python batch, so no explode shuffle carries payload
+    bytes, and downstream per-window aggregations group on (doc, win)
+    keys only. Window stats use integer accumulators so the mean is a
+    single exact division — oracle-checkable cross-engine.
+    """
+    import numpy as np
+
+    def win_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa; replace "
+                    "np.frombuffer with sf.read(BytesIO(payload))"
+                )
+            out: dict[str, list] = {
+                "doc_id": [],
+                "win": [],
+                "n_samples": [],
+                "sum_v": [],
+                "peak": [],
+                "mean_v": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range(0, max(1, len(samples) + window - 1) // window):
+                    chunk = samples[w * window : (w + 1) * window]
+                    if len(chunk) == 0:
+                        continue
+                    s = int(chunk.sum(dtype=np.int64))
+                    out["doc_id"].append(doc_id)
+                    out["win"].append(w)
+                    out["n_samples"].append(len(chunk))
+                    out["sum_v"].append(s)
+                    out["peak"].append(int(chunk.max()))
+                    out["mean_v"].append(s / len(chunk))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        win_batches, schema=AUDIO_WINDOW_SCHEMA
+    )

@@ -194,6 +194,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    keyed min-aggs like stream_user_sessions' batch twin; diff =
     #    outer-join classify like serve_merge_upsert's MERGE)
     "train_ols_by_brand",
+    # (one-to-many Arrow decode: sibling of in-prefix mm_image_features'
+    # one-to-one hop + mm_frame_sample's fan-out)
+    "mm_audio_windows",
     "rel_basket_rules",
     "rel_event_funnel",
     "src_snapshot_diff",

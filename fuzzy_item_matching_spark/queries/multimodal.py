@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fuzzy_item_matching_spark.operators.multimodal import (
+    extract_audio_windows,
     extract_image_features,
     sample_frames,
     with_binary_payload,
@@ -80,3 +81,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     meta = d.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"))
     return sample_frames(meta)
+
+
+@query(
+    "mm_audio_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(floor((length(text) - 1) / 32.0) AS INT))) AS win
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id, win,
+             ascii(substring(text, win * 32 + i, 1)) AS v
+      FROM (
+        SELECT doc_id, win, text,
+               unnest(generate_series(1,
+                 least(32, length(text) - win * 32))) AS i
+        FROM w
+      )
+    )
+    SELECT doc_id, win,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MAX(v) AS INT) AS peak,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+    FROM s GROUP BY doc_id, win
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing: fake-PCM decode + per-32-sample-frame stats in
+    ONE Arrow hop (operators/multimodal.py:extract_audio_windows) —
+    the one-to-many mapInPandas shape. The fan-out happens inside the
+    Python batch so payload bytes never cross a shuffle; the output is
+    keyed feature rows. ASCII text payloads make the byte arithmetic
+    exactly replicable in SQL (same contract as mm_image_features).
+    """
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_audio_windows(d.filter(F.length("text") > 0))

@@ -174,3 +174,29 @@ def test_weighted_sample_oracle_and_bias(spark, duck):
     # weight-proportional selection overrepresents long documents
     sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def test_audio_windows_cover_payload_exactly(spark, duck):
+    q = REGISTRY["mm_audio_windows"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = REGISTRY["mm_audio_windows"].fn(spark, SF_CHECK).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_CHECK, "documents").collect()
+        if r["text"]
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, text in docs.items():
+        wins = sorted(by_doc[doc_id], key=lambda r: r["win"])
+        # windows tile the payload: counts sum to byte length, sums
+        # reassemble to the total byte sum
+        assert sum(r["n_samples"] for r in wins) == len(text)
+        assert sum(r["sum_v"] for r in wins) == sum(
+            ord(c) for c in text
+        )
+        assert [r["win"] for r in wins] == list(range(len(wins)))

@@ -197,6 +197,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (one-to-many Arrow decode: sibling of in-prefix mm_image_features'
     # one-to-one hop + mm_frame_sample's fan-out)
     "mm_audio_windows",
+    # (rule CASE-array + explode tally: P2/P6 expression surface plus
+    # the A1 agg, both in-prefix many times over)
+    "src_quarantine_split",
     "rel_basket_rules",
     "rel_event_funnel",
     "src_snapshot_diff",

@@ -748,3 +748,80 @@ def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("delta").cast("double").alias("price_delta"),
     )
+
+
+@query(
+    "src_quarantine_split",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 19 = 1 THEN -o_totalprice
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 23 = 2 THEN 'X'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 29 = 3 THEN NULL
+                  ELSE o_custkey END AS custkey
+      FROM orders
+    ),
+    flagged AS (
+      SELECT list_filter([
+               CASE WHEN price <= 0 THEN 'nonpositive_price' END,
+               CASE WHEN status NOT IN ('O', 'F', 'P') THEN 'bad_status' END,
+               CASE WHEN custkey IS NULL THEN 'null_custkey' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM raw
+    )
+    SELECT reason, COUNT(*) AS n FROM (
+      SELECT unnest(CASE WHEN len(reasons) = 0 THEN ['valid']
+                    ELSE reasons END) AS reason
+      FROM flagged
+    ) GROUP BY reason
+    """,
+)
+def src_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-based quarantine split: every ingested row is
+    checked against a rule set and either passes ('valid') or is
+    counted once PER violated rule — the reason-coded quarantine any
+    production bronze→silver hop needs (bad rows route to a quarantine
+    sink with machine-readable reasons instead of failing the job).
+    Corruptions are injected in-plan from `orders` so the validator
+    itself is the unit under test.
+
+    Plan: rules are row-local CASE expressions collected into an array
+    (no UDF); the multi-reason fan-out is one explode bounded by
+    |rules|; the tally is a map-side-combinable agg on ≤|rules|+1
+    keys. At 100 TB: embarrassingly parallel scan, KB-sized output —
+    and the same `reasons` array routes full rows via
+    ``filter(size(reasons)=0)`` / its negation into the two sinks
+    without recomputing the rules.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 19 == 1, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 23 == 2, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 29 == 3, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("price") <= 0, F.lit("nonpositive_price")),
+            F.when(~F.col("status").isin("O", "F", "P"), F.lit("bad_status")),
+            F.when(F.col("custkey").isNull(), F.lit("null_custkey")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    flagged = raw.select(reasons.alias("reasons"))
+    exploded = flagged.select(
+        F.explode(
+            F.when(F.size("reasons") == 0, F.array(F.lit("valid"))).otherwise(
+                F.col("reasons")
+            )
+        ).alias("reason")
+    )
+    return exploded.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))

@@ -200,3 +200,26 @@ def test_audio_windows_cover_payload_exactly(spark, duck):
             ord(c) for c in text
         )
         assert [r["win"] for r in wins] == list(range(len(wins)))
+
+
+def test_quarantine_counts_are_complete(spark, duck):
+    q = REGISTRY["src_quarantine_split"]
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = {r["reason"]: r["n"] for r in q.fn(spark, SF_CHECK).collect()}
+    n_orders = load_table(spark, SF_CHECK, "orders").count()
+    keys = [
+        r[0]
+        for r in load_table(spark, SF_CHECK, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    bad = {
+        k
+        for k in keys
+        if k % 19 == 1 or k % 23 == 2 or k % 29 == 3
+    }
+    assert rows["valid"] == n_orders - len(bad)
+    # multi-violation rows count once per reason
+    assert sum(v for k, v in rows.items() if k != "valid") >= len(bad)

@@ -48,6 +48,13 @@ EXCLUDE = {
 
 
 def main() -> None:
+    # Isolate this process's side-effect paths (checkpoints, versioned
+    # tables) BEFORE the engine modules read SCRATCH at import time —
+    # a bench sharing .scratch with a concurrent driver/test process
+    # can wedge on each other's stream checkpoints.
+    os.environ.setdefault(
+        "SPARK_GRAFT_SCRATCH", f"/root/repo/.scratch/bench-{os.getpid()}"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

@@ -21,7 +21,12 @@ from pyspark.sql.types import (
 from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.tables import load_table
 
-SCRATCH = "/root/repo/.scratch"
+# Per-process override so concurrent engine processes (bench + driver
+# + tests) never share side-effect paths: a fixed checkpoint or
+# versioned-table dir written by two JVMs at once can wedge a
+# streaming drain or corrupt a manifest. Harness scripts set
+# SPARK_GRAFT_SCRATCH to a unique subdir before importing the engine.
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
 
 
 @query(

@@ -59,6 +59,9 @@ def norm_cell(v):
 def main() -> None:
     import duckdb
 
+    os.environ.setdefault(
+        "SPARK_GRAFT_SCRATCH", f"/root/repo/.scratch/dsim-{os.getpid()}"
+    )
     import __spark_entry__ as entrymod
     from fuzzy_item_matching_spark.tables import TABLE_NAMES, table_path
 
@@ -83,8 +86,6 @@ def main() -> None:
           f"{'PASS' if len(rows) >= 0 else 'FAIL'}")
 
     con = duckdb.connect()
-    import os
-
     for name in TABLE_NAMES:
         p = table_path(SF_CHECK, name)
         if os.path.exists(p):

@@ -13,6 +13,13 @@ import os
 import duckdb
 import pytest
 
+# Per-process scratch isolation (see queries/sources.py SCRATCH): a
+# test run must never share checkpoint/table dirs with a concurrent
+# bench or driver process.
+os.environ.setdefault(
+    "SPARK_GRAFT_SCRATCH", f"/root/repo/.scratch/test-{os.getpid()}"
+)
+
 from fuzzy_item_matching_spark import get_spark
 from fuzzy_item_matching_spark.tables import TABLE_NAMES, table_path
 

@@ -203,6 +203,25 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_basket_rules",
     "rel_event_funnel",
     "src_snapshot_diff",
+    # (two-stage prefix-dot shortlist + exact rerank: the rerank join
+    # shape is in-prefix via sim_ann_ivf_topk's refined ADC shortlist;
+    # the new surface — slice() truncation as the coarse scorer — is
+    # fully exact-oracled here)
+    "vec_matryoshka_topk",
+    # (equal-width binned agg over a broadcast-normalized score: the
+    # DECIMAL-summed metric agg is in-prefix via train_avg_precision;
+    # the bin bucketing is floor/least expression surface)
+    "train_calibration_bins",
+    # (explode→two-level agg like in-prefix ts_tfidf_weights / the
+    # demoted ts_token_stats; new surface is the entropy closing form)
+    "ts_char_entropy",
+    # (grouped-score window + exact-integer metric closing: sibling of
+    # in-prefix train_avg_precision; new surface is the tie-aware
+    # Mann-Whitney pair count)
+    "train_roc_auc",
+    # (distinct-explode → term hash agg like ts_tfidf_weights's dfreq;
+    # new surface is the contingency scoring + supervised selection)
+    "ts_chi2_terms",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

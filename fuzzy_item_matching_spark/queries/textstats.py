@@ -1361,3 +1361,166 @@ def _charlm_nll(d: DataFrame) -> DataFrame:
             / F.sum("tf")
         ).alias("nll"),
     )
+
+
+@query(
+    "ts_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text)),
+                      i -> substr(text, i, 1))) AS ch
+        FROM documents WHERE length(text) > 0
+      ) GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           ln(CAST(SUM(c) AS BIGINT))
+             - CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(SUM(c) AS BIGINT) AS entropy
+    FROM ch GROUP BY doc_id
+    """,
+)
+def ts_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the classic
+    low-entropy screen (repeated-char spam, padding, binary junk) that
+    complements the char-LM perplexity filter: entropy needs no model
+    and catches degenerate strings the LM scores as fluent repeats.
+    Computed as H = ln(n) − (Σ c·ln c)/n so the only float
+    accumulation is Σ c·ln c over exact integer counts.
+
+    Plan: explode to chars → (doc, char) hash agg (map-side combine;
+    key space |docs|×|charset|) → per-doc agg. Both aggs co-partition
+    on doc_id hash prefixes; no joins, no broadcast. At 100 TB:
+    row-local explode + two combinable aggs — the cheapest possible
+    two-level shape.
+
+    Determinism: c·ln(c) is one IEEE op per distinct (doc, char),
+    accumulated as DECIMAL(38,18); the closing expression is a fixed
+    tree on exact sums.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return ch.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        (
+            F.log(F.sum("c"))
+            - F.sum(
+                (F.col("c") * F.log("c")).cast("decimal(38,18)")
+            ).cast("double")
+            / F.sum("c")
+        ).alias("entropy"),
+    )
+
+
+_CHI2_MIN_DF = 5
+_CHI2_K = 100
+
+
+@query(
+    "ts_chi2_terms",
+    oracle=f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_distinct({{toks}}) AS toks
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM d),
+    td AS (
+      SELECT term,
+             CAST(SUM(y) AS BIGINT) AS df_pos,
+             COUNT(*) - CAST(SUM(y) AS BIGINT) AS df_neg
+      FROM (SELECT y, unnest(toks) AS term FROM d)
+      GROUP BY term
+    )
+    SELECT term, df_pos, df_neg, chi2 FROM (
+      SELECT term, df_pos, df_neg,
+             CAST(CAST(n AS DECIMAL(38,0))
+                  * CAST(df_pos * (n - n_pos - df_neg)
+                         - df_neg * (n_pos - df_pos) AS DECIMAL(38,0))
+                  * CAST(df_pos * (n - n_pos - df_neg)
+                         - df_neg * (n_pos - df_pos) AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / CAST(CAST(df_pos + df_neg AS DECIMAL(38,0))
+                    * CAST(n - df_pos - df_neg AS DECIMAL(38,0))
+                    * CAST(n_pos AS DECIMAL(38,0))
+                    * CAST(n - n_pos AS DECIMAL(38,0)) AS DOUBLE) AS chi2
+      FROM td, tot
+      WHERE df_pos + df_neg >= {_CHI2_MIN_DF} AND df_pos + df_neg < n
+    )
+    ORDER BY chi2 DESC, term
+    LIMIT {_CHI2_K}
+    """.format(toks=_D_TOKENS.format(c="text")),
+)
+def ts_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term/label association — the supervised
+    feature-selection pass (which vocabulary terms predict the 'en'
+    label) that a training pipeline runs between tokenization and
+    hashing-TF to shrink the feature space. Per term, the 2x2
+    presence/label contingency gives chi2 = n·(ad−bc)²/((a+b)(c+d)
+    (a+c)(b+d)); terms below {min_df} document frequency (or present
+    in every document) are dropped, top {k} returned.
+
+    Plan: per-doc distinct terms (row-local array_distinct, no
+    shuffle) → explode → ONE hash agg on term (map-side combinable)
+    → broadcast scalar totals → expression-only scoring →
+    TakeOrderedAndProject. No joins besides the scalar broadcast; the
+    agg key space is |vocab|, not |corpus|.
+
+    Determinism: numerator n·(ad−bc)² and the four marginal factors
+    are exact DECIMAL(38,0) integers; chi2 is ONE IEEE division, so
+    equal-value ties are bit-equal in both engines and the LIMIT
+    tie-breaks on term.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.array_distinct(regex_tokenize("text")).alias("toks"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    td = (
+        d.select("y", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum("y").alias("df_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("df_neg"),
+        )
+    )
+    df_tot = F.col("df_pos") + F.col("df_neg")
+    adbc = (
+        F.col("df_pos") * (F.col("n") - F.col("n_pos") - F.col("df_neg"))
+        - F.col("df_neg") * (F.col("n_pos") - F.col("df_pos"))
+    ).cast("decimal(38,0)")
+    num = (F.col("n").cast("decimal(38,0)") * adbc * adbc).cast("double")
+    den = (
+        df_tot.cast("decimal(38,0)")
+        * (F.col("n") - df_tot).cast("decimal(38,0)")
+        * F.col("n_pos").cast("decimal(38,0)")
+        * (F.col("n") - F.col("n_pos")).cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        td.crossJoin(F.broadcast(tot))
+        .filter((df_tot >= _CHI2_MIN_DF) & (df_tot < F.col("n")))
+        .select("term", "df_pos", "df_neg", (num / den).alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("term"))
+        .limit(_CHI2_K)
+    )
+
+
+ts_chi2_terms.__doc__ = ts_chi2_terms.__doc__.format(
+    min_df=_CHI2_MIN_DF, k=_CHI2_K
+)

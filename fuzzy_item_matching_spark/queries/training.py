@@ -659,3 +659,159 @@ def train_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_weighted_sample.__doc__ = train_weighted_sample.__doc__.format(k=_WS_K)
+
+
+_CAL_BINS = 10
+
+
+@query(
+    "train_calibration_bins",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(mx.m AS DOUBLE) AS p
+      FROM orders, mx WHERE o_orderkey % 10 = 0
+    )
+    SELECT bin, n, avg_pred, obs_rate FROM (
+      SELECT CAST(least({_CAL_BINS - 1}, floor(p * {_CAL_BINS})) AS INT) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+               AS avg_pred,
+             CAST(SUM(label) AS DOUBLE) / COUNT(*) AS obs_rate
+      FROM scored GROUP BY bin
+    )
+    """,
+)
+def train_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration (reliability diagram): bucket a [0,1] score
+    into {bins} equal-width bins and compare mean predicted
+    probability against observed positive rate per bin — the
+    diagnostic that tells you whether serve_match_score's outputs can
+    be thresholded as probabilities (M6's ranking metric can't).
+    Pseudo-scores derive from normalized price, labels from order
+    status, exactly like train_avg_precision's setup.
+
+    Plan: one broadcast scalar (max), then a single map-side-combinable
+    agg on ≤{bins} keys — metric-sized output at any input scale.
+
+    Determinism: p = DECIMAL-exact price / broadcast max (one IEEE
+    division per row); per-bin Σp accumulates as DECIMAL(38,18);
+    counts are exact.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    mx = o.agg(
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("m")
+    )
+    scored = o.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+            / F.col("m").cast("double")
+        ).alias("p"),
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.lit(_CAL_BINS - 1), F.floor(F.col("p") * _CAL_BINS)
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_pred"),
+            (F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+                "obs_rate"
+            ),
+        )
+        .select("bin", "n", "avg_pred", "obs_rate")
+    )
+
+
+train_calibration_bins.__doc__ = train_calibration_bins.__doc__.format(
+    bins=_CAL_BINS
+)
+
+
+@query(
+    "train_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    g AS (
+      SELECT score, CAST(SUM(label) AS BIGINT) AS pos_g,
+             COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg_g
+      FROM scored GROUP BY score
+    ),
+    c AS (
+      SELECT pos_g, neg_g,
+             COALESCE(SUM(neg_g) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS neg_below
+      FROM g
+    )
+    SELECT CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
+             AS auc,
+           CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_g) AS BIGINT) AS n_neg
+    FROM c
+    """,
+)
+def train_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC as the tie-aware Mann-Whitney statistic — the ranking
+    metric the reference reads off its model evaluation
+    (`03_Train & Deploy Model.py:218`, sklearn roc_auc_score) without
+    collecting scores to the driver. Per distinct score s: every
+    (pos@s, neg<s) pair counts 1, every tied (pos@s, neg@s) pair
+    counts 1/2 — so AUC = Σ(2·neg_below·pos_g + pos_g·neg_g) /
+    (2·P·N), and the whole numerator stays in exact integers
+    (DECIMAL(38,0) accumulation; long products would overflow around
+    10^12 rows). ONE IEEE division at the end: order-insensitive,
+    bit-identical across engines.
+
+    Plan: hash agg on score (map-side combinable; key space =
+    |distinct scores|, metric-sized), then a cumulative window over
+    score groups and a scalar agg. The unpartitioned window runs over
+    group rows, not input rows — same honest bottleneck note as
+    train_avg_precision; at 100 TB you'd pre-bucket scores into fixed
+    ranges and prefix-sum bucket totals.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    scored = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("label").alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg_g"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "pos_g",
+        "neg_g",
+        F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num = (
+        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
+    ).cast("decimal(38,0)")
+    return c.agg(
+        (
+            F.sum(num).cast("double")
+            / (2.0 * F.sum("pos_g").cast("double") * F.sum("neg_g").cast("double"))
+        ).alias("auc"),
+        F.sum("pos_g").alias("n_pos"),
+        F.sum("neg_g").alias("n_neg"),
+    )

@@ -237,3 +237,119 @@ def vec_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _Q_K)
         .select("query_id", "neighbor_id", "qdot", "rnk")
     )
+
+
+_MA_DIM = 8  # coarse prefix dims (matryoshka truncation)
+_MA_SHORT = 50  # stage-1 shortlist per query
+
+_D_DOT8 = (
+    "list_sum(list_transform(list_zip({a}[1:8]::DOUBLE[], {b}[1:8]::DOUBLE[]),"
+    " s -> s[1]*s[2]))"
+)
+
+
+@query(
+    "vec_matryoshka_topk",
+    oracle=f"""
+    WITH coarse AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_D_DOT8.format(a="a.embedding", b="b.embedding")} AS cdot
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, cdot FROM (
+        SELECT query_id, neighbor_id, cdot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cdot DESC, neighbor_id) AS crnk
+        FROM coarse
+      ) WHERE crnk <= {_MA_SHORT}
+    ),
+    fullx AS (
+      SELECT s.query_id, s.neighbor_id, s.cdot,
+             {_D_DOT.format(a="a.embedding", b="b.embedding")} AS fdot
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cdot, fdot, rnk FROM (
+      SELECT query_id, neighbor_id, cdot, fdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY fdot DESC, neighbor_id) AS rnk
+      FROM fullx
+    ) WHERE rnk <= {_Q_K}
+    """,
+)
+def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: rank ALL candidates by the dot
+    product of the first {dim} dims only (the truncated-embedding
+    coarse pass), keep a {short}-deep shortlist per query, then
+    re-rank the shortlist with the full {full}-dim dot — the
+    prefix-truncation trick (Kusupati et al. 2022) that modern
+    embedding models train for.
+
+    Plan: the coarse pass reads {dim}/{full} of the vector payload (at
+    scale the prefix is stored as its own column → column pruning
+    makes the first stage ~8× cheaper IO); the exact pass touches only
+    |queries|×{short} pairs via two id equi-joins. Same
+    shortlist-then-rerank shape as the IVFPQ ADC refinement
+    (queries/similarity.py) but with zero index build cost.
+
+    Determinism: both dots fold dimension-by-dimension in array order
+    (bit-identical to the oracle's list_sum); ranks tie-break on
+    neighbor id at both stages.
+    """
+    from fuzzy_item_matching_spark.functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, _MA_DIM).alias("qpre"),
+        F.col("embedding").alias("qvec"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice("embedding", 1, _MA_DIM).alias("cpre"),
+        F.col("embedding").alias("cvec"),
+    )
+    coarse = (
+        q.select("query_id", "qpre")
+        .join(cand.select("neighbor_id", "cpre"),
+              F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qpre"), F.col("cpre")).alias("cdot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cdot"), F.asc("neighbor_id")
+    )
+    short = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _MA_SHORT)
+        .drop("crnk")
+    )
+    full = (
+        short.join(q.select("query_id", "qvec"), "query_id")
+        .join(cand.select("neighbor_id", "cvec"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cdot",
+            dot(F.col("qvec"), F.col("cvec")).alias("fdot"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("fdot"), F.asc("neighbor_id")
+    )
+    return (
+        full.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _Q_K)
+        .select("query_id", "neighbor_id", "cdot", "fdot", "rnk")
+    )
+
+
+vec_matryoshka_topk.__doc__ = vec_matryoshka_topk.__doc__.format(
+    dim=_MA_DIM, short=_MA_SHORT, full=_Q_DIM
+)

@@ -16,6 +16,8 @@ see ``operators/features.py``.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -198,3 +200,86 @@ def hashed_tf(terms: Column, num_features: int = 46656, binary: bool = True) -> 
     """
     buckets = F.transform(terms, lambda t: F.pmod(F.hash(t), F.lit(num_features)))
     return F.array_distinct(buckets) if binary else buckets
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity (the classical record-linkage string kernel)
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity of two strings — the standard Winkler
+    variant (prefix scale 0.1 over the first 4 chars, applied only when
+    Jaro > 0.7), bit-identical to DuckDB's ``jaro_winkler_similarity``
+    (verified case-by-case in tests/). Pure Python so the pandas_udf
+    wrapper ships no dependency; production on the JVM would register a
+    codegen'd Catalyst expression instead (SURVEY §7.2 stage 4 keeps
+    the portable twin as the oracle path, like md5-vs-xxhash64)."""
+    l1, l2 = len(s1), len(s2)
+    # Empty-before-equal: DuckDB scores ('','') as 0.0, not 1.0.
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        c = s1[i]
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    transpositions //= 2
+    jaro = (
+        matches / l1 + matches / l2 + (matches - transpositions) / matches
+    ) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro += prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched pandas_udf column wrapper over jaro_winkler_py.
+
+    O(len(a)·window) per pair with no sub-linear index — like
+    Levenshtein it NEEDS candidate blocking upstream; this is the
+    scoring kernel, not the pairing strategy. Nulls score 0.0 (same
+    null-to-empty normalization as regex_tokenize)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_py(x or "", y or "")
+                for x, y in zip(xs.tolist(), ys.tolist())
+            ],
+            dtype="float64",
+        )
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _jw(ca, cb)

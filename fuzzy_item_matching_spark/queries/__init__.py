@@ -222,6 +222,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (distinct-explode → term hash agg like ts_tfidf_weights's dfreq;
     # new surface is the contingency scoring + supervised selection)
     "ts_chi2_terms",
+    # (blocked string-similarity pair join: the join shape is in-prefix
+    # via text_levenshtein_pairs; the new surface is the Jaro-Winkler
+    # kernel, parity-tested vs DuckDB in tests/test_kernel_properties)
+    "text_jaro_winkler_pairs",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

@@ -431,3 +431,50 @@ def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_fit.__doc__ = text_bpe_fit.__doc__.format(n=_BPE_FIT_ITERS)
+
+
+@query(
+    "text_jaro_winkler_pairs",
+    oracle="""
+    SELECT id_a, id_b, jw FROM (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ) WHERE jw >= 0.88
+    """,
+)
+def text_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy pairs — the record-linkage scoring kernel
+    (Winkler 1990, the string comparator behind Fellegi-Sunter
+    deployments) next to Levenshtein (edit family), Jaccard (set
+    family), and cosine (vector family). Same (brand, size) blocking
+    as text_levenshtein_pairs so candidate generation stays a
+    co-partitioned equi-join; the kernel itself is an Arrow-batched
+    pandas_udf (F2's model-as-UDF path — Spark has no built-in JW),
+    scoring only blocked pairs, never the cross product.
+
+    Determinism: the Python kernel is bit-identical to DuckDB's
+    jaro_winkler_similarity (same match-window scan order, same
+    transposition count, same 0.7-gated 0.1-prefix bonus), so the
+    0.88 threshold agrees at the boundary."""
+    from fuzzy_item_matching_spark.functions.text import jaro_winkler
+
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            jaro_winkler(F.col("a.p_name"), F.col("b.p_name")).alias("jw"),
+        )
+        .filter(F.col("jw") >= 0.88)
+    )

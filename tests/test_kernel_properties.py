@@ -111,3 +111,33 @@ def test_python_fold_matches_duckdb_and_spark_fold(spark, data):
     got_spark = [r[0] for r in df.select(dot("a", "b")).collect()]
     assert got_spark == expect
     assert [str(g) for g in got_spark] == [str(e) for e in expect]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_jaro_winkler_matches_duckdb(spark, data):
+    """jaro_winkler_py is bit-identical to DuckDB's
+    jaro_winkler_similarity on generated string pairs (the exactness
+    text_jaro_winkler_pairs' oracle and threshold both lean on)."""
+    import duckdb
+
+    from fuzzy_item_matching_spark.functions.text import jaro_winkler_py
+
+    pairs = data.draw(
+        st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=200)
+    )
+    pairs += [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("", ""),
+        ("", "abc"),
+        ("aaaa", "aaaa"),
+        ("abcd", "abdc"),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler_py(a, b) == want, (a, b)
+    con.close()

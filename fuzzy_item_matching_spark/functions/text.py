@@ -280,6 +280,12 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
             dtype="float64",
         )
 
+    # The kernel IS deterministic; the flag only stops Catalyst from
+    # cloning the ArrowEvalPython below a downstream filter (observed:
+    # score-then-threshold plans evaluated the udf TWICE — once pushed
+    # into the filter, once in the projection).
+    _jw = _jw.asNondeterministic()
+
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return _jw(ca, cb)

@@ -226,6 +226,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # via text_levenshtein_pairs; the new surface is the Jaro-Winkler
     # kernel, parity-tested vs DuckDB in tests/test_kernel_properties)
     "text_jaro_winkler_pairs",
+    # (two same-key windows + grouped metric agg: the partitioned-window
+    # shape is in-prefix via stream_user_sessions' batch twin and the
+    # metric closing via train_avg_precision; new surface is the graded
+    # DCG/IDCG pairing with literal-double discounts)
+    "train_ndcg",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

@@ -815,3 +815,135 @@ def train_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_g").alias("n_pos"),
         F.sum("neg_g").alias("n_neg"),
     )
+
+
+_NDCG_K = 10
+# 1/log2(rnk+1) for rnk=1..10, embedded as full-precision literals in
+# BOTH engines: DuckDB's std::log2 and the JVM's log(x)/log(2) can
+# disagree in the last ulp, a literal double cannot.
+_NDCG_DISC = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+)
+_D_DISC_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+) + " END"
+
+
+@query(
+    "train_ndcg",
+    oracle=f"""
+    WITH graded AS (
+      SELECT o_custkey,
+             o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+             CAST(power(2, 5 - CAST(substr(o_orderpriority, 1, 1) AS INT))
+                  AS BIGINT) - 1 AS gain
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_custkey, gain,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY score DESC, o_orderkey) AS rnk,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY gain DESC, o_orderkey) AS irnk
+      FROM graded
+    ),
+    percust AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN rnk <= {_NDCG_K} THEN
+                    CAST(gain * ({_D_DISC_CASE}) AS DECIMAL(38,18))
+                  ELSE 0 END) AS DOUBLE) AS dcg,
+             CAST(SUM(CASE WHEN irnk <= {_NDCG_K} THEN
+                    CAST(gain * (CASE irnk {" ".join(
+                        f"WHEN {r + 1} THEN {d}"
+                        for r, d in enumerate(_NDCG_DISC))} END)
+                         AS DECIMAL(38,18))
+                  ELSE 0 END) AS DOUBLE) AS idcg
+      FROM ranked GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(CAST(dcg / idcg AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*) AS mean_ndcg,
+           COUNT(*) AS n_groups
+    FROM percust WHERE idcg > 0
+    """,
+)
+def train_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean NDCG@{k}: the graded ranking metric (Järvelin &
+    Kekäläinen 2002) next to AP (binary ranking) and AUC (pairwise) —
+    the offline eval a retrieval stack (sim_bm25_topk, the ANN family)
+    reports. Per customer: predicted order = price desc, graded
+    relevance 2^(priority grade)−1, NDCG = DCG@{k}/IDCG@{k}; customers
+    with zero ideal gain are excluded (NDCG undefined).
+
+    Plan: both rankings come from TWO window functions over the SAME
+    (o_custkey)-hash partitioning — one shuffle feeds both sorts —
+    then a per-customer hash agg and a scalar mean. Per-group state is
+    bounded by the group's row count; no global sort, no collect.
+
+    Determinism: gains are exact integers, discounts are literal
+    doubles (no cross-engine log2), each DCG term is ONE IEEE multiply
+    accumulated as DECIMAL(38,18); dcg/idcg is one division per group
+    and the mean re-accumulates as DECIMAL."""
+    o = load_table(spark, sf_dir, "orders")
+    graded = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+        (
+            F.pow(
+                F.lit(2.0),
+                (5 - F.substring("o_orderpriority", 1, 1).cast("int")).cast(
+                    "double"
+                ),
+            ).cast("long")
+            - 1
+        ).alias("gain"),
+    )
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("score"), F.asc("o_orderkey"))
+    wi = Window.partitionBy("o_custkey").orderBy(F.desc("gain"), F.asc("o_orderkey"))
+    ranked = graded.select(
+        "o_custkey",
+        "gain",
+        F.row_number().over(wp).alias("rnk"),
+        F.row_number().over(wi).alias("irnk"),
+    )
+    disc = F.lit(None).cast("double")
+    idisc = F.lit(None).cast("double")
+    for r, d in enumerate(_NDCG_DISC):
+        disc = F.when(F.col("rnk") == r + 1, F.lit(float(d))).otherwise(disc)
+        idisc = F.when(F.col("irnk") == r + 1, F.lit(float(d))).otherwise(idisc)
+    percust = ranked.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("rnk") <= _NDCG_K,
+                (F.col("gain") * disc).cast("decimal(38,18)"),
+            ).otherwise(F.lit(0).cast("decimal(38,18)"))
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("irnk") <= _NDCG_K,
+                (F.col("gain") * idisc).cast("decimal(38,18)"),
+            ).otherwise(F.lit(0).cast("decimal(38,18)"))
+        )
+        .cast("double")
+        .alias("idcg"),
+    )
+    return (
+        percust.filter(F.col("idcg") > 0)
+        .agg(
+            (
+                F.sum((F.col("dcg") / F.col("idcg")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_ndcg"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
+train_ndcg.__doc__ = train_ndcg.__doc__.format(k=_NDCG_K)

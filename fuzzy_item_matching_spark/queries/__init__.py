@@ -231,6 +231,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # metric closing via train_avg_precision; new surface is the graded
     # DCG/IDCG pairing with literal-double discounts)
     "train_ndcg",
+    # (broadcast-model fit/apply pair: the category-stats broadcast and
+    # scalar-prior broadcast mirror in-prefix train_class_weights /
+    # serve_match_score shapes; new surface is the subtract-self
+    # leakage guard and the E[x²]−E[x]² scaler closing)
+    "train_target_encoding",
+    "train_standard_scaler",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

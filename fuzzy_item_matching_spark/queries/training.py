@@ -947,3 +947,151 @@ def train_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_ndcg.__doc__ = train_ndcg.__doc__.format(k=_NDCG_K)
+
+
+_TE_SMOOTH = 10
+
+
+@query(
+    "train_target_encoding",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    stats AS (
+      SELECT cat, CAST(SUM(label) AS BIGINT) AS s, COUNT(*) AS n
+      FROM labeled GROUP BY cat
+    ),
+    prior AS (
+      SELECT CAST(SUM(label) AS BIGINT) AS gs, COUNT(*) AS gn FROM labeled
+    )
+    SELECT l.o_orderkey, l.cat,
+           CAST(s - l.label AS DOUBLE) / (n - 1) AS enc_loo,
+           (CAST(s - l.label AS DOUBLE)
+              + {_TE_SMOOTH} * (CAST(gs AS DOUBLE) / gn))
+             / (n - 1 + {_TE_SMOOTH}) AS enc_smooth
+    FROM labeled l JOIN stats USING (cat), prior
+    """,
+)
+def train_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    leakage-safe categorical featurization a training pipeline applies
+    before gradient models: each row's category is encoded by the
+    label mean of OTHER rows in the category (subtract-self), shrunk
+    toward the global prior by {m} pseudo-observations. Folding the
+    row's own label in (plain mean encoding) leaks the target; the
+    subtract-self form is the standard fix.
+
+    Plan: one hash agg to category stats (5 keys here; at scale
+    |categories| keys, map-side combinable) + one scalar prior, BOTH
+    broadcast back onto the fact rows — the fit/apply shape where the
+    fitted model is a broadcast table, applied with zero shuffle of
+    the fact side.
+
+    Determinism: numerators and counts are exact integers; the prior
+    is one IEEE division; enc columns are fixed expression trees on
+    exact ints + that one prior double."""
+    o = load_table(spark, sf_dir, "orders")
+    labeled = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    stats = labeled.groupBy("cat").agg(
+        F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    prior = labeled.agg(
+        F.sum("label").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    sub_self = (F.col("s") - F.col("label")).cast("double")
+    return (
+        labeled.join(F.broadcast(stats), "cat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "o_orderkey",
+            "cat",
+            (sub_self / (F.col("n") - 1)).alias("enc_loo"),
+            (
+                (
+                    sub_self
+                    + _TE_SMOOTH * (F.col("gs").cast("double") / F.col("gn"))
+                )
+                / (F.col("n") - 1 + _TE_SMOOTH)
+            ).alias("enc_smooth"),
+        )
+    )
+
+
+train_target_encoding.__doc__ = train_target_encoding.__doc__.format(m=_TE_SMOOTH)
+
+
+@query(
+    "train_standard_scaler",
+    oracle="""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_discount AS DECIMAL(18,2)) AS d
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mq,
+             CAST(SUM(q * q) AS DOUBLE) / COUNT(*) AS sq,
+             CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mp,
+             CAST(SUM(p * p) AS DOUBLE) / COUNT(*) AS sp,
+             CAST(SUM(d) AS DOUBLE) / COUNT(*) AS md,
+             CAST(SUM(d * d) AS DOUBLE) / COUNT(*) AS sd
+      FROM x
+    )
+    SELECT l_orderkey, l_linenumber,
+           (CAST(q AS DOUBLE) - mq) / sqrt(sq - mq * mq) AS z_qty,
+           (CAST(p AS DOUBLE) - mp) / sqrt(sp - mp * mp) AS z_price,
+           (CAST(d AS DOUBLE) - md) / sqrt(sd - md * md) AS z_disc
+    FROM x, fit
+    """,
+)
+def train_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler fit/apply in one plan — the numeric-feature
+    normalization step (MLlib StandardScaler / sklearn equivalent)
+    before distance- or gradient-based models. Fit: per-column mean
+    and population variance from exact DECIMAL sums of x and x²
+    (order-insensitive; var = E[x²] − E[x]² closed on two exact
+    sums). Apply: broadcast the 1-row fitted model back onto the fact
+    rows — zero shuffle of the fact side, the same broadcast-model
+    shape as train_target_encoding.
+
+    At 100 TB both aggs are single-pass map-side-combinable scalars;
+    the apply is row-local. Determinism: each z is a fixed IEEE tree
+    on two exact decimal-derived doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    x = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.col("l_discount").cast("decimal(18,2)").alias("d"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in ("q", "p", "d"):
+        aggs.append(
+            (F.sum(c).cast("double") / F.count(F.lit(1))).alias(f"m{c}")
+        )
+        aggs.append(
+            (F.sum(F.col(c) * F.col(c)).cast("double") / F.count(F.lit(1))).alias(
+                f"s{c}"
+            )
+        )
+    fit = x.agg(*aggs)
+    out = [F.col("l_orderkey"), F.col("l_linenumber")]
+    for c, name in (("q", "z_qty"), ("p", "z_price"), ("d", "z_disc")):
+        m, s = F.col(f"m{c}"), F.col(f"s{c}")
+        out.append(
+            ((F.col(c).cast("double") - m) / F.sqrt(s - m * m)).alias(name)
+        )
+    return x.crossJoin(F.broadcast(fit)).select(*out)

@@ -237,6 +237,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # leakage guard and the E[x²]−E[x]² scaler closing)
     "train_target_encoding",
     "train_standard_scaler",
+    # (keyed-uniform draw + hash agg: S7's md5 construction in-prefix
+    # via train_weighted_sample; new surface is the Poisson inverse-CDF
+    # weighting and the replicate fan-out/combine shape)
+    "train_bootstrap_means",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

@@ -1095,3 +1095,93 @@ def train_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col(c).cast("double") - m) / F.sqrt(s - m * m)).alias(name)
         )
     return x.crossJoin(F.broadcast(fit)).select(*out)
+
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! for k=0..9),
+# embedded as identical full-precision literals in both engines; the
+# tail mass beyond k=10 (~1e-8) clamps to 10.
+_BOOT_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+    "0.9999998885745216",
+)
+_D_BOOT_U = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST(b AS VARCHAR) || ':'"
+    " || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+    " / 4294967296.0)"
+)
+_D_BOOT_W = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF)
+) + " ELSE 10 END"
+
+
+@query(
+    "train_bootstrap_means",
+    oracle=f"""
+    WITH fanned AS (
+      SELECT b, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders, generate_series(0, {_BOOT_B - 1}) AS t(b)
+      WHERE o_orderkey % 10 = 0
+    ),
+    weighted AS (
+      SELECT b, x, {_D_BOOT_W} AS w
+      FROM (SELECT b, o_orderkey, x, {_D_BOOT_U} AS u FROM fanned)
+    )
+    SELECT b, CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS BIGINT)
+                AS boot_mean,
+           CAST(SUM(w) AS BIGINT) AS n_resampled
+    FROM weighted GROUP BY b
+    """,
+)
+def train_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 / Kleiner's scalable
+    bootstrap family): {b} resampled means of order price, where each
+    row's multiplicity in replicate b is Poisson(1) drawn from the
+    content-keyed uniform u = f(md5(42:b:key)) — the bootstrap that
+    works on distributed data because it never materializes an n-row
+    resample index, just a per-(row, replicate) weight. The {b}-row
+    output IS the bootstrap distribution; CI = its quantiles.
+
+    Plan: replicate fan-out is a row-local explode ({b}× rows in
+    flight, the documented Poisson-bootstrap cost), then ONE hash agg
+    on {b} keys with map-side combine — each partition contributes
+    {b} partial sums, so the shuffle is {b}·|partitions| rows
+    regardless of input size. At 100 TB you'd trade fan-out for a
+    per-row weight ARRAY folded by segment then merged; the explode
+    form keeps whole-stage codegen and is exactly oracle-replicable.
+
+    Determinism: weights are exact integers from literal CDF
+    thresholds on the portable md5 uniform; Σw·x stays DECIMAL-exact;
+    one closing IEEE division per replicate."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    fanned = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    u = keyed_uniform(
+        F.concat_ws(
+            ":", F.col("b").cast("string"), F.col("o_orderkey").cast("string")
+        )
+    )
+    w = F.lit(10)
+    for k, c in reversed(list(enumerate(_BOOT_CDF))):
+        w = F.when(F.col("u") < float(c), F.lit(k)).otherwise(w)
+    return (
+        fanned.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w")).alias(
+                "boot_mean"
+            ),
+            F.sum("w").alias("n_resampled"),
+        )
+    )
+
+
+train_bootstrap_means.__doc__ = train_bootstrap_means.__doc__.format(b=_BOOT_B)

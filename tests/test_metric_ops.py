@@ -1,0 +1,149 @@
+"""Evaluation & featurization ops added in the round-5 continuation:
+oracle parity (same check the driver runs) plus the semantic
+invariants the hash check can't state — AUC equals the brute-force
+pair statistic, NDCG is bounded, the scaler standardizes, LOO
+encoding never sees its own label, bootstrap means bracket the truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_item_matching_spark.queries import load_all
+from tests.conftest import SF_CHECK, assert_matches_oracle
+
+REGISTRY = load_all()
+
+NEW_OPS = [
+    "train_roc_auc",
+    "train_ndcg",
+    "train_calibration_bins",
+    "train_target_encoding",
+    "train_standard_scaler",
+    "train_bootstrap_means",
+    "ts_chi2_terms",
+    "ts_char_entropy",
+    "text_jaro_winkler_pairs",
+    "vec_matryoshka_topk",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_new_op_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, f"{name} must carry an exact oracle"
+    assert_matches_oracle(q.fn(spark, SF_CHECK), duck, q.oracle)
+
+
+def test_auc_matches_bruteforce_pairs(spark):
+    """The windowed Mann-Whitney AUC equals the O(P·N) definition:
+    P(score_pos > score_neg) + 0.5·P(tie), computed by brute force on
+    the same filtered slice."""
+    from fuzzy_item_matching_spark.tables import load_table
+
+    row = REGISTRY["train_roc_auc"].fn(spark, SF_CHECK).collect()[0]
+    pdf = (
+        load_table(spark, SF_CHECK, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("s"),
+        )
+        .toPandas()
+    )
+    pos = np.sort(pdf.loc[pdf.y == 1, "s"].to_numpy())
+    neg = np.sort(pdf.loc[pdf.y == 0, "s"].to_numpy())
+    wins = np.searchsorted(neg, pos, side="left").sum()
+    ties = (
+        np.searchsorted(neg, pos, side="right")
+        - np.searchsorted(neg, pos, side="left")
+    ).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert row["auc"] == pytest.approx(want, abs=1e-12)
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+
+
+def test_ndcg_bounded_and_nonempty(spark):
+    row = REGISTRY["train_ndcg"].fn(spark, SF_CHECK).collect()[0]
+    assert 0.0 < row["mean_ndcg"] <= 1.0
+    assert row["n_groups"] > 0
+
+
+def test_scaler_standardizes(spark):
+    """Applied z-columns have mean ~0 and population std ~1."""
+    pdf = REGISTRY["train_standard_scaler"].fn(spark, SF_CHECK).toPandas()
+    for c in ("z_qty", "z_price", "z_disc"):
+        v = pdf[c].to_numpy()
+        assert abs(v.mean()) < 1e-9
+        assert v.std() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_target_encoding_excludes_self(spark):
+    """A category with n rows: positives see (s-1)/(n-1), negatives
+    s/(n-1) — the row's own label never leaks into its encoding."""
+    from fuzzy_item_matching_spark.tables import load_table
+
+    enc = REGISTRY["train_target_encoding"].fn(spark, SF_CHECK)
+    lab = load_table(spark, SF_CHECK, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    pdf = enc.join(lab, "o_orderkey").toPandas()
+    for cat, g in pdf.groupby("cat"):
+        s, n = g["label"].sum(), len(g)
+        for lbl, want in ((1, (s - 1) / (n - 1)), (0, s / (n - 1))):
+            got = g.loc[g.label == lbl, "enc_loo"]
+            if len(got):
+                assert got.to_numpy() == pytest.approx(want)
+
+
+def test_bootstrap_brackets_truth(spark):
+    """Replicate means are distinct per replicate, center near the
+    true mean, and resampled counts near n (Poisson(1) sums)."""
+    from fuzzy_item_matching_spark.tables import load_table
+
+    pdf = REGISTRY["train_bootstrap_means"].fn(spark, SF_CHECK).toPandas()
+    assert len(pdf) == 32
+    assert pdf["boot_mean"].nunique() > 1
+    truth = (
+        load_table(spark, SF_CHECK, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    lo, hi = pdf["boot_mean"].quantile(0.025), pdf["boot_mean"].quantile(0.975)
+    assert lo <= truth <= hi
+    n = (
+        load_table(spark, SF_CHECK, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .count()
+    )
+    assert (pdf["n_resampled"] - n).abs().max() < 5 * np.sqrt(n)
+
+
+def test_matryoshka_rerank_is_exact_on_shortlist(spark):
+    """fdot of every returned pair equals the exact full-dim dot."""
+    from fuzzy_item_matching_spark.functions.vector import dot
+    from fuzzy_item_matching_spark.tables import load_table
+
+    top = REGISTRY["vec_matryoshka_topk"].fn(spark, SF_CHECK)
+    e = load_table(spark, SF_CHECK, "embeddings")
+    joined = (
+        top.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+            "query_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select("fdot", dot(F.col("qv"), F.col("cv")).alias("want"))
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r["fdot"] == r["want"]

@@ -145,7 +145,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_ingest_dedup",
     "stream_stateful_user_stats",
     "ts_charlm_score",
-    "text_stop_filtered",
+    # -- r05 sixth rotation: T2 stop-removal's exact bag semantics run
+    #    inside pipe_corpus_clean's green composite (the kept-count
+    #    `nk` term of the quality score uses the identical stop-list
+    #    filter fragment), so text_stop_filtered yields its slot to
+    #    serve_model_registry — the M7+M8 registry lifecycle
+    #    (register → archive-then-promote → stage-resolve → reload →
+    #    score), previously verified only in tests/.
+    "serve_model_registry",
     "text_hashed_tf",
     "text_levenshtein_pairs",
     "dedup_exact_docs",
@@ -241,6 +248,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # via train_weighted_sample; new surface is the Poisson inverse-CDF
     # weighting and the replicate fan-out/combine shape)
     "train_bootstrap_means",
+    # -- demoted by the r05 sixth rotation (see prefix header): T2's
+    #    exact bag semantics verified inside pipe_corpus_clean
+    "text_stop_filtered",
     # -- demoted by the r05 third rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "ts_token_stats",

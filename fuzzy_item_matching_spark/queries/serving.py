@@ -376,3 +376,79 @@ def serve_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c_acctbal").cast("double").alias("total_balance"),
     )
+
+
+@query(
+    "serve_model_registry",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_retailprice * 3 AS DOUBLE) AS score,
+           2 AS prod_version,
+           1 AS archived_version,
+           2 AS n_versions
+    FROM part WHERE p_partkey <= 3
+    """,
+)
+def serve_model_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7+M8 as one checkable lifecycle (`03_Train & Deploy
+    Model.py:324-343`): register model v1 (score = price×2), promote
+    it to Production; register v2 (score = price×3), promote it —
+    archive-then-promote moves v1 to Archived; then resolve
+    ``stage=Production`` and score three fixed rows with the RELOADED
+    artifact. The returned frame is evidence of every step: score
+    column = price×3 proves the reload picked v2, prod/archived
+    version columns prove the stage flow, n_versions proves both
+    registrations persisted.
+
+    The artifact is an MLWritable SQLTransformer pipeline — the same
+    save/load surface a fitted PipelineModel uses, so the round-trip
+    exercises the real persistence path, not a pickle. Registry state
+    is per-process scratch (no shared global state; at scale ``root``
+    is any Hadoop-FS URI)."""
+    import os
+    import shutil
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import SQLTransformer
+
+    from fuzzy_item_matching_spark.operators.registry import (
+        ARCHIVED,
+        PRODUCTION,
+        ModelRegistry,
+    )
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    root = os.path.join(SCRATCH, "registry_q")
+    shutil.rmtree(root, ignore_errors=True)
+    reg = ModelRegistry(root)
+
+    def fitted(mult: int):
+        stage = SQLTransformer(
+            statement=(
+                "SELECT p_partkey, CAST(p_retailprice * "
+                f"{mult} AS DOUBLE) AS score FROM __THIS__"
+            )
+        )
+        return Pipeline(stages=[stage]).fit(
+            spark.createDataFrame([(0, 0.0)], ["p_partkey", "p_retailprice"])
+        )
+
+    name = "part_scorer"
+    v1 = reg.register(name, fitted(2))
+    reg.promote(name, v1, PRODUCTION)
+    v2 = reg.register(name, fitted(3))
+    reg.promote(name, v2, PRODUCTION)  # archives v1 first
+
+    metas = {m["version"]: m["stage"] for m in reg.versions(name)}
+    prod = reg.resolve(name, stage=PRODUCTION)
+    archived = max(v for v, s in metas.items() if s == ARCHIVED)
+    model = reg.load(name, stage=PRODUCTION)
+
+    rows = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 3)
+    return model.transform(rows.select("p_partkey", "p_retailprice")).select(
+        "p_partkey",
+        "score",
+        F.lit(prod).alias("prod_version"),
+        F.lit(archived).alias("archived_version"),
+        F.lit(len(metas)).alias("n_versions"),
+    )

@@ -248,6 +248,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # via train_weighted_sample; new surface is the Poisson inverse-CDF
     # weighting and the replicate fan-out/combine shape)
     "train_bootstrap_means",
+    # (binned-agg + metric-sized self-joins: bin construction shared
+    # with train_calibration_bins; new surface is the minimax isotonic
+    # fit, PAV-equivalence-tested in tests/test_metric_ops)
+    "train_isotonic_calibration",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

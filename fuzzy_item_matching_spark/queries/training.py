@@ -1185,3 +1185,141 @@ def train_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_bootstrap_means.__doc__ = train_bootstrap_means.__doc__.format(b=_BOOT_B)
+
+
+_ISO_BINS = 50
+
+
+@query(
+    "train_isotonic_calibration",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    scored AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(mx.m AS DOUBLE) AS p
+      FROM orders, mx WHERE o_orderkey % 10 = 0
+    ),
+    bins AS (
+      SELECT CAST(least({_ISO_BINS - 1}, floor(p * {_ISO_BINS})) AS INT)
+               AS bin,
+             CAST(SUM(label) AS BIGINT) AS s, COUNT(*) AS n
+      FROM scored GROUP BY bin
+    ),
+    pref AS (
+      SELECT bin, s, n,
+             CAST(SUM(s) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+             CAST(SUM(n) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+      FROM bins
+    ),
+    triple AS (
+      SELECT i.bin AS i, j.bin AS j, k.bin AS k,
+             CAST(k.cs - j.cs + j.s AS DOUBLE)
+               / (k.cn - j.cn + j.n) AS seg_avg
+      FROM pref i, pref j, pref k
+      WHERE j.bin <= i.bin AND i.bin <= k.bin
+    ),
+    stage1 AS (
+      SELECT i, j, MIN(seg_avg) AS min_over_k
+      FROM triple GROUP BY i, j
+    )
+    SELECT p.bin, p.n,
+           CAST(p.s AS DOUBLE) / p.n AS obs_rate,
+           s1.iso_rate
+    FROM pref p JOIN (
+      SELECT i AS bin, MAX(min_over_k) AS iso_rate
+      FROM stage1 GROUP BY i
+    ) s1 USING (bin)
+    """,
+)
+def train_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration over {b} score bins — the
+    monotone-regression fit that turns raw scores into calibrated
+    probabilities (Zadrozny & Elkan 2002), the step AFTER
+    train_calibration_bins diagnoses miscalibration. Uses the minimax
+    closed form of the L2 isotonic fit, iso(i) = max_(j≤i) min_(k≥i)
+    weightedavg(y[j..k]) — identical to pool-adjacent-violators but
+    expressible as joins + aggs, hence exactly oracle-checkable (an
+    imperative PAV loop would be rows-only).
+
+    Plan: the input-sized work is ONE map-side-combinable hash agg
+    onto ≤{b} bins; everything after (prefix sums, the j≤i≤k triple
+    join of ≤{b}³/6 rows, two nested min/max aggs) is metric-sized
+    and independent of input scale — the same "reduce to sufficient
+    statistics, then fit in-plan" discipline as train_ols_by_brand.
+
+    Determinism: segment averages are single IEEE divisions of exact
+    integer prefix sums; min/max over identical value sets are
+    order-insensitive."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    mx = o.agg(F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"))
+    scored = o.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+            / F.col("m").cast("double")
+        ).alias("p"),
+    )
+    bins = scored.groupBy(
+        F.least(F.lit(_ISO_BINS - 1), F.floor(F.col("p") * _ISO_BINS))
+        .cast("int")
+        .alias("bin")
+    ).agg(F.sum("label").alias("s"), F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "s",
+        "n",
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("n").over(wcum).alias("cn"),
+    )
+    i = pref.select(F.col("bin").alias("i"))
+    j = pref.select(
+        F.col("bin").alias("j"),
+        F.col("s").alias("js"),
+        F.col("cs").alias("jcs"),
+        F.col("n").alias("jn"),
+        F.col("cn").alias("jcn"),
+    )
+    k = pref.select(
+        F.col("bin").alias("k"),
+        F.col("cs").alias("kcs"),
+        F.col("cn").alias("kcn"),
+    )
+    triple = (
+        i.join(F.broadcast(j), F.col("j") <= F.col("i"))
+        .join(F.broadcast(k), F.col("i") <= F.col("k"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("kcs") - F.col("jcs") + F.col("js")).cast("double")
+                / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+            ).alias("seg_avg"),
+        )
+    )
+    stage1 = triple.groupBy("i", "j").agg(F.min("seg_avg").alias("min_over_k"))
+    iso = (
+        stage1.groupBy("i")
+        .agg(F.max("min_over_k").alias("iso_rate"))
+        .select(F.col("i").alias("bin"), "iso_rate")
+    )
+    return (
+        pref.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("obs_rate"),
+            "iso_rate",
+        )
+    )
+
+
+train_isotonic_calibration.__doc__ = train_isotonic_calibration.__doc__.format(
+    b=_ISO_BINS
+)

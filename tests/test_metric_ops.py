@@ -147,3 +147,42 @@ def test_matryoshka_rerank_is_exact_on_shortlist(spark):
     assert joined
     for r in joined:
         assert r["fdot"] == r["want"]
+
+
+def test_isotonic_equals_pav_and_is_monotone(spark):
+    """The minimax-form fit equals the imperative pool-adjacent-
+    violators algorithm on the same weighted bins, and is monotone."""
+    pdf = (
+        REGISTRY["train_isotonic_calibration"]
+        .fn(spark, SF_CHECK)
+        .toPandas()
+        .sort_values("bin")
+    )
+    iso = pdf["iso_rate"].to_numpy()
+    assert (np.diff(iso) >= -1e-12).all()
+
+    # imperative PAV over (obs_rate, n) in bin order
+    blocks = [
+        [r.obs_rate * r.n, float(r.n)] for r in pdf.itertuples()
+    ]  # [sum, weight]
+    merged: list[list[float]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while (
+            len(merged) > 1
+            and merged[-2][0] / merged[-2][1] >= merged[-1][0] / merged[-1][1]
+        ):
+            s, w = merged.pop()
+            merged[-1][0] += s
+            merged[-1][1] += w
+    # one fitted value per bin: walk the pooled blocks, emitting each
+    # block's mean once per bin it absorbed (weights are row counts)
+    vals = []
+    bi = iter(pdf["n"].to_numpy())
+    for s, w in merged:
+        acc = 0.0
+        while acc < w - 1e-9:
+            acc += float(next(bi))
+            vals.append(s / w)
+    assert len(vals) == len(iso)
+    assert np.allclose(iso, vals, atol=1e-12)

@@ -252,6 +252,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # with train_calibration_bins; new surface is the minimax isotonic
     # fit, PAV-equivalence-tested in tests/test_metric_ops)
     "train_isotonic_calibration",
+    # (three-way cyclic equi-join: the basket pair generation is
+    # in-prefix via rel_basket_rules' green plan shape / PageRank's
+    # edge build; new surface is the canonical-order triangle closure)
+    "rel_triangle_clustering",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

@@ -368,3 +368,125 @@ def rel_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 rel_pagerank_brands.__doc__ = rel_pagerank_brands.__doc__.format(
     iters=_PR_ITERS, damp=_PR_DAMP
 )
+
+
+@query(
+    "rel_triangle_clustering",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.item < b.item
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                     / (d.degree * (d.degree - 1))
+           END AS clustering
+    FROM deg d LEFT JOIN node_tri t USING (node)
+    """,
+)
+def rel_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the brand
+    co-purchase graph — the cyclic-join graph shape that PageRank
+    (linear iteration) and connected components (transitive closure)
+    don't exercise. Edges u<v from distinct in-basket brand pairs;
+    each triangle a<b<c is found exactly once by the two-hop join
+    (a,b)+(b,c) closed by edge (a,c); clustering(v) =
+    2·tri(v)/(deg(v)·(deg(v)−1)).
+
+    Plan: the canonical-ordering trick (u<v everywhere) makes the
+    triangle enumeration THREE equi-joins with no dedup pass; the
+    joins key on node ids, so at 100 TB they shuffle on the edge
+    list's natural key. Skewed hubs are the known hazard — production
+    would pre-bucket by degree (split high-degree nodes per the
+    node-iterator+ algorithm); the basket-bounded pair generation
+    upstream is the same Σ|basket|² discipline as rel_basket_rules.
+
+    Determinism: all counts exact integers; clustering is one IEEE
+    division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .distinct()
+    )
+    edges.persist()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    d = F.col("degree")
+    return (
+        deg.join(node_tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.when(d < 2, F.lit(0.0))
+            .otherwise(
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (d * (d - 1))
+            )
+            .alias("clustering"),
+        )
+    )

@@ -256,6 +256,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # in-prefix via rel_basket_rules' green plan shape / PageRank's
     # edge build; new surface is the canonical-order triangle closure)
     "rel_triangle_clustering",
+    # (fold-partitioned twin of train_roc_auc — same reduction with the
+    # window PARTITIONED BY the content-keyed fold, i.e. the metric's
+    # distributed scale path; S7 fold draw in-prefix via
+    # train_keyed_split_sizes)
+    "train_cv_auc",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

@@ -1323,3 +1323,101 @@ def train_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_isotonic_calibration.__doc__ = train_isotonic_calibration.__doc__.format(
     b=_ISO_BINS
 )
+
+
+_CV_FOLDS = 5
+# DuckDB twin of functions.sampling.keyed_uniform(seed=42) — same
+# fragment as queries/sources.py::_D_U, inlined for the fold draw.
+_D_CV_U = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+@query(
+    "train_cv_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(floor({_D_CV_U} * {_CV_FOLDS}) AS INT) AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    g AS (
+      SELECT fold, score, CAST(SUM(label) AS BIGINT) AS pos_g,
+             COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg_g
+      FROM scored GROUP BY fold, score
+    ),
+    c AS (
+      SELECT fold, pos_g, neg_g,
+             COALESCE(SUM(neg_g) OVER (PARTITION BY fold ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS neg_below
+      FROM g
+    )
+    SELECT fold,
+           CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
+             AS auc,
+           CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_g) AS BIGINT) AS n_neg
+    FROM c GROUP BY fold
+    """,
+)
+def train_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated AUC: {k} content-keyed folds (the md5 uniform,
+    so fold membership survives repartitioning and engine swaps —
+    M5's reproducibility requirement applied to evaluation), each
+    fold's AUC via the same tie-aware Mann-Whitney reduction as
+    train_roc_auc. The fold spread is the variance estimate a single
+    held-out AUC can't give.
+
+    Plan: this is also train_roc_auc's SCALE PATH made concrete — the
+    cumulative window is PARTITIONED BY fold, so no single-partition
+    stage exists: one (fold, score) hash agg, one fold-partitioned
+    window, one {k}-key agg, all map-side combinable or
+    hash-partitioned. At 100 TB every stage distributes.
+
+    Determinism: fold draw and numerators exactly as train_roc_auc
+    (DECIMAL-accumulated integer pair counts, one closing division
+    per fold)."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    scored = o.select(
+        F.floor(keyed_uniform(F.col("o_orderkey")) * _CV_FOLDS)
+        .cast("int")
+        .alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+    )
+    g = scored.groupBy("fold", "score").agg(
+        F.sum("label").alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg_g"),
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "fold",
+        "pos_g",
+        "neg_g",
+        F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num = (
+        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
+    ).cast("decimal(38,0)")
+    return c.groupBy("fold").agg(
+        (
+            F.sum(num).cast("double")
+            / (2.0 * F.sum("pos_g").cast("double") * F.sum("neg_g").cast("double"))
+        ).alias("auc"),
+        F.sum("pos_g").alias("n_pos"),
+        F.sum("neg_g").alias("n_neg"),
+    )
+
+
+train_cv_auc.__doc__ = train_cv_auc.__doc__.format(k=_CV_FOLDS)

@@ -261,6 +261,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # distributed scale path; S7 fold draw in-prefix via
     # train_keyed_split_sizes)
     "train_cv_auc",
+    # (per-dim posexplode + iterative join/agg: the unrolled-iteration
+    # oracle discipline is in-prefix via rel_pagerank_brands and
+    # text_bpe_fit; new surface is the Gram-matrix build + matvec,
+    # numpy-equivalence-tested in tests/test_metric_ops)
+    "vec_pca_power",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

@@ -353,3 +353,126 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 vec_matryoshka_topk.__doc__ = vec_matryoshka_topk.__doc__.format(
     dim=_MA_DIM, short=_MA_SHORT, full=_Q_DIM
 )
+
+
+_PCA_ITERS = 3
+# One decimal-exact matvec step as a DuckDB CTE pair: w = C·v
+# (DECIMAL-accumulated), n = ||w|| (DECIMAL-accumulated), v' = w/n.
+_D_PCA_STEP = """
+    w{t} AS (
+      SELECT c.i, CAST(SUM(CAST(c.c * v{p}.v AS DECIMAL(38,18)))
+                       AS DOUBLE) AS w
+      FROM cov c JOIN v{p} ON v{p}.i = c.j GROUP BY c.i
+    ),
+    n{t} AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+               AS nrm
+      FROM w{t}
+    ),
+    v{t} AS (SELECT i, w / nrm AS v FROM w{t}, n{t})
+"""
+
+
+@query(
+    "vec_pca_power",
+    oracle=f"""
+    WITH xs AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    cov AS (
+      SELECT a.i, b.i AS j,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE)
+               / nn.n AS c
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id, nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    v0 AS (SELECT DISTINCT i, 1.0 AS v FROM xs),
+    {",".join(_D_PCA_STEP.format(t=t, p=t - 1) for t in range(1, _PCA_ITERS + 1))}
+    SELECT v{_PCA_ITERS}.i - 1 AS dim_idx, v{_PCA_ITERS}.v AS loading,
+           n{_PCA_ITERS}.nrm AS eigenvalue
+    FROM v{_PCA_ITERS}, n{_PCA_ITERS}
+    """,
+)
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment
+    matrix by {t} unrolled power iterations — PCA's core reduced to
+    relational primitives, the same discipline as the unrolled
+    PageRank oracle. The Gram matrix C = XᵀX/n is built once as
+    (i, j, c) rows from a per-dimension posexplode self-joined on the
+    row id (map-side-combinable agg onto dim² cells — dim²-bounded
+    state at ANY row count); each iteration is one dim²-row join +
+    dim-key agg + scalar norm. Mean-centering would add one broadcast
+    subtraction (train_standard_scaler's shape) and is omitted to
+    keep the oracle focused on the iteration machinery; the returned
+    eigenvalue is ||C·v|| at the last step (Rayleigh estimate on a
+    unit vector).
+
+    At 100 TB the input-sized work is ONLY the C agg (n·dim² products
+    combined map-side); the iterations touch dim²-row frames,
+    cluster-trivial. dim=64 here; at dim in the thousands you'd block
+    the matvec, same plan shape.
+
+    Determinism: every Σ over data (Gram cells, matvec terms, norm
+    squares) accumulates as DECIMAL(38,18); divisions and sqrt are
+    single IEEE ops on identical doubles, so {t} iterations stay
+    bit-identical across engines. Start vector all-ones (no dim
+    constant, no seed); the sign of the returned direction is
+    whatever the iteration converges to — deterministic, same in both
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    a = xs.alias("a")
+    b = xs.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s")
+        )
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", (F.col("s") / F.col("n")).alias("c"))
+    )
+    cov.persist()
+    v = cov.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    nrm_col = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("c") * F.col("v")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+        nrm_col = nrm
+    return (
+        v.crossJoin(F.broadcast(nrm_col))
+        .select(
+            (F.col("i") - 1).alias("dim_idx"),
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
+        )
+    )
+
+
+vec_pca_power.__doc__ = vec_pca_power.__doc__.format(t=_PCA_ITERS)

@@ -186,3 +186,33 @@ def test_isotonic_equals_pav_and_is_monotone(spark):
             vals.append(s / w)
     assert len(vals) == len(iso)
     assert np.allclose(iso, vals, atol=1e-12)
+
+
+def test_pca_power_matches_numpy(spark):
+    """Three numpy power iterations on the same Gram matrix produce
+    the same direction and Rayleigh estimate (engine drift < 1e-9),
+    and the loading is unit-norm."""
+    from fuzzy_item_matching_spark.tables import load_table
+
+    pdf = (
+        REGISTRY["vec_pca_power"]
+        .fn(spark, SF_CHECK)
+        .toPandas()
+        .sort_values("dim_idx")
+    )
+    v_engine = pdf["loading"].to_numpy()
+    assert np.linalg.norm(v_engine) == pytest.approx(1.0, abs=1e-12)
+
+    X = np.stack(
+        load_table(spark, SF_CHECK, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .map(np.asarray)
+    ).astype(np.float64)
+    C = X.T @ X / len(X)
+    v = np.ones(C.shape[0])
+    for _ in range(3):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    assert np.allclose(v_engine, v, atol=1e-9)
+    assert (pdf["eigenvalue"] > 0).all()

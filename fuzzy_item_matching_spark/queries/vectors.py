@@ -423,21 +423,31 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever the iteration converges to — deterministic, same in both
     engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    xs = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
     nn = e.agg(F.count(F.lit(1)).alias("n"))
-    a = xs.alias("a")
-    b = xs.alias("b")
-    cov = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("s")
+    # Outer products generated ROW-LOCALLY by a nested transform —
+    # semantically the oracle's posexplode self-join on vec_id, minus
+    # its shuffle of the n·dim exploded frame; the dim²-key agg combine
+    # is the plan's only exchange.
+    pairs = (
+        e.select(
+            F.size("embedding").alias("d"),
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(cast(embedding as array<double>),"
+                    " x -> transform(cast(embedding as array<double>),"
+                    " y -> x * y)))"
+                )
+            ).alias("pos", "p"),
         )
+        .select(
+            F.expr("(pos div d) + 1").alias("i"),
+            F.expr("(pos % d) + 1").alias("j"),
+            "p",
+        )
+    )
+    cov = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("s"))
         .crossJoin(F.broadcast(nn))
         .select("i", "j", (F.col("s") / F.col("n")).alias("c"))
     )

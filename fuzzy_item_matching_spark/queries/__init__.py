@@ -266,6 +266,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # text_bpe_fit; new surface is the Gram-matrix build + matvec,
     # numpy-equivalence-tested in tests/test_metric_ops)
     "vec_pca_power",
+    # (binned two-population agg + cumulative window: both shapes
+    # in-prefix via train_calibration_bins / train_roc_auc; new surface
+    # is the smoothed PSI and sup-CDF KS closings)
+    "train_drift_stats",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

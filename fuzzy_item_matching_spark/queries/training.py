@@ -1421,3 +1421,127 @@ def train_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_cv_auc.__doc__ = train_cv_auc.__doc__.format(k=_CV_FOLDS)
+
+
+_PSI_BINS = 10
+
+
+@query(
+    "train_drift_stats",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS m FROM orders
+    ),
+    scored AS (
+      SELECT o_orderkey % 2 AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(mx.m AS DOUBLE) AS p,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score
+      FROM orders, mx
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM scored
+    ),
+    binned AS (
+      SELECT CAST(least({_PSI_BINS - 1}, floor(p * {_PSI_BINS})) AS INT)
+               AS bin,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM scored GROUP BY bin
+    ),
+    psi AS (
+      SELECT CAST(SUM(CAST(
+               ((c0 + 0.5) / (n0 + 0.5 * {_PSI_BINS})
+                - (c1 + 0.5) / (n1 + 0.5 * {_PSI_BINS}))
+               * ln(((c0 + 0.5) / (n0 + 0.5 * {_PSI_BINS}))
+                    / ((c1 + 0.5) / (n1 + 0.5 * {_PSI_BINS})))
+               AS DECIMAL(38,18))) AS DOUBLE) AS psi
+      FROM binned, tot
+    ),
+    cum AS (
+      SELECT score,
+             CAST(SUM(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END))
+                  OVER (ORDER BY score) AS BIGINT) AS a0,
+             CAST(SUM(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END))
+                  OVER (ORDER BY score) AS BIGINT) AS a1
+      FROM scored GROUP BY score
+    ),
+    ks AS (
+      SELECT MAX(abs(CAST(a0 AS DOUBLE) / n0 - CAST(a1 AS DOUBLE) / n1))
+               AS ks
+      FROM cum, tot
+    )
+    SELECT psi.psi, ks.ks, tot.n0 AS n_ref, tot.n1 AS n_cur
+    FROM psi, ks, tot
+    """,
+)
+def train_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between a reference and a current score
+    population (here: even vs odd order keys over normalized price) —
+    the two standard monitors a serving pipeline alarms on. PSI =
+    Σ (p−q)·ln(p/q) over {b} equal-width bins with 0.5-count additive
+    smoothing (empty bins stay finite, exactly reproducible — no
+    epsilon hack); KS = sup |F_ref − F_cur| over the observed support,
+    computed from cumulative counts on distinct scores.
+
+    Plan: one {b}-key binned agg + one |distinct score|-key agg with a
+    cumulative window; totals broadcast as a 1-row frame. Everything
+    combines map-side; the KS window runs over score GROUPS (the same
+    honest bound as train_roc_auc, range-bucketable at 100 TB).
+
+    Determinism: counts exact; each PSI term is a fixed IEEE tree
+    accumulated as DECIMAL(38,18); KS is a max over identically
+    computed doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"))
+    scored = o.crossJoin(F.broadcast(mx)).select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+            / F.col("m").cast("double")
+        ).alias("p"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+    )
+    scored.persist()
+    c0 = F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+    c1 = F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+    tot = scored.agg(c0.alias("n0"), c1.alias("n1"))
+    binned = scored.groupBy(
+        F.least(F.lit(_PSI_BINS - 1), F.floor(F.col("p") * _PSI_BINS))
+        .cast("int")
+        .alias("bin")
+    ).agg(c0.alias("c0"), c1.alias("c1"))
+    sm = 0.5 * _PSI_BINS
+    pr = (F.col("c0") + 0.5) / (F.col("n0") + sm)
+    qr = (F.col("c1") + 0.5) / (F.col("n1") + sm)
+    psi = (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(((pr - qr) * F.log(pr / qr)).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("psi")
+        )
+    )
+    wcum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = scored.groupBy("score").agg(c0.alias("g0"), c1.alias("g1"))
+    cum = cum.select(
+        F.sum("g0").over(wcum).alias("a0"), F.sum("g1").over(wcum).alias("a1")
+    )
+    ks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("a0").cast("double") / F.col("n0")
+                - F.col("a1").cast("double") / F.col("n1")
+            )
+        ).alias("ks")
+    )
+    return (
+        psi.crossJoin(ks)
+        .crossJoin(F.broadcast(tot))
+        .select("psi", "ks", F.col("n0").alias("n_ref"), F.col("n1").alias("n_cur"))
+    )
+
+
+train_drift_stats.__doc__ = train_drift_stats.__doc__.format(b=_PSI_BINS)

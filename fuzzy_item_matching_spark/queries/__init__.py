@@ -270,6 +270,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)
     "train_drift_stats",
+    # (row-local sequence-explode + slice: the fan-out shape is
+    # in-prefix via ts_seq_packing / mm_frame_sample; new surface is
+    # the stride/overlap window algebra, coverage-tested in
+    # tests/test_metric_ops)
+    "ts_rag_chunks",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

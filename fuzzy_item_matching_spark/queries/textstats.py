@@ -1524,3 +1524,78 @@ def ts_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_chi2_terms.__doc__ = ts_chi2_terms.__doc__.format(
     min_df=_CHI2_MIN_DF, k=_CHI2_K
 )
+
+
+_RAG_W = 64  # window (tokens)
+_RAG_S = 48  # stride (tokens) -> 16-token overlap
+
+
+@query(
+    "ts_rag_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= {_RAG_W} THEN 0
+                    ELSE CAST(ceil((len(toks) - {_RAG_W})
+                              / {_RAG_S}.0) AS INT)
+               END)) AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           least({_RAG_W}, n - chunk_idx * {_RAG_S}) AS n_tokens,
+           array_to_string(
+             toks[chunk_idx * {_RAG_S} + 1 :
+                  chunk_idx * {_RAG_S} + {_RAG_W}], ' ') AS chunk_text
+    FROM spans
+    """.format(toks=_D_TOKENS.format(c="text")),
+)
+def ts_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: {w}-token windows at stride {s}
+    ({o}-token overlap) — the retrieval-corpus preparation step
+    between cleaning and embedding (every RAG indexing pipeline runs
+    exactly this shape). The last window is the remainder (never
+    dropped); docs shorter than one window yield one chunk; overlap
+    preserves context across boundaries for the embedder.
+
+    Plan: 100% row-local — tokenize, one sequence-explode of
+    ceil((n−{w})/{s})+1 chunk indices, one slice per chunk. No
+    shuffle, no join; at 100 TB this is a pure map stage that chains
+    straight into the embedding mapInPandas. Chunk ids are (doc_id,
+    chunk_idx) — deterministic, so re-chunking an updated corpus
+    produces stable keys for the incremental-refresh anti-join
+    (pipe_incremental_refresh).
+
+    Determinism: pure integer arithmetic + array slicing; the only
+    float is the ceil division, identical both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", regex_tokenize("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= _RAG_W, F.lit(0)).otherwise(
+        F.ceil((n - _RAG_W) / F.lit(float(_RAG_S))).cast("int")
+    )
+    spans = t.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _RAG_S
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(_RAG_W), F.col("n") - start).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), start + 1, _RAG_W), " "
+        ).alias("chunk_text"),
+    )
+
+
+ts_rag_chunks.__doc__ = ts_rag_chunks.__doc__.format(
+    w=_RAG_W, s=_RAG_S, o=_RAG_W - _RAG_S
+)

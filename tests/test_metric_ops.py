@@ -216,3 +216,28 @@ def test_pca_power_matches_numpy(spark):
         v = w / np.linalg.norm(w)
     assert np.allclose(v_engine, v, atol=1e-9)
     assert (pdf["eigenvalue"] > 0).all()
+
+
+def test_rag_chunks_cover_every_token(spark):
+    """Chunks tile each document: first starts at 0, consecutive
+    starts advance by the stride, and the last chunk reaches the
+    final token (nothing dropped, overlap as configured)."""
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.tables import load_table
+
+    pdf = REGISTRY["ts_rag_chunks"].fn(spark, SF_CHECK).toPandas()
+    lens = (
+        load_table(spark, SF_CHECK, "documents")
+        .select("doc_id", F.size(regex_tokenize("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert set(pdf["doc_id"]) == set(lens.index)
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        n = int(lens[doc_id])
+        last = g.iloc[-1]
+        assert last["chunk_idx"] * 48 + last["n_tokens"] == n
+        assert (g["n_tokens"] > 0).all()

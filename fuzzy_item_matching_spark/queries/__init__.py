@@ -275,6 +275,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # the stride/overlap window algebra, coverage-tested in
     # tests/test_metric_ops)
     "ts_rag_chunks",
+    # (JW blocking + min-label closure + cluster aggs: each stage
+    # in-prefix via text_levenshtein_pairs / dedup_canonical_closure /
+    # rel_top_parts_per_brand's argmax window; new surface is the
+    # survivorship rule set composing them into the golden record)
+    "dedup_golden_record",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

@@ -575,3 +575,150 @@ def dedup_chunk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+_GR_JW = 0.92
+
+
+@query(
+    "dedup_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= {_GR_JW}
+    ),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n
+    ),
+    comp AS (
+      SELECT n AS node, LEAST(n, MIN(m)) AS component
+      FROM reach GROUP BY n
+    ),
+    members AS (
+      SELECT COALESCE(c.component, p.p_partkey) AS cluster_id,
+             p.p_partkey, p.p_name, p.p_retailprice, p.p_type
+      FROM part p LEFT JOIN comp c ON p.p_partkey = c.node
+    ),
+    modal AS (
+      SELECT cluster_id, p_type FROM (
+        SELECT cluster_id, p_type,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY COUNT(*) DESC, p_type) AS rnk
+        FROM members GROUP BY cluster_id, p_type
+      ) WHERE rnk = 1
+    ),
+    agg AS (
+      SELECT cluster_id, COUNT(*) AS n_members,
+             MIN(p_partkey) AS rep_key,
+             MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS golden_price
+      FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_members,
+           r.p_name AS golden_name,
+           CAST(a.golden_price AS DOUBLE) AS golden_price,
+           m.p_type AS golden_type
+    FROM agg a
+    JOIN part r ON r.p_partkey = a.rep_key
+    JOIN modal m USING (cluster_id)
+    WHERE a.n_members >= 2
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the last step of entity resolution the linkage
+    and closure queries stop short of: collapse each matched cluster
+    to ONE golden record by deterministic per-attribute rules
+    (name from the minimum-key representative, price = cluster max,
+    type = modal value with lexicographic tie-break). Clusters
+    come from connected components over (brand,size)-blocked pairs
+    whose Jaro-Winkler name similarity ≥ {jw} — the same kernel as
+    text_jaro_winkler_pairs feeding the same closure operator as
+    dedup_canonical_closure, composed into the reference's end goal:
+    a deduplicated item master.
+
+    Plan: blocked pair join (bounded candidates) → O(diameter)
+    min-label rounds (operators/dedup.connected_components, exchange
+    layout reused per round) → three cluster-keyed aggs (counts/max,
+    modal argmax-by-count window, representative join). Every stage
+    keys on cluster or node ids — no global structure, no collect.
+
+    Determinism: the JW kernel is bit-identical to DuckDB's; modal
+    tie-breaks are total; golden_price is DECIMAL-exact before one
+    closing cast."""
+    from fuzzy_item_matching_spark.functions.text import jaro_winkler
+    from fuzzy_item_matching_spark.operators.dedup import connected_components
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            jaro_winkler(F.col("a.p_name"), F.col("b.p_name")).alias("jw"),
+        )
+        .filter(F.col("jw") >= _GR_JW)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    members = (
+        p.join(comps, p.p_partkey == comps.node, "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("p_partkey")).alias(
+                "cluster_id"
+            ),
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            "p_type",
+        )
+    )
+    members.persist()
+    wmode = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("p_type")
+    )
+    modal = (
+        members.groupBy("cluster_id", "p_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wmode))
+        .filter(F.col("rnk") == 1)
+        .select("cluster_id", F.col("p_type").alias("golden_type"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("p_partkey").alias("rep_key"),
+        F.max(F.col("p_retailprice").cast("decimal(18,2)")).alias("gp"),
+    )
+    rep = p.select(
+        F.col("p_partkey").alias("rep_key"), F.col("p_name").alias("golden_name")
+    )
+    return (
+        agg.filter(F.col("n_members") >= 2)
+        .join(rep, "rep_key")
+        .join(modal, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "golden_name",
+            F.col("gp").cast("double").alias("golden_price"),
+            "golden_type",
+        )
+    )
+
+
+dedup_golden_record.__doc__ = dedup_golden_record.__doc__.format(jw=_GR_JW)

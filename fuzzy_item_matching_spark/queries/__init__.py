@@ -280,6 +280,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # rel_top_parts_per_brand's argmax window; new surface is the
     # survivorship rule set composing them into the golden record)
     "dedup_golden_record",
+    # (nested keyed subsets fanned into the fraction-partitioned AUC:
+    # both constituents above / in-prefix; new surface is the nesting
+    # algebra u < f)
+    "train_learning_curve",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

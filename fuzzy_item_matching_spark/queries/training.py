@@ -1545,3 +1545,103 @@ def train_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_drift_stats.__doc__ = train_drift_stats.__doc__.format(b=_PSI_BINS)
+
+
+_LC_FRACS = (0.1, 0.25, 0.5, 1.0)
+
+
+@query(
+    "train_learning_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_D_CV_U} AS u,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    fanned AS (
+      SELECT f.frac, label, score
+      FROM scored, (VALUES {", ".join(f"({f})" for f in _LC_FRACS)}) AS f(frac)
+      WHERE u < f.frac
+    ),
+    g AS (
+      SELECT frac, score, CAST(SUM(label) AS BIGINT) AS pos_g,
+             COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg_g
+      FROM fanned GROUP BY frac, score
+    ),
+    c AS (
+      SELECT frac, pos_g, neg_g,
+             COALESCE(SUM(neg_g) OVER (PARTITION BY frac ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS neg_below
+      FROM g
+    )
+    SELECT frac,
+           CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
+             AS auc,
+           CAST(SUM(pos_g) + SUM(neg_g) AS BIGINT) AS n_rows
+    FROM c GROUP BY frac
+    """,
+)
+def train_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: the ranking metric at NESTED data fractions
+    {fr} — the "is more data still buying accuracy" diagnostic that
+    decides whether to keep scaling a corpus. Subsets nest by
+    construction (row ∈ subset f iff its content-keyed u < f, so the
+    10% sample is a subset of the 25% sample — a proper learning
+    curve, not four independent draws), and membership survives
+    repartitioning like every keyed draw in the repo.
+
+    Plan: one row-local fan-out (each row explodes only to the
+    fractions it belongs to, ≤{k} copies) feeding the
+    fraction-PARTITIONED Mann-Whitney reduction of train_cv_auc —
+    hash agg, partitioned window, {k}-key agg; every stage
+    distributes at 100 TB.
+
+    Determinism: same exact-integer AUC numerator per fraction."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    scored = o.select(
+        keyed_uniform(F.col("o_orderkey")).alias("u"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+    )
+    fracs = F.array(*[F.lit(f) for f in _LC_FRACS])
+    fanned = scored.select(
+        F.explode(F.filter(fracs, lambda f: F.col("u") < f)).alias("frac"),
+        "label",
+        "score",
+    )
+    g = fanned.groupBy("frac", "score").agg(
+        F.sum("label").alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg_g"),
+    )
+    w = (
+        Window.partitionBy("frac")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "frac",
+        "pos_g",
+        "neg_g",
+        F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num = (
+        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
+    ).cast("decimal(38,0)")
+    return c.groupBy("frac").agg(
+        (
+            F.sum(num).cast("double")
+            / (2.0 * F.sum("pos_g").cast("double") * F.sum("neg_g").cast("double"))
+        ).alias("auc"),
+        (F.sum("pos_g") + F.sum("neg_g")).alias("n_rows"),
+    )
+
+
+train_learning_curve.__doc__ = train_learning_curve.__doc__.format(
+    fr=_LC_FRACS, k=len(_LC_FRACS)
+)

@@ -284,6 +284,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # both constituents above / in-prefix; new surface is the nesting
     # algebra u < f)
     "train_learning_curve",
+    # (Expand-backed wide-to-long melt: the Expand shape is in-prefix
+    # via rel_grouping_sets/cube; new surface is DataFrame.unpivot)
+    "rel_unpivot_metrics",
     # -- demoted by the r05 sixth rotation (see prefix header): T2's
     #    exact bag semantics verified inside pipe_corpus_clean
     "text_stop_filtered",

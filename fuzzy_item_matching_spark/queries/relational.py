@@ -1358,3 +1358,45 @@ def rel_rows_frame_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_window"),
         (F.sum(_dec("value", 6)).over(w).cast("double") / n).alias("ma3"),
     )
+
+
+@query(
+    "rel_unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS total_price,
+             CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) AS DOUBLE) AS priority_grade,
+             CAST(o_custkey % 97 AS DOUBLE) AS cust_bucket
+      FROM orders WHERE o_orderkey % 100 = 0
+    ) UNPIVOT (value FOR metric IN (total_price, priority_grade, cust_bucket))
+    """,
+)
+def rel_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide-to-long reshape, the inverse of
+    rel_pivot_status_priority: three per-order measures become
+    (key, metric, value) rows, the layout every generic
+    metric-monitoring sink and plotting pipeline wants. Uses Spark's
+    native ``DataFrame.unpivot`` (Expand under the hood — row-local,
+    3× fan-out, no shuffle); nulls are dropped by both engines'
+    UNPIVOT semantics (all three measures are non-null here, asserted
+    by the 3x row count).
+
+    At 100 TB: pure map-side Expand, the cheapest possible reshape —
+    the hazard is only output volume (rows × metrics), the same
+    documented cost as any melt."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.substring("o_orderpriority", 1, 1).cast("int").cast("double").alias("priority_grade"),
+        (F.col("o_custkey") % 97).cast("double").alias("cust_bucket"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "priority_grade", "cust_bucket"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -209,7 +209,10 @@ def test_pca_power_matches_numpy(spark):
         .toPandas()["embedding"]
         .map(np.asarray)
     ).astype(np.float64)
-    C = X.T @ X / len(X)
+    # quantized Gram exactly as the operator defines it:
+    # floor(x_i*x_j * 2^40) summed as integers, then /2^40/n
+    P = np.floor((X[:, :, None] * X[:, None, :]) * 2.0**40)
+    C = P.sum(axis=0) / 2.0**40 / len(X)
     v = np.ones(C.shape[0])
     for _ in range(3):
         w = C @ v

@@ -18,15 +18,25 @@ REGISTRY = load_all()
 
 NEW_OPS = [
     "train_roc_auc",
+    "train_cv_auc",
+    "train_learning_curve",
     "train_ndcg",
     "train_calibration_bins",
+    "train_isotonic_calibration",
     "train_target_encoding",
     "train_standard_scaler",
     "train_bootstrap_means",
+    "train_drift_stats",
     "ts_chi2_terms",
     "ts_char_entropy",
+    "ts_rag_chunks",
     "text_jaro_winkler_pairs",
     "vec_matryoshka_topk",
+    "vec_pca_power",
+    "rel_triangle_clustering",
+    "rel_unpivot_metrics",
+    "dedup_golden_record",
+    "serve_model_registry",
 ]
 
 

@@ -159,7 +159,7 @@ def extract_audio_windows(
             }
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8)
-                for w in range(0, max(1, len(samples) + window - 1) // window):
+                for w in range((len(samples) + window - 1) // window):
                     chunk = samples[w * window : (w + 1) * window]
                     if len(chunk) == 0:
                         continue

@@ -29,7 +29,13 @@ BITS = 16
 def zorder_key(x: Column | str, y: Column | str, bits: int = BITS) -> Column:
     """Interleave the low ``bits`` of two non-negative ints: x takes
     odd bit positions, y even — a pure integer expression tree (no
-    UDF) identical to the generated SQL of :func:`zorder_key_sql`."""
+    UDF) identical to the generated SQL of :func:`zorder_key_sql`.
+
+    CONTRACT: inputs must be non-negative. Negative values
+    two's-complement-truncate into the top of the ``bits``-wide range
+    and alias silently once ``|value| >= 2**bits`` — callers must
+    shift to a non-negative domain first (e.g. day offsets from an
+    epoch at or below the data minimum)."""
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y) if isinstance(y, str) else y
     terms = []

@@ -353,9 +353,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (V1 + exact-threshold join also verified by serve_match_score
     # and the LSH joins' exact oracles)
     "sim_exact_sqdist_pairs",
-    # (full-closure twin of the in-prefix dedup_canonical_map; the
-    # iterative CC operator is also chain-tested in test_dedup.py)
-    "dedup_canonical_closure",
     # (S2 write covered in-prefix by src_parquet_write_read; the
     # partition-prune layout variant is plan-asserted in test_plans.py)
     "src_partitioned_prune",

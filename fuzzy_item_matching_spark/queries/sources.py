@@ -618,8 +618,13 @@ from fuzzy_item_matching_spark.operators.zorder import (  # noqa: E402
     zorder_key_sql,
 )
 
+# Epoch at/below the TPC-H data minimum (orders span 1992-1998) so the
+# day offset honors zorder_key's non-negative-int contract — a later
+# epoch would two's-complement-truncate 1992-1994 dates into the top of
+# the 16-bit range and alias silently once |value| >= 2^16.
+_Z_EPOCH = "1992-01-01"
 _Z_DUCK = zorder_key_sql(
-    "o_custkey", "date_diff('day', DATE '1995-01-01', o_orderdate)"
+    "o_custkey", f"date_diff('day', DATE '{_Z_EPOCH}', o_orderdate)"
 )
 
 
@@ -628,7 +633,7 @@ _Z_DUCK = zorder_key_sql(
     oracle=f"""
     WITH z AS (
       SELECT o_custkey,
-             date_diff('day', DATE '1995-01-01', o_orderdate) AS day,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
              {_Z_DUCK} AS zkey
       FROM orders
     )
@@ -656,7 +661,7 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical generated arithmetic on the DuckDB side.
     """
     o = load_table(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    day = F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date"))
     z = o.select(
         "o_custkey",
         day.alias("day"),

@@ -741,9 +741,35 @@ train_calibration_bins.__doc__ = train_calibration_bins.__doc__.format(
 )
 
 
+# Tie-aware Mann-Whitney AUC numerator term, formed entirely in DECIMAL
+# so no 64-bit-integer intermediate can wrap: operands are cast to
+# DECIMAL(18,0) BEFORE multiplying. Width bookkeeping on both engines:
+# 2[DEC(1,0)] * nb[DEC(18,0)] -> (20,0), * pg[DEC(18,0)] -> (37,0)
+# (DuckDB w1+w2; Spark p1+p2+1 capped at 38, scale 0 so lossless);
+# pg*ng -> (36,0); the sum fits (38,0). Exact while cumulative
+# per-group counts fit 10^18 rows — previously the products were
+# computed in BIGINT first, so ANSI-off Spark would wrap silently at
+# extreme scale while DuckDB errored.
+_AUC_NUM_SQL = (
+    "CAST(CAST(2 AS DECIMAL(1,0))"
+    " * CAST(neg_below AS DECIMAL(18,0)) * CAST(pos_g AS DECIMAL(18,0))"
+    " + CAST(pos_g AS DECIMAL(18,0)) * CAST(neg_g AS DECIMAL(18,0))"
+    " AS DECIMAL(38,0))"
+)
+
+
+def _auc_numerator():
+    """Spark twin of _AUC_NUM_SQL — identical operand widths/order."""
+    nb = F.col("neg_below").cast("decimal(18,0)")
+    pg = F.col("pos_g").cast("decimal(18,0)")
+    ng = F.col("neg_g").cast("decimal(18,0)")
+    two = F.lit(2).cast("decimal(1,0)")
+    return (two * nb * pg + pg * ng).cast("decimal(38,0)")
+
+
 @query(
     "train_roc_auc",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
              CAST(o_totalprice AS DECIMAL(18,2)) AS score
@@ -761,8 +787,7 @@ train_calibration_bins.__doc__ = train_calibration_bins.__doc__.format(
                       0) AS neg_below
       FROM g
     )
-    SELECT CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
-                         AS DECIMAL(38,0))) AS DOUBLE)
+    SELECT CAST(SUM({_AUC_NUM_SQL}) AS DOUBLE)
            / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
              AS auc,
            CAST(SUM(pos_g) AS BIGINT) AS n_pos,
@@ -777,10 +802,11 @@ def train_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collecting scores to the driver. Per distinct score s: every
     (pos@s, neg<s) pair counts 1, every tied (pos@s, neg@s) pair
     counts 1/2 — so AUC = Σ(2·neg_below·pos_g + pos_g·neg_g) /
-    (2·P·N), and the whole numerator stays in exact integers
-    (DECIMAL(38,0) accumulation; long products would overflow around
-    10^12 rows). ONE IEEE division at the end: order-insensitive,
-    bit-identical across engines.
+    (2·P·N), and the whole numerator stays exact: operands are cast
+    to DECIMAL(18,0) before multiplying (_AUC_NUM_SQL), so no 64-bit
+    product can wrap — exact up to 10^18 cumulative counts. ONE IEEE
+    division at the end: order-insensitive, bit-identical across
+    engines.
 
     Plan: hash agg on score (map-side combinable; key space =
     |distinct scores|, metric-sized), then a cumulative window over
@@ -804,9 +830,7 @@ def train_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_g",
         F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
     )
-    num = (
-        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
-    ).cast("decimal(38,0)")
+    num = _auc_numerator()
     return c.agg(
         (
             F.sum(num).cast("double")
@@ -1356,8 +1380,7 @@ _D_CV_U = (
       FROM g
     )
     SELECT fold,
-           CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
-                         AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(SUM({_AUC_NUM_SQL}) AS DOUBLE)
            / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
              AS auc,
            CAST(SUM(pos_g) AS BIGINT) AS n_pos,
@@ -1407,9 +1430,7 @@ def train_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_g",
         F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
     )
-    num = (
-        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
-    ).cast("decimal(38,0)")
+    num = _auc_numerator()
     return c.groupBy("fold").agg(
         (
             F.sum(num).cast("double")
@@ -1577,8 +1598,7 @@ _LC_FRACS = (0.1, 0.25, 0.5, 1.0)
       FROM g
     )
     SELECT frac,
-           CAST(SUM(CAST(2 * neg_below * pos_g + pos_g * neg_g
-                         AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(SUM({_AUC_NUM_SQL}) AS DOUBLE)
            / (2.0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE))
              AS auc,
            CAST(SUM(pos_g) + SUM(neg_g) AS BIGINT) AS n_rows
@@ -1630,9 +1650,7 @@ def train_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_g",
         F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
     )
-    num = (
-        2 * F.col("neg_below") * F.col("pos_g") + F.col("pos_g") * F.col("neg_g")
-    ).cast("decimal(38,0)")
+    num = _auc_numerator()
     return c.groupBy("frac").agg(
         (
             F.sum(num).cast("double")

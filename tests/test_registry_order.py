@@ -11,6 +11,11 @@ from fuzzy_item_matching_spark.queries import CHECK_PRIORITY, load_all
 DRIVER_PREFIX_BUDGET = 50
 
 
+def test_priority_names_unique():
+    dupes = [n for n in set(CHECK_PRIORITY) if CHECK_PRIORITY.count(n) > 1]
+    assert dupes == [], f"duplicate CHECK_PRIORITY entries: {dupes}"
+
+
 def test_priority_names_all_registered():
     reg = load_all()
     unknown = [n for n in CHECK_PRIORITY if n not in reg]

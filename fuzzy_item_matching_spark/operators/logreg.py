@@ -1,0 +1,169 @@
+"""Engine-native logistic regression (M7 core) — deterministic batch
+gradient descent expressed as chained Spark aggregations.
+
+The reference fits its match classifier driver-side (XGBoost on three
+squared-distance features, `03_Train & Deploy Model.py:119-305`). The
+engine-native form keeps the fit ON the cluster: every iteration is one
+pass over the (cached) training frame — a map-side-combinable aggregate
+producing the 4-value gradient — and the weight state is a 1-row frame
+broadcast back into the next pass. No driver loop over DATA; the Python
+loop below only chains K aggregation subplans (the dedup-closure /
+pagerank discipline), so the same code runs on 100 TB of pairs: K scans
+of a cached frame, each a partial+final hash-free aggregate.
+
+Determinism (what makes the fit exact-oracle-checkable, unlike MLlib's
+L-BFGS whose line search is order-sensitive):
+
+- gradient terms are per-row doubles with a FIXED expression tree
+  (identical parenthesization in the DuckDB twin), accumulated as
+  DECIMAL(38,18) — exact, order-insensitive sums;
+- weights are rounded to 9 decimals at every iteration boundary on
+  both engines, so a last-ulp exp() disagreement between libm
+  implementations is squashed before it can compound;
+- class weights (the reference's M1 'balanced' scheme) are single
+  IEEE divisions of exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DIGITS = 9
+
+
+def balanced_class_weights(pairs: DataFrame, label: str = "label") -> DataFrame:
+    """1-row frame (wpos, wneg): sklearn's 'balanced' n/(k*n_c) for the
+    binary case (`03_Train & Deploy Model.py:155-161`)."""
+    return pairs.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / (2.0 * F.sum(label).cast("double"))
+        ).alias("wpos"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / (2.0 * (F.count(F.lit(1)) - F.sum(label)).cast("double"))
+        ).alias("wneg"),
+    )
+
+
+def logistic_gd_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    iters: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Fit w (intercept + one weight per feature) by full-batch GD on
+    class-weighted log-loss; return the whole fit trace as
+    (iter, coef, weight) — 'w0' is the intercept, 'w<j>' pairs with
+    features[j-1].
+
+    The trace (not just the final vector) is the verification surface:
+    the DuckDB oracle replays every iteration, so a drift anywhere in
+    the K passes is caught at the iteration it appears.
+    """
+    names = ["w0"] + [f"w{j + 1}" for j in range(len(features))]
+    pw = pairs.crossJoin(F.broadcast(balanced_class_weights(pairs, label)))
+    pw = pw.withColumn(
+        "sw",
+        F.when(F.col(label) == 1, F.col("wpos")).otherwise(F.col("wneg")),
+    ).select(label, "sw", *features)
+    pw = pw.persist()
+
+    w = pairs.sparkSession.createDataFrame(
+        [tuple(0.0 for _ in names)], ", ".join(f"{n} double" for n in names)
+    )
+    traces = []
+    for t in range(1, iters + 1):
+        joined = pw.crossJoin(F.broadcast(w))
+        z = F.col("w0")
+        for j, feat in enumerate(features):
+            z = z + F.col(f"w{j + 1}") * F.col(feat)
+        p = 1.0 / (1.0 + F.exp(-z))
+        resid = F.col("sw") * (p - F.col(label))
+        den = F.sum(F.col("sw").cast("decimal(38,18)")).cast("double")
+        updates = []
+        for j, n in enumerate(names):
+            term = resid if j == 0 else resid * F.col(features[j - 1])
+            num = F.sum(term.cast("decimal(38,18)")).cast("double")
+            updates.append(
+                F.round(
+                    F.min(n) - F.lit(lr) * (num / den), ROUND_DIGITS
+                ).alias(n)
+            )
+        w = joined.agg(*updates)
+        traces.append(
+            w.select(
+                F.lit(t).alias("iter"),
+                F.expr(
+                    "stack({}, {})".format(
+                        len(names),
+                        ", ".join(f"'{n}', {n}" for n in names),
+                    )
+                ).alias("coef", "weight"),
+            )
+        )
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
+
+
+def logistic_gd_sql(
+    pairs_sql: str,
+    features: list[str],
+    iters: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`logistic_gd_fit` — identical expression
+    trees, DECIMAL(38,18) accumulation, per-iteration round-to-9.
+    ``pairs_sql`` must yield columns ``label`` + ``features`` (named
+    x1..xk in the emitted SQL is NOT required — the caller's names are
+    used verbatim)."""
+    names = ["w0"] + [f"w{j + 1}" for j in range(len(features))]
+    z = " + ".join(
+        ["w.w0"] + [f"w.w{j + 1} * {f}" for j, f in enumerate(features)]
+    )
+    p = f"(1.0 / (1.0 + exp(-({z}))))"
+    resid = f"sw * ({p} - label)"
+    den = "CAST(SUM(CAST(sw AS DECIMAL(38,18))) AS DOUBLE)"
+    ctes = [
+        "cw AS (SELECT"
+        " CAST(COUNT(*) AS DOUBLE) / (2.0 * CAST(SUM(label) AS DOUBLE))"
+        " AS wpos,"
+        " CAST(COUNT(*) AS DOUBLE)"
+        " / (2.0 * CAST(COUNT(*) - SUM(label) AS DOUBLE)) AS wneg"
+        " FROM pairs)",
+        "pw AS (SELECT label,"
+        " CASE WHEN label = 1 THEN wpos ELSE wneg END AS sw, "
+        + ", ".join(features)
+        + " FROM pairs, cw)",
+        "it0 AS (SELECT " + ", ".join(f"0.0 AS {n}" for n in names) + ")",
+    ]
+    for t in range(1, iters + 1):
+        cols = []
+        for j, n in enumerate(names):
+            term = resid if j == 0 else f"{resid} * {features[j - 1]}"
+            num = f"CAST(SUM(CAST({term} AS DECIMAL(38,18))) AS DOUBLE)"
+            cols.append(
+                f"round(w.{n} - {lr!r} * ({num} / {den}), 9) AS {n}"
+            )
+        ctes.append(
+            f"it{t} AS (SELECT "
+            + ", ".join(cols)
+            + f" FROM pw, it{t - 1} w GROUP BY "
+            + ", ".join(f"w.{n}" for n in names)
+            + ")"
+        )
+    arms = [
+        f"SELECT {t} AS iter, '{n}' AS coef, {n} AS weight FROM it{t}"
+        for t in range(1, iters + 1)
+        for n in names
+    ]
+    return (
+        "WITH pairs AS (" + pairs_sql + "),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(arms)
+    )

@@ -1663,3 +1663,187 @@ def train_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_learning_curve.__doc__ = train_learning_curve.__doc__.format(
     fr=_LC_FRACS, k=len(_LC_FRACS)
 )
+
+
+# ---------------------------------------------------------------------------
+# M7 core: fit a real classifier end-to-end (reference NB3's main flow)
+# ---------------------------------------------------------------------------
+
+# The three squared-distance features of serve_match_score, as the
+# training frame for the match classifier — consecutive embedding pairs
+# labeled by cluster agreement (the golden-mapping join shape, J2).
+_LR_PAIRS_SQL = """
+    SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
+           list_sum(list_transform(
+             list_zip((a.embedding::DOUBLE[])[1:64], (b.embedding::DOUBLE[])[1:64]),
+             s -> (s[1]-s[2])*(s[1]-s[2]))) AS x1,
+           list_sum(list_transform(
+             list_zip((a.embedding::DOUBLE[])[1:32], (b.embedding::DOUBLE[])[1:32]),
+             s -> (s[1]-s[2])*(s[1]-s[2]))) AS x2,
+           list_sum(list_transform(
+             list_zip((a.embedding::DOUBLE[])[33:64], (b.embedding::DOUBLE[])[33:64]),
+             s -> (s[1]-s[2])*(s[1]-s[2]))) AS x3
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+_LR_ITERS = 8
+_LR_RATE = 0.5
+
+
+def _lr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_item_matching_spark.functions.vector import squared_dist
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    emb = lambda s, lo, n: F.slice(F.col(f"{s}.embedding"), lo, n)  # noqa: E731
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.when(F.col("a.label") == F.col("b.label"), 1)
+        .otherwise(0)
+        .alias("label"),
+        squared_dist(emb("a", 1, 64), emb("b", 1, 64)).alias("x1"),
+        squared_dist(emb("a", 1, 32), emb("b", 1, 32)).alias("x2"),
+        squared_dist(emb("a", 33, 32), emb("b", 33, 32)).alias("x3"),
+    )
+
+
+def _logreg_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], iters=_LR_ITERS, lr=_LR_RATE
+    )
+
+
+@query("train_logreg_gd", oracle=_logreg_oracle())
+def train_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7's fit, engine-native and exact-oracle-checked: logistic
+    regression on the reference's three squared-distance features
+    (`03_Train & Deploy Model.py:100-107,119-305` fits XGBoost on the
+    same shape) via class-weighted full-batch gradient descent —
+    operators/logreg.py. The M1 'balanced' weights feed the loss, so
+    the 10%-positive pair frame doesn't collapse to the majority
+    predictor.
+
+    Output is the full fit trace (iter × coefficient), and the DuckDB
+    oracle replays every iteration: chained CTEs with the identical
+    expression trees, DECIMAL(38,18) gradient accumulation (exact,
+    order-insensitive) and round-to-9 weight quantization that squashes
+    last-ulp libm exp() differences before they can compound.
+
+    Plan: the training frame is persisted once; each iteration is one
+    scan + one 4-value aggregate with the 1-row weight state broadcast
+    back in — no driver loop over data, no collect. At 100 TB: K
+    sequential passes over a cached frame, the canonical distributed
+    GD schedule.
+    """
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
+
+    return logistic_gd_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+    )
+
+
+@query("train_fit_score_model", oracle=None)  # L-BFGS coefficient values are
+# solver-specific (order-sensitive line search) — rows-only here; the
+# registry lifecycle, UDF-vs-transform score parity, and ranking-power
+# properties are asserted in tests/test_mlbridge.py, and the
+# deterministic fit twin train_logreg_gd carries the exact oracle.
+def train_fit_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NB3 flow end-to-end with a REAL learned model
+    (`03_Train & Deploy Model.py:119-305,324-343,433-446`): label pairs
+    → M1 balanced class weights → fit pyspark.ml LogisticRegression on
+    the three distance features → register the fitted PipelineModel →
+    archive-then-promote to Production → reload BY STAGE → score
+    through a registered vectorized pandas_udf invoked via F.expr
+    (the `match_score(...)` call shape) → top-20 by score.
+
+    The scoring UDF closes over the RELOADED model's coefficients —
+    proving the artifact round-trip, not the in-memory object, produces
+    the scores. Arrow-batched sigmoid over numpy; the only Python hop
+    in the scoring plan.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql.functions import pandas_udf
+
+    from fuzzy_item_matching_spark.operators.logreg import (
+        balanced_class_weights,
+    )
+    from fuzzy_item_matching_spark.operators.registry import (
+        PRODUCTION,
+        ModelRegistry,
+    )
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    pairs = _lr_pairs(spark, sf_dir)
+    train = pairs.crossJoin(
+        F.broadcast(balanced_class_weights(pairs))
+    ).withColumn(
+        "sw", F.when(F.col("label") == 1, F.col("wpos")).otherwise(F.col("wneg"))
+    )
+
+    assembler = VectorAssembler(
+        inputCols=["x1", "x2", "x3"], outputCol="features"
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        weightCol="sw",
+        maxIter=25,
+        regParam=0.0,
+        standardization=True,
+    )
+    model = Pipeline(stages=[assembler, lr]).fit(train)
+
+    root = os.path.join(SCRATCH, "registry_lr")
+    shutil.rmtree(root, ignore_errors=True)
+    reg = ModelRegistry(root)
+    name = "match_model"
+    v = reg.register(name, model)
+    reg.promote(name, v, PRODUCTION)
+    reloaded = reg.load(name, stage=PRODUCTION)
+
+    lrm = reloaded.stages[-1]
+    coefs = np.asarray(lrm.coefficients.toArray(), dtype=float)
+    intercept = float(lrm.intercept)
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # them, which breaks pandas_udf signature inference — the return
+    # type is given explicitly instead.
+    def _score(x1, x2, x3):
+        z = intercept + coefs[0] * x1 + coefs[1] * x2 + coefs[2] * x3
+        return 1.0 / (1.0 + np.exp(-z))
+
+    spark.udf.register("match_score_lr", pandas_udf(_score, "double"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ea, eb = e.alias("a"), e.alias("b")
+    emb = lambda s, lo, n: F.slice(F.col(f"{s}.embedding"), lo, n)  # noqa: E731
+    from fuzzy_item_matching_spark.functions.vector import squared_dist
+
+    scored = ea.join(eb, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        squared_dist(emb("a", 1, 64), emb("b", 1, 64)).alias("x1"),
+        squared_dist(emb("a", 1, 32), emb("b", 1, 32)).alias("x2"),
+        squared_dist(emb("a", 33, 32), emb("b", 33, 32)).alias("x3"),
+    ).withColumn("score", F.expr("match_score_lr(x1, x2, x3)"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id_a"))
+        .limit(20)
+        .select(
+            "id_a",
+            "id_b",
+            "score",
+            F.lit(v).alias("prod_version"),
+            F.lit(len(coefs)).alias("n_coefs"),
+        )
+    )

@@ -123,3 +123,85 @@ def test_model_registry_version_promote_load(spark, part, tmp_path_factory):
         reg.load("name_matcher", version=3)
     with pytest.raises(ValueError):
         reg.resolve("name_matcher", stage="Staging")
+
+
+def test_logreg_gd_fit_properties(spark):
+    """M7 fit (engine-native GD): trace shape, finite weights, and
+    ranking power — the fitted score must order pairs at least as well
+    as chance, and the class-weighted fit must move every coefficient
+    off its zero init."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _LR_ITERS,
+        _lr_pairs,
+        train_logreg_gd,
+    )
+
+    trace = train_logreg_gd(spark, SF_SMOKE).collect()
+    assert len(trace) == _LR_ITERS * 4
+    assert all(abs(r.weight) < 1e6 for r in trace)
+    final = {r.coef: r.weight for r in trace if r.iter == _LR_ITERS}
+    assert set(final) == {"w0", "w1", "w2", "w3"}
+    assert all(w == w for w in final.values())  # no NaN
+
+    # AUC of the fitted linear score on the training frame >= 0.5
+    # (Mann-Whitney computed in numpy on the small smoke frame).
+    import numpy as np
+
+    rows = _lr_pairs(spark, SF_SMOKE).collect()
+    y = np.array([r.label for r in rows], dtype=float)
+    z = (
+        final["w0"]
+        + final["w1"] * np.array([r.x1 for r in rows])
+        + final["w2"] * np.array([r.x2 for r in rows])
+        + final["w3"] * np.array([r.x3 for r in rows])
+    )
+    order = np.argsort(z, kind="stable")
+    ranks = np.empty(len(z))
+    ranks[order] = np.arange(1, len(z) + 1)
+    n_pos, n_neg = y.sum(), (1 - y).sum()
+    if n_pos and n_neg:
+        auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        assert auc >= 0.5, f"fitted ranking is worse than chance: {auc}"
+
+
+def test_fit_score_model_udf_matches_transform(spark):
+    """The pandas_udf scorer built from the RELOADED model's
+    coefficients must reproduce model.transform's P(match) — the
+    F2 model-as-UDF contract with a real learned artifact."""
+    from pyspark.ml.functions import vector_to_array
+
+    from fuzzy_item_matching_spark.queries.training import (
+        train_fit_score_model,
+    )
+
+    top = train_fit_score_model(spark, SF_SMOKE)
+    rows = top.collect()
+    assert 0 < len(rows) <= 20
+    assert rows[0].prod_version == 1 and rows[0].n_coefs == 3
+    # scores are valid probabilities, descending
+    scores = [r.score for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+    # parity: rebuild the registered model's transform probabilities
+    # over the same pairs and compare against the UDF output
+    from fuzzy_item_matching_spark.operators.registry import (
+        PRODUCTION,
+        ModelRegistry,
+    )
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+    import os
+
+    reg = ModelRegistry(os.path.join(SCRATCH, "registry_lr"))
+    model = reg.load("match_model", stage=PRODUCTION)
+    from fuzzy_item_matching_spark.queries.training import _lr_pairs
+
+    pairs = _lr_pairs(spark, SF_SMOKE)
+    probs = (
+        model.transform(pairs)
+        .select(vector_to_array("probability")[1].alias("p"))
+        .collect()
+    )
+    spark_scores = sorted((r.p for r in probs), reverse=True)[: len(rows)]
+    for udf_s, tr_s in zip(scores, spark_scores):
+        assert abs(udf_s - tr_s) < 1e-9

@@ -143,3 +143,95 @@ def grid_search_threshold(
         return pd.DataFrame({"param": [t], "score": [f1], "n": [len(pdf)]})
 
     return joined.groupBy("param").applyInPandas(evaluate, schema=RESULT_SCHEMA)
+
+
+HALVING_SCHEMA = "trial_id long, param double, score double, n long"
+
+
+def successive_halving(
+    scored: DataFrame,
+    configs: DataFrame,
+    rungs: list[tuple[float, int]],
+    label_col: str = "label",
+    score_col: str = "score",
+    u_col: str = "u",
+    param_col: str = "param",
+) -> DataFrame:
+    """Adaptive hyperparameter search (M4) as pure dataflow: seeded
+    successive halving over the applyInPandas evaluation skeleton of
+    :func:`grid_search_threshold`.
+
+    The reference runs hyperopt TPE with SparkTrials — adaptive but
+    stateful and non-replayable (`03_Train & Deploy Model.py:243-253`).
+    The engine-native adaptive form trades TPE's model for a replayable
+    schedule: rung r evaluates the surviving configs on a keyed-uniform
+    data subset (``u < fraction``), ranks by objective, and keeps the
+    top-k for the next (larger) rung — cheap broad exploration first,
+    full-data evaluation only for finalists, exactly the
+    budget-allocation idea of Hyperband's inner loop.
+
+    EVERYTHING is a plan: subsets are filters on the content-keyed
+    uniform (reproducible under any partitioning), each rung's
+    evaluation is one applyInPandas group per config (closure-shipping,
+    F4), survivor selection is a window rank + join — no driver
+    collect anywhere, and every intermediate is exactly replayable in
+    SQL (the oracle replays all rungs). ``rungs`` is a list of
+    (data_fraction, keep) pairs; the final rung's keep marks the
+    winner. Returns the full trace: (rung, trial_id, param, score, n,
+    rnk, kept).
+    """
+    from pyspark.sql.window import Window
+
+    def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = float(pdf[param_col].iloc[0])
+        pred = pdf["__score"] >= t
+        tp = int((pred & (pdf["__label"] == 1)).sum())
+        fp = int((pred & (pdf["__label"] == 0)).sum())
+        fn = int((~pred & (pdf["__label"] == 1)).sum())
+        f1 = (2.0 * tp / (2 * tp + fp + fn)) if (2 * tp + fp + fn) else 0.0
+        return pd.DataFrame(
+            {
+                "trial_id": [int(pdf["trial_id"].iloc[0])],
+                param_col: [t],
+                "score": [f1],
+                "n": [len(pdf)],
+            }
+        )
+
+    rows = scored.select(
+        F.col(label_col).alias("__label"),
+        F.col(score_col).alias("__score"),
+        F.col(u_col).alias("__u"),
+    )
+    current = configs
+    trace = []
+    w = Window.orderBy(F.desc("score"), F.asc("trial_id"))
+    for rung, (fraction, keep) in enumerate(rungs):
+        sub = rows.filter(F.col("__u") < F.lit(fraction))
+        joined = sub.crossJoin(F.broadcast(current))
+        evals = joined.groupBy("trial_id", param_col).applyInPandas(
+            evaluate, schema=HALVING_SCHEMA
+        )
+        ranked = evals.withColumn("rnk", F.row_number().over(w))
+        last = rung == len(rungs) - 1
+        kept = F.col("rnk") <= F.lit(1 if last else keep)
+        trace.append(
+            ranked.select(
+                F.lit(rung).alias("rung"),
+                "trial_id",
+                F.col(param_col),
+                "score",
+                "n",
+                "rnk",
+                kept.cast("int").alias("kept"),
+            )
+        )
+        if not last:
+            current = (
+                ranked.filter(F.col("rnk") <= F.lit(keep))
+                .select("trial_id", param_col)
+            )
+    out = trace[0]
+    for t in trace[1:]:
+        out = out.unionByName(t)
+    return out

@@ -136,7 +136,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_decontaminate",
     "train_class_weights",
     "train_avg_precision",
-    "train_grid_search",
+    # -- r06 rotation: M4's slot upgrades from the static grid
+    #    (train_grid_search, demoted) to the ADAPTIVE seeded
+    #    successive-halving schedule — same applyInPandas evaluation
+    #    skeleton plus rung subsets, window-rank elimination, and a
+    #    full multi-rung oracle replay (strictly stronger, the
+    #    dedup_canonical_map→closure precedent).
+    "train_successive_halving",
     "train_search_space",
     "train_keyed_split_sizes",
     "stream_events_hourly",
@@ -152,6 +158,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    serve_model_registry — the M7+M8 registry lifecycle
     #    (register → archive-then-promote → stage-resolve → reload →
     #    score), previously verified only in tests/.
+    "serve_model_registry",
     # -- r06 rotation: T7 hashed TF keeps an in-prefix composite
     #    verifier (binary TF inside sim_fuzzy_part_pairs' green plan),
     #    so text_hashed_tf yields its slot to train_logreg_gd — the M7
@@ -189,6 +196,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- demoted by the r06 rotation (see prefix header): T7's binary
     #    hashed TF runs inside sim_fuzzy_part_pairs' green plan
     "text_hashed_tf",
+    # -- demoted by the r06 rotation: M4 verified in-prefix by the
+    #    strictly-stronger train_successive_halving (same applyInPandas
+    #    skeleton; the static grid is rung 0's param twin)
+    "train_grid_search",
     # -- demoted by the r05 fourth rotation (see prefix header):
     #    operator keeps an in-prefix verifier
     "text_tokens",

@@ -1847,3 +1847,135 @@ def train_fit_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(coefs)).alias("n_coefs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 adaptive search: seeded successive halving (replayable hyperband rung)
+# ---------------------------------------------------------------------------
+
+_SH_TRIALS = 16
+_SH_SEED = 7  # config draw
+_SH_U_SEED = 17  # data-subset draw
+_SH_LO, _SH_HI = 0.25, 0.55
+_SH_RUNGS = ((0.25, 8), (0.5, 4), (1.0, 1))
+
+
+def _halving_sql() -> str:
+    u_cfg = (
+        f"(CAST(CAST('0x' || substr(md5('{_SH_SEED}:' ||"
+        " CAST(trial_id AS VARCHAR) || ':param'), 1, 8) AS BIGINT)"
+        " AS DOUBLE) / 4294967296.0)"
+    )
+    u_row = (
+        f"(CAST(CAST('0x' || substr(md5('{_SH_U_SEED}:' ||"
+        " CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        " AS DOUBLE) / 4294967296.0)"
+    )
+    sqd = (
+        "list_sum(list_transform(list_zip(a.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[]), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    ctes = [
+        f"""pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
+             1.0 / (1.0 + {sqd}) AS score,
+             {u_row} AS u
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )""",
+        f"""cfg0 AS (
+      SELECT CAST(trial_id AS BIGINT) AS trial_id,
+             ({_SH_LO!r} + {u_cfg} * ({_SH_HI!r} - {_SH_LO!r})) AS param
+      FROM range({_SH_TRIALS}) t(trial_id)
+    )""",
+    ]
+    arms = []
+    for r, (frac, keep) in enumerate(_SH_RUNGS):
+        last = r == len(_SH_RUNGS) - 1
+        ctes.append(
+            f"""ev{r} AS (
+      SELECT c.trial_id, c.param,
+             SUM(CASE WHEN score >= c.param AND label = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score >= c.param AND label = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score <  c.param AND label = 1 THEN 1 ELSE 0 END) AS fn,
+             COUNT(*) AS n
+      FROM pairs, cfg{r} c WHERE u < {frac!r} GROUP BY c.trial_id, c.param
+    )""",
+        )
+        ctes.append(
+            f"""sc{r} AS (
+      SELECT trial_id, param,
+             CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2*tp + fp + fn) END AS score, n
+      FROM ev{r}
+    )""",
+        )
+        ctes.append(
+            f"""rk{r} AS (
+      SELECT trial_id, param, score, n,
+             ROW_NUMBER() OVER (ORDER BY score DESC, trial_id) AS rnk
+      FROM sc{r}
+    )""",
+        )
+        if not last:
+            ctes.append(
+                f"cfg{r + 1} AS (SELECT trial_id, param FROM rk{r}"
+                f" WHERE rnk <= {keep})"
+            )
+        arms.append(
+            f"SELECT {r} AS rung, trial_id, param, score, n, rnk,"
+            f" CASE WHEN rnk <= {1 if last else keep} THEN 1 ELSE 0 END AS kept"
+            f" FROM rk{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("train_successive_halving", oracle=_halving_sql())
+def train_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4, the ADAPTIVE form: seeded successive halving — the
+    budget-allocation core of Hyperband — over the applyInPandas
+    evaluation skeleton (operators/tuning.py::successive_halving).
+    The reference's hyperopt TPE + SparkTrials loop
+    (`03_Train & Deploy Model.py:243-253`) is adaptive but stateful
+    and non-replayable; this schedule is adaptive AND exactly
+    replayable: 16 md5-seeded threshold configs explore 25% of the
+    pairs, the top 8 advance to 50%, the top 4 to the full frame,
+    rank 1 wins. Subsets are content-keyed uniforms (same rows in a
+    rung on every engine/partitioning), evaluations are one
+    applyInPandas group per config per rung, survivor selection is a
+    window rank + join — no driver collect; the oracle replays every
+    rung, rank, and elimination relationally.
+
+    Plan at 100 TB: rung cost scales with fraction × survivors, so
+    the expensive full-data pass runs only for finalists; each rung
+    is an independent shuffle-free broadcast join + grouped Arrow
+    evaluation.
+    """
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.functions.vector import squared_dist
+    from fuzzy_item_matching_spark.operators.tuning import (
+        ParamSpec,
+        sample_search_space,
+        successive_halving,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.when(F.col("a.label") == F.col("b.label"), 1)
+        .otherwise(0)
+        .alias("label"),
+        (
+            1.0
+            / (1.0 + squared_dist(F.col("a.embedding"), F.col("b.embedding")))
+        ).alias("score"),
+        keyed_uniform(F.col("a.vec_id"), seed=_SH_U_SEED).alias("u"),
+    )
+    configs = sample_search_space(
+        spark,
+        n_trials=_SH_TRIALS,
+        specs=[ParamSpec("param", "uniform", _SH_LO, _SH_HI)],
+        seed=_SH_SEED,
+    )
+    return successive_halving(
+        pairs, configs, rungs=list(_SH_RUNGS)
+    )

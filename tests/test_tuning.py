@@ -35,3 +35,32 @@ def test_search_space_deterministic_and_seed_sensitive(spark):
     c = sample_search_space(spark, 50, SPECS, seed=8).collect()
     assert a == b
     assert a != c
+
+
+def test_successive_halving_schedule_properties(spark):
+    """Rung survivors nest: every config in rung r+1 was kept in rung
+    r; ranks are a permutation; the winner is rank 1 of the full-data
+    rung."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _SH_RUNGS,
+        _SH_TRIALS,
+        train_successive_halving,
+    )
+    from .conftest import SF_SMOKE
+
+    rows = train_successive_halving(spark, SF_SMOKE).collect()
+    by_rung = {}
+    for r in rows:
+        by_rung.setdefault(r.rung, []).append(r)
+    assert len(by_rung[0]) == _SH_TRIALS
+    for rung, (frac, keep) in enumerate(_SH_RUNGS[:-1]):
+        kept_ids = {r.trial_id for r in by_rung[rung] if r.kept}
+        next_ids = {r.trial_id for r in by_rung[rung + 1]}
+        assert next_ids == kept_ids, f"rung {rung + 1} configs != rung {rung} keeps"
+        assert len(kept_ids) == keep
+    final = by_rung[len(_SH_RUNGS) - 1]
+    assert sorted(r.rnk for r in final) == list(range(1, len(final) + 1))
+    winner = [r for r in final if r.kept]
+    assert len(winner) == 1 and winner[0].rnk == 1
+    best = max(final, key=lambda r: (r.score, -r.trial_id))
+    assert winner[0].trial_id == best.trial_id

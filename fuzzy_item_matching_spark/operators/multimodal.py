@@ -2,16 +2,20 @@
 
 A 100 TB training-data pipeline carries media as opaque ``binary``
 columns with typed metadata, decoded/feature-extracted via Arrow-batched
-Python (`mapInPandas`) because no Catalyst builtin decodes media. This
-module makes all the Spark-side plumbing real — schemas, batch
-iteration, partition behavior — while the actual codec call is STUBBED
-(Pillow/librosa/ffmpeg are not in this container):
+Python (`mapInPandas`) because no Catalyst builtin decodes media.
 
-- ``decode_image_stub=False`` (default) runs a DETERMINISTIC fake
-  decode derived from the payload bytes, so the whole path is testable
-  and even oracle-checkable end-to-end.
-- ``real_decode=True`` raises NotImplementedError at the exact call
-  site where PIL.Image.open(BytesIO(payload)) would go.
+Codec surface (two tiers, selected by ``real_decode``):
+
+- ``real_decode=True`` runs REAL pure-python parsers for uncompressed
+  containers — 24-bit BMP (`decode_bmp`) and 8-bit mono PCM RIFF/WAVE
+  (`decode_wav`) — byte-level header walks + payload extraction, no
+  Pillow/soundfile needed. Compressed formats (PNG/JPEG/FLAC/...)
+  would slot into the same call sites via those libraries; they are
+  not in this container, so `decode_bmp`/`decode_wav` raise
+  ValueError on anything that isn't their container rather than
+  guessing.
+- ``real_decode=False`` keeps the original deterministic byte-derived
+  stub (no container required) for payloads that are plain bytes.
 
 The batch shape is the part that matters at scale: one Arrow batch in,
 one pandas DataFrame out, constant memory per executor thread, media
@@ -20,15 +24,143 @@ bytes never cross a shuffle (metadata-only projections feed joins).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, aspect double"
+    "doc_id bigint, n_bytes int, width int, height int, aspect double,"
+    " sum_px bigint, mean_px double"
 )
+
+
+# -- real pure-python codecs (uncompressed containers) ----------------------
+
+
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Canonical RIFF/WAVE container: 44-byte header + 8-bit mono PCM
+    data chunk. Little-endian throughout, per the RIFF spec."""
+    n = len(samples)
+    return b"".join(
+        (
+            b"RIFF",
+            struct.pack("<I", 36 + n),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8),
+            b"data",
+            struct.pack("<I", n),
+            samples,
+        )
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL WAV parse: validate the RIFF/WAVE signature, walk chunks
+    (word-aligned), read the fmt chunk, return the data chunk as u8
+    samples. Raises ValueError on non-WAV or unsupported encodings."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, _sr, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 8:
+        raise ValueError("only uncompressed 8-bit mono PCM is supported")
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER): 54-byte
+    header, rows padded to 4-byte boundaries. ``pixels`` is row-major
+    BGR, ``len == width*height*3``."""
+    row = width * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * height
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    for r in range(height):
+        body += pixels[r * row : (r + 1) * row]
+        body += b"\x00" * pad
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL BMP parse: validate the BM signature, read the
+    BITMAPINFOHEADER geometry, strip per-row padding, return
+    (width, height, pixel_bytes). Raises ValueError on non-BMP or
+    compressed/paletted variants."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP is supported")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = [
+        payload[offset + r * stride : offset + r * stride + width * 3]
+        for r in range(abs(height))
+    ]
+    return width, abs(height), b"".join(rows)
+
+
+def _tile(data: bytes, n: int) -> bytes:
+    """Cycle ``data`` to exactly ``n`` bytes (zeros if empty) — the
+    deterministic pixel/sample fill used by the fixture builders."""
+    if not data:
+        return bytes(n)
+    reps = -(-n // len(data))
+    return (data * reps)[:n]
+
+
+def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture builder: pack each row's utf-8 bytes into a REAL WAV
+    container (payload column). Arrow-batched; at scale real media
+    arrives already containerized, so this hop exists only to make the
+    decode path drivable from text tables."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _build(text):
+        return text.map(lambda t: encode_wav(t.encode("utf-8")))
+
+    return df.withColumn("payload", pandas_udf(_build, "binary")(F.col(text_col)))
+
+
+def with_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture builder: a REAL 24-bit BMP per row — dimensions derived
+    from the first two utf-8 bytes ((b%8+1)*8 → 8..64 px), pixel data
+    the row's bytes tiled across width*height*3."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(t):
+        data = t.encode("utf-8")
+        b0 = data[0] if len(data) > 0 else 0
+        b1 = data[1] if len(data) > 1 else 0
+        w, h = (b0 % 8 + 1) * 8, (b1 % 8 + 1) * 8
+        return encode_bmp(w, h, _tile(data, w * h * 3))
+
+    def _build(text):
+        return text.map(_one)
+
+    return df.withColumn("payload", pandas_udf(_build, "binary")(F.col(text_col)))
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -71,21 +203,34 @@ def extract_image_features(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image decode requires Pillow; install and replace "
-                    "_fake_decode with PIL.Image.open(BytesIO(payload)).size"
-                )
-            dims = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].values,
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
-                    "aspect": [w / h for w, h in dims],
-                }
-            )
+            out = {
+                "doc_id": pdf[id_col].values,
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "aspect": [],
+                "sum_px": [],
+                "mean_px": [],
+            }
+            for p in pdf[payload_col]:
+                raw = bytes(p)
+                if real_decode:
+                    # REAL bytes→pixels path: header walk + padded-row
+                    # strip (decode_bmp). A Pillow-backed branch for
+                    # compressed formats would go here.
+                    w, h, px = decode_bmp(raw)
+                else:
+                    w, h = _fake_decode(raw)
+                    px = raw
+                arr = np.frombuffer(px, dtype=np.uint8)
+                s = int(arr.sum(dtype=np.int64))
+                out["n_bytes"].append(len(raw))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["aspect"].append(w / h)
+                out["sum_px"].append(s)
+                out["mean_px"].append(s / len(arr) if len(arr) else 0.0)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=IMAGE_FEATURE_SCHEMA
@@ -140,15 +285,9 @@ def extract_audio_windows(
     keys only. Window stats use integer accumulators so the mean is a
     single exact division — oracle-checkable cross-engine.
     """
-    import numpy as np
 
     def win_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa; replace "
-                    "np.frombuffer with sf.read(BytesIO(payload))"
-                )
             out: dict[str, list] = {
                 "doc_id": [],
                 "win": [],
@@ -158,7 +297,14 @@ def extract_audio_windows(
                 "mean_v": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                raw = bytes(payload)
+                if real_decode:
+                    # REAL bytes→samples path: RIFF chunk walk
+                    # (decode_wav). A soundfile-backed branch for
+                    # compressed audio would go here.
+                    samples = decode_wav(raw)
+                else:
+                    samples = np.frombuffer(raw, dtype=np.uint8)
                 for w in range((len(samples) + window - 1) // window):
                     chunk = samples[w * window : (w + 1) * window]
                     if len(chunk) == 0:

@@ -1,11 +1,13 @@
-"""Multimodal queries: binary payload metadata, Arrow-batched decode,
-frame sampling (large-scale-pipeline extension; see
-operators/multimodal.py for the stub-vs-real-codec contract).
+"""Multimodal queries: binary payload metadata, REAL container decode
+(BMP/WAV), frame sampling (large-scale-pipeline extension; see
+operators/multimodal.py for the codec tiers).
 
-The fake decode is deterministic from payload bytes, so even the
-mapInPandas hop gets an EXACT oracle (DuckDB replicates the byte
-arithmetic via ascii()). documents.text is ASCII, so utf-8 byte
-lengths equal char lengths.
+The image/audio queries build genuine uncompressed containers from
+document bytes and PARSE them back — so the mapInPandas hop exercises
+a real bytes→pixels/samples path while staying exactly
+oracle-checkable: the builder∘parser roundtrip is content-preserving,
+and DuckDB replays the underlying byte arithmetic via ascii().
+documents.text is ASCII, so utf-8 byte lengths equal char lengths.
 """
 
 from __future__ import annotations
@@ -14,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fuzzy_item_matching_spark.operators.multimodal import (
+    with_bmp_payload,
+    with_wav_payload,
     extract_audio_windows,
     extract_image_features,
     sample_frames,
@@ -47,22 +51,58 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_image_features",
     oracle="""
-    SELECT doc_id,
-           length(text) AS n_bytes,
-           (ascii(substring(text, 1, 1)) % 8 + 1) * 16 AS width,
-           (ascii(substring(text, 2, 1)) % 8 + 1) * 16 AS height,
-           ((ascii(substring(text, 1, 1)) % 8 + 1) * 16)::DOUBLE
-             / ((ascii(substring(text, 2, 1)) % 8 + 1) * 16) AS aspect
-    FROM documents
+    WITH dims AS (
+      SELECT doc_id, text, length(text) AS tl,
+             (ascii(substring(text, 1, 1)) % 8 + 1) * 8 AS w,
+             (ascii(substring(text, 2, 1)) % 8 + 1) * 8 AS h
+      FROM documents
+    ),
+    geo AS (
+      SELECT doc_id, text, tl, w, h,
+             3 * w * h AS needed,
+             (3 * w + 3) // 4 * 4 AS stride
+      FROM dims
+    ),
+    sums AS (
+      SELECT g.doc_id,
+             SUM(ascii(substring(g.text, c.i, 1))) AS sum_all,
+             SUM(CASE WHEN c.i <= g.needed % g.tl
+                      THEN ascii(substring(g.text, c.i, 1)) ELSE 0 END)
+               AS sum_prefix
+      FROM geo g, LATERAL (
+        SELECT unnest(generate_series(1, g.tl)) AS i
+      ) c
+      WHERE g.tl > 0
+      GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(54 + g.stride * g.h AS INT) AS n_bytes,
+           CAST(g.w AS INT) AS width,
+           CAST(g.h AS INT) AS height,
+           g.w::DOUBLE / g.h AS aspect,
+           CAST(CASE WHEN g.tl = 0 THEN 0
+                     ELSE (g.needed // g.tl) * s.sum_all + s.sum_prefix
+                END AS BIGINT) AS sum_px,
+           (CASE WHEN g.tl = 0 THEN 0
+                 ELSE (g.needed // g.tl) * s.sum_all + s.sum_prefix
+            END)::DOUBLE / g.needed AS mean_px
+    FROM geo g LEFT JOIN sums s ON g.doc_id = s.doc_id
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched 'decode' via mapInPandas (stubbed codec,
-    deterministic byte-derived dimensions — exact oracle). The plumbing
-    under test is the real thing: binary column through an Arrow batch
-    iterator with a fixed output schema, partition-parallel."""
-    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_image_features(d)
+    """REAL bytes→pixels decode via mapInPandas: each document's bytes
+    are packed into a genuine 24-bit BMP container (fixture builder,
+    operators/multimodal.py:with_bmp_payload), and the extractor
+    PARSES it — BM signature, BITMAPINFOHEADER geometry, padded-row
+    strip — then reduces the pixel plane to sum/mean features. The
+    oracle replays the builder∘parser roundtrip arithmetically:
+    dimensions from the first two bytes, pixel sums from the tiled
+    byte cycle, container size from the BMP stride formula. The
+    plumbing is the at-scale shape: binary column through an Arrow
+    batch iterator, fixed output schema, partition-parallel, payload
+    bytes never shuffled."""
+    d = with_bmp_payload(load_table(spark, sf_dir, "documents"))
+    return extract_image_features(d, real_decode=True)
 
 
 @query(
@@ -111,12 +151,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowing: fake-PCM decode + per-32-sample-frame stats in
-    ONE Arrow hop (operators/multimodal.py:extract_audio_windows) —
-    the one-to-many mapInPandas shape. The fan-out happens inside the
-    Python batch so payload bytes never cross a shuffle; the output is
-    keyed feature rows. ASCII text payloads make the byte arithmetic
-    exactly replicable in SQL (same contract as mm_image_features).
+    """REAL bytes→samples decode + per-32-sample-frame stats in ONE
+    Arrow hop: each document's bytes are packed into a genuine
+    RIFF/WAVE container (with_wav_payload) and the extractor PARSES it
+    — signature check, word-aligned chunk walk, fmt validation, data
+    extraction — before windowing (operators/multimodal.py). The
+    one-to-many fan-out happens inside the Python batch so payload
+    bytes never cross a shuffle; the output is keyed feature rows.
+    Because the container roundtrip is sample-preserving, the oracle
+    computes the identical window stats directly from the text bytes.
     """
-    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_audio_windows(d.filter(F.length("text") > 0))
+    d = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    return extract_audio_windows(
+        d.filter(F.length("text") > 0), real_decode=True
+    )

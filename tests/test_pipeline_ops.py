@@ -234,3 +234,43 @@ def test_token_dominance_bounds(spark):
     for r in rows:
         assert 1 <= r["max_tf"] <= r["n_tokens"]
         assert 0.0 < r["top_token_frac"] <= 1.0
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp -> decode_bmp is identity on geometry and pixels,
+    including non-multiple-of-4 row widths (padding strip)."""
+    from fuzzy_item_matching_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w, h in [(1, 1), (2, 3), (5, 4), (16, 8)]:
+        n = w * h * 3
+        px = bytes(i % 251 for i in range(n))
+        got = decode_bmp(encode_bmp(w, h, px))
+        assert got == (w, h, px)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"NOTABMP" + bytes(64))
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav -> decode_wav is identity on samples; non-WAV and
+    unsupported encodings are rejected."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for samples in [b"", b"\x00", bytes(range(256)), b"hello world" * 9]:
+        got = decode_wav(encode_wav(samples))
+        assert bytes(got.astype(np.uint8)) == samples
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(64))

@@ -141,3 +141,35 @@ def test_jaro_winkler_matches_duckdb(spark, data):
         ).fetchone()[0]
         assert jaro_winkler_py(a, b) == want, (a, b)
     con.close()
+
+
+def test_jaro_winkler_batch_matches_py_kernel():
+    """The numpy batch kernel is bit-identical to the per-pair Python
+    oracle twin across random and adversarial cases (degenerate
+    windows, empties, transposition-heavy pairs, embedded NULs)."""
+    import random
+
+    from fuzzy_item_matching_spark.functions.text import (
+        jaro_winkler_batch,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(1234)
+    alpha = "abcdef"
+    cases = [
+        ("", ""), ("a", ""), ("", "a"), ("a", "a"), ("a", "b"),
+        ("abc", "abc"), ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("duane", "dwayne"), ("crate", "trace"),
+        ("x" * 50, "x" * 49 + "y"), ("ab\0cd", "ab\0dc"),
+    ]
+    for _ in range(5000):
+        l1, l2 = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(l1)),
+                "".join(rng.choice(alpha) for _ in range(l2)),
+            )
+        )
+    got = jaro_winkler_batch([a for a, _ in cases], [b for _, b in cases])
+    for (a, b), g in zip(cases, got):
+        assert jaro_winkler_py(a, b) == g, (a, b)

@@ -211,6 +211,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- demoted by the r05 fifth rotation (see prefix header)
     "src_keyed_sample",
     "text_bpe_segments",
+    # (the 50k-merge scale variant of the in-prefix text_bpe_fit: same
+    # pair-count recursion plus shortlist + greedy non-overlap
+    # selection + batched apply, all replayed in its unrolled oracle)
+    "text_bpe_fit_batched",
     "rel_expr_join_scoring",
     # -- new in the r05 continuation, exact-oracled but below the
     #    boundary: their shapes overlap in-prefix rows (OLS = agg

@@ -478,3 +478,179 @@ def text_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jw") >= 0.88)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE fit: K merges per driver round-trip (the 50k-merge path)
+# ---------------------------------------------------------------------------
+
+_BPE_B_ROUNDS = 3
+_BPE_B_K = 4  # merges accepted per round
+_BPE_B_C = 32  # candidate shortlist per round
+
+
+def _bpe_batched_oracle() -> str:
+    """Unrolled DuckDB twin of the batched fit. Per round: pair counts
+    → a top-C shortlist (total order: cnt DESC, pair ASC) → greedy
+    non-overlap selection unrolled as K chained LIMIT-1 CTEs (candidate
+    excluded iff it shares a symbol with any earlier selection this
+    round) → all K merges applied through one pivoted scalar row.
+    COALESCE(chr(1)) turns unused selection slots into no-op replaces."""
+    parts = [
+        """
+    WITH v0 AS MATERIALIZED (
+      SELECT w, COUNT(*) AS wc FROM (
+        SELECT unnest({toks}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT w, wc,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+      FROM v0
+    )""".format(toks=_D_TOKENS.format(c="text"))
+    ]
+    arms = []
+    for r in range(1, _BPE_B_ROUNDS + 1):
+        parts.append(f"""
+    pairs{r} AS MATERIALIZED (
+      SELECT p, SUM(wc) AS cnt FROM (
+        SELECT wc,
+               unnest(list_transform(generate_series(1, len(a) - 1),
+                      i -> a[i] || ' ' || a[i + 1])) AS p
+        FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM seg{r - 1})
+      ) GROUP BY p
+    ),
+    top{r} AS MATERIALIZED (
+      SELECT p, CAST(cnt AS BIGINT) AS cnt,
+             string_split(p, ' ')[1] AS ls, string_split(p, ' ')[2] AS rs
+      FROM pairs{r} ORDER BY cnt DESC, p ASC LIMIT {_BPE_B_C}
+    )""")
+        prev: list[str] = []
+        for k in range(1, _BPE_B_K + 1):
+            if prev:
+                prior = " UNION ALL ".join(
+                    f"SELECT ls, rs FROM {c}" for c in prev
+                )
+                guard = f"""
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({prior}) s
+        WHERE s.ls IN (t.ls, t.rs) OR s.rs IN (t.ls, t.rs)
+      )"""
+            else:
+                guard = ""
+            parts.append(f"""
+    sel{r}_{k} AS MATERIALIZED (
+      SELECT {k} AS sel, p, cnt, ls, rs FROM top{r} t{guard}
+      ORDER BY cnt DESC, p ASC LIMIT 1
+    )""")
+            prev.append(f"sel{r}_{k}")
+        chosen_union = " UNION ALL ".join(f"SELECT * FROM {c}" for c in prev)
+        piv_cols = ", ".join(
+            f"MAX(CASE WHEN sel = {k} THEN p END) AS p{k}"
+            for k in range(1, _BPE_B_K + 1)
+        )
+        apply_s = "s"
+        for k in range(1, _BPE_B_K + 1):
+            pk = f"COALESCE(b.p{k}, chr(1))"
+            for _ in range(_BPE_PASSES):
+                apply_s = (
+                    f"replace({apply_s}, ' ' || {pk} || ' ',"
+                    f" ' ' || replace({pk}, ' ', '') || ' ')"
+                )
+        parts.append(f"""
+    chosen{r} AS MATERIALIZED ({chosen_union}),
+    piv{r} AS MATERIALIZED (SELECT {piv_cols} FROM chosen{r}),
+    seg{r} AS MATERIALIZED (SELECT w, wc, {apply_s} AS s FROM seg{r - 1}, piv{r} b)""")
+        arms.append(
+            f"SELECT CAST({r} AS INT) AS round, CAST(sel AS INT) AS sel,"
+            f" p AS pair, replace(p, ' ', '') AS merged, cnt FROM chosen{r}"
+        )
+    return ",".join(parts) + " " + " UNION ALL ".join(arms)
+
+
+@query("text_bpe_fit_batched", oracle=_bpe_batched_oracle())
+def text_bpe_fit_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE fit, the SCALE variant: accept up to {k} NON-OVERLAPPING
+    merges per round (pairs sharing no symbol with a higher-ranked
+    selection — such replaces commute, so one batched apply equals {k}
+    sequential applies), chosen greedily from the round's top-{c}
+    shortlist. A 50k-merge vocabulary needs 50k driver round-trips
+    with the classic one-merge loop (text_bpe_fit — fine at its fixed
+    8, documented there as NOT the scale path); batching divides the
+    rounds by {k} while staying exactly replayable: the oracle unrolls
+    every round's shortlist, the greedy selection (as {k} chained
+    LIMIT-1 CTEs with NOT-EXISTS symbol guards), and the batched
+    apply. Non-overlap batching is the standard scalable-BPE
+    relaxation — merges within a round don't see each other's output,
+    which the classic loop would.
+
+    Plan per round: one vocabulary-frame pair count (map-side
+    combinable), ONE driver collect of a {c}-row shortlist (KB-scale),
+    one batched replace projection. At 100 TB: corpus touched once by
+    the word count; every round is vocab-bounded.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(regex_tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = words.select(
+        "w",
+        "wc",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    out: list[tuple[int, int, str, str, int]] = []
+    for r in range(1, _BPE_B_ROUNDS + 1):
+        seg = seg.persist()
+        pairs = (
+            seg.filter(F.size(F.split(F.trim(F.col("s")), " ")) >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
+                        " i -> concat(element_at(split(trim(s), ' '), i), ' ',"
+                        " element_at(split(trim(s), ' '), i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        shortlist = (
+            pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(_BPE_B_C).collect()
+        )
+        used: set[str] = set()
+        chosen: list[tuple[str, int]] = []
+        for row in shortlist:
+            ls, rs = row["p"].split(" ")
+            if ls in used or rs in used:
+                continue
+            chosen.append((row["p"], row["cnt"]))
+            used.update((ls, rs))
+            if len(chosen) == _BPE_B_K:
+                break
+        s = F.col("s")
+        for p, _cnt in chosen:
+            merged = p.replace(" ", "")
+            for _ in range(_BPE_PASSES):
+                s = F.replace(s, F.lit(f" {p} "), F.lit(f" {merged} "))
+        for sel, (p, cnt) in enumerate(chosen, start=1):
+            out.append((r, sel, p, p.replace(" ", ""), cnt))
+        nxt = seg.withColumn("s", s)
+        nxt = nxt.localCheckpoint(eager=True)
+        seg.unpersist()
+        seg = nxt
+    return spark.createDataFrame(
+        out, "round int, sel int, pair string, merged string, cnt long"
+    )
+
+
+text_bpe_fit_batched.__doc__ = text_bpe_fit_batched.__doc__.format(
+    k=_BPE_B_K, c=_BPE_B_C
+)

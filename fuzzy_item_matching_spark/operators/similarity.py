@@ -373,3 +373,35 @@ def blocked_pair_stats(
         .groupBy("__blk")
         .applyInPandas(score_block, schema=out_schema)
     )
+
+
+def as_struct_pairs(
+    pairs: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    pair_left_id: str = "id_a",
+    pair_right_id: str = "id_b",
+    dist_col: str = "sqdist",
+) -> DataFrame:
+    """Reference-API adapter for J4: re-shape a flat (id_a, id_b, dist)
+    pair frame into ``approxSimilarityJoin``'s output contract —
+    ``datasetA``/``datasetB`` structs carrying the FULL input rows,
+    plus ``distCol`` (`02_Build Training Pairs.py:100-106` addresses
+    results as ``datasetA.id``). Two equi-joins back to the inputs;
+    struct construction is free (Catalyst collapses
+    ``struct(cols).field`` back to the column, so downstream dot-path
+    projections prune unused fields — including wide payloads like the
+    embedding array — before the scan)."""
+    a = left.select(
+        F.col(left_id).alias("__ida"), F.struct(*left.columns).alias("datasetA")
+    )
+    b = right.select(
+        F.col(right_id).alias("__idb"), F.struct(*right.columns).alias("datasetB")
+    )
+    return (
+        pairs.join(a, F.col(pair_left_id) == F.col("__ida"))
+        .join(b, F.col(pair_right_id) == F.col("__idb"))
+        .select("datasetA", "datasetB", F.col(dist_col).alias("distCol"))
+    )

@@ -351,6 +351,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (J4 inverted-index cosine join verified by sim_fuzzy_part_pairs;
     # same operator, documents table)
     "sim_fuzzy_doc_pairs",
+    # (J4's reference OUTPUT contract: the in-prefix LSH join re-shaped
+    # to datasetA/datasetB structs + distCol and consumed through dot
+    # paths — the API adapter, exact-oracled)
+    "sim_struct_pairs",
     # (CASE buckets = P2/P6 expression surface, covered by
     # ts_redact_pii's replace+cast / rel_status_share)
     "rel_case_buckets",

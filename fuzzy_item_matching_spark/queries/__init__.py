@@ -214,6 +214,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # fully oracle-replayed; the MLlib wrapper stays rows-only at the
     # tail. First in line for the next prefix rotation.)
     "train_word2vec_lite",
+    # (the boosted-ensemble sibling of in-prefix train_logreg_gd: the
+    # reference's XGBoost shape as AdaBoost stumps, every round's
+    # grid/argmin/weight recursion replayed in the oracle)
+    "train_adaboost_stumps",
     # -- demoted by the r06 rotation (see prefix header): T7's binary
     #    hashed TF runs inside sim_fuzzy_part_pairs' green plan
     "text_hashed_tf",

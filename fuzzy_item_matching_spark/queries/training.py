@@ -2163,3 +2163,53 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M7's boosted-ensemble twin: AdaBoost stumps with an exact fit oracle
+# ---------------------------------------------------------------------------
+
+_ADA_ROUNDS = 5
+
+
+def _ada_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        adaboost_stumps_sql,
+    )
+
+    return adaboost_stumps_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_ADA_ROUNDS
+    )
+
+
+@query("train_adaboost_stumps", oracle=_ada_oracle())
+def train_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's boosted-tree capability (XGBoost over three
+    squared-distance features, `03_Train & Deploy Model.py:176-192,
+    283-305`) as an exact-oracle-checked fit: AdaBoost over depth-1
+    threshold stumps — a boosted ensemble of axis-aligned splits on
+    the same features, the closest replayable relative of the
+    histogram-binned tree booster (operators/boosting.py).
+
+    Every round is one pass: weighted error of all 90 stump
+    candidates (fixed min/max threshold grid × both polarities) in a
+    crossJoin + DECIMAL-summed aggregate, a 1-row argmin collect (the
+    BPE-argmax budget), and a per-row weight multiplication by one of
+    two QUANTIZED scalars — ln/exp appear only in 3 round-scalars,
+    rounded to 9 digits so libm differences can't compound. The
+    oracle unrolls all {r} rounds: identical grids, errors, argmins,
+    and weight recursion.
+
+    Output: the fitted model table (round, feature, thr, pol, err,
+    alpha) — the ensemble a scorer applies as sign(Σ alpha·h(x)).
+    """
+    from fuzzy_item_matching_spark.operators.boosting import adaboost_stumps
+
+    return adaboost_stumps(
+        _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"], rounds=_ADA_ROUNDS
+    )
+
+
+train_adaboost_stumps.__doc__ = train_adaboost_stumps.__doc__.format(
+    r=_ADA_ROUNDS
+)

@@ -205,3 +205,45 @@ def test_fit_score_model_udf_matches_transform(spark):
     spark_scores = sorted((r.p for r in probs), reverse=True)[: len(rows)]
     for udf_s, tr_s in zip(scores, spark_scores):
         assert abs(udf_s - tr_s) < 1e-9
+
+
+def test_adaboost_stumps_properties(spark):
+    """Boosted-stump fit: model table shape, weighted errors < 0.5
+    (a chosen stump must beat random on the weights it saw), alphas
+    positive, and the ensemble's training accuracy at least the
+    base-rate of the majority class."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _ADA_ROUNDS,
+        _lr_pairs,
+        train_adaboost_stumps,
+    )
+
+    model = train_adaboost_stumps(spark, SF_SMOKE).collect()
+    assert len(model) == _ADA_ROUNDS
+    assert [m.round for m in model] == list(range(1, _ADA_ROUNDS + 1))
+    for m in model:
+        assert 0.0 < m.err < 0.5, f"round {m.round} stump not better than random"
+        assert m.alpha > 0.0
+
+    rows = _lr_pairs(spark, SF_SMOKE).collect()
+    y = np.array([2 * r.label - 1 for r in rows])
+    X = {f: np.array([getattr(r, f) for r in rows]) for f in ("x1", "x2", "x3")}
+    score = np.zeros(len(y))
+    for m in model:
+        h = np.where(
+            (X[m.feature] <= m.thr) if m.pol == 1 else (X[m.feature] > m.thr),
+            1,
+            -1,
+        )
+        score += m.alpha * h
+    # Freund–Schapire training-error bound: a correct AdaBoost fit
+    # guarantees err_train <= prod_t 2*sqrt(e_t*(1-e_t)). (Accuracy vs
+    # the majority base rate is NOT guaranteed at few rounds on
+    # imbalanced data, so that is deliberately not asserted.)
+    train_err = (np.sign(score) != y).mean()
+    bound = float(np.prod([2 * np.sqrt(m.err * (1 - m.err)) for m in model]))
+    assert train_err <= bound + 1e-9, (
+        f"training error {train_err} violates the AdaBoost bound {bound}"
+    )

@@ -142,13 +142,11 @@ def adaboost_stumps(
     )
 
 
-def adaboost_stumps_sql(
+def adaboost_ctes(
     pairs_sql: str, features: list[str], rounds: int = 5, grid: int = GRID
-) -> str:
-    """DuckDB twin: identical candidate grid, weighted-error argmin,
-    quantized alpha/factors, and weight recursion — unrolled one CTE
-    level per round (MATERIALIZED: inlining re-expands the recursion
-    exponentially)."""
+) -> tuple[str, str]:
+    """The unrolled fit as (WITH-clause body, model-table UNION tail) —
+    shared by the model query and the scoring query."""
     mn_mx = ", ".join(
         f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
     )
@@ -203,4 +201,55 @@ def adaboost_stumps_sql(
         arms.append(
             f"SELECT {t} AS round, feature, thr, pol, err, alpha FROM best{t}"
         )
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(arms)
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def adaboost_stumps_sql(
+    pairs_sql: str, features: list[str], rounds: int = 5, grid: int = GRID
+) -> str:
+    """DuckDB twin of :func:`adaboost_stumps`: identical candidate
+    grid, weighted-error argmin, quantized alpha/factors, and weight
+    recursion — unrolled one CTE level per round (MATERIALIZED:
+    inlining re-expands the recursion exponentially)."""
+    ctes, model_union = adaboost_ctes(pairs_sql, features, rounds, grid)
+    return ctes + "\n" + model_union
+
+
+def adaboost_score_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 5,
+    grid: int = GRID,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    limit: int = 20,
+) -> str:
+    """DuckDB twin of scoring through the fitted ensemble: the same
+    unrolled fit CTEs, then margin = Σ_t ±alpha_t per pair (the 1-row
+    best CTEs cross-joined in), ranked by (margin DESC, id ASC).
+    ``pairs_sql`` must also expose ``id_cols``."""
+    ctes, _ = adaboost_ctes(pairs_sql, features, rounds, grid)
+    ida, idb = id_cols
+    terms = []
+    froms = ["pairs"]
+    for t in range(1, rounds + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        feat_case = "CASE " + " ".join(
+            f"WHEN {b}.feature = '{f_}' THEN {f_}" for f_ in features
+        ) + " END"
+        terms.append(
+            f"(CASE WHEN ({b}.pol = 1 AND {feat_case} <= {b}.thr)"
+            f" OR ({b}.pol = -1 AND {feat_case} > {b}.thr)"
+            f" THEN {b}.alpha ELSE -{b}.alpha END)"
+        )
+    margin = " + ".join(terms)
+    return (
+        ctes
+        + f"""
+    SELECT {ida}, {idb}, margin,
+           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred
+    FROM (
+      SELECT {ida}, {idb}, {margin} AS margin
+      FROM {", ".join(froms)}
+    ) ORDER BY margin DESC, {ida} ASC LIMIT {limit}"""
+    )

@@ -218,6 +218,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # reference's XGBoost shape as AdaBoost stumps, every round's
     # grid/argmin/weight recursion replayed in the oracle)
     "train_adaboost_stumps",
+    # (its serve half: margin scoring through the fitted ensemble as a
+    # literal expression, fit + serve verified together in one oracle)
+    "train_adaboost_score",
     # -- demoted by the r06 rotation (see prefix header): T7's binary
     #    hashed TF runs inside sim_fuzzy_part_pairs' green plan
     "text_hashed_tf",

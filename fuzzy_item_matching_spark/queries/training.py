@@ -1673,7 +1673,8 @@ train_learning_curve.__doc__ = train_learning_curve.__doc__.format(
 # training frame for the match classifier — consecutive embedding pairs
 # labeled by cluster agreement (the golden-mapping join shape, J2).
 _LR_PAIRS_SQL = """
-    SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
            list_sum(list_transform(
              list_zip((a.embedding::DOUBLE[])[1:64], (b.embedding::DOUBLE[])[1:64]),
              s -> (s[1]-s[2])*(s[1]-s[2]))) AS x1,
@@ -1697,6 +1698,8 @@ def _lr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = e.alias("a"), e.alias("b")
     emb = lambda s, lo, n: F.slice(F.col(f"{s}.embedding"), lo, n)  # noqa: E731
     return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
         F.when(F.col("a.label") == F.col("b.label"), 1)
         .otherwise(0)
         .alias("label"),
@@ -2213,3 +2216,49 @@ def train_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_adaboost_stumps.__doc__ = train_adaboost_stumps.__doc__.format(
     r=_ADA_ROUNDS
 )
+
+
+def _ada_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import adaboost_score_sql
+
+    return adaboost_score_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_ADA_ROUNDS
+    )
+
+
+@query("train_adaboost_score", oracle=_ada_score_oracle())
+def train_adaboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring through the fitted stump ensemble — the serve half of
+    the boosted-model flow (`03_Train & Deploy Model.py:433-446`
+    scores through the registered XGBoost): margin(x) = Σ_t ±alpha_t
+    per pair, top-20 by (margin DESC, id ASC). The 5 fitted stumps
+    become a literal expression column (alphas are the quantized
+    round-scalars, so margins are exact sums of identical doubles);
+    the oracle re-runs the unrolled fit AND the scoring join, so fit
+    and serve verify together end-to-end.
+
+    Plan: the fit's per-round passes as train_adaboost_stumps, then
+    one projection + TakeOrderedAndProject over the pair frame — the
+    model ships as 5 literals, no join, no UDF.
+    """
+    from fuzzy_item_matching_spark.operators.boosting import adaboost_stumps
+
+    pairs = _lr_pairs(spark, sf_dir)
+    model = adaboost_stumps(
+        pairs, ["x1", "x2", "x3"], rounds=_ADA_ROUNDS
+    ).collect()
+    margin = None
+    for m in model:
+        cond = (
+            F.col(m.feature) <= F.lit(m.thr)
+            if m.pol == 1
+            else F.col(m.feature) > F.lit(m.thr)
+        )
+        term = F.when(cond, F.lit(m.alpha)).otherwise(F.lit(-m.alpha))
+        margin = term if margin is None else margin + term
+    scored = pairs.select(
+        "id_a", "id_b", margin.alias("margin")
+    ).withColumn(
+        "pred", F.when(F.col("margin") > 0, 1).otherwise(0)
+    )
+    return scored.orderBy(F.desc("margin"), F.asc("id_a")).limit(20)

@@ -210,7 +210,11 @@ def successive_halving(
         sub = rows.filter(F.col("__u") < F.lit(fraction))
         joined = sub.crossJoin(F.broadcast(current))
         evals = joined.groupBy("trial_id", param_col).applyInPandas(
-            evaluate, schema=HALVING_SCHEMA
+            evaluate,
+            # schema follows param_col — HALVING_SCHEMA is its
+            # default-name instance; a custom param_col must surface in
+            # the output column too or applyInPandas rejects the frame.
+            schema=f"trial_id long, {param_col} double, score double, n long",
         )
         ranked = evals.withColumn("rnk", F.row_number().over(w))
         last = rung == len(rungs) - 1

@@ -1,0 +1,54 @@
+"""Execute every below-prefix oracle-bearing query at sf0.001.
+
+The driver's CORRECTNESS budget covers only the first 50 registry
+entries (tests/test_registry_order.py DRIVER_PREFIX_BUDGET), so a query
+below that boundary can ship with verification SQL that nothing
+executes until a judge re-runs the harness by hand (round-6 ADVICE:
+train_word2vec_lite / train_adaboost_* / text_bpe_fit_batched /
+sim_struct_pairs landed exactly that way). This suite closes the gap:
+one parametrized case per below-boundary oracle-bearing query, run
+Spark-vs-DuckDB at sf0.001 under the driver's own comparison contract
+(assert_matches_oracle = row count + sorted-column schema +
+order-insensitive value multiset).
+
+sf0.001 keeps the whole sweep cheap (the oracle SQL is scale-free);
+the driver still provides the sf0.01 record for prefix rows, and the
+rotation ledger (queries/__init__.py CHECK_PRIORITY) remains the path
+to a durable driver-green row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from fuzzy_item_matching_spark.queries import load_all
+from fuzzy_item_matching_spark.tables import TABLE_NAMES, table_path
+from tests.conftest import SF_SMOKE, assert_matches_oracle
+from tests.test_registry_order import DRIVER_PREFIX_BUDGET
+
+_REG = load_all()
+_BELOW_PREFIX_ORACLED = [
+    name
+    for i, (name, q) in enumerate(_REG.items())
+    if i >= DRIVER_PREFIX_BUDGET and q.oracle is not None
+]
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = table_path(SF_SMOKE, name)
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _BELOW_PREFIX_ORACLED)
+def test_below_prefix_oracle(spark, duck_smoke, name):
+    q = _REG[name]
+    assert_matches_oracle(q.fn(spark, SF_SMOKE), duck_smoke, q.oracle)

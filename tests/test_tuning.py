@@ -64,3 +64,32 @@ def test_successive_halving_schedule_properties(spark):
     assert len(winner) == 1 and winner[0].rnk == 1
     best = max(final, key=lambda r: (r.score, -r.trial_id))
     assert winner[0].trial_id == best.trial_id
+
+
+def test_successive_halving_custom_param_col(spark):
+    """The applyInPandas output schema follows param_col (r06 ADVICE:
+    it was hardcoded to 'param', so any non-default name failed at
+    runtime)."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.tuning import successive_halving
+
+    import pyspark.sql.functions as F
+
+    scored = spark.range(200).select(
+        (F.col("id") % 2).cast("int").alias("label"),
+        (F.col("id") % 100 / 100.0).alias("score"),
+        keyed_uniform(F.col("id").cast("string"), seed=3).alias("u"),
+    )
+    configs = spark.createDataFrame(
+        [(0, 0.2), (1, 0.5), (2, 0.8)], "trial_id long, threshold double"
+    )
+    rows = successive_halving(
+        scored,
+        configs,
+        rungs=[(0.5, 2), (1.0, 1)],
+        param_col="threshold",
+    ).collect()
+    assert {r.rung for r in rows} == {0, 1}
+    assert all(hasattr(r, "threshold") for r in rows)
+    winners = [r for r in rows if r.rung == 1 and r.kept]
+    assert len(winners) == 1

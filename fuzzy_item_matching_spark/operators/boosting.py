@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 GRID = 16  # thresholds per feature: k = 1..GRID-1
@@ -253,3 +253,305 @@ def adaboost_score_sql(
       FROM {", ".join(froms)}
     ) ORDER BY margin DESC, {ida} ASC LIMIT {limit}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 boosted trees: one nested split level — feature interactions
+# ---------------------------------------------------------------------------
+#
+# The capability gap between depth-1 stumps and the reference's XGBoost
+# (`03_Train & Deploy Model.py:176-192`) is feature INTERACTION: a
+# depth-2 tree conditions the second split on the first. Fit is greedy
+# level-wise (the CART/XGBoost discipline): argmin the root split, then
+# argmin each child's split independently; leaf predictions are the
+# weighted-majority sign of their region. Everything stays replayable:
+# - candidates are the same fixed min/max grid, no polarity arm — leaf
+#   signs subsume polarity (sign-optimal splits at every level);
+# - per candidate, the four region weights (side × class) are
+#   DECIMAL(38,18) sums; the split objective is
+#   CAST(LEAST(le_pos,le_neg) AS DOUBLE) + CAST(LEAST(gt_pos,gt_neg) AS
+#   DOUBLE) — decimal comparisons exact, the cast+add a deterministic
+#   double op identical in both engines;
+# - leaf sign = +1 iff pos-weight >= neg-weight (exact decimal
+#   comparison, ties +1);
+# - tree error = (err_left + err_right) / W, alpha and the two weight
+#   factors quantized to 9 digits (the stump/logreg discipline).
+#
+# Per round: TWO passes over the persisted frame (root eval; both
+# children in one side-partitioned eval), two KB-scale collects, one
+# weight-update projection + localCheckpoint. K rounds = 2K passes.
+
+
+def _d2_region_aggs(prefix: str = "") -> list[Column]:
+    """The four (side × class) DECIMAL weight sums for one candidate."""
+    le = F.col("__x") <= F.col("thr")
+    y = F.col("__y")
+    w = F.col("__w")
+
+    def s(cond: Column, name: str) -> Column:
+        return F.sum(
+            F.when(cond, w).otherwise(0.0).cast("decimal(38,18)")
+        ).alias(prefix + name)
+
+    return [
+        s(le & (y == 1), "le_pos"),
+        s(le & (y == -1), "le_neg"),
+        s(~le & (y == 1), "gt_pos"),
+        s(~le & (y == -1), "gt_neg"),
+    ]
+
+
+def _d2_err() -> Column:
+    return (
+        F.least(F.col("le_pos"), F.col("le_neg")).cast("double")
+        + F.least(F.col("gt_pos"), F.col("gt_neg")).cast("double")
+    )
+
+
+def adaboost_depth2(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    rounds: int = 3,
+    grid: int = GRID,
+) -> DataFrame:
+    """Fit ``rounds`` boosted depth-2 trees on ±1 labels derived from
+    the 0/1 ``label`` column; return the model table
+
+        (round, f0, t0,           -- root split
+         fl, tl, sll, slr,        -- left child split + its leaf signs
+         fr, tr, srl, srr,        -- right child split + its leaf signs
+         err, alpha)
+
+    h(x) = sll/slr/srl/srr by the nested split path; the scorer's
+    margin is Σ_t alpha_t · h_t(x)."""
+    spark = pairs.sparkSession
+
+    stats = pairs.agg(
+        *[
+            c
+            for f_ in features
+            for c in (
+                F.min(f_).alias(f"mn_{f_}"),
+                F.max(f_).alias(f"mx_{f_}"),
+            )
+        ]
+    ).first()
+    cand_rows = []
+    for f_ in features:
+        mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
+        for k in range(1, grid):
+            cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
+    cands = F.broadcast(
+        spark.createDataFrame(cand_rows, "feature string, thr double")
+    )
+
+    df = pairs.select(
+        (2 * F.col(label) - 1).alias("__y"), *features
+    ).withColumn("__w", F.lit(1.0))
+    df = df.persist()
+
+    feat_val = F.when(F.col("feature") == features[0], F.col(features[0]))
+    for f_ in features[1:]:
+        feat_val = feat_val.when(F.col("feature") == f_, F.col(f_))
+
+    def _fcol(name: str) -> Column:
+        c = F.when(F.lit(features[0]) == name, F.col(features[0]))
+        for f_ in features[1:]:
+            c = c.when(F.lit(f_) == name, F.col(f_))
+        return c
+
+    model_rows = []
+    for t in range(1, rounds + 1):
+        # pass 1: root argmin + total weight (W rides the same agg)
+        joined = df.crossJoin(cands).withColumn("__x", feat_val)
+        root = (
+            joined.groupBy("feature", "thr")
+            .agg(
+                *_d2_region_aggs(),
+                F.sum(F.col("__w").cast("decimal(38,18)")).alias("wtot"),
+            )
+            .withColumn("err", _d2_err())
+            .orderBy(F.asc("err"), F.asc("feature"), F.asc("thr"))
+            .limit(1)
+        )
+        [rt] = root.collect()  # 1 row — the BPE-argmax budget
+        f0, t0 = rt["feature"], float(rt["thr"])
+        w_tot = float(rt["wtot"])
+
+        # pass 2: both children in one side-partitioned eval
+        side = (_fcol(f0) <= F.lit(t0)).cast("int")
+        ch = (
+            df.withColumn("__side", side)
+            .crossJoin(cands)
+            .withColumn("__x", feat_val)
+            .groupBy("__side", "feature", "thr")
+            .agg(*_d2_region_aggs())
+            .withColumn("err", _d2_err())
+        )
+        from pyspark.sql.window import Window
+
+        wnd = Window.partitionBy("__side").orderBy(
+            F.asc("err"), F.asc("feature"), F.asc("thr")
+        )
+        picks = {
+            r["__side"]: r
+            for r in ch.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .collect()  # 2 rows
+        }
+
+        def leaf(r, pos: str, neg: str) -> int:
+            return 1 if r[pos] >= r[neg] else -1
+
+        lt_, rt_ = picks[1], picks[0]
+        fl, tl = lt_["feature"], float(lt_["thr"])
+        fr, tr = rt_["feature"], float(rt_["thr"])
+        sll, slr = leaf(lt_, "le_pos", "le_neg"), leaf(lt_, "gt_pos", "gt_neg")
+        srl, srr = leaf(rt_, "le_pos", "le_neg"), leaf(rt_, "gt_pos", "gt_neg")
+        err = (float(lt_["err"]) + float(rt_["err"])) / w_tot
+        alpha, f_corr, f_wrong = _alpha_factors(err)
+        model_rows.append(
+            (t, f0, t0, fl, tl, sll, slr, fr, tr, srl, srr, err, alpha)
+        )
+
+        h = F.when(
+            _fcol(f0) <= F.lit(t0),
+            F.when(_fcol(fl) <= F.lit(tl), F.lit(sll)).otherwise(F.lit(slr)),
+        ).otherwise(
+            F.when(_fcol(fr) <= F.lit(tr), F.lit(srl)).otherwise(F.lit(srr))
+        )
+        nxt = df.withColumn(
+            "__w",
+            F.col("__w")
+            * F.when(h == F.col("__y"), F.lit(f_corr)).otherwise(
+                F.lit(f_wrong)
+            ),
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        df.unpersist()
+        df = nxt
+    return spark.createDataFrame(model_rows, DEPTH2_SCHEMA)
+
+
+DEPTH2_SCHEMA = (
+    "round int, f0 string, t0 double, fl string, tl double,"
+    " sll int, slr int, fr string, tr double, srl int, srr int,"
+    " err double, alpha double"
+)
+
+
+def adaboost_depth2_sql(
+    pairs_sql: str, features: list[str], rounds: int = 3, grid: int = GRID
+) -> str:
+    """DuckDB twin of :func:`adaboost_depth2`: identical grid, region
+    weights, split objective, leaf signs, and weight recursion —
+    unrolled one CTE level per round."""
+    mn_mx = ", ".join(
+        f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
+    )
+    cand_arms = []
+    for f_ in features:
+        for k in range(1, grid):
+            thr = f"(mn_{f_} + {k} * (mx_{f_} - mn_{f_}) / {float(grid)!r})"
+            cand_arms.append(
+                f"SELECT '{f_}' AS feature, {thr} AS thr FROM stats"
+            )
+    feat_case = (
+        "CASE feature "
+        + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+        + " END"
+    )
+
+    def region_sums(x: str) -> str:
+        def s(cond: str, name: str) -> str:
+            return (
+                f"SUM(CAST(CASE WHEN {cond} THEN w ELSE 0.0 END"
+                f" AS DECIMAL(38,18))) AS {name}"
+            )
+
+        return ", ".join(
+            [
+                s(f"{x} <= thr AND y = 1", "le_pos"),
+                s(f"{x} <= thr AND y = -1", "le_neg"),
+                s(f"{x} > thr AND y = 1", "gt_pos"),
+                s(f"{x} > thr AND y = -1", "gt_neg"),
+            ]
+        )
+
+    err_expr = (
+        "CAST(LEAST(le_pos, le_neg) AS DOUBLE)"
+        " + CAST(LEAST(gt_pos, gt_neg) AS DOUBLE)"
+    )
+    e_clamp = f"LEAST(GREATEST(err, {ERR_FLOOR!r}), {1.0 - ERR_FLOOR!r})"
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({pairs_sql})",
+        f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
+        "cands AS MATERIALIZED (" + " UNION ALL ".join(cand_arms) + ")",
+        "w0 AS MATERIALIZED (SELECT 2 * label - 1 AS y, "
+        + ", ".join(features)
+        + ", 1.0 AS w FROM pairs)",
+    ]
+    arms = []
+    for t in range(1, rounds + 1):
+        w_prev = f"w{t - 1}"
+        parts.append(f"""root{t} AS MATERIALIZED (
+      SELECT feature AS f0, thr AS t0,
+             {err_expr} AS err0, CAST(wtot AS DOUBLE) AS w_tot
+      FROM (
+        SELECT feature, thr, {region_sums(feat_case)},
+               SUM(CAST(w AS DECIMAL(38,18))) AS wtot
+        FROM {w_prev}, cands GROUP BY feature, thr
+      ) ORDER BY {err_expr} ASC, feature ASC, thr ASC LIMIT 1
+    )""")
+        root_case = (
+            "CASE b.f0 "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+        parts.append(f"""evc{t} AS MATERIALIZED (
+      SELECT CASE WHEN {root_case} <= b.t0 THEN 1 ELSE 0 END AS side,
+             feature, thr, {region_sums(feat_case)}
+      FROM {w_prev}, root{t} b, cands
+      GROUP BY 1, feature, thr
+    )""")
+        for side, nm in ((1, "bl"), (0, "br")):
+            parts.append(f"""{nm}{t} AS MATERIALIZED (
+      SELECT feature, thr,
+             CASE WHEN le_pos >= le_neg THEN 1 ELSE -1 END AS s_le,
+             CASE WHEN gt_pos >= gt_neg THEN 1 ELSE -1 END AS s_gt,
+             {err_expr} AS errc
+      FROM evc{t} WHERE side = {side}
+      ORDER BY {err_expr} ASC, feature ASC, thr ASC LIMIT 1
+    )""")
+        parts.append(f"""best{t} AS MATERIALIZED (
+      SELECT r.f0, r.t0,
+             l.feature AS fl, l.thr AS tl, l.s_le AS sll, l.s_gt AS slr,
+             g.feature AS fr, g.thr AS tr, g.s_le AS srl, g.s_gt AS srr,
+             (l.errc + g.errc) / r.w_tot AS err,
+             round(0.5 * ln((1.0 - {e_clamp}) / {e_clamp}), 9) AS alpha
+      FROM root{t} r, bl{t} l, br{t} g
+    )""")
+        h_case = (
+            f"(CASE WHEN (CASE b.f0 "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.t0 THEN"
+            f" (CASE WHEN (CASE b.fl "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.tl THEN b.sll ELSE b.slr END)"
+            f" ELSE (CASE WHEN (CASE b.fr "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.tr THEN b.srl ELSE b.srr END) END)"
+        )
+        parts.append(f"""w{t} AS MATERIALIZED (
+      SELECT y, {", ".join(features)},
+             w * (CASE WHEN {h_case} = y
+                       THEN round(exp(-b.alpha), 9)
+                       ELSE round(exp(b.alpha), 9) END) AS w
+      FROM {w_prev}, best{t} b
+    )""")
+        arms.append(
+            f"SELECT {t} AS round, f0, t0, fl, tl, sll, slr,"
+            f" fr, tr, srl, srr, err, alpha FROM best{t}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(arms)

@@ -130,7 +130,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_chunk_lines",
     "pipe_corpus_clean",
     "sim_bm25_topk",
-    "ts_fingerprint",
+    # -- r07: the rolling-hash fingerprint keeps its r06 record (the
+    #    seeded md5 hash-family discipline stays in-prefix via
+    #    dedup_minhash_lsh); ts_fingerprint demotes to balance the
+    #    rotation's slot count.
     "serve_fs_linkage",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
@@ -138,9 +141,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    never-driver-checked power-iteration PCA — the iterative
     #    linear-algebra component nothing else in the prefix covers.
     "vec_pca_power",
-    "dedup_decontaminate",
-    "train_class_weights",
-    "train_avg_precision",
+    # -- r07 rotation (12 swaps; every demoted row keeps its r06
+    #    driver-green record, and its operator keeps an in-prefix
+    #    verifier where noted): dedup_decontaminate (containment join
+    #    shape in-prefix via dedup_ngram_jaccard) / train_class_weights
+    #    (M1's balanced weights are computed INSIDE in-prefix
+    #    train_logreg_gd, operators/logreg.py:35) / train_avg_precision
+    #    (the DECIMAL-summed metric closing also runs inside
+    #    train_successive_halving's rung evals) yield three slots to
+    #    the never-driver-checked boosted-ensemble family: the stump
+    #    fit, its serve half (fit shared via the session memo), and
+    #    the NEW depth-2 interaction trees.
+    "train_adaboost_stumps",
+    "train_adaboost_score",
+    "train_adaboost_depth2",
     # -- r06 rotation: M4's slot upgrades from the static grid
     #    (train_grid_search, demoted) to the ADAPTIVE seeded
     #    successive-halving schedule — same applyInPandas evaluation
@@ -148,10 +162,23 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    full multi-rung oracle replay (strictly stronger, the
     #    dedup_canonical_map→closure precedent).
     "train_successive_halving",
-    "train_search_space",
+    # -- r07: M2/M3's sampler builds train_successive_halving's
+    #    in-prefix configs (sample_search_space, same module), so
+    #    train_search_space yields its slot to the 2-iteration
+    #    Word2Vec-lite — T10's exact twin, top of the judge's
+    #    rotation list.
+    "train_word2vec_lite",
     "train_keyed_split_sizes",
-    "stream_events_hourly",
-    "stream_dedup_user_firsts",
+    # -- r07: the tumbling-window agg keeps two in-prefix streaming
+    #    verifiers (sessionization, stateful stats) and
+    #    stream_events_hourly's r06 record; streaming dedup keeps the
+    #    anti-join form stream_ingest_dedup in-prefix. Their slots go
+    #    to the foreachBatch→MERGE sink composition (the one streaming
+    #    sink shape never driver-checked) and the Jaro-Winkler pair
+    #    join (kernel numpy-rewritten in r06 — a driver row pins the
+    #    vectorized path).
+    "stream_merge_sink",
+    "text_jaro_winkler_pairs",
     "stream_user_sessions",
     "stream_ingest_dedup",
     "stream_stateful_user_stats",
@@ -176,12 +203,22 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    never-driver-checked component green — text_levenshtein_pairs
     #    (a Spark-builtin kernel over the same join shape) demotes.
     "dedup_golden_record",
-    "dedup_exact_docs",
+    # -- r07: the exact min-id keeper runs inside dedup_golden_record's
+    #    survivorship stage (dedup_exact_docs keeps its r06 record);
+    #    its slot goes to the LSH-join struct-output adapter — the
+    #    reference's approxSimilarityJoin OUTPUT contract
+    #    (datasetA/datasetB structs + distCol), never driver-checked.
+    "sim_struct_pairs",
     "dedup_ngram_jaccard",
     "stream_stream_join",
     "dedup_canonical_closure",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # -- r07: SimHash's chunk-pigeonhole banding keeps the in-prefix
+    #    banded-LSH verifier (dedup_minhash_lsh) plus its r06 record;
+    #    the slot goes to the one-to-many Arrow audio decode
+    #    (mm_audio_windows — the pure-python RIFF/WAV parser landed in
+    #    r06 and was never driver-checked).
+    "mm_audio_windows",
     "mm_image_features",
     "serve_match_score",
     "serve_pipeline_featurize",
@@ -194,11 +231,24 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    PQ/ADC index — the 32x-compression ANN form nothing else
     #    covers, whose codebook quantization also keeps the int8 idea
     #    in-prefix (see vec_pca_power swap).
-    "sim_ann_pq_topk",
+    # -- r07: PQ/ADC demotes for its strictly-stronger composition —
+    #    IVF+PQ (coarse quantizer + residual codebooks in ONE plan)
+    #    plus its recall@5 eval vs exact ground truth (the
+    #    canonical_map→closure precedent: same operator, stronger and
+    #    never-driver-checked form).
+    "sim_ann_ivfpq_topk",
+    "sim_ann_ivfpq_recall",
     "sim_ann_ivf_topk",
-    "src_csv_roundtrip",
+    # -- r07: S1 CSV (src_csv_roundtrip) and S4 archive ingest keep
+    #    their r06 driver records (the scan/agg shapes stay in-prefix
+    #    via the other src_* rows); their slots go to the snapshot
+    #    time-travel read (src_time_travel — the Delta-capability twin
+    #    on plain parquet, never driver-checked) and the 50k-merge
+    #    batched BPE fit (text_bpe_fit_batched — the scale path of
+    #    in-prefix text_bpe_fit, K non-overlapping merges per round).
+    "src_time_travel",
     "src_zorder_layout",
-    "src_archive_ingest",
+    "text_bpe_fit_batched",
     "train_weighted_sample",
     "rel_top_revenue_orders",
     "rel_cust_order_stats",
@@ -209,18 +259,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_bpe_fit",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
-    # (T10's exact flip: deterministic Word2Vec-lite — md5-seeded init,
-    # one batch skip-gram-style step, doc = mean of word vectors —
-    # fully oracle-replayed; the MLlib wrapper stays rows-only at the
-    # tail. First in line for the next prefix rotation.)
-    "train_word2vec_lite",
-    # (the boosted-ensemble sibling of in-prefix train_logreg_gd: the
-    # reference's XGBoost shape as AdaBoost stumps, every round's
-    # grid/argmin/weight recursion replayed in the oracle)
-    "train_adaboost_stumps",
-    # (its serve half: margin scoring through the fitted ensemble as a
-    # literal expression, fit + serve verified together in one oracle)
-    "train_adaboost_score",
+    # -- demoted by the r07 rotation (see prefix header): every row
+    #    here keeps its r06 driver-green CORRECTNESS record, and the
+    #    operator keeps an in-prefix verifier where noted above.
+    "dedup_decontaminate",
+    "train_class_weights",
+    "train_avg_precision",
+    "train_search_space",
+    "stream_events_hourly",
+    "stream_dedup_user_firsts",
+    "dedup_exact_docs",
+    "dedup_simhash",
+    "sim_ann_pq_topk",
+    "src_csv_roundtrip",
+    "src_archive_ingest",
+    "ts_fingerprint",
     # -- demoted by the r06 rotation (see prefix header): T7's binary
     #    hashed TF runs inside sim_fuzzy_part_pairs' green plan
     "text_hashed_tf",
@@ -239,10 +292,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- demoted by the r05 fifth rotation (see prefix header)
     "src_keyed_sample",
     "text_bpe_segments",
-    # (the 50k-merge scale variant of the in-prefix text_bpe_fit: same
-    # pair-count recursion plus shortlist + greedy non-overlap
-    # selection + batched apply, all replayed in its unrolled oracle)
-    "text_bpe_fit_batched",
     "rel_expr_join_scoring",
     # -- new in the r05 continuation, exact-oracled but below the
     #    boundary: their shapes overlap in-prefix rows (OLS = agg
@@ -251,9 +300,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    keyed min-aggs like stream_user_sessions' batch twin; diff =
     #    outer-join classify like serve_merge_upsert's MERGE)
     "train_ols_by_brand",
-    # (one-to-many Arrow decode: sibling of in-prefix mm_image_features'
-    # one-to-one hop + mm_frame_sample's fan-out)
-    "mm_audio_windows",
     # (rule CASE-array + explode tally: P2/P6 expression surface plus
     # the A1 agg, both in-prefix many times over)
     "src_quarantine_split",
@@ -279,10 +325,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (distinct-explode → term hash agg like ts_tfidf_weights's dfreq;
     # new surface is the contingency scoring + supervised selection)
     "ts_chi2_terms",
-    # (blocked string-similarity pair join: the join shape is in-prefix
-    # via text_levenshtein_pairs; the new surface is the Jaro-Winkler
-    # kernel, parity-tested vs DuckDB in tests/test_kernel_properties)
-    "text_jaro_winkler_pairs",
     # (two same-key windows + grouped metric agg: the partitioned-window
     # shape is in-prefix via stream_user_sessions' batch twin and the
     # metric closing via train_avg_precision; new surface is the graded
@@ -366,10 +408,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (sliding = tumbling's param twin: same streaming hash agg behind
     # an Expand; the tumbling form is in-prefix)
     "stream_events_sliding",
-    # (foreachBatch->MERGE sink: update-mode agg in-prefix via
-    # stream_stateful_user_stats, MERGE via serve_merge_upsert; the
-    # sink composition carries a full batch-equivalence oracle)
-    "stream_merge_sink",
     # (T4 char 3-grams composite-verified in pipe_corpus_clean; T5
     # collapse inside sim_fuzzy_*)
     "text_char_3grams",
@@ -381,10 +419,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (J4 inverted-index cosine join verified by sim_fuzzy_part_pairs;
     # same operator, documents table)
     "sim_fuzzy_doc_pairs",
-    # (J4's reference OUTPUT contract: the in-prefix LSH join re-shaped
-    # to datasetA/datasetB structs + distCol and consumed through dot
-    # paths — the API adapter, exact-oracled)
-    "sim_struct_pairs",
     # (CASE buckets = P2/P6 expression surface, covered by
     # ts_redact_pii's replace+cast / rel_status_share)
     "rel_case_buckets",
@@ -428,9 +462,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_dynamic_partition_overwrite",
     # (shuffle-free small-file compaction with checked file counts)
     "src_compaction",
-    # (snapshot versioning + time travel on plain parquet — the
-    # reference's Delta capability made portable; manifest-last commit)
-    "src_time_travel",
     "rel_json_props",
     # (time-RANGE rolling frame: W-family extension; the user_id
     # shuffle+sort layout is in-prefix via rel_asof_join_events)
@@ -474,12 +505,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (salted two-stage agg: physical-only rewrite of the in-prefix
     # A1 hash agg, exactness proven against the plain-agg oracle)
     "rel_salted_agg",
-    # (IVF+PQ composition — the FAISS IVFPQ shape; both components
-    # exact-verified above, the composed index hash-matches too)
-    "sim_ann_ivfpq_topk",
-    # (its recall@5 eval vs exact MIPS ground truth — folds both loss
-    # sources; bench-excluded like sim_ann_recall)
-    "sim_ann_ivfpq_recall",
     # (dominance = A4 agg shape; top-terms = tfidf + per-doc window,
     # both composite-verified by in-prefix ts_tfidf_weights/ts_token_stats)
     "ts_token_dominance",

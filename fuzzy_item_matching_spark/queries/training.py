@@ -1985,7 +1985,7 @@ def train_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T10 engine-native: deterministic Word2Vec-lite (seeded init, one batch step)
+# T10 engine-native: deterministic Word2Vec-lite (seeded init, 2 batch steps)
 # ---------------------------------------------------------------------------
 
 _W2V_DIM = 16
@@ -2047,14 +2047,29 @@ _D_W2V_U = (
              END AS v
       FROM v0 LEFT JOIN ctx ON ctx.w = v0.w AND ctx.d = v0.d
     ),
+    ctx2 AS MATERIALIZED (
+      SELECT p.w, v.d,
+             CAST(SUM(CAST(v.v AS DECIMAL(20,18)) * CAST(p.cnt AS DECIMAL(12,0)))
+                  AS DOUBLE) AS sum_c,
+             SUM(p.cnt) AS deg
+      FROM pair_counts p JOIN v1 v ON v.w = p.c
+      GROUP BY p.w, v.d
+    ),
+    v2 AS MATERIALIZED (
+      SELECT v1.w, v1.d,
+             CASE WHEN ctx2.deg IS NULL THEN v1.v
+                  ELSE v1.v + {_W2V_LR!r} * (ctx2.sum_c / ctx2.deg - v1.v)
+             END AS v
+      FROM v1 LEFT JOIN ctx2 ON ctx2.w = v1.w AND ctx2.d = v1.d
+    ),
     doc_counts AS MATERIALIZED (
       SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w
     )
-    SELECT t.doc_id, v1.d,
-           CAST(SUM(CAST(v1.v AS DECIMAL(20,18)) * CAST(t.cnt AS DECIMAL(12,0)))
+    SELECT t.doc_id, v2.d,
+           CAST(SUM(CAST(v2.v AS DECIMAL(20,18)) * CAST(t.cnt AS DECIMAL(12,0)))
                 AS DOUBLE) / SUM(t.cnt) AS value
-    FROM doc_counts t JOIN v1 ON v1.w = t.w
-    GROUP BY t.doc_id, v1.d
+    FROM doc_counts t JOIN v2 ON v2.w = t.w
+    GROUP BY t.doc_id, v2.d
     """,
 )
 def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2068,12 +2083,14 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - init: v0[w,d] = md5-uniform(seed, word, dim) - 0.5 — the
       fixed-init half of the judge's T10 ask;
-    - one full-batch update step (single-iteration,
-      hierarchical-softmax-free): v1 = v0 + lr·(mean of adjacent
-      context vectors − v0), the window-1 skip-gram pull toward
-      co-occurrence means, computed as one postings join + one
-      DECIMAL-summed aggregate;
-    - doc embedding: per-dim mean of v1 over the doc's vocab words.
+    - TWO unrolled full-batch update steps
+      (hierarchical-softmax-free): v ← v + lr·(mean of adjacent
+      context vectors − v), the window-1 skip-gram pull toward
+      co-occurrence means — each step one postings join + one
+      DECIMAL-summed aggregate, the intermediate vector frame
+      persisted between steps (the logreg-GD unroll discipline; the
+      oracle replays both levels, ctx/v1 then ctx2/v2);
+    - doc embedding: per-dim mean of v2 over the doc's vocab words.
 
     Plan: the token frame persists once and feeds vocab count, pair
     build, and doc aggregation; pair/doc multiplicities pre-aggregate
@@ -2131,33 +2148,47 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.unionAll(adj.select(F.col("c").alias("w"), F.col("w").alias("c")))
         .groupBy("w", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()  # read once per iteration (adjacency is static)
     )
-    ctx = (
-        pair_counts.join(v0.select(F.col("w").alias("c"), "d", "v"), "c")
-        .groupBy("w", "d")
-        .agg(
-            F.sum(
-                F.col("v").cast("decimal(20,18)")
-                * F.col("cnt").cast("decimal(12,0)")
+
+    def step(v_prev: DataFrame) -> DataFrame:
+        """One mean-context update: v ← v + lr·(mean_ctx(v) − v)."""
+        ctx = (
+            pair_counts.join(
+                v_prev.select(F.col("w").alias("c"), "d", "v"), "c"
             )
-            .cast("double")
-            .alias("sum_c"),
-            F.sum("cnt").alias("deg"),
+            .groupBy("w", "d")
+            .agg(
+                F.sum(
+                    F.col("v").cast("decimal(20,18)")
+                    * F.col("cnt").cast("decimal(12,0)")
+                )
+                .cast("double")
+                .alias("sum_c"),
+                F.sum("cnt").alias("deg"),
+            )
         )
-    )
-    v1 = v0.join(ctx, ["w", "d"], "left").select(
-        "w",
-        "d",
-        F.when(F.col("deg").isNull(), F.col("v"))
-        .otherwise(
-            F.col("v")
-            + F.lit(_W2V_LR) * (F.col("sum_c") / F.col("deg") - F.col("v"))
+        return v_prev.join(ctx, ["w", "d"], "left").select(
+            "w",
+            "d",
+            F.when(F.col("deg").isNull(), F.col("v"))
+            .otherwise(
+                F.col("v")
+                + F.lit(_W2V_LR)
+                * (F.col("sum_c") / F.col("deg") - F.col("v"))
+            )
+            .alias("v"),
         )
-        .alias("v"),
-    )
+
+    # two unrolled iterations (the logreg/adaboost discipline): each
+    # intermediate vector frame feeds BOTH the next ctx aggregation and
+    # the next update's left join, so persist between steps instead of
+    # re-deriving the whole recursion per consumer.
+    v1 = step(v0).persist()
+    v2 = step(v1)
     doc_counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        doc_counts.join(v1, "w")
+        doc_counts.join(v2, "w")
         .groupBy("doc_id", "d")
         .agg(
             (
@@ -2287,3 +2318,49 @@ def train_adaboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred", F.when(F.col("margin") > 0, 1).otherwise(0)
     )
     return scored.orderBy(F.desc("margin"), F.asc("id_a")).limit(20)
+
+
+_ADA_D2_ROUNDS = 3
+
+
+def _ada_d2_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        adaboost_depth2_sql,
+    )
+
+    return adaboost_depth2_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_ADA_D2_ROUNDS
+    )
+
+
+@query("train_adaboost_depth2", oracle=_ada_d2_oracle())
+def train_adaboost_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 boosted trees — the feature-INTERACTION step between
+    depth-1 stumps (train_adaboost_stumps) and the reference's XGBoost
+    (`03_Train & Deploy Model.py:176-192`): each weak learner
+    conditions its second split on the first, fit greedily level-wise
+    (the CART/XGBoost discipline) with sign-optimal leaves.
+
+    Replayability (operators/boosting.py adaboost_depth2): fixed
+    min/max threshold grid at BOTH levels, four DECIMAL(38,18) region
+    weights per candidate, split objective and leaf signs closed over
+    exact decimal comparisons, alpha and the two weight factors
+    quantized to 9 digits. The oracle unrolls all {r} rounds — root
+    argmin, side-partitioned child argmins, leaf signs, and the weight
+    recursion. Per round: 2 passes over the persisted pair frame + two
+    KB-scale collects; K rounds = 2K passes (the logreg-GD budget).
+
+    Output: the fitted model table (round, f0, t0, fl, tl, sll, slr,
+    fr, tr, srl, srr, err, alpha) — a scorer applies
+    margin(x) = Σ alpha·h(x) through the nested CASE path.
+    """
+    from fuzzy_item_matching_spark.operators.boosting import adaboost_depth2
+
+    return adaboost_depth2(
+        _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"], rounds=_ADA_D2_ROUNDS
+    )
+
+
+train_adaboost_depth2.__doc__ = train_adaboost_depth2.__doc__.format(
+    r=_ADA_D2_ROUNDS
+)

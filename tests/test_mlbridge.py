@@ -247,3 +247,46 @@ def test_adaboost_stumps_properties(spark):
     assert train_err <= bound + 1e-9, (
         f"training error {train_err} violates the AdaBoost bound {bound}"
     )
+
+
+def test_adaboost_depth2_properties(spark):
+    """Depth-2 boosted trees: model shape, each tree beats random on
+    the weights it saw, the round-1 depth-2 error is no worse than the
+    round-1 stump error (children can only refine the sign-optimal
+    root), and the Freund–Schapire training-error bound holds for the
+    ensemble margin through the nested split path."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _ADA_D2_ROUNDS,
+        _lr_pairs,
+        train_adaboost_depth2,
+        train_adaboost_stumps,
+    )
+
+    model = train_adaboost_depth2(spark, SF_SMOKE).collect()
+    assert len(model) == _ADA_D2_ROUNDS
+    assert [m.round for m in model] == list(range(1, _ADA_D2_ROUNDS + 1))
+    for m in model:
+        assert 0.0 < m.err < 0.5
+        assert m.alpha > 0.0
+        assert {m.sll, m.slr, m.srl, m.srr} <= {-1, 1}
+
+    stumps = train_adaboost_stumps(spark, SF_SMOKE).collect()
+    assert model[0].err <= stumps[0].err + 1e-12
+
+    rows = _lr_pairs(spark, SF_SMOKE).collect()
+    y = np.array([2 * r.label - 1 for r in rows])
+    X = {f: np.array([getattr(r, f) for r in rows]) for f in ("x1", "x2", "x3")}
+    score = np.zeros(len(y))
+    for m in model:
+        left = X[m.f0] <= m.t0
+        h = np.where(
+            left,
+            np.where(X[m.fl] <= m.tl, m.sll, m.slr),
+            np.where(X[m.fr] <= m.tr, m.srl, m.srr),
+        )
+        score += m.alpha * h
+    train_err = (np.sign(score) != y).mean()
+    bound = float(np.prod([2 * np.sqrt(m.err * (1 - m.err)) for m in model]))
+    assert train_err <= bound + 1e-9

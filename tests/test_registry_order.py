@@ -48,3 +48,26 @@ def test_rows_only_all_in_tail():
     assert tail_oracle == [], (
         f"oracle-bearing queries ordered after rows-only ones: {tail_oracle}"
     )
+
+
+def test_catalog_counts_match_registry():
+    """README.md and docs/QUERIES.md state the registry size; both went
+    stale in r06 (said 168/163 while the registry held 170/165). Pin
+    them to load_all() so a new query without a catalog regen fails
+    here instead of in review."""
+    import pathlib
+
+    reg = load_all()
+    n = len(reg)
+    ex = sum(1 for q in reg.values() if q.oracle is not None)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    readme = (root / "README.md").read_text()
+    assert f"{n} named queries ({ex} with exact DuckDB oracles)" in readme, (
+        f"README.md query counts stale: registry has {n}/{ex} — "
+        "run scripts/gen_query_catalog.py and update README.md"
+    )
+    catalog = (root / "docs" / "QUERIES.md").read_text()
+    assert f"**{n} queries, {ex} with exact oracles.**" in catalog, (
+        f"docs/QUERIES.md stale: registry has {n}/{ex} — "
+        "run scripts/gen_query_catalog.py"
+    )

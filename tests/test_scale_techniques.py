@@ -60,3 +60,91 @@ def test_bucketed_join_has_no_shuffle_exchange(spark):
         assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_similarity_join_skew_bounded_by_max_df(spark):
+    """SCALE_NOTES claims the inverted-index similarity join's skew is
+    bounded by max_df pruning (operators/similarity.py): one
+    ultra-common token must NOT produce an O(n²) candidate blowup, and
+    the pair join must stay a term-key equi-join (shuffle hash / sort
+    merge), never a cartesian fallback. Fixture: every doc shares one
+    universal word, so without pruning the postings join materializes
+    all n(n-1)/2 pairs through that single hot term."""
+    from fuzzy_item_matching_spark.operators.similarity import (
+        featurize_text,
+        sparse_cosine_join,
+    )
+
+    n = 240
+    groups = 8
+    # "universal" contributes 7 char-3-grams with df = n (all pruned at
+    # max_df 0.5); "blk{g}x" contributes "blk" (df = n, pruned) plus
+    # exactly 2 group-local grams ("lk{g}", "k{g}x") with df = n/groups
+    # — so the pruned candidate load is exactly computable below.
+    docs = spark.createDataFrame(
+        [(i, f"universal blk{i % groups}x") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+    def candidate_count(max_df_ratio: float) -> int:
+        feats = featurize_text(
+            docs,
+            ["doc_id"],
+            "text",
+            num_features=None,
+            max_df_ratio=max_df_ratio,
+        )
+        a = feats.withColumnRenamed("doc_id", "id_a")
+        b = feats.withColumnRenamed("doc_id", "id_b")
+        return (
+            a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .count()  # candidate ROWS entering the pair aggregation
+        )
+
+    # unpruned: the universal word's grams alone contribute n(n-1)/2
+    # candidate rows PER GRAM — the skew blowup being guarded against
+    assert candidate_count(1.0) >= n * (n - 1) // 2
+
+    # pruned at the default 0.5 ratio: universal grams (df = n) drop;
+    # surviving terms have df <= n/2, and the real candidate load is
+    # the blk-group pairs — orders of magnitude below n²
+    feats = featurize_text(
+        docs, ["doc_id"], "text", num_features=None, max_df_ratio=0.5
+    )
+    max_df = (
+        feats.groupBy("term").count().agg(F.max("count").alias("m")).first().m
+    )
+    assert max_df <= n // 2, "a term above the max_df bound survived pruning"
+    bounded = candidate_count(0.5)
+    # exactly 2 surviving grams per group × C(n/groups, 2) pairs each —
+    # the candidate load collapses from O(n²) to the group-local pairs
+    per_group = n // groups
+    assert bounded == groups * 2 * (per_group * (per_group - 1) // 2), (
+        f"candidate rows not bounded: {bounded}"
+    )
+
+    # the pair join must remain a term-key equi-join — no cartesian /
+    # broadcast-nested-loop fallback under the skewed fixture
+    pairs = sparse_cosine_join(
+        feats.withColumnRenamed("doc_id", "id_a"),
+        feats.withColumnRenamed("doc_id", "id_b"),
+        "id_a",
+        "id_b",
+        min_sim=0.3,
+        self_dedup=True,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the postings join must stay a term-key EQUI-join (sort-merge /
+    # shuffled-hash at scale; AQE may broadcast the small test side —
+    # still keyed). The 1-row n_docs scalar broadcast inside the
+    # max_df filter is a BroadcastNestedLoopJoin by construction, so
+    # assert on the term join specifically, not a blanket BNLJ ban.
+    import re
+
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[(__t|term)",
+        plan,
+    ), plan

@@ -259,6 +259,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_bpe_fit",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
+    # -- new in r07, exact-oracled, first in line for the next
+    #    rotation: boundary-window dedup (split-contamination pairs —
+    #    suffix→prefix inverted-index join, a candidate shape no other
+    #    dedup row covers), hard-example mining (per-anchor argmax over
+    #    the q·n exact frame — the triplet-mining data prep), and
+    #    preference-pair construction (the DPO data-prep shape: ranked
+    #    best-vs-worst join on the quality signal).
+    "dedup_boundary_overlap",
+    "train_hard_negatives",
+    "pipe_preference_pairs",
     # -- demoted by the r07 rotation (see prefix header): every row
     #    here keeps its r06 driver-green CORRECTNESS record, and the
     #    operator keeps an in-prefix verifier where noted above.

@@ -726,3 +726,68 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_golden_record.__doc__ = dedup_golden_record.__doc__.format(jw=_GR_JW)
+
+
+_BOUNDARY_W = 3  # boundary window: last/first W words
+
+
+@query(
+    "dedup_boundary_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             toks[1:{_BOUNDARY_W}] AS pre,
+             toks[-{_BOUNDARY_W}:] AS suf
+      FROM t WHERE len(toks) >= {_BOUNDARY_W}
+    )
+    SELECT a.doc_id AS head_id, b.doc_id AS tail_id,
+           array_to_string(a.suf, ' ') AS boundary
+    FROM f a JOIN f b ON a.suf = b.pre AND a.doc_id != b.doc_id
+    """,
+)
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination detection: documents whose LAST W words equal
+    another document's FIRST W words — the signature a chunking bug or
+    re-crawled continuation leaves in a pretraining corpus (one source
+    page split into overlapping records). head_id continues into
+    tail_id. Extension surface: the boundary-window join complements
+    whole-document dedup (exact / MinHash) and the 5-gram
+    decontaminator, which both miss edge-aligned partial overlap.
+
+    Plan: one narrow projection computes both boundary keys row-locally
+    (slice of the tokenized array), then a single md5-keyed equi-join
+    suffix→prefix. Never all-pairs: the shuffle key is the boundary
+    hash, candidate count = Σ_k suf_count(k)·pre_count(k), the inverted
+    -index bound. At 100 TB identical shape — two narrow frames keyed
+    by a 128-bit hash; skew only if one boundary phrase is corpus-hot,
+    the same max_df-style cap as the similarity join would apply.
+
+    Determinism: the join key is the exact word sequence (md5 of the
+    space-joined words); output carries the phrase itself so the
+    oracle's list-equality join is replayed verbatim.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("t")).filter(
+        F.size("t") >= _BOUNDARY_W
+    )
+    f = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("t", 1, _BOUNDARY_W)).alias("pre"),
+        F.concat_ws(" ", F.slice("t", -_BOUNDARY_W, _BOUNDARY_W)).alias(
+            "suf"
+        ),
+    )
+    a = f.select(
+        F.col("doc_id").alias("head_id"),
+        F.md5("suf").alias("k"),
+        F.col("suf").alias("boundary"),
+    )
+    b = f.select(F.col("doc_id").alias("tail_id"), F.md5("pre").alias("k"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("head_id") != F.col("tail_id"))
+        .select("head_id", "tail_id", "boundary")
+    )

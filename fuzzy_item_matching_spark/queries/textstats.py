@@ -1334,7 +1334,19 @@ def _charlm_nll(d: DataFrame) -> DataFrame:
         d.filter(F.length(t) >= 2)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
-    model = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # ONE corpus pass: the explode lands in the (doc, bigram) TF agg,
+    # and the model derives from it — c2 = Σ_docs tf is the identical
+    # integer count the direct corpus agg produces, so fit and score
+    # share the pass (r06 VERDICT: each used to re-explode; 13.2 s →
+    # ~8 s at sf0.1). doctf persists (it feeds the model aggs AND the
+    # scoring join) and is the compact form — |doc|×|distinct bigrams
+    # per doc| rows, far below the raw exploded frame.
+    doctf = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    model = doctf.groupBy("bg").agg(F.sum("tf").alias("c2"))
     model.persist()
     ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("c2").alias("c1n")
@@ -1342,7 +1354,6 @@ def _charlm_nll(d: DataFrame) -> DataFrame:
     vocab = model.select(
         F.countDistinct(F.substring("bg", 2, 1)).alias("v")
     )
-    doctf = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
     terms = (
         doctf.join(F.broadcast(model), "bg")
         .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1"))
@@ -1599,3 +1610,132 @@ def ts_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_rag_chunks.__doc__ = ts_rag_chunks.__doc__.format(
     w=_RAG_W, s=_RAG_S, o=_RAG_W - _RAG_S
 )
+
+
+_PREF_K = 5  # preference pairs per source
+
+# the ts_doc_quality scoring fragment over a token frame t(doc_id,
+# source, toks, kept) — rational arithmetic, exact cross-engine
+_D_PREF_QUALITY = """
+      least(len(toks), 200) / 200.0 * 0.5
+        + CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE (len(toks) - len(kept))::DOUBLE / len(toks) END * 0.2
+        + least(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                          / len(toks) END, 8.0) / 8.0 * 0.3
+"""
+
+
+@query(
+    "pipe_preference_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_D_TOKENS.format(c="text")} AS toks,
+             list_filter({_D_TOKENS.format(c="text")},
+                         x -> NOT list_contains({_D_STOPWORDS}, x)) AS kept
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, {_D_PREF_QUALITY} AS quality FROM t
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality ASC, doc_id ASC) AS rw
+      FROM scored
+    )
+    SELECT b.source, b.rb AS k,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.quality AS q_chosen, w.quality AS q_rejected,
+           b.quality - w.quality AS margin
+    FROM (SELECT * FROM ranked WHERE rb <= {_PREF_K}) b
+    JOIN (SELECT * FROM ranked WHERE rw <= {_PREF_K}) w
+      ON w.source = b.source AND w.rw = b.rb
+    WHERE b.quality > w.quality
+    """,
+)
+def pipe_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep shape):
+    per source, pair the k-th BEST document with the k-th WORST by the
+    heuristic quality score — (chosen, rejected) rows with a positive
+    quality margin, the exact frame a preference-tuning run consumes.
+    Extension surface: turns the corpus-quality signal the funnel
+    already computes (ts_doc_quality / pipe_corpus_clean) into
+    supervision instead of a drop filter.
+
+    Plan: the row-local quality projection (no shuffle), then ONE
+    exchange on source serving both rank windows (same partition key;
+    two sorts), then a self-join on (source, k) whose sides are
+    K-bounded per group — at 100 TB the join input is |sources|×K
+    rows, driver-trivial, and the only data-sized stages are the scan
+    and the source-keyed sort. Degenerate groups (fewer than 2K docs)
+    self-resolve: the quality > guard drops pairs where best and worst
+    overlap mid-group.
+
+    Determinism: quality is rational arithmetic on exact token counts;
+    both windows close with doc_id tie-breaks; margin is one double
+    subtraction of identical operands in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    d = d.withColumn("__toks", regex_tokenize("text")).withColumn(
+        "__kept", F.filter("__toks", lambda t: ~F.array_contains(sw, t))
+    )
+    toks, kept = F.col("__toks"), F.col("__kept")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(total_len / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(kept)).cast("double") / n
+    )
+    quality = (
+        F.least(n, F.lit(200)) / 200.0 * 0.5
+        + stop_ratio * 0.2
+        + F.least(avg_len, F.lit(8.0)) / 8.0 * 0.3
+    )
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    wb = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ww = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    best = ranked.filter(F.col("rb") <= _PREF_K).select(
+        "source",
+        F.col("rb").alias("k"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("q_chosen"),
+    )
+    worst = ranked.filter(F.col("rw") <= _PREF_K).select(
+        "source",
+        F.col("rw").alias("k"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("q_rejected"),
+    )
+    return (
+        best.join(worst, ["source", "k"])
+        .filter(F.col("q_chosen") > F.col("q_rejected"))
+        .select(
+            "source",
+            "k",
+            "chosen_id",
+            "rejected_id",
+            "q_chosen",
+            "q_rejected",
+            (F.col("q_chosen") - F.col("q_rejected")).alias("margin"),
+        )
+    )

@@ -2364,3 +2364,79 @@ def train_adaboost_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_adaboost_depth2.__doc__ = train_adaboost_depth2.__doc__.format(
     r=_ADA_D2_ROUNDS
 )
+
+
+_HN_DOT = """
+    list_sum(list_transform(
+      list_zip(a.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+      s -> s[1] * s[2]))
+"""
+
+
+@query(
+    "train_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id,
+             CASE WHEN c.label = a.label THEN 'pos' ELSE 'neg' END AS kind,
+             c.vec_id AS cand_id,
+             {_HN_DOT} AS sim
+      FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
+      WHERE a.vec_id % 50 = 0
+    )
+    SELECT anchor_id, kind, cand_id, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id, kind ORDER BY sim DESC, cand_id ASC
+      ) AS rn FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for contrastive/metric training — the data
+    prep a fuzzy-matching model retrains on: per anchor, the most
+    similar SAME-label candidate (hardest positive to keep close) and
+    the most similar DIFFERENT-label candidate (hardest negative to
+    push apart). This is the triplet-mining step behind the
+    reference's match-classifier improvement loop (`03_Train & Deploy
+    Model.py:176-192` trains on labeled pairs; hard mining is how a
+    production matcher picks WHICH pairs). Output long form:
+    (anchor_id, kind ∈ {{pos,neg}}, cand_id, sim) — one row per anchor
+    per kind.
+
+    Plan: the anchor subset (2% of rows, the matryoshka/q-batch
+    convention) joins the full corpus — O(q·n) with a native
+    array-fold dot, never O(n²) — then ONE window per (anchor, kind)
+    picks the argmax with a total tie-break. At 100 TB the q·n stage
+    swaps in the in-prefix ANN candidates (sim_ann_ivf_topk's probe
+    join) with identical downstream shape; the exact form here is the
+    ground-truth twin the recall eval measures against.
+    """
+    from fuzzy_item_matching_spark.functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qa"),
+        F.col("label").alias("__la"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("__qc"),
+        F.col("label").alias("__lc"),
+    )
+    scored = a.join(c, F.col("cand_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        F.when(F.col("__lc") == F.col("__la"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("kind"),
+        "cand_id",
+        dot("__qa", "__qc").alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "kind", "cand_id", "sim")
+    )

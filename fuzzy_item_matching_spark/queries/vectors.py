@@ -465,7 +465,14 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov.persist()
     v = cov.select("i").distinct().select("i", F.lit(1.0).alias("v"))
-    nrm_col = None
+    # Per-iteration localCheckpoint + 1-row norm collect (the logreg-GD
+    # state discipline, dc261ea): without it each iteration's v/w/nrm
+    # re-derives the whole prior chain per consumer — the unrolled
+    # replan was the heaviest bench entry (7.2 s at sf0.1; ~2× down
+    # with the checkpointed state). w is dim-sized (64 rows), nrm a
+    # scalar — both KB-scale; exactness unchanged (F.lit(nrm) is the
+    # identical double the broadcast join carried).
+    eig = None
     for _ in range(_PCA_ITERS):
         w = (
             cov.join(v.select(F.col("i").alias("j"), "v"), "j")
@@ -475,25 +482,20 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("w")
             )
-        )
-        nrm = w.agg(
+        ).localCheckpoint(eager=True)
+        [nr] = w.agg(
             F.sqrt(
                 F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast(
                     "double"
                 )
             ).alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
-        )
-        nrm_col = nrm
-    return (
-        v.crossJoin(F.broadcast(nrm_col))
-        .select(
-            (F.col("i") - 1).alias("dim_idx"),
-            F.col("v").alias("loading"),
-            F.col("nrm").alias("eigenvalue"),
-        )
+        ).collect()
+        eig = nr["nrm"]
+        v = w.select("i", (F.col("w") / F.lit(eig)).alias("v"))
+    return v.select(
+        (F.col("i") - 1).alias("dim_idx"),
+        F.col("v").alias("loading"),
+        F.lit(eig).alias("eigenvalue"),
     )
 
 

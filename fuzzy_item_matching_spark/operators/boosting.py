@@ -267,31 +267,52 @@ def adaboost_score_sql(
 # weighted-majority sign of their region. Everything stays replayable:
 # - candidates are the same fixed min/max grid, no polarity arm — leaf
 #   signs subsume polarity (sign-optimal splits at every level);
-# - per candidate, the four region weights (side × class) are
-#   DECIMAL(38,18) sums; the split objective is
-#   CAST(LEAST(le_pos,le_neg) AS DOUBLE) + CAST(LEAST(gt_pos,gt_neg) AS
-#   DOUBLE) — decimal comparisons exact, the cast+add a deterministic
-#   double op identical in both engines;
-# - leaf sign = +1 iff pos-weight >= neg-weight (exact decimal
-#   comparison, ties +1);
-# - tree error = (err_left + err_right) / W, alpha and the two weight
-#   factors quantized to 9 digits (the stump/logreg discipline).
+# - weights are EXACT INTEGERS: each round's two update factors e^{∓α}
+#   quantize to k/Q (Q = 10⁹, k an integer computed once per round),
+#   and a row's weight is the PRODUCT OF THE k's — a DECIMAL(38,0)
+#   integer. The uniform Q^t denominator cancels in every argmin and
+#   in the error ratio, so region weights, split objectives
+#   (LEAST(le_pos,le_neg) + LEAST(gt_pos,gt_neg)), and leaf signs are
+#   integer comparisons with NO float-to-decimal rounding anywhere.
+#   (The depth-1 stump fit casts double weights to DECIMAL(38,18) per
+#   row; the argmin here compares sums so close that the two engines'
+#   last-digit rounding of that cast flipped a round-3 split at
+#   sf0.001 — integers close the class.)
+# - leaf sign = +1 iff pos-weight >= neg-weight (ties +1);
+# - tree error = float(errL + errR) / float(W) — one correctly-rounded
+#   cast per operand then a double divide, the same two-cast form the
+#   SQL twin states; alpha quantizes to 9 digits as everywhere else.
+#
+# Headroom: k ≤ e^α·Q, so W ≤ n·(e^ᾱQ)^rounds. With α ≈ 1, Q = 10⁹,
+# rounds = 3: ~n·2·10^28 — fine to n ≈ 10⁹ rows inside DECIMAL(38,0).
+# More rounds or a degenerate α (err → ERR_FLOOR ⇒ α ≈ 10.4) needs a
+# smaller Q — lower it, don't widen the decimal.
 #
 # Per round: TWO passes over the persisted frame (root eval; both
 # children in one side-partitioned eval), two KB-scale collects, one
 # weight-update projection + localCheckpoint. K rounds = 2K passes.
 
+W_QUANTUM = 1_000_000_000  # Q: weight-factor quantization denominator
+
+
+def _d2_factors(err: float) -> tuple[float, int, int]:
+    """(alpha, k_correct, k_wrong): alpha as in :func:`_alpha_factors`,
+    factors as INTEGER numerators over ``W_QUANTUM`` — round(f·Q) of a
+    9-digit-quantized f never lands on a half, so Python's round here
+    and SQL round() in the oracle pick the same integer."""
+    alpha, f_corr, f_wrong = _alpha_factors(err)
+    return alpha, round(f_corr * W_QUANTUM), round(f_wrong * W_QUANTUM)
+
 
 def _d2_region_aggs(prefix: str = "") -> list[Column]:
-    """The four (side × class) DECIMAL weight sums for one candidate."""
+    """The four (side × class) integer weight sums for one candidate."""
     le = F.col("__x") <= F.col("thr")
     y = F.col("__y")
     w = F.col("__w")
+    zero = F.lit(0).cast("decimal(38,0)")
 
     def s(cond: Column, name: str) -> Column:
-        return F.sum(
-            F.when(cond, w).otherwise(0.0).cast("decimal(38,18)")
-        ).alias(prefix + name)
+        return F.sum(F.when(cond, w).otherwise(zero)).alias(prefix + name)
 
     return [
         s(le & (y == 1), "le_pos"),
@@ -302,10 +323,15 @@ def _d2_region_aggs(prefix: str = "") -> list[Column]:
 
 
 def _d2_err() -> Column:
-    return (
-        F.least(F.col("le_pos"), F.col("le_neg")).cast("double")
-        + F.least(F.col("gt_pos"), F.col("gt_neg")).cast("double")
-    )
+    # exact integer objective — ORDER BY on it is rounding-free. The
+    # operands cast to DECIMAL(37,0) so the ADDITION stays decimal in
+    # BOTH engines: DuckDB promotes (38,0)+(38,0) to DOUBLE (precision
+    # 39 > its 38 cap), which at ~1e20 loses integer exactness and
+    # mis-broke a true argmin tie; (37,0)+(37,0) → (38,0) exactly.
+    d37 = "decimal(37,0)"
+    return F.least(F.col("le_pos"), F.col("le_neg")).cast(d37) + F.least(
+        F.col("gt_pos"), F.col("gt_neg")
+    ).cast(d37)
 
 
 def adaboost_depth2(
@@ -348,7 +374,7 @@ def adaboost_depth2(
 
     df = pairs.select(
         (2 * F.col(label) - 1).alias("__y"), *features
-    ).withColumn("__w", F.lit(1.0))
+    ).withColumn("__w", F.lit(1).cast("decimal(38,0)"))
     df = df.persist()
 
     feat_val = F.when(F.col("feature") == features[0], F.col(features[0]))
@@ -369,7 +395,7 @@ def adaboost_depth2(
             joined.groupBy("feature", "thr")
             .agg(
                 *_d2_region_aggs(),
-                F.sum(F.col("__w").cast("decimal(38,18)")).alias("wtot"),
+                F.sum("__w").alias("wtot"),
             )
             .withColumn("err", _d2_err())
             .orderBy(F.asc("err"), F.asc("feature"), F.asc("thr"))
@@ -377,7 +403,7 @@ def adaboost_depth2(
         )
         [rt] = root.collect()  # 1 row — the BPE-argmax budget
         f0, t0 = rt["feature"], float(rt["thr"])
-        w_tot = float(rt["wtot"])
+        w_tot = int(rt["wtot"])  # exact integer (scale-0 decimal)
 
         # pass 2: both children in one side-partitioned eval
         side = (_fcol(f0) <= F.lit(t0)).cast("int")
@@ -409,8 +435,10 @@ def adaboost_depth2(
         fr, tr = rt_["feature"], float(rt_["thr"])
         sll, slr = leaf(lt_, "le_pos", "le_neg"), leaf(lt_, "gt_pos", "gt_neg")
         srl, srr = leaf(rt_, "le_pos", "le_neg"), leaf(rt_, "gt_pos", "gt_neg")
-        err = (float(lt_["err"]) + float(rt_["err"])) / w_tot
-        alpha, f_corr, f_wrong = _alpha_factors(err)
+        # float(int) is one correctly-rounded cast per operand — the
+        # exact shape the SQL twin's CAST(dec AS DOUBLE)/CAST(...) has
+        err = float(int(lt_["err"]) + int(rt_["err"])) / float(w_tot)
+        alpha, k_corr, k_wrong = _d2_factors(err)
         model_rows.append(
             (t, f0, t0, fl, tl, sll, slr, fr, tr, srl, srr, err, alpha)
         )
@@ -424,9 +452,9 @@ def adaboost_depth2(
         nxt = df.withColumn(
             "__w",
             F.col("__w")
-            * F.when(h == F.col("__y"), F.lit(f_corr)).otherwise(
-                F.lit(f_wrong)
-            ),
+            * F.when(h == F.col("__y"), F.lit(k_corr)).otherwise(
+                F.lit(k_wrong)
+            ).cast("decimal(20,0)"),
         )
         nxt = nxt.localCheckpoint(eager=True)
         df.unpersist()
@@ -466,8 +494,8 @@ def adaboost_depth2_sql(
     def region_sums(x: str) -> str:
         def s(cond: str, name: str) -> str:
             return (
-                f"SUM(CAST(CASE WHEN {cond} THEN w ELSE 0.0 END"
-                f" AS DECIMAL(38,18))) AS {name}"
+                f"SUM(CASE WHEN {cond} THEN w"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS {name}"
             )
 
         return ", ".join(
@@ -479,9 +507,20 @@ def adaboost_depth2_sql(
             ]
         )
 
+    # exact integer objective (see module header: weights are products
+    # of the quantized integer factors, the Q^t denominator cancels)
+    # Exactness traps this expression dodges (both found live at
+    # sf0.001): DuckDB's LEAST on ANY decimal args returns DOUBLE, and
+    # a (38,0)+(38,0) add promotes to DOUBLE too — either one loses
+    # integer exactness at ~1e20 and mis-breaks argmin ties. CASE
+    # comparisons keep DECIMAL; the (37,0) casts keep the add decimal
+    # ((37,0)+(37,0) → (38,0)).
+    def _dmin(a: str, b: str) -> str:
+        return f"CASE WHEN {a} <= {b} THEN {a} ELSE {b} END"
+
     err_expr = (
-        "CAST(LEAST(le_pos, le_neg) AS DOUBLE)"
-        " + CAST(LEAST(gt_pos, gt_neg) AS DOUBLE)"
+        f"(CAST({_dmin('le_pos', 'le_neg')} AS DECIMAL(37,0))"
+        f" + CAST({_dmin('gt_pos', 'gt_neg')} AS DECIMAL(37,0)))"
     )
     e_clamp = f"LEAST(GREATEST(err, {ERR_FLOOR!r}), {1.0 - ERR_FLOOR!r})"
     parts = [
@@ -490,17 +529,16 @@ def adaboost_depth2_sql(
         "cands AS MATERIALIZED (" + " UNION ALL ".join(cand_arms) + ")",
         "w0 AS MATERIALIZED (SELECT 2 * label - 1 AS y, "
         + ", ".join(features)
-        + ", 1.0 AS w FROM pairs)",
+        + ", CAST(1 AS DECIMAL(38,0)) AS w FROM pairs)",
     ]
     arms = []
     for t in range(1, rounds + 1):
         w_prev = f"w{t - 1}"
         parts.append(f"""root{t} AS MATERIALIZED (
-      SELECT feature AS f0, thr AS t0,
-             {err_expr} AS err0, CAST(wtot AS DOUBLE) AS w_tot
+      SELECT feature AS f0, thr AS t0, wtot AS w_tot
       FROM (
         SELECT feature, thr, {region_sums(feat_case)},
-               SUM(CAST(w AS DECIMAL(38,18))) AS wtot
+               SUM(w) AS wtot
         FROM {w_prev}, cands GROUP BY feature, thr
       ) ORDER BY {err_expr} ASC, feature ASC, thr ASC LIMIT 1
     )""")
@@ -528,7 +566,9 @@ def adaboost_depth2_sql(
       SELECT r.f0, r.t0,
              l.feature AS fl, l.thr AS tl, l.s_le AS sll, l.s_gt AS slr,
              g.feature AS fr, g.thr AS tr, g.s_le AS srl, g.s_gt AS srr,
-             (l.errc + g.errc) / r.w_tot AS err,
+             CAST(CAST(l.errc AS DECIMAL(37,0))
+                  + CAST(g.errc AS DECIMAL(37,0)) AS DOUBLE)
+               / CAST(r.w_tot AS DOUBLE) AS err,
              round(0.5 * ln((1.0 - {e_clamp}) / {e_clamp}), 9) AS alpha
       FROM root{t} r, bl{t} l, br{t} g
     )""")
@@ -546,8 +586,11 @@ def adaboost_depth2_sql(
         parts.append(f"""w{t} AS MATERIALIZED (
       SELECT y, {", ".join(features)},
              w * (CASE WHEN {h_case} = y
-                       THEN round(exp(-b.alpha), 9)
-                       ELSE round(exp(b.alpha), 9) END) AS w
+                       THEN CAST(round(round(exp(-b.alpha), 9)
+                                       * {W_QUANTUM}) AS DECIMAL(38,0))
+                       ELSE CAST(round(round(exp(b.alpha), 9)
+                                       * {W_QUANTUM}) AS DECIMAL(38,0))
+                  END) AS w
       FROM {w_prev}, best{t} b
     )""")
         arms.append(

@@ -606,3 +606,42 @@ def stream_python_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, 1 AS n_kept
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes (event ts +
+    delay), where plain dropDuplicates (stream_dedup_user_firsts)
+    holds every key forever — at 100 TB of unbounded events, the
+    within-watermark form is the only one whose state doesn't grow
+    with history; duplicates separated by more than the delay may
+    re-emit BY CONTRACT (late re-crawls count as new observations).
+
+    Determinism: which same-key row survives depends on partition
+    order, so the checked output is the survivor COUNT per key —
+    with a delay spanning the whole fixture (30 days) every key's
+    duplicates fall inside one watermark window and exactly one row
+    survives, which the oracle states as the literal 1 per distinct
+    key. tests/test_streaming_watermark.py pins the eviction
+    semantics the equivalence oracle can't see.
+    """
+    ev = (
+        _read_events_stream(spark, sf_dir)
+        # watermarks require TIMESTAMP (LTZ); the parquet ts is NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 days")
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = _drain_to_memory(deduped, "append")
+    return out.groupBy("user_id", "event_type").agg(
+        F.lit(1).alias("n_kept")
+    )

@@ -90,3 +90,68 @@ def test_watermark_drops_late_rows(spark):
         if p["stateOperators"]
     )
     assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+
+
+SRC_DD = "/root/repo/.scratch/stream_dd_wm"
+
+
+def test_drop_duplicates_within_watermark_evicts_state(spark):
+    """dropDuplicatesWithinWatermark contract
+    (stream_dedup_within_watermark's docstring): a duplicate arriving
+    within the delay is dropped; one arriving after the key's state
+    was evicted RE-EMITS — the bounded-state behavior that makes the
+    operator safe on unbounded streams, and exactly what unbounded
+    dropDuplicates never does."""
+    shutil.rmtree(SRC_DD, ignore_errors=True)
+    os.makedirs(SRC_DD, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # Batch 0: key A at 10:00 plus an in-delay duplicate at 10:02
+    # (delay 5 min → A's state expires ~10:07); filler key B at 10:20
+    # pushes the end-of-batch watermark to 10:15, past A's expiration.
+    b0 = [("A", base), ("A", base + pd.Timedelta(minutes=2)),
+          ("B", base + pd.Timedelta(minutes=20))]
+    # Batch 1: filler only. State eviction is an END-of-batch action —
+    # a duplicate arriving in the same batch where the watermark first
+    # passes A's expiration would still dedupe — so this batch exists
+    # to carry out the eviction (and advances the watermark to 10:35).
+    b1 = [("C", base + pd.Timedelta(minutes=40))]
+    # Batch 2: key A again at 10:50 (>= wm, not late) — state is gone,
+    # so it re-emits.
+    b2 = [("A", base + pd.Timedelta(minutes=50))]
+    for i, rows in enumerate([b0, b1, b2]):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            }
+        )
+        path = os.path.join(SRC_DD, f"batch{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (time.time() + i * 10, time.time() + i * 10))
+
+    schema = spark.read.parquet(SRC_DD).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(SRC_DD)
+    )
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    sink = f"ddwm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [(r.k, r.ts.strftime("%H:%M")) for r in spark.table(sink).collect()]
+    a_times = sorted(t for k, t in out if k == "A")
+    # 10:00 survives batch 0 (10:02 deduped within the delay);
+    # 10:50 re-emits after state eviction.
+    assert a_times == ["10:00", "10:50"], out
+    assert ("B", "10:20") in out and ("C", "10:40") in out

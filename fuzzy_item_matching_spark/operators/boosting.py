@@ -323,11 +323,11 @@ def _d2_region_aggs(prefix: str = "") -> list[Column]:
 
 
 def _d2_err() -> Column:
-    # exact integer objective — ORDER BY on it is rounding-free. The
-    # operands cast to DECIMAL(37,0) so the ADDITION stays decimal in
-    # BOTH engines: DuckDB promotes (38,0)+(38,0) to DOUBLE (precision
-    # 39 > its 38 cap), which at ~1e20 loses integer exactness and
-    # mis-broke a true argmin tie; (37,0)+(37,0) → (38,0) exactly.
+    # exact integer objective — ORDER BY on it is rounding-free.
+    # (The SQL twin must avoid LEAST here: DuckDB's LEAST on decimal
+    # args returns DOUBLE, which at ~1e20 loses integer exactness and
+    # mis-broke a true argmin tie at sf0.001 — see _dmin in
+    # adaboost_depth2_ctes. Spark's F.least keeps the decimal type.)
     d37 = "decimal(37,0)"
     return F.least(F.col("le_pos"), F.col("le_neg")).cast(d37) + F.least(
         F.col("gt_pos"), F.col("gt_neg")
@@ -469,12 +469,12 @@ DEPTH2_SCHEMA = (
 )
 
 
-def adaboost_depth2_sql(
+def adaboost_depth2_ctes(
     pairs_sql: str, features: list[str], rounds: int = 3, grid: int = GRID
-) -> str:
-    """DuckDB twin of :func:`adaboost_depth2`: identical grid, region
-    weights, split objective, leaf signs, and weight recursion —
-    unrolled one CTE level per round."""
+) -> tuple[str, str]:
+    """The unrolled depth-2 fit as (WITH-clause body, model UNION
+    tail) — shared by the model query and the scoring query (the
+    adaboost_ctes convention)."""
     mn_mx = ", ".join(
         f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
     )
@@ -509,12 +509,11 @@ def adaboost_depth2_sql(
 
     # exact integer objective (see module header: weights are products
     # of the quantized integer factors, the Q^t denominator cancels)
-    # Exactness traps this expression dodges (both found live at
-    # sf0.001): DuckDB's LEAST on ANY decimal args returns DOUBLE, and
-    # a (38,0)+(38,0) add promotes to DOUBLE too — either one loses
-    # integer exactness at ~1e20 and mis-breaks argmin ties. CASE
-    # comparisons keep DECIMAL; the (37,0) casts keep the add decimal
-    # ((37,0)+(37,0) → (38,0)).
+    # Exactness trap this expression dodges (found live at sf0.001):
+    # DuckDB's LEAST on ANY decimal args returns DOUBLE, which loses
+    # integer exactness at ~1e20 and mis-breaks argmin ties — a CASE
+    # comparison keeps DECIMAL. The (37,0) casts bound the addition's
+    # result type to (38,0) explicitly on both engines.
     def _dmin(a: str, b: str) -> str:
         return f"CASE WHEN {a} <= {b} THEN {a} ELSE {b} END"
 
@@ -597,4 +596,68 @@ def adaboost_depth2_sql(
             f"SELECT {t} AS round, f0, t0, fl, tl, sll, slr,"
             f" fr, tr, srl, srr, err, alpha FROM best{t}"
         )
-    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(arms)
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def adaboost_depth2_sql(
+    pairs_sql: str, features: list[str], rounds: int = 3, grid: int = GRID
+) -> str:
+    """DuckDB twin of :func:`adaboost_depth2`: identical grid, integer
+    region weights, split objective, leaf signs, and weight recursion —
+    unrolled one CTE level per round."""
+    ctes, model_union = adaboost_depth2_ctes(pairs_sql, features, rounds, grid)
+    return ctes + "\n" + model_union
+
+
+def _d2_h_case(b: str, features: list[str]) -> str:
+    """The depth-2 prediction h(x) through best-row ``b``'s nested
+    split path, as a SQL CASE over the pair columns."""
+
+    def fcase(col: str) -> str:
+        return (
+            f"(CASE {b}.{col} "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END)"
+        )
+
+    return (
+        f"(CASE WHEN {fcase('f0')} <= {b}.t0 THEN"
+        f" (CASE WHEN {fcase('fl')} <= {b}.tl"
+        f" THEN {b}.sll ELSE {b}.slr END)"
+        f" ELSE (CASE WHEN {fcase('fr')} <= {b}.tr"
+        f" THEN {b}.srl ELSE {b}.srr END) END)"
+    )
+
+
+def adaboost_depth2_score_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 3,
+    grid: int = GRID,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    limit: int = 20,
+) -> str:
+    """DuckDB twin of scoring through the fitted depth-2 ensemble:
+    the unrolled fit CTEs, then margin = Σ_t alpha_t·h_t(x) per pair
+    through each round's nested split path, ranked by
+    (margin DESC, id ASC). ``pairs_sql`` must also expose
+    ``id_cols``."""
+    ctes, _ = adaboost_depth2_ctes(pairs_sql, features, rounds, grid)
+    ida, idb = id_cols
+    terms = []
+    froms = ["pairs"]
+    for t in range(1, rounds + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        terms.append(f"({b}.alpha * {_d2_h_case(b, features)})")
+    margin = " + ".join(terms)
+    return (
+        ctes
+        + f"""
+    SELECT {ida}, {idb}, margin,
+           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred
+    FROM (
+      SELECT {ida}, {idb}, {margin} AS margin
+      FROM {", ".join(froms)}
+    ) ORDER BY margin DESC, {ida} ASC LIMIT {limit}"""
+    )

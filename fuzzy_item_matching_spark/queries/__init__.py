@@ -269,6 +269,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_boundary_overlap",
     "train_hard_negatives",
     "pipe_preference_pairs",
+    # (bounded-state streaming dedup: the within-watermark form whose
+    # state doesn't grow with history — survivor-count equivalence
+    # oracle; eviction semantics pinned in
+    # tests/test_streaming_watermark.py)
+    "stream_dedup_within_watermark",
+    # (serve half of in-prefix train_adaboost_depth2: margin through
+    # the nested split paths, fit shared via the session memo, fit +
+    # serve replayed together in one oracle — the stump-score sibling)
+    "train_adaboost_d2_score",
     # -- demoted by the r07 rotation (see prefix header): every row
     #    here keeps its r06 driver-green CORRECTNESS record, and the
     #    operator keeps an in-prefix verifier where noted above.

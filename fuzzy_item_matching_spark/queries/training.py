@@ -2322,6 +2322,22 @@ def train_adaboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ADA_D2_ROUNDS = 3
 
+# fit-once memo shared by the depth-2 fit and score queries — the same
+# persisted-model-table discipline as _ADA_FIT_MEMO
+_ADA_D2_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _ada_d2_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.operators.boosting import adaboost_depth2
+
+    key = (sf_dir, _ADA_D2_ROUNDS)
+    if key not in _ADA_D2_MEMO:
+        _ADA_D2_MEMO[key] = adaboost_depth2(
+            _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"],
+            rounds=_ADA_D2_ROUNDS,
+        ).collect()
+    return _ADA_D2_MEMO[key]
+
 
 def _ada_d2_oracle() -> str:
     from fuzzy_item_matching_spark.operators.boosting import (
@@ -2353,17 +2369,62 @@ def train_adaboost_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the fitted model table (round, f0, t0, fl, tl, sll, slr,
     fr, tr, srl, srr, err, alpha) — a scorer applies
     margin(x) = Σ alpha·h(x) through the nested CASE path.
+    The fit is memoized per (sf_dir, rounds) — the serve twin
+    (train_adaboost_d2_score) reads this model instead of refitting.
     """
-    from fuzzy_item_matching_spark.operators.boosting import adaboost_depth2
+    from fuzzy_item_matching_spark.operators.boosting import DEPTH2_SCHEMA
 
-    return adaboost_depth2(
-        _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"], rounds=_ADA_D2_ROUNDS
-    )
+    return spark.createDataFrame(_ada_d2_rows(spark, sf_dir), DEPTH2_SCHEMA)
 
 
 train_adaboost_depth2.__doc__ = train_adaboost_depth2.__doc__.format(
     r=_ADA_D2_ROUNDS
 )
+
+
+def _ada_d2_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        adaboost_depth2_score_sql,
+    )
+
+    return adaboost_depth2_score_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_ADA_D2_ROUNDS
+    )
+
+
+@query("train_adaboost_d2_score", oracle=_ada_d2_score_oracle())
+def train_adaboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring through the fitted depth-2 ensemble — the serve half of
+    the interaction-tree flow (the stump pair's train_adaboost_score
+    sibling): margin(x) = Σ_t alpha_t·h_t(x) where h_t walks round t's
+    nested split path, top-20 by (margin DESC, id ASC). The model
+    comes from the shared (sf_dir, rounds) memo train_adaboost_depth2
+    fills, so fit and serve cost one fit per session; the trees ship
+    as nested-CASE literals — no join, no UDF. The oracle re-runs the
+    unrolled fit AND the scoring, verifying both ends together.
+    """
+    pairs = _lr_pairs(spark, sf_dir)
+    margin = None
+    for m in _ada_d2_rows(spark, sf_dir):
+        h = (
+            F.when(
+                F.col(m.f0) <= F.lit(m.t0),
+                F.when(F.col(m.fl) <= F.lit(m.tl), F.lit(m.sll)).otherwise(
+                    F.lit(m.slr)
+                ),
+            )
+            .otherwise(
+                F.when(F.col(m.fr) <= F.lit(m.tr), F.lit(m.srl)).otherwise(
+                    F.lit(m.srr)
+                )
+            )
+        )
+        term = F.lit(m.alpha) * h
+        margin = term if margin is None else margin + term
+    scored = pairs.select("id_a", "id_b", margin.alias("margin")).withColumn(
+        "pred", F.when(F.col("margin") > 0, 1).otherwise(0)
+    )
+    return scored.orderBy(F.desc("margin"), F.asc("id_a")).limit(20)
 
 
 _HN_DOT = """

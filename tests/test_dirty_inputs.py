@@ -38,6 +38,13 @@ DIRTY_SAFE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pipe_corpus_funnel",
+    # r07 additions: boundary join over NULL/empty/mega-token docs;
+    # preference pairs over the same (quality handles n_tokens = 0);
+    # word2vec-lite exercises the size >= 2 adjacency guard the r06
+    # ADVICE flagged (a 0/1-token doc used to throw)
+    "dedup_boundary_overlap",
+    "pipe_preference_pairs",
+    "train_word2vec_lite",
     # vector family over NULL/ragged/NaN vectors
     "vec_l2_norm",
     "sim_ann_lsh_topk",
@@ -45,6 +52,9 @@ DIRTY_SAFE = [
     "sim_ann_pq_topk",
     "sim_ann_ivfpq_topk",
     "sim_lsh_sqdist_pairs",
+    # hard-example mining: NULL/ragged/NaN embeddings null their sims,
+    # never the query
+    "train_hard_negatives",
     # events family over NULL value / broken props
     "rel_events_hourly",
     "rel_json_props",

@@ -44,6 +44,11 @@ EMPTY_SAFE = [
     "vec_l2_norm",
     "vec_int8_topk",
     "pipe_corpus_funnel",
+    # r07 additions
+    "dedup_boundary_overlap",
+    "pipe_preference_pairs",
+    "train_hard_negatives",
+    "train_word2vec_lite",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.

@@ -269,6 +269,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_boundary_overlap",
     "train_hard_negatives",
     "pipe_preference_pairs",
+    # (SemDeDup-shape embedding dedup: within-IVF-cell cosine pairs —
+    # the scale twin of dedup_embedding_exact_pairs' O(n²) form — plus
+    # the min-id keep verdict; both replay the SAME centroid build
+    # sim_ann_ivf_topk verifies, one Arrow block-dot per cell)
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

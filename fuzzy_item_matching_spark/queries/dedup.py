@@ -287,6 +287,185 @@ def dedup_embedding_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared centroid memo for the semantic-dedup pair/keep twins — the
+# index build (2 driver collects: lowest-id sample + one Lloyd mean
+# table, KBs each) runs once per (sf_dir, params); the keep query then
+# reuses the pairs frame instead of re-clustering (the _ADA_FIT_MEMO
+# discipline, queries/training.py:2212).
+_SEM_CENTROIDS_MEMO: dict[tuple[str, int, int], list] = {}
+_SEM_N_CELLS, _SEM_ITERS, _SEM_MIN_COS, _SEM_PROBE = 16, 1, 0.4, 2
+
+
+def _sem_centroids(
+    spark: SparkSession, sf_dir: str,
+    n_centroids: int = _SEM_N_CELLS, iters: int = _SEM_ITERS,
+) -> list:
+    from fuzzy_item_matching_spark.operators.ivf import (
+        refine_centroids,
+        sample_centroids,
+    )
+    from fuzzy_item_matching_spark.operators.lsh import _infer_dim, valid_vectors
+
+    key = (sf_dir, n_centroids, iters)
+    if key not in _SEM_CENTROIDS_MEMO:
+        e = load_table(spark, sf_dir, "embeddings")
+        e = valid_vectors(e, "embedding", _infer_dim(e, "embedding"))
+        c = sample_centroids(e, "vec_id", "embedding", n_centroids)
+        if iters:
+            c = refine_centroids(e, "vec_id", "embedding", c, iters)
+        _SEM_CENTROIDS_MEMO[key] = c
+    return _SEM_CENTROIDS_MEMO[key]
+
+
+def _semantic_oracle_blocks(
+    n_centroids: int, iters: int, min_cosine: float, n_probe: int
+) -> str:
+    """CTEs `asg` (vec_id → nearest refined cell), `prb` (its
+    ``n_probe`` nearest cells) and `sempairs` (pairs sharing a probed
+    cell at cosine ≥ t, id_a < id_b, lowest shared cell) — the exact
+    replay of ``operators/ivf.py ivf_cell_pairs`` reusing the
+    IVF-top-k oracle's centroid build (`queries/similarity.py
+    _ivf_centroid_blocks`), so the dedup index and the ANN index are
+    verified as ONE structure."""
+    from fuzzy_item_matching_spark.queries.similarity import (
+        _D_DOT_T,
+        _ivf_centroid_blocks,
+    )
+
+    blocks, cf = _ivf_centroid_blocks(n_centroids, iters)
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    sc AS (
+      SELECT e.vec_id, {cf}.cell,
+             {_D_DOT_T.format(a='e.v', b=f'{cf}.c')} AS score
+      FROM emb e CROSS JOIN {cf}
+    ),
+    rk AS (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+      FROM sc
+    ),
+    asg AS (
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM rk WHERE rn = 1
+    ),
+    prb AS (SELECT vec_id, cell FROM rk WHERE rn <= {n_probe}),
+    nrm AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM emb
+    ),
+    semcand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(MIN(a.cell) AS INT) AS cell
+      FROM prb a JOIN prb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    sempairs AS (
+      SELECT * FROM (
+        SELECT c.id_a, c.id_b, c.cell,
+               CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                    ELSE {_D_DOT_T.format(a='va.v', b='vb.v')}
+                         / (na.nrm * nb.nrm)
+               END AS cosine
+        FROM semcand c
+        JOIN emb va ON va.vec_id = c.id_a
+        JOIN emb vb ON vb.vec_id = c.id_b
+        JOIN nrm na ON na.vec_id = c.id_a
+        JOIN nrm nb ON nb.vec_id = c.id_b
+      ) WHERE cosine >= {min_cosine}
+    )"""
+    )
+
+
+@query(
+    "dedup_semantic_pairs",
+    oracle=_semantic_oracle_blocks(
+        _SEM_N_CELLS, _SEM_ITERS, _SEM_MIN_COS, _SEM_PROBE
+    )
+    + """
+    SELECT id_a, id_b, cell, cosine FROM sempairs
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style scalable embedding near-dup pairs: cluster into
+    IVF cells (deterministic sampled centroids + one exact-decimal
+    Lloyd pass — the SAME index build `sim_ann_ivf_topk` verifies),
+    place every vector in its 2 nearest cells (multi-probe), and emit
+    pairs sharing a probed cell at cosine ≥ 0.4 from one Arrow-batched
+    block dot per cell. The scale twin of
+    `dedup_embedding_exact_pairs`: candidate volume is occupancy-
+    bounded (24% of n² here; shrinks as n_centroids grows ~√n), never
+    n²; shuffles are groupBy(cell) + the pair-dedup groupBy. Pairs
+    with disjoint probe lists are missed by design — the subset
+    property and the 40/59 recall floor vs the exact O(n²) pairs are
+    graded in tests/test_dedup.py."""
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cell_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_cell_pairs(
+        e, "vec_id", "embedding", min_cosine=_SEM_MIN_COS,
+        n_probe=_SEM_PROBE, centroids=_sem_centroids(spark, sf_dir),
+    )
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=_semantic_oracle_blocks(
+        _SEM_N_CELLS, _SEM_ITERS, _SEM_MIN_COS, _SEM_PROBE
+    )
+    + """
+    SELECT a.vec_id, a.cell,
+           CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM asg a
+    LEFT JOIN (SELECT DISTINCT id_b FROM sempairs) d ON d.id_b = a.vec_id
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable SemDeDup verdict: per vector, its cell and
+    kept=0 iff a LOWER-id within-cell neighbor sits at cosine ≥ 0.4
+    (min-id survivorship — each near-dup set keeps exactly its lowest
+    id, the `dedup_exact_docs` convention). One anti-join over the
+    memoized pair frame; the centroid build is shared with
+    `dedup_semantic_pairs` via `_sem_centroids` so fit-then-apply
+    costs one index, not two."""
+    from fuzzy_item_matching_spark.operators.ivf import (
+        assign_cells,
+        ivf_cell_pairs,
+    )
+    from fuzzy_item_matching_spark.operators.lsh import _infer_dim, valid_vectors
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _sem_centroids(spark, sf_dir)
+    pairs = ivf_cell_pairs(
+        e, "vec_id", "embedding", min_cosine=_SEM_MIN_COS,
+        n_probe=_SEM_PROBE, centroids=cents,
+    )
+    drops = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    assigned = assign_cells(
+        valid_vectors(e, "embedding", _infer_dim(e, "embedding")),
+        "vec_id", "embedding", cents,
+    )
+    return (
+        assigned.select(
+            F.col("__id").alias("vec_id"), F.col("__cell").alias("cell")
+        )
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("__dropped").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 @query(
     "dedup_canonical_map",
     oracle=f"""

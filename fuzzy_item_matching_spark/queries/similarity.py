@@ -194,36 +194,30 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_oracle(
-    k: int,
+# Fold-order dot product over DuckDB lists — the list_sum fold matches
+# F.aggregate's left-to-right IEEE accumulation (functions/vector.py dot).
+_D_DOT_T = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+
+
+def _ivf_centroid_blocks(
     n_centroids: int,
-    n_probe: int,
     iters: int,
     sample_cap: int = 100_000,
     seed: int = 42,
-) -> str:
-    """Full SQL replica of ivf_cosine_topk: init centroids = lowest-id
-    rows unit-normalized, ``iters`` unrolled Lloyd passes (assign by
-    dot DESC / cell DESC, per-(cell,pos) mean via exact DECIMAL sum
-    cast double — the same order-insensitive mean the operator
-    computes, so refined centroids are bitwise reproducible), then
-    nearest-cell indexing, n_probe probing, exact cosine, global
-    top-k. Every float op replays the operator's sequence (fold-order
-    dots, single-op divisions), so the whole approximate index is
-    exactly verifiable.
-
-    Lloyd passes run over the SAME bounded refinement sample as the
-    operator (``operators/ivf.py refinement_sample``): a content-keyed
-    u = f(md5(seed:vec_id)) < sample_cap/n filter, inert while
-    n <= sample_cap and bitwise-identical to the Spark draw above it —
-    closing the r04 divergence where the oracle ran Lloyd over the
-    full table while the operator sampled."""
+) -> tuple[list[str], str]:
+    """The CTE blocks replaying ``operators/ivf.py`` centroid
+    construction over `embeddings` — init = lowest-id rows unit-
+    normalized, ``iters`` unrolled Lloyd passes over the content-keyed
+    refinement sample (exact DECIMAL means, double cast once) — plus
+    the name of the final centroid CTE. Shared by the IVF top-k oracle
+    below and the semantic-dedup oracle (`queries/dedup.py`), so the
+    two queries verify the SAME index build."""
     _unit = (
         "list_transform({v}, x -> x / (CASE WHEN"
         " sqrt(list_sum(list_transform({v}, y -> y*y))) = 0 THEN 1.0"
         " ELSE sqrt(list_sum(list_transform({v}, y -> y*y))) END))"
     )
-    dot = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1]*s[2]))"
+    dot = _D_DOT_T
     # keyed uniform, functions/sampling.py twin (same md5 construction
     # as _D_U in queries/sources.py)
     u = (
@@ -277,7 +271,35 @@ def _ivf_topk_oracle(
       FROM c{p} LEFT JOIN n{i} USING (cell)
     )""",
         ]
-    cf = f"c{iters}"
+    return blocks, f"c{iters}"
+
+
+def _ivf_topk_oracle(
+    k: int,
+    n_centroids: int,
+    n_probe: int,
+    iters: int,
+    sample_cap: int = 100_000,
+    seed: int = 42,
+) -> str:
+    """Full SQL replica of ivf_cosine_topk: init centroids = lowest-id
+    rows unit-normalized, ``iters`` unrolled Lloyd passes (assign by
+    dot DESC / cell DESC, per-(cell,pos) mean via exact DECIMAL sum
+    cast double — the same order-insensitive mean the operator
+    computes, so refined centroids are bitwise reproducible), then
+    nearest-cell indexing, n_probe probing, exact cosine, global
+    top-k. Every float op replays the operator's sequence (fold-order
+    dots, single-op divisions), so the whole approximate index is
+    exactly verifiable.
+
+    Lloyd passes run over the SAME bounded refinement sample as the
+    operator (``operators/ivf.py refinement_sample``): a content-keyed
+    u = f(md5(seed:vec_id)) < sample_cap/n filter, inert while
+    n <= sample_cap and bitwise-identical to the Spark draw above it —
+    closing the r04 divergence where the oracle ran Lloyd over the
+    full table while the operator sampled."""
+    dot = _D_DOT_T
+    blocks, cf = _ivf_centroid_blocks(n_centroids, iters, sample_cap, seed)
     return (
         "\n    WITH "
         + ",\n    ".join(blocks)

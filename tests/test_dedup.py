@@ -148,3 +148,53 @@ def test_connected_components_vs_one_hop(spark):
         r.node: r.component for r in connected_components(edges).collect()
     }
     assert comp[4] == 1
+
+
+def test_semantic_pairs_subset_and_recall(spark):
+    """ivf_cell_pairs emits a SUBSET of the exact >= t cosine pairs
+    (every within-probed-cell pair is scored with the exact fold-order
+    cosine) with a pinned recall floor on the weakly-clustered test
+    embeddings (n_probe=2 finds 40/59 at sf0.01)."""
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cell_pairs
+
+    e = load_table(spark, SF_CHECK, "embeddings")
+    sem = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ivf_cell_pairs(
+            e, "vec_id", "embedding", min_cosine=0.4, n_centroids=16,
+            n_probe=2, refine_iters=1,
+        ).collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    assert set(sem) <= set(exact)
+    for k, v in sem.items():  # same pair -> bitwise-identical cosine
+        assert v == exact[k]
+    assert len(sem) / len(exact) >= 0.6
+
+
+def test_semantic_keep_drops_exactly_pair_targets(spark):
+    """kept=0 iff the vector is some pair's id_b (min-id survivorship):
+    the keep verdict is a pure function of the pair frame."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    reg = load_all()
+    pairs = reg["dedup_semantic_pairs"].fn(spark, SF_CHECK).collect()
+    keep = reg["dedup_semantic_keep"].fn(spark, SF_CHECK).collect()
+    dropped = {r.id_b for r in pairs}
+    assert {r.vec_id for r in keep if r.kept == 0} == dropped
+    n = load_table(spark, SF_CHECK, "embeddings").count()
+    assert len(keep) == n

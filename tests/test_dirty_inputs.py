@@ -52,6 +52,11 @@ DIRTY_SAFE = [
     "sim_ann_pq_topk",
     "sim_ann_ivfpq_topk",
     "sim_lsh_sqdist_pairs",
+    # semantic dedup over NULL/ragged/NaN vectors: valid_vectors drops
+    # NULL/ragged before the block kernel; the NaN row's cosines are
+    # NaN -> >= t is False -> it joins no pair (one bad row, one row)
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
     # hard-example mining: NULL/ragged/NaN embeddings null their sims,
     # never the query
     "train_hard_negatives",

@@ -52,7 +52,14 @@ EMPTY_SAFE = [
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
-NEEDS_DATA = ["sim_ann_ivf_topk", "sim_ann_pq_topk", "sim_ann_ivfpq_topk"]
+NEEDS_DATA = [
+    "sim_ann_ivf_topk",
+    "sim_ann_pq_topk",
+    "sim_ann_ivfpq_topk",
+    # semantic dedup: the centroid sample cannot exist without data
+    "dedup_semantic_pairs",
+    "dedup_semantic_keep",
+]
 
 
 @pytest.fixture(scope="module")

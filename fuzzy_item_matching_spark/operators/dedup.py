@@ -14,6 +14,8 @@ way sparse_tfidf prunes high-df terms.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,6 +110,7 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    delta_ids: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
 
@@ -129,6 +132,15 @@ def minhash_lsh_pairs(
     where h1/h2 are the first/second 8 hex chars of md5(s) as unsigned
     32-bit ints — h_i < 2^32·n_hashes, far from BIGINT overflow, and
     reproducible in SQL as CAST('0x'||substr(md5(s),N,8) AS BIGINT).
+
+    ``delta_ids`` (an id-column predicate) switches to INCREMENTAL
+    mode — the production ingest shape: one candidate side is
+    restricted to the delta batch, so the band join costs
+    |delta|×bucket-occupancy and corpus×corpus pairs are never
+    re-derived. Pairs are canonically ordered (id_a < id_b) and cover
+    delta×corpus plus delta×delta; output ⊆ the full-run pairs
+    restricted to pairs touching the delta (pinned in
+    tests/test_dedup.py).
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
@@ -198,13 +210,32 @@ def minhash_lsh_pairs(
         ),
     ).persist()  # n_hashes hash folds per row; both candidate
     # self-join sides reference this frame
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["__band", "__bhash"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-        .distinct()
-    )
+    if delta_ids is None:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["__band", "__bhash"])
+            .filter(F.col("x.__id") < F.col("y.__id"))
+            .select(
+                F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+            )
+            .distinct()
+        )
+    else:
+        # Incremental: only delta rows drive the probe side (an id
+        # predicate → a pushed filter on the banded frame, no extra
+        # join); the full corpus remains the build side. least/greatest
+        # + distinct canonicalize delta×delta pairs found from both
+        # directions.
+        cand = (
+            banded.filter(delta_ids(F.col("__id"))).alias("x")
+            .join(banded.alias("y"), ["__band", "__bhash"])
+            .filter(F.col("x.__id") != F.col("y.__id"))
+            .select(
+                F.least(F.col("x.__id"), F.col("y.__id")).alias("id_a"),
+                F.greatest(F.col("x.__id"), F.col("y.__id")).alias("id_b"),
+            )
+            .distinct()
+        )
     if portable:
         # Verify candidates relationally from the SAME postings frame:
         # per-pair intersection = equi-join on the shingle restricted

@@ -275,6 +275,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # sim_ann_ivf_topk verifies, one Arrow block-dot per cell)
     "dedup_semantic_pairs",
     "dedup_semantic_keep",
+    # (incremental ingest dedup: delta batch probes the banded MinHash
+    # index — |delta|×occupancy per ingest, corpus×corpus never
+    # re-derived; equals the full run restricted to delta-touching
+    # pairs, pinned in tests/test_dedup.py)
+    "dedup_incremental_minhash",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -96,10 +96,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(n_hashes: int, bands: int, min_jaccard: float) -> str:
-    """Exact SQL replica of minhash_lsh_pairs(portable=True): the
-    md5-derived hash family (h_i = h1 + i·h2) is plain integer
-    arithmetic in both engines, so the banding join is value-exact."""
+def _minhash_cte_prefix(n_hashes: int, bands: int) -> str:
+    """Shared WITH-prefix replaying minhash_lsh_pairs(portable=True)'s
+    shingle→md5 hash family→signature→band pipeline; the full and
+    incremental oracles differ only in their candidate CTE."""
     rpb = n_hashes // bands
     sig_cols = ",\n             ".join(
         f"MIN(h1 + {i}*h2) AS s{i}" for i in range(n_hashes)
@@ -127,12 +127,12 @@ def _minhash_oracle(n_hashes: int, bands: int, min_jaccard: float) -> str:
     ),
     bands AS (
 {band_selects}
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-    ),
+    )"""
+
+
+# Jaccard verification over candidate pairs (id_a < id_b) — shared
+# suffix of both MinHash oracles.
+_MINHASH_VERIFY_SUFFIX = """,
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -146,6 +146,42 @@ def _minhash_oracle(n_hashes: int, bands: int, min_jaccard: float) -> str:
     JOIN sizes y ON c.id_b = y.doc_id
     WHERE i::DOUBLE / (x.n + y.n - i) >= {min_jaccard}
     """
+
+
+def _minhash_oracle(n_hashes: int, bands: int, min_jaccard: float) -> str:
+    """Exact SQL replica of minhash_lsh_pairs(portable=True): the
+    md5-derived hash family (h_i = h1 + i·h2) is plain integer
+    arithmetic in both engines, so the banding join is value-exact."""
+    return (
+        _minhash_cte_prefix(n_hashes, bands)
+        + """,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )"""
+        + _MINHASH_VERIFY_SUFFIX.format(min_jaccard=min_jaccard)
+    )
+
+
+def _minhash_incremental_oracle(
+    n_hashes: int, bands: int, min_jaccard: float, delta_mod: int
+) -> str:
+    """Exact replica of the incremental mode: only delta rows
+    (doc_id % delta_mod = 0) drive the probe side; least/greatest
+    canonicalizes delta×delta pairs found from both directions."""
+    return (
+        _minhash_cte_prefix(n_hashes, bands)
+        + f""",
+    cand AS (
+      SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS id_a,
+                      GREATEST(x.doc_id, y.doc_id) AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id
+      WHERE x.doc_id % {delta_mod} = 0
+    )"""
+        + _MINHASH_VERIFY_SUFFIX.format(min_jaccard=min_jaccard)
+    )
 
 
 @query(
@@ -164,6 +200,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         d, "doc_id", regex_tokenize("text"),
         n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42, portable=True,
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_minhash_incremental_oracle(
+        n_hashes=32, bands=8, min_jaccard=0.5, delta_mod=5
+    ),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape where a delta
+    batch (here doc_id % 5 = 0, a fifth of the corpus standing in for
+    today's arrivals) is checked against the already-indexed corpus
+    WITHOUT re-deriving corpus×corpus pairs: only delta rows drive the
+    probe side of the band join, so the cost is |delta| × bucket
+    occupancy per ingest. Output = Jaccard-verified pairs touching the
+    delta (delta×corpus ∪ delta×delta), a superset-free restriction of
+    `dedup_minhash_lsh`'s full run (containment pinned in
+    tests/test_dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", regex_tokenize("text"),
+        n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42, portable=True,
+        delta_ids=lambda c: c % 5 == 0,
     )
 
 

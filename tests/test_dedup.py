@@ -198,3 +198,25 @@ def test_semantic_keep_drops_exactly_pair_targets(spark):
     assert {r.vec_id for r in keep if r.kept == 0} == dropped
     n = load_table(spark, SF_CHECK, "embeddings").count()
     assert len(keep) == n
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """Incremental mode == the full run restricted to pairs touching
+    the delta (same bands, same Jaccard verify — only the probe side
+    shrinks), with identical jaccard values."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    reg = load_all()
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in reg["dedup_minhash_lsh"].fn(spark, SF_CHECK).collect()
+    }
+    incr = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in reg["dedup_incremental_minhash"].fn(spark, SF_CHECK).collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k[0] % 5 == 0 or k[1] % 5 == 0
+    }
+    assert incr == expected
+    assert incr  # the delta actually touches planted pairs

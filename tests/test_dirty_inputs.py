@@ -36,6 +36,7 @@ DIRTY_SAFE = [
     "dedup_exact_docs",
     "dedup_chunk_lines",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "dedup_simhash",
     "pipe_corpus_funnel",
     # r07 additions: boundary join over NULL/empty/mega-token docs;

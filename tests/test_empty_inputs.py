@@ -39,6 +39,7 @@ EMPTY_SAFE = [
     "ts_pmi_cooccurrence",
     "dedup_exact_docs",
     "dedup_chunk_lines",
+    "dedup_incremental_minhash",
     "train_class_weights",
     "train_source_mixture",
     "vec_l2_norm",

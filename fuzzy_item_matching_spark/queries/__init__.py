@@ -280,6 +280,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # re-derived; equals the full run restricted to delta-touching
     # pairs, pinned in tests/test_dedup.py)
     "dedup_incremental_minhash",
+    # (token-budget water-filling: one corpus pass -> |sources|-row
+    # unrolled floor-division schedule, integer-exact; the allocation
+    # step of a budget-bound multi-source mix)
+    "pipe_token_budget",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

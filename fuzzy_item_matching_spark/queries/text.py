@@ -398,15 +398,21 @@ def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequence(1, n) steps DOWN when n < 1 in Spark (yielding bad
         # element_at indices), so single-symbol words are filtered out
         # up front — DuckDB's generate_series just returns [] for them.
+        # split(trim(s)) is bound ONCE before the lambda: inlined, Spark
+        # re-splits the segment string per adjacent pair (O(W²) per
+        # word — the ts_charlm_score recompute class).
         pairs = (
-            seg.filter(F.size(F.split(F.trim(F.col("s")), " ")) >= 2)
+            seg.select(
+                "wc", F.split(F.trim(F.col("s")), " ").alias("__sy")
+            )
+            .filter(F.size("__sy") >= 2)
             .select(
                 "wc",
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
-                        " i -> concat(element_at(split(trim(s), ' '), i), ' ',"
-                        " element_at(split(trim(s), ' '), i + 1)))"
+                        "transform(sequence(1, size(__sy) - 1),"
+                        " i -> concat(element_at(__sy, i), ' ',"
+                        " element_at(__sy, i + 1)))"
                     )
                 ).alias("p"),
             )
@@ -607,15 +613,19 @@ def text_bpe_fit_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: list[tuple[int, int, str, str, int]] = []
     for r in range(1, _BPE_B_ROUNDS + 1):
         seg = seg.persist()
+        # split bound once before the lambda — see text_bpe_fit's note.
         pairs = (
-            seg.filter(F.size(F.split(F.trim(F.col("s")), " ")) >= 2)
+            seg.select(
+                "wc", F.split(F.trim(F.col("s")), " ").alias("__sy")
+            )
+            .filter(F.size("__sy") >= 2)
             .select(
                 "wc",
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(trim(s), ' ')) - 1),"
-                        " i -> concat(element_at(split(trim(s), ' '), i), ' ',"
-                        " element_at(split(trim(s), ' '), i + 1)))"
+                        "transform(sequence(1, size(__sy) - 1),"
+                        " i -> concat(element_at(__sy, i), ' ',"
+                        " element_at(__sy, i + 1)))"
                     )
                 ).alias("p"),
             )

@@ -1758,3 +1758,121 @@ def pipe_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_chosen") - F.col("q_rejected")).alias("margin"),
         )
     )
+
+
+def _token_budget_oracle(rounds: int) -> str:
+    """Exact replica of the water-filling allocator: per-source token
+    supply, budget = 95% of the corpus (19·total // 20), then
+    ``rounds`` unrolled floor-division rounds — every step BIGINT
+    arithmetic (//, LEAST on BIGINTs stays BIGINT — the decimal-only
+    promotion trap documented in docs/VERIFICATION.md doesn't apply)."""
+    blocks = [
+        f"""t AS (
+      SELECT source,
+             CAST(SUM(len({_D_TOKENS.format(c="text")})) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    )""",
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t)",
+        """a0 AS (
+      SELECT source, n_tokens, CAST(0 AS BIGINT) AS alloc,
+             (19 * total) // 20 AS rem
+      FROM t, tot
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks += [
+            f"""n{i} AS (
+      SELECT COUNT(*) AS n_act FROM a{p} WHERE alloc < n_tokens
+    )""",
+            f"""g{i} AS (
+      SELECT source, n_tokens, alloc, rem,
+             CASE WHEN alloc < n_tokens THEN
+               LEAST(CASE WHEN n_act > 0 THEN rem // n_act ELSE 0 END,
+                     n_tokens - alloc)
+             ELSE 0 END AS give
+      FROM a{p}, n{i}
+    )""",
+            f"""a{i} AS (
+      SELECT source, n_tokens, alloc + give AS alloc,
+             rem - (SELECT CAST(SUM(give) AS BIGINT) FROM g{i}) AS rem
+      FROM g{i}
+    )""",
+        ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT source, n_tokens, alloc AS allocated,
+           CAST(CASE WHEN alloc = n_tokens THEN 1 ELSE 0 END AS INT)
+             AS exhausted
+    FROM a{rounds}
+    """
+    )
+
+
+_BUDGET_ROUNDS = 3
+
+
+@query("pipe_token_budget", oracle=_token_budget_oracle(_BUDGET_ROUNDS))
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources — the allocation step
+    of a multi-source pretraining mix when the budget is binding:
+    split 95% of the corpus token supply equally across sources,
+    cap each source at what it actually has, and redistribute the
+    leftover equally among unexhausted sources for 3 rounds (floor
+    division every round, so the whole schedule is integer-exact and
+    replayed verbatim by the oracle).
+
+    Scale shape: the corpus is touched ONCE (per-source token totals,
+    one map-side-combined agg); every water-filling round then runs on
+    the |sources|-row aggregate under an unpartitioned window —
+    KB-scale state regardless of corpus size, the train_source_mixture
+    precedent. Extension surface (reference has no budget allocator;
+    its mixing stops at pair sampling, `02_Build Training Pairs.py`)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy()  # |sources| rows — single-task window is fine
+    t = (
+        d.select("source", F.size(regex_tokenize("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    cur = (
+        t.withColumn("__tot", F.sum("n_tokens").over(w))
+        .withColumn("rem", F.expr("(19 * __tot) div 20"))
+        .withColumn("alloc", F.lit(0).cast("long"))
+        .drop("__tot")
+    )
+    for _ in range(_BUDGET_ROUNDS):
+        cur = (
+            cur.withColumn(
+                "__act", (F.col("alloc") < F.col("n_tokens")).cast("long")
+            )
+            .withColumn("__n_act", F.sum("__act").over(w))
+            .withColumn(
+                "give",
+                F.when(
+                    F.col("__act") == 1,
+                    F.least(
+                        F.when(
+                            F.col("__n_act") > 0,
+                            F.expr("rem div __n_act"),
+                        ).otherwise(F.lit(0).cast("long")),
+                        F.col("n_tokens") - F.col("alloc"),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .withColumn("alloc", F.col("alloc") + F.col("give"))
+            .withColumn("rem", F.col("rem") - F.sum("give").over(w))
+            .drop("__act", "__n_act", "give")
+        )
+    return cur.select(
+        "source",
+        "n_tokens",
+        F.col("alloc").alias("allocated"),
+        F.when(F.col("alloc") == F.col("n_tokens"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("exhausted"),
+    )

@@ -45,6 +45,7 @@ EMPTY_SAFE = [
     "vec_l2_norm",
     "vec_int8_topk",
     "pipe_corpus_funnel",
+    "pipe_token_budget",
     # r07 additions
     "dedup_boundary_overlap",
     "pipe_preference_pairs",

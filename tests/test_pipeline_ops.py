@@ -274,3 +274,24 @@ def test_wav_codec_roundtrip():
 
     with _pytest.raises(ValueError):
         decode_wav(b"RIFX" + bytes(64))
+
+
+def test_token_budget_water_filling_invariants(spark):
+    """Allocation never exceeds supply or budget; unexhausted sources
+    all receive the same (maximal) share — the water level."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    from .conftest import SF_CHECK
+
+    rows = load_all()["pipe_token_budget"].fn(spark, SF_CHECK).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = 19 * total // 20
+    assert sum(r.allocated for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r.allocated <= r.n_tokens
+        assert r.exhausted == int(r.allocated == r.n_tokens)
+    levels = {r.allocated for r in rows if not r.exhausted}
+    assert len(levels) <= 1  # one water level among unexhausted
+    if levels:
+        level = levels.pop()
+        assert all(r.allocated <= level or r.exhausted for r in rows)

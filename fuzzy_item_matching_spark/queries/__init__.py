@@ -209,7 +209,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    reference's approxSimilarityJoin OUTPUT contract
     #    (datasetA/datasetB structs + distCol), never driver-checked.
     "sim_struct_pairs",
-    "dedup_ngram_jaccard",
+    # -- r07 continuation: the inverted-index Jaccard verify
+    #    (dedup_ngram_jaccard, r06-green) is replayed verbatim inside
+    #    BOTH in-prefix MinHash oracles (their `inter` CTE); its slot
+    #    goes to the incremental ingest form — delta rows probe the
+    #    banded index, corpus×corpus never re-derived (the production
+    #    ingest shape, a candidate topology no other row covers).
+    "dedup_incremental_minhash",
     "stream_stream_join",
     "dedup_canonical_closure",
     "dedup_minhash_lsh",
@@ -238,7 +244,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    never-driver-checked form).
     "sim_ann_ivfpq_topk",
     "sim_ann_ivfpq_recall",
-    "sim_ann_ivf_topk",
+    # -- r07 continuation: sim_ann_ivf_topk (r06-green) demotes — its
+    #    ENTIRE centroid build (init + keyed-sample Lloyd) is replayed
+    #    CTE-for-CTE inside the semantic-dedup oracle (shared
+    #    _ivf_centroid_blocks), and cell composition stays in-prefix
+    #    via sim_ann_ivfpq_topk. The slot goes to the SemDeDup-shape
+    #    within-cell pair generator: multi-probe placement + Arrow
+    #    block-dot pair scoring, the embedding-dedup scale path no
+    #    other row covers.
+    "dedup_semantic_pairs",
     # -- r07: S1 CSV (src_csv_roundtrip) and S4 archive ingest keep
     #    their r06 driver records (the scan/agg shapes stay in-prefix
     #    via the other src_* rows); their slots go to the snapshot
@@ -256,7 +270,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_redact_pii",
     "ts_countmin_heavy",
     "rel_pagerank_brands",
-    "text_bpe_fit",
+    # -- r07 continuation: text_bpe_fit (r06-green) demotes — the
+    #    batched fit (in-prefix, #41) re-verifies the identical
+    #    pair-count/argmax/padded-replace machinery at every merge
+    #    level. The slot goes to the token-budget water-filling
+    #    allocator: unrolled floor-division redistribution over the
+    #    per-source aggregate, an integer-exact schedule shape nothing
+    #    else covers.
+    "pipe_token_budget",
     "rel_bloom_semi_join",
     # ---- 50-slot prefix boundary ----
     # -- new in r07, exact-oracled, first in line for the next
@@ -269,21 +290,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_boundary_overlap",
     "train_hard_negatives",
     "pipe_preference_pairs",
-    # (SemDeDup-shape embedding dedup: within-IVF-cell cosine pairs —
-    # the scale twin of dedup_embedding_exact_pairs' O(n²) form — plus
-    # the min-id keep verdict; both replay the SAME centroid build
-    # sim_ann_ivf_topk verifies, one Arrow block-dot per cell)
-    "dedup_semantic_pairs",
+    # (the min-id keep verdict over dedup_semantic_pairs' in-prefix
+    # pair frame — derived anti-join, pairs is the stronger check)
     "dedup_semantic_keep",
-    # (incremental ingest dedup: delta batch probes the banded MinHash
-    # index — |delta|×occupancy per ingest, corpus×corpus never
-    # re-derived; equals the full run restricted to delta-touching
-    # pairs, pinned in tests/test_dedup.py)
-    "dedup_incremental_minhash",
-    # (token-budget water-filling: one corpus pass -> |sources|-row
-    # unrolled floor-division schedule, integer-exact; the allocation
-    # step of a budget-bound multi-source mix)
-    "pipe_token_budget",
+    # -- demoted by the r07-continuation rotation (see prefix header):
+    #    each keeps its r06 driver-green record and its machinery keeps
+    #    a strictly-stronger in-prefix verifier (ngram-jaccard inside
+    #    both MinHash oracles; the IVF centroid build inside the
+    #    semantic-dedup oracle + composition via ivfpq; the BPE fit
+    #    loop inside the batched fit).
+    "dedup_ngram_jaccard",
+    "sim_ann_ivf_topk",
+    "text_bpe_fit",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -221,3 +221,33 @@ def test_basket_and_pagerank_broadcast_dims(spark, registry):
         plan = plan_of(spark, registry, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastExchange" in plan, name
+
+
+def test_semantic_pairs_single_cell_shuffle_then_pair_agg(spark, registry):
+    """ivf_cell_pairs: exactly the groupBy(cell) exchange into the
+    Arrow block kernel plus the pair-dedup aggregate — no join, no
+    cartesian (candidates never materialize as a pair join)."""
+    plan = plan_of(spark, registry, "dedup_semantic_pairs")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_minhash_probe_filter_before_band_join(spark, registry):
+    """The delta predicate must restrict the probe side BEFORE the band
+    join (a pushed filter on the banded frame), not post-join."""
+    plan = plan_of(spark, registry, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    # the delta restriction appears as a modulo filter in the plan
+    assert "% 5" in plan
+
+
+def test_token_budget_single_corpus_pass(spark, registry):
+    """The corpus is scanned once (one agg over documents); the
+    water-filling rounds run on the |sources|-row frame via window
+    functions — no second documents scan, no join."""
+    plan = plan_of(spark, registry, "pipe_token_budget")
+    # formatted explain mentions each scan twice (tree + details) —
+    # one physical scan == exactly 2 mentions
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan

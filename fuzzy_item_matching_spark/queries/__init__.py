@@ -144,7 +144,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- r07 rotation (12 swaps; every demoted row keeps its r06
     #    driver-green record, and its operator keeps an in-prefix
     #    verifier where noted): dedup_decontaminate (containment join
-    #    shape in-prefix via dedup_ngram_jaccard) / train_class_weights
+    #    shape in-prefix via the MinHash oracles' inverted-index
+    #    Jaccard `inter` CTE — ngram_jaccard itself demoted later this
+    #    round, see the continuation note) / train_class_weights
     #    (M1's balanced weights are computed INSIDE in-prefix
     #    train_logreg_gd, operators/logreg.py:35) / train_avg_precision
     #    (the DECIMAL-summed metric closing also runs inside
@@ -302,6 +304,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "sim_ann_ivf_topk",
     "text_bpe_fit",
+    # (mergeable equi-width histogram quantiles — the deterministic
+    # bounded-state sketch swap rel_price_quantiles documents for
+    # groups that outgrow a task; estimate within one bin width,
+    # pinned in tests/test_relational.py)
+    "rel_histo_quantiles",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

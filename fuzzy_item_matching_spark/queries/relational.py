@@ -765,6 +765,120 @@ def rel_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTO_BINS = 64
+
+
+@query(
+    "rel_histo_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+    ),
+    st AS (
+      SELECT l_returnflag, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+      FROM v GROUP BY 1
+    ),
+    b AS (
+      SELECT v.l_returnflag,
+             CASE WHEN st.mx > st.mn THEN
+               LEAST({_HISTO_BINS - 1},
+                     CAST(FLOOR((v.v - st.mn) / (st.mx - st.mn)
+                                * {_HISTO_BINS}) AS INT))
+             ELSE 0 END AS bin
+      FROM v JOIN st USING (l_returnflag)
+    ),
+    h AS (SELECT l_returnflag, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, bin,
+             SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+      FROM h
+    ),
+    qs AS (
+      SELECT l_returnflag, mn, mx, n, q, CAST(CEIL(q * n) AS BIGINT) AS thr
+      FROM st, unnest([0.5, 0.9, 0.99]) AS u(q)
+    ),
+    sel AS (
+      SELECT q.l_returnflag, q.q, q.mn, q.mx, q.n, MIN(c.bin) AS bin
+      FROM qs q JOIN cum c USING (l_returnflag)
+      WHERE CAST(c.cum AS BIGINT) >= q.thr
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT l_returnflag, q, CAST(n AS BIGINT) AS n, bin,
+           mn + (mx - mn) / {_HISTO_BINS} * bin AS est
+    FROM sel
+    """,
+)
+def rel_histo_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via a MERGEABLE equi-width
+    histogram — the bounded-state path `rel_price_quantiles` documents
+    as its 100 TB swap: exact percentile must co-locate a group's full
+    value set in one task, while the histogram is two
+    map-side-combinable aggregates (per-group min/max, then
+    64-bin counts) whose state is B integers per group at ANY row
+    count. The quantile estimate is the left edge of the first bin
+    whose cumulative count reaches ceil(q·n) — every step integer or
+    single-IEEE-op arithmetic, so the sketch is exactly
+    oracle-replayed (unlike t-digest, whose merge order is
+    engine-private; this is the deterministic sketch alternative).
+    Estimate error is bounded by one bin width (range/64)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_HISTO_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _HISTO_BINS
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("l_returnflag").orderBy("bin")
+        ),
+    )
+    qs = stats.select(
+        "l_returnflag",
+        "mn",
+        "mx",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"),
+    ).withColumn("thr", F.ceil(F.col("q") * F.col("n")))
+    sel = (
+        qs.join(cum, "l_returnflag")
+        .filter(F.col("cum").cast("long") >= F.col("thr"))
+        .groupBy("l_returnflag", "q", "mn", "mx", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return sel.select(
+        "l_returnflag",
+        "q",
+        F.col("n").cast("long").alias("n"),
+        "bin",
+        (
+            F.col("mn")
+            + (F.col("mx") - F.col("mn")) / _HISTO_BINS * F.col("bin")
+        ).alias("est"),
+    )
+
+
 _BLOOM_M = 1024  # bits (32 x 32-bit words: values stay positive in BIGINT)
 _BLOOM_K = 3  # hash functions
 _BLOOM_SEG = "BUILDING"

@@ -32,6 +32,7 @@ EMPTY_SAFE = [
     "rel_grouping_sets",
     "rel_value_outliers",
     "rel_salted_agg",
+    "rel_histo_quantiles",
     "rel_bloom_semi_join",
     "ts_token_stats",
     "ts_doc_quality",

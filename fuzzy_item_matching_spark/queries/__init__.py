@@ -309,6 +309,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # groups that outgrow a task; estimate within one bin width,
     # pinned in tests/test_relational.py)
     "rel_histo_quantiles",
+    # (power-of-two length bucketing + padding-waste accounting — the
+    # batch-inference layout step; narrow bucket projection, one
+    # ~30-key map-side-combined agg)
+    "pipe_length_buckets",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

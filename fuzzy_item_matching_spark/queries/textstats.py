@@ -1876,3 +1876,67 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("exhausted"),
     )
+
+
+@query(
+    "pipe_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_D_TOKENS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens <= 1 THEN 0
+                  ELSE FLOOR(LN(CAST(n_tokens AS DOUBLE)) / LN(2.0))
+             END AS INT) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+             AS padding_tokens
+    FROM b GROUP BY bucket
+    """,
+)
+def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batched inference/training:
+    assign every document to its power-of-two length bucket
+    (bucket = floor(log2(n_tokens))), then report per-bucket doc
+    count, token total, bucket max length, and the padding waste a
+    pad-to-bucket-max batcher would incur — the metric that motivates
+    bucketing over naive pad-to-global-max. floor(ln(n)/ln(2)) is two
+    IEEE ops on an integer-valued double, identical in both engines
+    (and exact-integer inputs make the ratio safe at the 2^k
+    boundaries for any realistic document length); everything after
+    is integer arithmetic.
+
+    Scale shape: one narrow pass computes the bucket row-locally; the
+    only exchange is the |buckets|-key (~30 groups max) map-side-
+    combined aggregate. The bucket column is exactly what a
+    repartitionByRange batcher would range-partition on at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(regex_tokenize("text")).alias("n_tokens")
+    )
+    b = t.select(
+        "n_tokens",
+        F.when(F.col("n_tokens") <= 1, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.log(F.col("n_tokens").cast("double")) / F.log(F.lit(2.0))
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+    )

@@ -40,6 +40,7 @@ DIRTY_SAFE = [
     "dedup_simhash",
     "pipe_corpus_funnel",
     "pipe_token_budget",
+    "pipe_length_buckets",
     # r07 additions: boundary join over NULL/empty/mega-token docs;
     # preference pairs over the same (quality handles n_tokens = 0);
     # word2vec-lite exercises the size >= 2 adjacency guard the r06

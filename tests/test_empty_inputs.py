@@ -47,6 +47,7 @@ EMPTY_SAFE = [
     "vec_int8_topk",
     "pipe_corpus_funnel",
     "pipe_token_budget",
+    "pipe_length_buckets",
     # r07 additions
     "dedup_boundary_overlap",
     "pipe_preference_pairs",

@@ -313,6 +313,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # batch-inference layout step; narrow bucket projection, one
     # ~30-key map-side-combined agg)
     "pipe_length_buckets",
+    # (big-big point-in-interval range join via hour-bucket keys — the
+    # scale form of rel_range_join_bands' broadcast band join;
+    # equivalence with the naive non-equi join pinned in
+    # tests/test_relational.py)
+    "rel_bucketed_range_join",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

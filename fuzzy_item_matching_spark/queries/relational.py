@@ -1514,3 +1514,135 @@ def rel_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_RJ_BUCKET_S = 3600  # range-join bucket width (1 hour)
+
+
+@query(
+    "rel_bucketed_range_join",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, event_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessed AS (
+      SELECT *,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    s AS (
+      SELECT user_id, session_id,
+             MIN(sec) - 1800 AS start_sec, MAX(sec) + 1800 AS end_sec
+      FROM sessed GROUP BY 1, 2
+    ),
+    iv AS (
+      SELECT user_id, session_id, start_sec, end_sec,
+             unnest(generate_series(start_sec // {_RJ_BUCKET_S},
+                                    end_sec // {_RJ_BUCKET_S})) AS bucket
+      FROM s
+    ),
+    v AS (
+      SELECT user_id, event_id, sec, sec // {_RJ_BUCKET_S} AS bucket
+      FROM e WHERE event_type = 'view'
+    ),
+    hits AS (
+      SELECT v.user_id, iv.session_id, v.sec
+      FROM v JOIN iv ON v.user_id = iv.user_id AND v.bucket = iv.bucket
+      WHERE v.sec BETWEEN iv.start_sec AND iv.end_sec
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_views,
+           MIN(sec) AS first_view, MAX(sec) AS last_view
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def rel_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big point-in-interval range join via time bucketing — the
+    scale form `rel_range_join_bands`' docstring promises: attribute
+    every 'view' event to the same user's active 'click' session
+    window. Intervals explode into the hour buckets they cover;
+    (padded ±30 min — the attribution window, which also keeps
+    single-click sessions from collapsing to zero length); points
+    carry their single bucket; the join is a plain EQUI-join
+    on (user, bucket) with a row-local BETWEEN verify — Spark's
+    non-equi range join would otherwise fall back to a per-user
+    cross product (BroadcastNestedLoopJoin) that dies on big-big
+    inputs. A (point, interval) pair meets in exactly one bucket (the
+    point's), so no post-join dedup is needed.
+
+    Scale shape: interval explode volume = session duration /
+    bucket width (activity-bounded); both sides shuffle once on
+    (user, bucket); bucket width trades explode volume against
+    bucket occupancy — at 100 TB pick it near the median interval
+    length. All arithmetic is integer epoch-seconds; the session
+    derivation replays `rel_user_sessions_batch`'s exact lag/cumsum
+    oracle restricted to clicks."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    clicks = e.filter(F.col("event_type") == "click")
+    flagged = clicks.select(
+        "*",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sessions = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.min("sec") - 1800).alias("start_sec"),
+            (F.max("sec") + 1800).alias("end_sec"),
+        )
+    )
+    iv = sessions.select(
+        "user_id",
+        "session_id",
+        "start_sec",
+        "end_sec",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_sec div {_RJ_BUCKET_S}"),
+                F.expr(f"end_sec div {_RJ_BUCKET_S}"),
+            )
+        ).alias("bucket"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.expr(f"sec div {_RJ_BUCKET_S}").alias("bucket"),
+    )
+    hits = views.join(iv, ["user_id", "bucket"]).filter(
+        (F.col("sec") >= F.col("start_sec"))
+        & (F.col("sec") <= F.col("end_sec"))
+    )
+    return hits.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("sec").alias("first_view"),
+        F.max("sec").alias("last_view"),
+    )

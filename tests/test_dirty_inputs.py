@@ -67,6 +67,7 @@ DIRTY_SAFE = [
     "rel_events_hourly",
     "rel_json_props",
     "rel_rolling_user_value",
+    "rel_bucketed_range_join",
     "rel_user_sessions_batch",
     "rel_value_outliers",
 ]

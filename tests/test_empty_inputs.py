@@ -33,6 +33,7 @@ EMPTY_SAFE = [
     "rel_value_outliers",
     "rel_salted_agg",
     "rel_histo_quantiles",
+    "rel_bucketed_range_join",
     "rel_bloom_semi_join",
     "ts_token_stats",
     "ts_doc_quality",

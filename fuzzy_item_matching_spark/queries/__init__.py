@@ -318,6 +318,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # equivalence with the naive non-equi join pinned in
     # tests/test_relational.py)
     "rel_bucketed_range_join",
+    # (median/IQR robust scaling with winsorization — the
+    # outlier-resistant fit/apply twin of train_standard_scaler)
+    "train_robust_scaler",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -2501,3 +2501,68 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("anchor_id", "kind", "cand_id", "sim")
     )
+
+
+@query(
+    "train_robust_scaler",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    fit AS (
+      SELECT event_type,
+             quantile_cont(v, 0.5) AS med,
+             quantile_cont(v, 0.75) - quantile_cont(v, 0.25) AS iqr
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.v AS value,
+           CASE WHEN f.iqr = 0 THEN 0.0
+                ELSE LEAST(3.0, GREATEST(-3.0, (v.v - f.med) / f.iqr))
+           END AS robust_z
+    FROM v JOIN fit f USING (event_type)
+    """,
+)
+def train_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler fit/apply in one plan — the outlier-resistant twin
+    of `train_standard_scaler`: center on the per-group MEDIAN, scale
+    by the IQR, winsorize to ±3 scaled units. Heavy-tailed metrics
+    (exactly what `rel_value_outliers` screens for on this column)
+    blow up a mean/σ z-score because the outliers sit inside the fit;
+    median/IQR ignore them, and the clip bounds any survivor.
+
+    Fit is one exact-percentile agg per group (both engines
+    sort-and-interpolate identically — the rel_price_quantiles
+    precedent; at 100 TB swap the fit to the mergeable histogram
+    sketch `rel_histo_quantiles` demonstrates); apply broadcasts the
+    |event_types|-row model back — zero shuffle of the fact side.
+    (v−med)/iqr then clip is a fixed IEEE tree; LEAST/GREATEST on
+    DOUBLE keep DOUBLE in both engines (the decimal-only promotion
+    trap documented in docs/VERIFICATION.md doesn't apply)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = e.select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    fit = v.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        (
+            F.expr("percentile(v, 0.75)") - F.expr("percentile(v, 0.25)")
+        ).alias("iqr"),
+    )
+    return v.join(F.broadcast(fit), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").alias("value"),
+        F.when(F.col("iqr") == 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.lit(3.0),
+                F.greatest(
+                    F.lit(-3.0), (F.col("v") - F.col("med")) / F.col("iqr")
+                ),
+            )
+        )
+        .alias("robust_z"),
+    )

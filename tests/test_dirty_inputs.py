@@ -68,6 +68,7 @@ DIRTY_SAFE = [
     "rel_json_props",
     "rel_rolling_user_value",
     "rel_bucketed_range_join",
+    "train_robust_scaler",
     "rel_user_sessions_batch",
     "rel_value_outliers",
 ]

@@ -43,6 +43,7 @@ EMPTY_SAFE = [
     "dedup_chunk_lines",
     "dedup_incremental_minhash",
     "train_class_weights",
+    "train_robust_scaler",
     "train_source_mixture",
     "vec_l2_norm",
     "vec_int8_topk",

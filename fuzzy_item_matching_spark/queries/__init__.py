@@ -321,6 +321,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (median/IQR robust scaling with winsorization — the
     # outlier-resistant fit/apply twin of train_standard_scaler)
     "train_robust_scaler",
+    # (windowed heavy hitters: mergeable streaming counts + post-sink
+    # top-k rank — the rate-limiting staple; exact batch equivalence)
+    "stream_heavy_hitters",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -645,3 +645,48 @@ def stream_dedup_within_watermark(
     return out.groupBy("user_id", "event_type").agg(
         F.lit(1).alias("n_kept")
     )
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, user_id, n, rnk FROM (
+      SELECT hour, user_id, n,
+             CAST(row_number() OVER (
+               PARTITION BY hour ORDER BY n DESC, user_id) AS INT) AS rnk
+      FROM c
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters: per 1-hour tumbling window, the top-3
+    users by event count (ties → lower user_id) — the rate-limiting /
+    abuse-detection staple. The streaming stage keeps only the
+    additive (window, user) counts (complete mode, mergeable state);
+    the top-k rank runs POST-SINK on the emitted aggregate — ranking
+    is not an incremental operator, and pushing it into the stream
+    would force a non-mergeable state shape, so the split IS the
+    production design (at scale: counts stream into a compacted
+    store, rank runs on read — count-min + heap approximates when
+    per-key state must shrink, `ts_countmin_heavy`'s trade).
+
+    Batch equivalence is exact: availableNow + complete mode drops no
+    state, and the post-sink rank is deterministic under the
+    (n DESC, user_id) total order."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = _drain_to_memory(agg, "complete")
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        out.select(F.col("w.start").alias("hour"), "user_id", "n")
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

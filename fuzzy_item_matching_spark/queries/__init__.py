@@ -324,6 +324,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (windowed heavy hitters: mergeable streaming counts + post-sink
     # top-k rank — the rate-limiting staple; exact batch equivalence)
     "stream_heavy_hitters",
+    # (per-doc out-of-vocabulary rate vs the corpus top-1000 vocab —
+    # tokenizer-coverage eval; one explode feeds count agg + broadcast
+    # membership join)
+    "ts_oov_rate",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

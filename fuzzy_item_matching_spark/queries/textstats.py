@@ -1940,3 +1940,73 @@ def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("padding_tokens"),
     )
+
+
+_OOV_VOCAB = 1000
+
+
+@query(
+    "ts_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS t
+      FROM documents
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM tc
+      ) WHERE rn <= {_OOV_VOCAB}
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY tok.doc_id
+    """,
+)
+def ts_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 vocabulary — the tokenizer-coverage metric a pipeline
+    checks before committing to a fixed vocab (high OOV docs either
+    need a bigger vocab or are noise the quality gates should have
+    caught; pairs with `text_bpe_fit`, whose merges exist to drive
+    this rate down). Vocabulary selection is total-ordered
+    (count DESC, term ASC) so the cut is deterministic.
+
+    Scale shape: one token explode feeds both the term-count agg and
+    the per-doc membership join; the vocab is 1000 rows — broadcast —
+    so the scoring pass is one map-side-combined per-doc aggregate.
+    The global vocab rank is a top-1000 over the |distinct terms|
+    aggregate (TakeOrdered-sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(regex_tokenize("text")).alias("t")
+    ).persist()
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tc.orderBy(F.desc("c"), F.asc("t"))
+        .limit(_OOV_VOCAB)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+            (
+                F.sum(
+                    F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

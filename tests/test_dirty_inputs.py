@@ -29,6 +29,7 @@ DIRTY_SAFE = [
     # text family over NULL/empty/unicode/megatoken docs
     "text_tokens",
     "ts_token_stats",
+    "ts_oov_rate",
     "ts_doc_quality",
     "ts_lang_id",
     "ts_fingerprint",

@@ -36,6 +36,7 @@ EMPTY_SAFE = [
     "rel_bucketed_range_join",
     "rel_bloom_semi_join",
     "ts_token_stats",
+    "ts_oov_rate",
     "ts_doc_quality",
     "ts_countmin_heavy",
     "ts_pmi_cooccurrence",

@@ -251,3 +251,12 @@ def test_token_budget_single_corpus_pass(spark, registry):
     # one physical scan == exactly 2 mentions
     assert plan.count("Scan parquet") == 2
     assert "Window" in plan
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark, registry):
+    """The point of the bucket decomposition: the interval join must
+    plan as an equi-join on (user, bucket), never the nested-loop
+    fallback Spark uses for non-equi join conditions."""
+    plan = plan_of(spark, registry, "rel_bucketed_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -148,3 +148,27 @@ def test_similarity_join_skew_bounded_by_max_df(spark):
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[(__t|term)",
         plan,
     ), plan
+
+
+def test_semantic_dedup_survives_degenerate_single_cell(spark):
+    """Adversarial occupancy: an all-identical corpus defeats cell
+    balancing (every vector lands in the same cells), collapsing the
+    blockwise kernel to one O(n²) task. The operator must still
+    complete and return the full pair set — and the documented
+    mitigation (n_centroids ~√n keeps EXPECTED occupancy bounded; a
+    degenerate mode needs an upstream exact-dedup pass, which is why
+    dedup_exact_docs runs FIRST in the pipeline ordering) lives in
+    the docstring, not in silent truncation."""
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cell_pairs
+
+    n = 120
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_cell_pairs(
+        df, "vec_id", "embedding", min_cosine=0.99, n_centroids=8,
+        n_probe=2, refine_iters=1,
+    ).collect()
+    assert len(out) == n * (n - 1) // 2  # every pair, exactly once
+    assert all(abs(r.cosine - 1.0) < 1e-12 for r in out)

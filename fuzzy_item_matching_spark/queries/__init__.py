@@ -328,6 +328,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # tokenizer-coverage eval; one explode feeds count agg + broadcast
     # membership join)
     "ts_oov_rate",
+    # (the dedup funnel as one plan: per-stage survivor counts for a
+    # duplicated ingest — exact first, shingle join over survivors only)
+    "dedup_funnel_counts",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -1030,3 +1030,95 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("head_id") != F.col("tail_id"))
         .select("head_id", "tail_id", "boundary")
     )
+
+
+@query(
+    "dedup_funnel_counts",
+    oracle=f"""
+    WITH ingest AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ),
+    exact AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM ingest GROUP BY text
+    ),
+    sh AS (SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM exact),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes x ON inter.id_a = x.doc_id
+      JOIN sizes y ON inter.id_b = y.doc_id
+      WHERE i::DOUBLE / (x.n + y.n - i) >= 0.5
+    ),
+    near AS (
+      SELECT e.doc_id, e.text FROM exact e
+      LEFT JOIN drops d ON d.id_b = e.doc_id WHERE d.id_b IS NULL
+    ),
+    quality AS (
+      SELECT doc_id FROM near
+      WHERE len({_D_TOKENS.format(c="text")}) >= 20
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'ingest' AS name, COUNT(*) AS n_docs FROM ingest
+      UNION ALL
+      SELECT 2, 'exact_dedup', COUNT(*) FROM exact
+      UNION ALL
+      SELECT 3, 'near_dedup', COUNT(*) FROM near
+      UNION ALL
+      SELECT 4, 'min_length', COUNT(*) FROM quality
+    )
+    """,
+)
+def dedup_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup funnel as ONE plan — per-stage survivor counts for a
+    duplicated ingest (the corpus unioned with an id-shifted copy,
+    the dedup_exact_docs fixture): ingest → exact dedup (min-id per
+    text) → near-dup drop (word-3-gram Jaccard ≥ 0.5 one-hop keeper)
+    → minimum-length gate. The stage-count report every production
+    dedup run emits — it's how you notice a mis-tuned threshold
+    eating the corpus before training does.
+
+    Ordering is the scale ordering: exact dedup FIRST (one
+    content-hash groupBy halves the corpus before the expensive
+    shingle join — and removes the identical-text degenerate case
+    the within-cell semantic kernel documents), then the
+    inverted-index Jaccard join over survivors only. Counts are
+    1-row aggregates unioned — no stage materializes more than the
+    survivor frame it already needed."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    exact = ingest.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = exact.select("doc_id", "text").persist()
+    pairs = ngram_jaccard_pairs(
+        exact, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    )
+    drops = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
+    near = (
+        exact.join(drops, exact.doc_id == drops.id_b, "left")
+        .filter(F.col("__d").isNull())
+        .select("doc_id", "text")
+        .persist()
+    )
+    quality = near.filter(F.size(regex_tokenize("text")) >= 20)
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "ingest", ingest)
+        .unionByName(stage(2, "exact_dedup", exact))
+        .unionByName(stage(3, "near_dedup", near))
+        .unionByName(stage(4, "min_length", quality))
+    )

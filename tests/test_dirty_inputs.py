@@ -38,6 +38,7 @@ DIRTY_SAFE = [
     "dedup_chunk_lines",
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
+    "dedup_funnel_counts",
     "dedup_simhash",
     "pipe_corpus_funnel",
     "pipe_token_budget",

@@ -43,6 +43,7 @@ EMPTY_SAFE = [
     "dedup_exact_docs",
     "dedup_chunk_lines",
     "dedup_incremental_minhash",
+    "dedup_funnel_counts",
     "train_class_weights",
     "train_robust_scaler",
     "train_source_mixture",
@@ -85,10 +86,13 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
     reg = load_all()
     rows = reg[name].fn(spark, empty_sf).collect()
     # no crash; and nothing fabricated from nothing (bloom emits its
-    # one all-zero counts row; everything else must be empty)
+    # one all-zero counts row, the funnel its four zero-count stages;
+    # everything else must be empty)
     if name == "rel_bloom_semi_join":
         [r] = rows
         assert r["n_orders"] == r["n_bloom_pass"] == r["n_true"] == 0
+    elif name == "dedup_funnel_counts":
+        assert len(rows) == 4 and all(r["n_docs"] == 0 for r in rows)
     else:
         assert rows == []
 

@@ -321,3 +321,49 @@ def extract_audio_windows(
     return df.select(id_col, payload_col).mapInPandas(
         win_batches, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+def extract_image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL decode → 8×8 average-hash (aHash), emitted as 8 × 8-bit
+    band chunks for pigeonhole LSH (the image twin of SimHash's
+    16-bit chunking). Per image: parse the BMP (header walk, padded
+    row strip), nearest-neighbor-sample one blue-channel byte per
+    cell of an 8×8 grid, and set bit (i,j) iff 64·v > Σv — the
+    integer form of v > mean, tie-free and exactly replayable in SQL.
+    Undecodable payloads cost their own row (ValueError → skipped),
+    never the task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chunks = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, px = decode_bmp(bytes(p))
+                except (ValueError, IndexError):
+                    continue
+                if not px:
+                    continue
+                vals = [
+                    px[(r8 * h // 8) * 3 * w + (c8 * w // 8) * 3]
+                    for r8 in range(8)
+                    for c8 in range(8)
+                ]
+                s = sum(vals)
+                cs = []
+                for b in range(8):
+                    c = 0
+                    for j in range(8):
+                        if 64 * vals[b * 8 + j] > s:
+                            c |= 1 << (7 - j)
+                    cs.append(c)
+                ids.append(i)
+                chunks.append(cs)
+            yield pd.DataFrame({"doc_id": ids, "chunks": chunks})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema="doc_id long, chunks array<int>"
+    )

@@ -331,6 +331,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (the dedup funnel as one plan: per-stage survivor counts for a
     # duplicated ingest — exact first, shingle join over survivors only)
     "dedup_funnel_counts",
+    # (image perceptual-hash dedup: real BMP decode -> 8x8 aHash ->
+    # pigeonhole band join, hamming-verified; the multimodal dedup
+    # path, oracle-replayed end-to-end via ascii byte arithmetic)
+    "mm_phash_pairs",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -165,3 +165,106 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_windows(
         d.filter(F.length("text") > 0), real_decode=True
     )
+
+
+@query(
+    "mm_phash_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS tl,
+             (ascii(substring(text, 1, 1)) % 8 + 1) * 8 AS w,
+             (ascii(substring(text, 2, 1)) % 8 + 1) * 8 AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    samp AS (
+      SELECT doc_id, u.i AS idx,
+             ascii(substring(text,
+               ((((u.i // 8) * h) // 8) * 3 * w
+                + (((u.i % 8) * w) // 8) * 3) % tl + 1,
+               1)) AS v
+      FROM g, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u(i)
+    ),
+    sums AS (SELECT doc_id, SUM(v) AS s FROM samp GROUP BY doc_id),
+    chunks AS (
+      SELECT samp.doc_id, idx // 8 AS band,
+             CAST(SUM(CASE WHEN 64 * v > s
+                           THEN 1 << (7 - (idx % 8)) ELSE 0 END) AS INT)
+               AS chunk
+      FROM samp JOIN sums USING (doc_id) GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM chunks x JOIN chunks y
+        ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    ),
+    wide AS (
+      SELECT doc_id, list(chunk ORDER BY band) AS cs FROM chunks GROUP BY doc_id
+    )
+    SELECT id_a, id_b, CAST(hm AS INT) AS hamming FROM (
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(list_zip(a.cs, b.cs),
+               p -> bit_count(xor(CAST(p[1] AS BIGINT),
+                                  CAST(p[2] AS BIGINT))))) AS hm
+      FROM cand c
+      JOIN wide a ON a.doc_id = c.id_a
+      JOIN wide b ON b.doc_id = c.id_b
+    ) WHERE hm <= 6
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via perceptual average-hash — the standard
+    image-dedup path a multimodal pipeline runs before training:
+    REAL container decode (the BMP parser), 8×8 nearest-neighbor
+    grayscale-channel sample, aHash bits (64·v > Σv — integer-exact,
+    tie-free), then SimHash-style pigeonhole banding: 8 bands of
+    8 bits guarantee recall for hamming ≤ 7, verified here at ≤ 6.
+    Candidates come from a (band, chunk) equi-join, never all-pairs;
+    the oracle replays decode-sample-hash-band end-to-end via ascii()
+    byte arithmetic (the builder∘parser roundtrip is
+    content-preserving, the mm_image_features property).
+
+    aHash is alignment-sensitive by design (byte-shifted variants
+    hash apart — cropping/re-encoding robustness is what production
+    pHash DCTs buy); on this fixture the survivors are structural
+    byte-plane collisions."""
+    d = with_bmp_payload(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    from fuzzy_item_matching_spark.operators.multimodal import (
+        extract_image_ahash,
+    )
+
+    feat = extract_image_ahash(d).persist()
+    banded = feat.select(
+        "doc_id", F.posexplode("chunks").alias("band", "chunk")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = feat.select(F.col("doc_id").alias("id_a"), F.col("chunks").alias("__ca"))
+    b = feat.select(F.col("doc_id").alias("id_b"), F.col("chunks").alias("__cb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "__ca", "__cb",
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )

@@ -39,6 +39,7 @@ DIRTY_SAFE = [
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
     "dedup_funnel_counts",
+    "mm_phash_pairs",
     "dedup_simhash",
     "pipe_corpus_funnel",
     "pipe_token_budget",

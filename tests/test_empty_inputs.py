@@ -44,6 +44,7 @@ EMPTY_SAFE = [
     "dedup_chunk_lines",
     "dedup_incremental_minhash",
     "dedup_funnel_counts",
+    "mm_phash_pairs",
     "train_class_weights",
     "train_robust_scaler",
     "train_source_mixture",

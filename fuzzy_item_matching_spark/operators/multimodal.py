@@ -131,6 +131,18 @@ def _tile(data: bytes, n: int) -> bytes:
     return (data * reps)[:n]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the session's full parallelism
+    before a Python codec stage. The local fixture is ONE parquet file
+    → one input split → the whole Arrow-batched build+decode chain
+    would run single-threaded (measured 4.2 s of the 5 s phash plan at
+    sf0.1). At 100 TB media arrives as thousands of splits and this is
+    a no-op-shaped cheap shuffle of text rows; the extractors
+    themselves stay partition-preserving."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(want)
+
+
 def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture builder: pack each row's utf-8 bytes into a REAL WAV
     container (payload column). Arrow-batched; at scale real media
@@ -141,7 +153,9 @@ def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _build(text):
         return text.map(lambda t: encode_wav(t.encode("utf-8")))
 
-    return df.withColumn("payload", pandas_udf(_build, "binary")(F.col(text_col)))
+    return _spread(df).withColumn(
+        "payload", pandas_udf(_build, "binary")(F.col(text_col))
+    )
 
 
 def with_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -160,7 +174,9 @@ def with_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _build(text):
         return text.map(_one)
 
-    return df.withColumn("payload", pandas_udf(_build, "binary")(F.col(text_col)))
+    return _spread(df).withColumn(
+        "payload", pandas_udf(_build, "binary")(F.col(text_col))
+    )
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -266,8 +266,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_zorder_layout",
     "text_bpe_fit_batched",
     "train_weighted_sample",
-    "rel_top_revenue_orders",
-    "rel_cust_order_stats",
+    # -- r07 final rotation: rel_top_revenue_orders (J1/P8/P9, r06
+    #    driver-green) and rel_cust_order_stats (J2/P5, r06-green)
+    #    demote — composite-key joins, TakeOrdered top-k, and
+    #    null-coalescing labeling all run inside in-prefix plans
+    #    (serve_incremental_scoring, sim_bm25_topk, rel_bloom_semi_
+    #    join). Their slots go to the two never-driver-checked ops of
+    #    this session: the image perceptual-hash dedup join (real BMP
+    #    decode → 8×8 aHash → pigeonhole bands + hot-bucket df
+    #    pruning — the multimodal dedup path) and the
+    #    explicit-register HyperLogLog (the mergeable-sketch
+    #    cardinality form KMV's docstring points at; register table
+    #    replayed bit-for-bit, estimate included).
+    "mm_phash_pairs",
+    "ts_hll_distinct",
     "rel_status_share",
     "ts_redact_pii",
     "ts_countmin_heavy",
@@ -331,10 +343,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (the dedup funnel as one plan: per-stage survivor counts for a
     # duplicated ingest — exact first, shingle join over survivors only)
     "dedup_funnel_counts",
-    # (image perceptual-hash dedup: real BMP decode -> 8x8 aHash ->
-    # pigeonhole band join, hamming-verified; the multimodal dedup
-    # path, oracle-replayed end-to-end via ascii byte arithmetic)
-    "mm_phash_pairs",
+    # -- demoted by the r07 final rotation (see prefix): both keep
+    #    their r06 driver-green records.
+    "rel_top_revenue_orders",
+    "rel_cust_order_stats",
     # (bounded-state streaming dedup: the within-watermark form whose
     # state doesn't grow with history — survivor-count equivalence
     # oracle; eviction semantics pinned in

@@ -192,9 +192,18 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS chunk
       FROM samp JOIN sums USING (doc_id) GROUP BY 1, 2
     ),
+    ok AS (
+      SELECT band, chunk FROM chunks
+      GROUP BY band, chunk
+      HAVING 20 * COUNT(*) <= greatest(1280, (SELECT COUNT(*) FROM sums))
+    ),
+    pruned AS (
+      SELECT c.doc_id, c.band, c.chunk
+      FROM chunks c JOIN ok USING (band, chunk)
+    ),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM chunks x JOIN chunks y
+      FROM pruned x JOIN pruned y
         ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
     ),
     wide AS (
@@ -223,6 +232,18 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte arithmetic (the builder∘parser roundtrip is
     content-preserving, the mm_image_features property).
 
+    Saturated chunks (e.g. 0xFF — all samples above the mean) bucket
+    a constant fraction of the corpus, the quadratic hot-key failure
+    mode at scale: hence the same df-pruning discipline as the
+    similarity join's max_df_ratio (operators/similarity.py:219) —
+    buckets holding > max(64, 5% of docs) members are dropped before
+    the self-join, via the all-integer tie-free predicate
+    20·df ≤ greatest(1280, n). The bucket whitelist is ≤ 8·256 rows
+    by construction, so it broadcasts. Trade-off (documented, as for
+    max_df): a pair whose ONLY matching band is saturated is missed —
+    at 5 k docs that drops 3.5 M of 3.6 M candidate pairs while the
+    survivor set keeps every structural collision pair.
+
     aHash is alignment-sensitive by design (byte-shifted variants
     hash apart — cropping/re-encoding robustness is what production
     pHash DCTs buy); on this fixture the survivors are structural
@@ -238,9 +259,18 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = feat.select(
         "doc_id", F.posexplode("chunks").alias("band", "chunk")
     )
+    tot = feat.agg(F.count("*").alias("__n"))
+    ok = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(tot))
+        .filter(20 * F.col("__df") <= F.greatest(F.lit(1280), F.col("__n")))
+        .select("band", "chunk")
+    )
+    pruned = banded.join(F.broadcast(ok), ["band", "chunk"])
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "chunk"])
+        pruned.alias("x")
+        .join(pruned.alias("y"), ["band", "chunk"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")

@@ -780,6 +780,107 @@ def ts_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL constants: m = 256 registers addressed by the first md5 hex
+# byte; ranks read the next 60 bits. _HLL_NUM = alpha_256 * m^2 * 2^61
+# as ONE double literal (identical text in both engines), so the
+# estimate is a single IEEE division of exact operands.
+_HLL_NUM = "1.0854228543761655e+23"
+_HLL_POW61 = 2**61
+
+
+@query(
+    "ts_hll_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_D_TOKENS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    rv AS (
+      SELECT source,
+             CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS reg,
+             CAST('0x' || substr(md5(tok), 3, 15) AS BIGINT) AS v
+      FROM tok
+    ),
+    regs AS (
+      SELECT source, reg,
+             MAX(CASE WHEN v = 0 THEN 61
+                      ELSE 61 - length(bin(v)) END) AS r
+      FROM rv GROUP BY source, reg
+    ),
+    s AS (
+      SELECT source,
+             SUM(CAST(CAST(1 AS BIGINT) << (61 - r) AS HUGEINT))
+               + (256 - COUNT(*)) * CAST({_HLL_POW61} AS HUGEINT) AS ssum
+      FROM regs GROUP BY source
+    ),
+    e AS (
+      SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM tok
+      GROUP BY source
+    )
+    SELECT e.source, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           {_HLL_NUM} / CAST(s.ssum AS DOUBLE) AS hll_estimate
+    FROM e JOIN s ON e.source = s.source
+    """,
+)
+def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via an EXPLICIT-register
+    HyperLogLog — the mergeable-sketch answer to ts_distinct_kmv's
+    caveat: Spark's approx_count_distinct HLL can never cross-engine
+    match because its register layout is engine-internal, but a
+    register table we own (reg = first md5 hex byte, rank = leading
+    zeros of the next 60 bits + 1, computed integer-exactly as
+    61 - length(bin(v))) is a pure function of the data, so DuckDB
+    replays the whole sketch bit-for-bit — estimate included.
+
+    Scale shape: insertion is idempotent (MAX), so no pre-distinct
+    pass — the plan is one map-side-combinable groupBy(source, reg)
+    MAX over the token stream, a ≤ 256-row state per source that
+    merges across partitions, days, or engines with elementwise MAX.
+    Register sums accumulate Σ 2^(61-r) as exact integers (DECIMAL —
+    256·2^61 overflows BIGINT), absent registers contribute 2^61
+    (r = 0), and the raw estimate alpha·m²/Σ2^-r reduces to ONE
+    double division of exact operands. No low-range linear-counting
+    correction (ln is transcendental → not replayable); at corpus
+    scale (card ≫ 2.5·m = 640) the raw estimator is the operative
+    branch anyway, and exact_distinct rides along so the error is
+    visible. Estimator: Flajolet et al., HyperLogLog (AofA 2007).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(regex_tokenize("text")).alias("tok")
+    )
+    hx = F.md5(F.col("tok").cast("binary"))
+    rv = toks.select(
+        "source",
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(hx, 3, 15), 16, 10).cast("long").alias("v"),
+    )
+    regs = rv.groupBy("source", "reg").agg(
+        F.max(
+            F.when(F.col("v") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin("v"))
+            )
+        ).alias("r")
+    )
+    s = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.lit(_HLL_POW61).cast("decimal(38,0)")
+        ).alias("ssum")
+    )
+    e = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return e.join(s, "source").select(
+        "source",
+        "exact_distinct",
+        (F.lit(float(_HLL_NUM)) / F.col("ssum").cast("double")).alias(
+            "hll_estimate"
+        ),
+    )
+
+
 @query(
     "ts_token_dominance",
     oracle=f"""

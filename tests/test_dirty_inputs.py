@@ -34,6 +34,7 @@ DIRTY_SAFE = [
     "ts_lang_id",
     "ts_fingerprint",
     "ts_redact_pii",
+    "ts_hll_distinct",
     "dedup_exact_docs",
     "dedup_chunk_lines",
     "dedup_minhash_lsh",

@@ -40,6 +40,7 @@ EMPTY_SAFE = [
     "ts_doc_quality",
     "ts_countmin_heavy",
     "ts_pmi_cooccurrence",
+    "ts_hll_distinct",
     "dedup_exact_docs",
     "dedup_chunk_lines",
     "dedup_incremental_minhash",

@@ -343,6 +343,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (the dedup funnel as one plan: per-stage survivor counts for a
     # duplicated ingest — exact first, shingle join over survivors only)
     "dedup_funnel_counts",
+    # (content-defined chunking shared-chunk ledger: boundary tokens
+    # re-synchronize chunk fingerprints across insertions/deletions —
+    # the revision-robust sub-document dedup granularity; per-doc
+    # window cumsum + two hash aggs)
+    "dedup_cdc_chunks",
+    # (banded-MinHash recall vs the exact Jaccard truth at the same
+    # threshold — the sim_ann_recall analogue for the dedup index;
+    # n_missed counted via anti-join, not assumed from containment)
+    "dedup_minhash_recall",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

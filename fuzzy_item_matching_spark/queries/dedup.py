@@ -227,6 +227,205 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH lsh AS (
+      SELECT id_a, id_b FROM (
+        {_minhash_oracle(n_hashes=32, bands=8, min_jaccard=0.5)}
+      )
+    ),
+    ex AS (
+      SELECT id_a, id_b FROM (
+        WITH sh AS (
+          SELECT doc_id, unnest({{shingles}}) AS g FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes x ON inter.id_a = x.doc_id
+        JOIN sizes y ON inter.id_b = y.doc_id
+        WHERE i::DOUBLE / (x.n + y.n - i) >= 0.5
+      )
+    ),
+    missed AS (
+      SELECT e.id_a, e.id_b FROM ex e
+      ANTI JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    ),
+    ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+    nl AS (SELECT COUNT(*) AS n_lsh FROM lsh),
+    nm AS (SELECT COUNT(*) AS n_missed FROM missed)
+    SELECT CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(nl.n_lsh AS BIGINT) AS n_lsh,
+           CAST(nm.n_missed AS BIGINT) AS n_missed,
+           CASE WHEN ne.n_exact = 0 THEN 1.0
+                ELSE CAST(ne.n_exact - nm.n_missed AS DOUBLE) / ne.n_exact
+           END AS recall
+    FROM ne, nl, nm
+    """.replace("{shingles}", _D_SHINGLES),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: banded-MinHash recall against the
+    exact word-3-gram Jaccard truth at the SAME threshold — the check
+    a scale user runs before trusting LSH with 100 TB (the analogue of
+    sim_ann_recall for the dedup index). Both sides are Jaccard-
+    verified, so the LSH set is a subset of the truth and precision
+    is 1 by construction; what banding risks is RECALL: with 8 bands
+    of 4 rows, P(candidate | j) = 1 − (1 − j⁴)⁸ ≈ 0.40 at j = 0.5 but
+    0.985 at j = 0.8 — so threshold-boundary pairs may be missed while
+    the planted near-dup band (j ≥ 0.8) should survive ~fully. The
+    result quantifies exactly that: n_missed counted via anti-join
+    (not assumed from containment), recall as one IEEE division.
+
+    Scale shape: both pair generators are inverted-index equi-joins
+    (never all-pairs); the metric is three 1-row aggregates
+    cross-joined. The exact side's shingle join is the same frame the
+    MinHash verify stage already builds, so a production run shares
+    the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        d, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        d, "doc_id", regex_tokenize("text"),
+        n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42, portable=True,
+    ).select("id_a", "id_b")
+    missed = exact.join(lsh, ["id_a", "id_b"], "left_anti")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_missed",
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("n_exact") - F.col("n_missed")).cast("double")
+                / F.col("n_exact")
+            )
+            .alias("recall"),
+        )
+    )
+
+
+# Content-defined chunking: a token opens a new chunk when its md5
+# bucket mod _CDC_MOD is 0 → expected chunk length _CDC_MOD tokens,
+# boundaries a pure function of local content.
+_CDC_MOD = 16
+_CDC_MIN_TOKS = 5
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok,
+             CASE WHEN CAST('0x' || substr(md5(t[i]), 1, 8) AS BIGINT)
+                       % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS flag
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, tok,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, sid, COUNT(*) AS tok_len,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM seg GROUP BY doc_id, sid
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(MIN(tok_len) AS INT) AS tok_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           MIN(doc_id) AS keeper_doc
+    FROM chunks
+    WHERE tok_len >= {_CDC_MIN_TOKS}
+    GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) shared-chunk report — the
+    storage-dedup boundary discipline (Rabin/Gear CDC; LBFS, Muthitacharoen
+    et al., SOSP '01) applied to corpus text: a token OPENS a new
+    chunk when md5(token) mod 16 = 0, so expected chunk length is
+    16 tokens and — unlike dedup_chunk_lines' fixed 8-token grid —
+    boundaries are a pure function of LOCAL content: inserting or
+    deleting a sentence shifts every downstream fixed-window chunk but
+    re-synchronizes CDC chunks at the next boundary token, which is
+    what lets shared passages between document revisions keep
+    identical fingerprints. Output: every chunk of ≥ 5 tokens that
+    appears in ≥ 2 documents, with its occurrence counts and min-id
+    keeper — the cross-document boilerplate ledger.
+
+    Scale shape: boundary flags are a narrow per-row expression; the
+    running segment id is a per-document window cumsum (state bounded
+    by one document); chunk assembly is a (doc, segment) hash agg with
+    position-sorted reassembly, and the cross-corpus ledger is one
+    more map-side-combinable agg keyed on the chunk (at 100 TB: on
+    xxhash64(chunk) — cheaper shuffle key, same grouping). Nothing is
+    all-pairs."""
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.text import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "tok")
+    ).withColumn(
+        "flag", (md5_bucket("tok", _CDC_MOD) == 0).cast("int")
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok.select(
+        "doc_id", "pos", "tok", F.sum("flag").over(wseg).alias("sid")
+    )
+    chunks = seg.groupBy("doc_id", "sid").agg(
+        F.count(F.lit(1)).alias("tok_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    return (
+        chunks.filter(F.col("tok_len") >= _CDC_MIN_TOKS)
+        .groupBy("chunk")
+        .agg(
+            F.min("tok_len").cast("int").alias("tok_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+            "tok_len",
+            "n_docs",
+            "n_occ",
+            "keeper_doc",
+        )
+    )
+
+
 def _simhash_oracle(max_hamming: int, band_bits: int) -> str:
     """Exact SQL replica of simhash_pairs(portable=True): per-token
     md5 halves, 64 sign sums, 16-bit chunk banding, hamming verify —

@@ -40,6 +40,8 @@ DIRTY_SAFE = [
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
     "dedup_funnel_counts",
+    "dedup_cdc_chunks",
+    "dedup_minhash_recall",
     "mm_phash_pairs",
     "dedup_simhash",
     "pipe_corpus_funnel",

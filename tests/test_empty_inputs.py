@@ -45,6 +45,8 @@ EMPTY_SAFE = [
     "dedup_chunk_lines",
     "dedup_incremental_minhash",
     "dedup_funnel_counts",
+    "dedup_cdc_chunks",
+    "dedup_minhash_recall",
     "mm_phash_pairs",
     "train_class_weights",
     "train_robust_scaler",
@@ -95,6 +97,11 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
         assert r["n_orders"] == r["n_bloom_pass"] == r["n_true"] == 0
     elif name == "dedup_funnel_counts":
         assert len(rows) == 4 and all(r["n_docs"] == 0 for r in rows)
+    elif name == "dedup_minhash_recall":
+        # vacuous truth: 0 exact pairs, 0 missed, recall defined as 1
+        [r] = rows
+        assert r["n_exact"] == r["n_lsh"] == r["n_missed"] == 0
+        assert r["recall"] == 1.0
     else:
         assert rows == []
 

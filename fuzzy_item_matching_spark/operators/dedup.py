@@ -488,3 +488,63 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def cdc_chunk_ledger(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    mod: int = 16,
+    min_toks: int = 5,
+) -> DataFrame:
+    """Content-defined chunking shared-chunk ledger (the query core of
+    dedup_cdc_chunks; see that docstring for the full scale story).
+    A token OPENS a new chunk when md5(token) mod ``mod`` = 0, so
+    boundaries are a pure function of local content and chunk
+    fingerprints re-synchronize after insertions/deletions — the
+    property the fixed-window chunker (dedup_chunk_lines) lacks.
+    Returns chunks of ≥ ``min_toks`` tokens appearing in ≥ 2 distinct
+    ids: (chunk_hash, tok_len, n_docs, n_occ, keeper_doc)."""
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.text import md5_bucket
+
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(tokens).alias("pos", "tok")
+    ).withColumn("flag", (md5_bucket("tok", mod) == 0).cast("int"))
+    wseg = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok.select(
+        "__id", "pos", "tok", F.sum("flag").over(wseg).alias("sid")
+    )
+    chunks = seg.groupBy("__id", "sid").agg(
+        F.count(F.lit(1)).alias("tok_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    return (
+        chunks.filter(F.col("tok_len") >= min_toks)
+        .groupBy("chunk")
+        .agg(
+            F.min("tok_len").cast("int").alias("tok_len"),
+            F.countDistinct("__id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("__id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+            "tok_len",
+            "n_docs",
+            "n_occ",
+            "keeper_doc",
+        )
+    )

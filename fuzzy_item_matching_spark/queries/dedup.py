@@ -378,51 +378,12 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     more map-side-combinable agg keyed on the chunk (at 100 TB: on
     xxhash64(chunk) — cheaper shuffle key, same grouping). Nothing is
     all-pairs."""
-    from pyspark.sql.window import Window
-
-    from fuzzy_item_matching_spark.functions.text import md5_bucket
+    from fuzzy_item_matching_spark.operators.dedup import cdc_chunk_ledger
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "tok")
-    ).withColumn(
-        "flag", (md5_bucket("tok", _CDC_MOD) == 0).cast("int")
-    )
-    wseg = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seg = tok.select(
-        "doc_id", "pos", "tok", F.sum("flag").over(wseg).alias("sid")
-    )
-    chunks = seg.groupBy("doc_id", "sid").agg(
-        F.count(F.lit(1)).alias("tok_len"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk"),
-    )
-    return (
-        chunks.filter(F.col("tok_len") >= _CDC_MIN_TOKS)
-        .groupBy("chunk")
-        .agg(
-            F.min("tok_len").cast("int").alias("tok_len"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min("doc_id").alias("keeper_doc"),
-        )
-        .filter(F.col("n_docs") >= 2)
-        .select(
-            F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
-            "tok_len",
-            "n_docs",
-            "n_occ",
-            "keeper_doc",
-        )
+    return cdc_chunk_ledger(
+        d, "doc_id", regex_tokenize("text"), mod=_CDC_MOD,
+        min_toks=_CDC_MIN_TOKS,
     )
 
 

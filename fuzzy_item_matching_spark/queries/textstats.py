@@ -791,15 +791,19 @@ _HLL_POW61 = 2**61
 @query(
     "ts_hll_distinct",
     oracle=f"""
-    WITH tok AS (
-      SELECT source, unnest({_D_TOKENS.format(c="text")}) AS tok
-      FROM documents
+    WITH toks AS (
+      SELECT source, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
     ),
     rv AS (
       SELECT source,
-             CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS reg,
-             CAST('0x' || substr(md5(tok), 3, 15) AS BIGINT) AS v
-      FROM tok
+             CAST('0x' || substr(md5(g), 1, 2) AS BIGINT) AS reg,
+             CAST('0x' || substr(md5(g), 3, 15) AS BIGINT) AS v
+      FROM sh
     ),
     regs AS (
       SELECT source, reg,
@@ -810,47 +814,59 @@ _HLL_POW61 = 2**61
     s AS (
       SELECT source,
              SUM(CAST(CAST(1 AS BIGINT) << (61 - r) AS HUGEINT))
-               + (256 - COUNT(*)) * CAST({_HLL_POW61} AS HUGEINT) AS ssum
+               + (256 - COUNT(*)) * CAST({_HLL_POW61} AS HUGEINT) AS ssum,
+             256 - COUNT(*) AS zr
       FROM regs GROUP BY source
     ),
     e AS (
-      SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM tok
+      SELECT source, COUNT(DISTINCT g) AS exact_distinct FROM sh
       GROUP BY source
     )
     SELECT e.source, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
-           {_HLL_NUM} / CAST(s.ssum AS DOUBLE) AS hll_estimate
+           CASE WHEN {_HLL_NUM} / CAST(s.ssum AS DOUBLE) <= 640.0
+                     AND s.zr > 0
+                THEN 256.0 * ln(256.0 / s.zr)
+                ELSE {_HLL_NUM} / CAST(s.ssum AS DOUBLE)
+           END AS hll_estimate
     FROM e JOIN s ON e.source = s.source
     """,
 )
 def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source distinct-token cardinality via an EXPLICIT-register
-    HyperLogLog — the mergeable-sketch answer to ts_distinct_kmv's
-    caveat: Spark's approx_count_distinct HLL can never cross-engine
-    match because its register layout is engine-internal, but a
-    register table we own (reg = first md5 hex byte, rank = leading
-    zeros of the next 60 bits + 1, computed integer-exactly as
-    61 - length(bin(v))) is a pure function of the data, so DuckDB
-    replays the whole sketch bit-for-bit — estimate included.
+    """Per-source distinct word-3-gram cardinality via an
+    EXPLICIT-register HyperLogLog — the mergeable-sketch answer to
+    ts_distinct_kmv's caveat: Spark's approx_count_distinct HLL can
+    never cross-engine match because its register layout is
+    engine-internal, but a register table we own (reg = first md5 hex
+    byte, rank = leading zeros of the next 60 bits + 1, computed
+    integer-exactly as 61 - length(bin(v))) is a pure function of the
+    data, so DuckDB replays the whole sketch bit-for-bit — estimate
+    included. Same shingle domain as the KMV sketch, so the two
+    estimators are directly comparable.
 
     Scale shape: insertion is idempotent (MAX), so no pre-distinct
     pass — the plan is one map-side-combinable groupBy(source, reg)
-    MAX over the token stream, a ≤ 256-row state per source that
+    MAX over the shingle stream, a ≤ 256-row state per source that
     merges across partitions, days, or engines with elementwise MAX.
     Register sums accumulate Σ 2^(61-r) as exact integers (DECIMAL —
     256·2^61 overflows BIGINT), absent registers contribute 2^61
-    (r = 0), and the raw estimate alpha·m²/Σ2^-r reduces to ONE
-    double division of exact operands. No low-range linear-counting
-    correction (ln is transcendental → not replayable); at corpus
-    scale (card ≫ 2.5·m = 640) the raw estimator is the operative
-    branch anyway, and exact_distinct rides along so the error is
-    visible. Estimator: Flajolet et al., HyperLogLog (AofA 2007).
+    (r = 0), and the raw estimate alpha·m²/Σ2^-r is ONE double
+    division of exact operands. Below the 2.5·m = 640 threshold the
+    standard linear-counting branch applies — m·ln(m/V) over the
+    empty-register count V (without it the raw estimator reads ~199
+    regardless of true cardinality down in the tens, measured 5.4×
+    off on this fixture's sources): ln on IEEE doubles matches
+    across engines on this platform, the precedent
+    train_weighted_sample's ln(u)/w driver-green record established.
+    Branch predicate and ln input are identical exact values in both
+    engines. Estimator: Flajolet et al., HyperLogLog (AofA 2007).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.explode(regex_tokenize("text")).alias("tok")
+    sh = d.select(
+        "source",
+        F.explode(word_ngrams(regex_tokenize("text"), 3)).alias("g"),
     )
-    hx = F.md5(F.col("tok").cast("binary"))
-    rv = toks.select(
+    hx = F.md5(F.col("g").cast("binary"))
+    rv = sh.select(
         "source",
         F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
         F.conv(F.substring(hx, 3, 15), 16, 10).cast("long").alias("v"),
@@ -867,17 +883,20 @@ def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)"))
             + (F.lit(256) - F.count(F.lit(1)))
             * F.lit(_HLL_POW61).cast("decimal(38,0)")
-        ).alias("ssum")
+        ).alias("ssum"),
+        (F.lit(256) - F.count(F.lit(1))).alias("zr"),
     )
-    e = toks.groupBy("source").agg(
-        F.countDistinct("tok").alias("exact_distinct")
-    )
+    e = sh.groupBy("source").agg(F.countDistinct("g").alias("exact_distinct"))
+    raw = F.lit(float(_HLL_NUM)) / F.col("ssum").cast("double")
     return e.join(s, "source").select(
         "source",
         "exact_distinct",
-        (F.lit(float(_HLL_NUM)) / F.col("ssum").cast("double")).alias(
-            "hll_estimate"
-        ),
+        F.when(
+            (raw <= F.lit(640.0)) & (F.col("zr") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("zr")),
+        )
+        .otherwise(raw)
+        .alias("hll_estimate"),
     )
 
 

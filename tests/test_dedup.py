@@ -220,3 +220,87 @@ def test_incremental_minhash_equals_full_restricted(spark):
     }
     assert incr == expected
     assert incr  # the delta actually touches planted pairs
+
+
+def test_cdc_resynchronizes_after_insertion(spark):
+    """The CDC selling point, pinned: insert a run of tokens mid-doc
+    and the chunk fingerprints AFTER the insertion re-synchronize at
+    the next boundary token, so shared passages are still found —
+    while an 8-token fixed grid (dedup_chunk_lines' discipline)
+    misaligns every downstream chunk (6 % 8 != 0) and the shared
+    suffix fingerprints as all-new content."""
+    from fuzzy_item_matching_spark.operators.dedup import cdc_chunk_ledger
+
+    # 'jasper' (suffix) and 'juliet'/'sierra' (prefix) are boundary
+    # tokens under md5 % 16 — verified constants, so the suffix is
+    # guaranteed to re-synchronize at 'jasper'.
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+        "ember fjord grove heath iris jade jasper lagoon mesa nectar "
+        "ocean prairie quarry ridge slate tundra vale willow xenon yarrow"
+    ).split()
+    inserted = "one two three four five six".split()
+    cut = 24
+    variant = base[:cut] + inserted + base[cut:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(variant))], "doc_id long, text string"
+    )
+    shared = cdc_chunk_ledger(
+        df, "doc_id", regex_tokenize("text"), mod=16, min_toks=3
+    ).collect()
+    assert shared, "CDC found no shared chunks across the revision pair"
+
+    # At least one shared chunk must live strictly AFTER the insertion
+    # point (re-synchronization, not just the untouched prefix). The
+    # ledger returns hashes; recompute which side of the cut each
+    # shared chunk could have come from by membership in the suffix.
+    suffix = set(base[cut:])
+    prefix = set(base[:cut])
+    # re-derive chunk texts: group the ledger back to texts via a
+    # second run without hashing — simplest is to recompute chunks per
+    # doc with the same boundary rule in python
+    import hashlib
+
+    def chunks_of(toks):
+        out, cur = [], []
+        for t in toks:
+            boundary = (
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 16 == 0
+            )
+            if boundary and cur:
+                out.append(cur)
+                cur = []
+            cur.append(t)
+        if cur:
+            out.append(cur)
+        return [" ".join(c) for c in out if len(c) >= 3]
+
+    base_chunks = set(chunks_of(base))
+    var_chunks = set(chunks_of(variant))
+    shared_py = base_chunks & var_chunks
+    # Spark ledger and the python reference agree on the shared set
+    hashes_spark = {r["chunk_hash"] for r in shared}
+    hashes_py = {
+        hashlib.md5(c.encode()).hexdigest() for c in shared_py
+    }
+    assert hashes_spark == hashes_py
+    # and re-synchronization happened: a shared chunk made only of
+    # suffix (post-insertion) tokens exists
+    assert any(
+        set(c.split()) <= suffix and not set(c.split()) <= prefix
+        for c in shared_py
+    ), "no shared chunk after the insertion point — CDC failed to resync"
+
+    # The fixed 8-token grid does NOT share any post-insertion chunk:
+    def grid_chunks(toks, w=8):
+        return {
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        }
+
+    grid_shared = grid_chunks(base) & grid_chunks(variant)
+    assert not any(
+        set(c.split()) <= suffix and not set(c.split()) <= prefix
+        for c in grid_shared
+    ), "fixture degenerate: grid chunking also resynced (insertion % 8 == 0?)"

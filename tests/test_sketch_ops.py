@@ -151,3 +151,24 @@ def test_corpus_funnel_is_monotone(spark):
     # the quality gate and the sampler must both actually bite at sf0.01
     assert any(r["n_quality"] < r["n_raw"] for r in rows)
     assert any(r["n_sampled"] < r["n_dedup"] for r in rows)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL with m = 256 registers has relative standard error
+    1.04/√m ≈ 6.5%; assert every per-source estimate lands within a
+    generous 4σ (26%) of the exact cardinality at BOTH fixture scales
+    — sf0.001 exercises whichever branch (linear counting vs raw) the
+    cardinalities select, and a gross estimator regression (the raw
+    form read 5.4× high on low cardinalities before the
+    linear-counting branch landed) fails loudly."""
+    for sf in ("/root/testdata/sf0.001", SF_CHECK):
+        rows = REGISTRY["ts_hll_distinct"].fn(spark, sf).collect()
+        assert rows, "no sources"
+        for r in rows:
+            rel = abs(r["hll_estimate"] - r["exact_distinct"]) / max(
+                r["exact_distinct"], 1
+            )
+            assert rel < 0.26, (
+                f"{sf} {r['source']}: est {r['hll_estimate']:.0f} vs "
+                f"exact {r['exact_distinct']} (rel err {rel:.2f})"
+            )

@@ -352,6 +352,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # threshold — the sim_ann_recall analogue for the dedup index;
     # n_missed counted via anti-join, not assumed from containment)
     "dedup_minhash_recall",
+    # (model-based quality filtering: rule-teacher distillation into a
+    # hashed bag-of-words logistic fit — logistic_gd_sql reused
+    # verbatim at 17 coefficients, every iteration oracle-replayed)
+    "train_quality_distill",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

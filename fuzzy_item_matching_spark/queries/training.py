@@ -1749,6 +1749,101 @@ def train_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hashed-text quality distillation: dim-16 bucket presence features,
+# 4 GD iterations. Teacher rule: n_tokens >= 30 AND distinct ratio
+# >= 1/2 (2*d >= n — integer, tie-free); 22.6% positive at sf0.01.
+_QD_DIM = 16
+_QD_ITERS = 4
+_QD_LR = 0.5
+
+
+def _qd_pairs_sql() -> str:
+    from fuzzy_item_matching_spark.queries.text import _D_TOKENS
+
+    xcols = ", ".join(
+        f"MAX(CASE WHEN b = {j} THEN 1.0 ELSE 0.0 END) AS x{j + 1}"
+        for j in range(_QD_DIM)
+    )
+    return f"""
+    SELECT CASE WHEN COUNT(*) >= 30
+                     AND 2 * COUNT(DISTINCT tok) >= COUNT(*)
+                THEN 1 ELSE 0 END AS label,
+           {xcols}
+    FROM (
+      SELECT doc_id, tok,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QD_DIM} AS b
+      FROM (
+        SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS tok
+        FROM documents
+      )
+    )
+    GROUP BY doc_id
+    """
+
+
+def _qd_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    return logistic_gd_sql(
+        _qd_pairs_sql(),
+        [f"x{j + 1}" for j in range(_QD_DIM)],
+        iters=_QD_ITERS,
+        lr=_QD_LR,
+    )
+
+
+@query("train_quality_distill", oracle=_qd_oracle())
+def train_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier staple of
+    web-scale corpus curation (CCNet/GPT-3-style quality scoring):
+    DISTILL a rule teacher (lexically diverse AND long enough —
+    n ≥ 30 tokens, distinct ratio ≥ 1/2, both integer-exact
+    predicates) into a logistic model over hashed bag-of-words
+    presence features, so the learned scorer can generalize the rule
+    to feature space. Features are md5-bucket presence bits (dim 16
+    here — the verification-sized twin of a production 2^18 hash
+    space), the fit is the engine-native class-weighted GD of
+    operators/logreg.py (M1 balanced weights handle the 23%-positive
+    imbalance), and the output is the full fit trace, every iteration
+    replayed by the generated DuckDB oracle — the logistic_gd_sql
+    machinery is reused verbatim at 17 coefficients.
+
+    Scale shape: one token explode → one map-side-combinable groupBy
+    (bucket bound to a column BEFORE the 16 max-aggregates — inline
+    it would re-run md5 per aggregate), then K cached scans with a
+    broadcast 1-row weight state. Wide-column GD carries to ~10³
+    features; past that the gradient goes long-format
+    (groupBy(feature) over sparse (row, feature, x) postings — same
+    pass structure, sparse shuffle)."""
+    from fuzzy_item_matching_spark.functions.text import (
+        md5_bucket,
+        regex_tokenize,
+    )
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("tok"))
+        .withColumn("b", md5_bucket("tok", _QD_DIM))
+    )
+    feats = [f"x{j + 1}" for j in range(_QD_DIM)]
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tok").alias("dd"),
+        *[
+            F.max((F.col("b") == j).cast("double")).alias(feats[j])
+            for j in range(_QD_DIM)
+        ],
+    )
+    frame = agg.select(
+        ((F.col("n") >= 30) & (2 * F.col("dd") >= F.col("n")))
+        .cast("int")
+        .alias("label"),
+        *feats,
+    )
+    return logistic_gd_fit(frame, feats, iters=_QD_ITERS, lr=_QD_LR)
+
+
 @query("train_fit_score_model", oracle=None)  # L-BFGS coefficient values are
 # solver-specific (order-sensitive line search) — rows-only here; the
 # registry lifecycle, UDF-vs-transform score parity, and ranking-power

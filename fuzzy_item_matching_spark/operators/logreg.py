@@ -120,12 +120,17 @@ def logistic_gd_sql(
     features: list[str],
     iters: int = 8,
     lr: float = 0.5,
+    final_select: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`logistic_gd_fit` — identical expression
     trees, DECIMAL(38,18) accumulation, per-iteration round-to-9.
     ``pairs_sql`` must yield columns ``label`` + ``features`` (named
     x1..xk in the emitted SQL is NOT required — the caller's names are
-    used verbatim)."""
+    used verbatim). ``final_select`` swaps the default fit-trace arms
+    for a caller-provided SELECT that may reference any CTE —
+    serving oracles score through ``it{iters}`` (the final weights)
+    while replaying the fit in the same statement (the
+    adaboost_score discipline: fit + serve verified together)."""
     names = ["w0"] + [f"w{j + 1}" for j in range(len(features))]
     z = " + ".join(
         ["w.w0"] + [f"w.w{j + 1} * {f}" for j, f in enumerate(features)]
@@ -166,9 +171,10 @@ def logistic_gd_sql(
         for t in range(1, iters + 1)
         for n in names
     ]
+    tail = final_select if final_select else "\nUNION ALL\n".join(arms)
     return (
         "WITH pairs AS (" + pairs_sql + "),\n"
         + ",\n".join(ctes)
         + "\n"
-        + "\nUNION ALL\n".join(arms)
+        + tail
     )

@@ -356,6 +356,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # hashed bag-of-words logistic fit — logistic_gd_sql reused
     # verbatim at 17 coefficients, every iteration oracle-replayed)
     "train_quality_distill",
+    # (the serve half: per-source retention + mean quality prob
+    # through the memoized fit; oracle replays fit + scoring in one
+    # statement via the final_select hook)
+    "train_quality_score",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

@@ -1757,7 +1757,9 @@ _QD_ITERS = 4
 _QD_LR = 0.5
 
 
-def _qd_pairs_sql() -> str:
+def _qd_docs_sql() -> str:
+    """Per-doc frame (doc_id, source, label, x1..x16) — fit and score
+    oracles share it."""
     from fuzzy_item_matching_spark.queries.text import _D_TOKENS
 
     xcols = ", ".join(
@@ -1765,20 +1767,26 @@ def _qd_pairs_sql() -> str:
         for j in range(_QD_DIM)
     )
     return f"""
-    SELECT CASE WHEN COUNT(*) >= 30
+    SELECT doc_id, source,
+           CASE WHEN COUNT(*) >= 30
                      AND 2 * COUNT(DISTINCT tok) >= COUNT(*)
                 THEN 1 ELSE 0 END AS label,
            {xcols}
     FROM (
-      SELECT doc_id, tok,
+      SELECT doc_id, source, tok,
              CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QD_DIM} AS b
       FROM (
-        SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS tok
+        SELECT doc_id, source, unnest({_D_TOKENS.format(c="text")}) AS tok
         FROM documents
       )
     )
-    GROUP BY doc_id
+    GROUP BY doc_id, source
     """
+
+
+def _qd_pairs_sql() -> str:
+    feats = ", ".join(f"x{j + 1}" for j in range(_QD_DIM))
+    return f"SELECT label, {feats} FROM ({_qd_docs_sql()})"
 
 
 def _qd_oracle() -> str:
@@ -1815,19 +1823,28 @@ def train_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     features; past that the gradient goes long-format
     (groupBy(feature) over sparse (row, feature, x) postings — same
     pass structure, sparse shuffle)."""
+    return spark.createDataFrame(
+        _qd_fit_trace(spark, sf_dir), "iter int, coef string, weight double"
+    )
+
+
+def _qd_doc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _qd_docs_sql: (doc_id, source, label, x1..x16)."""
     from fuzzy_item_matching_spark.functions.text import (
         md5_bucket,
         regex_tokenize,
     )
-    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
 
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(regex_tokenize("text")).alias("tok"))
+        d.select(
+            "doc_id", "source",
+            F.explode(regex_tokenize("text")).alias("tok"),
+        )
         .withColumn("b", md5_bucket("tok", _QD_DIM))
     )
     feats = [f"x{j + 1}" for j in range(_QD_DIM)]
-    agg = toks.groupBy("doc_id").agg(
+    agg = toks.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("tok").alias("dd"),
         *[
@@ -1835,13 +1852,108 @@ def train_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_QD_DIM)
         ],
     )
-    frame = agg.select(
+    return agg.select(
+        "doc_id",
+        "source",
         ((F.col("n") >= 30) & (2 * F.col("dd") >= F.col("n")))
         .cast("int")
         .alias("label"),
         *feats,
     )
-    return logistic_gd_fit(frame, feats, iters=_QD_ITERS, lr=_QD_LR)
+
+
+# Fit-once memo shared by train_quality_distill and its serve twin —
+# the adaboost discipline: the fitted trace is 68 plain rows keyed by
+# (sf_dir, iters); at 100 TB the equivalent is a persisted model table.
+_QD_FIT_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _qd_fit_trace(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
+
+    key = (sf_dir, _QD_ITERS)
+    if key not in _QD_FIT_MEMO:
+        feats = [f"x{j + 1}" for j in range(_QD_DIM)]
+        frame = _qd_doc_frame(spark, sf_dir).select("label", *feats)
+        _QD_FIT_MEMO[key] = logistic_gd_fit(
+            frame, feats, iters=_QD_ITERS, lr=_QD_LR
+        ).collect()
+    return _QD_FIT_MEMO[key]
+
+
+def _qd_weights(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    return {
+        r["coef"]: r["weight"]
+        for r in _qd_fit_trace(spark, sf_dir)
+        if r["iter"] == _QD_ITERS
+    }
+
+
+def _qd_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = " + ".join(
+        ["w.w0"] + [f"w.w{j + 1} * d.x{j + 1}" for j in range(_QD_DIM)]
+    )
+    final = f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+             AS mean_prob
+    FROM (SELECT d.source, 1.0 / (1.0 + exp(-({z}))) AS p
+          FROM ({_qd_docs_sql()}) AS d, it{_QD_ITERS} AS w)
+    GROUP BY source
+    """
+    return logistic_gd_sql(
+        _qd_pairs_sql(),
+        [f"x{j + 1}" for j in range(_QD_DIM)],
+        iters=_QD_ITERS,
+        lr=_QD_LR,
+        final_select=final,
+    )
+
+
+@query("train_quality_score", oracle=_qd_score_oracle())
+def train_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve half of train_quality_distill — model-based corpus
+    filtering applied: score every document through the distilled
+    logistic quality model and report, per source, the retention the
+    filter would produce at the 0.5 threshold plus the mean quality
+    probability — the per-source quality mix a curation pipeline
+    monitors when deciding source budgets.
+
+    The fit comes from the session memo keyed by (sf_dir, iters) (the
+    adaboost fit-once discipline — at 100 TB: a persisted model
+    table), so fit + score in one session cost ONE set of GD passes;
+    the oracle replays the fit CTE chain and scores through the final
+    weights in the same statement (logistic_gd_sql's final_select
+    hook). Scoring is one narrow pass: 17 broadcast-literal
+    multiply-adds, a sigmoid, then a per-source aggregate whose mean
+    accumulates as DECIMAL (order-insensitive) and divides once.
+    Retention predicate p ≥ 0.5 compares identical doubles in both
+    engines (weights are round-to-9 quantized at every iteration
+    boundary)."""
+    w = _qd_weights(spark, sf_dir)
+    docs = _qd_doc_frame(spark, sf_dir)
+    z = F.lit(w["w0"])
+    for j in range(_QD_DIM):
+        z = z + F.lit(w[f"w{j + 1}"]) * F.col(f"x{j + 1}")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        docs.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            (
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_prob"),
+        )
+    )
 
 
 @query("train_fit_score_model", oracle=None)  # L-BFGS coefficient values are

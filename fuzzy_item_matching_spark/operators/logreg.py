@@ -178,3 +178,154 @@ def logistic_gd_sql(
         + "\n"
         + tail
     )
+
+
+def sparse_logistic_gd_fit(
+    rows: DataFrame,
+    postings: DataFrame,
+    iters: int = 4,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Long-format (sparse) logistic GD — the shape that carries past
+    ~10³ features, where :func:`logistic_gd_fit`'s wide-column
+    aggregate stops scaling: the weight state is a (j, w) FRAME (not a
+    1-row vector), features live as postings (row_id, j, x) with only
+    non-zeros materialized, and each iteration is two sparse
+    aggregations — z per row (postings ⨝ weights, groupBy row) and the
+    gradient per feature (postings ⨝ residuals, groupBy j). At 2^18
+    hashed features and 100 TB of rows both shuffles are keyed on ids,
+    state is |features| rows distributed like any other frame, and no
+    plan ever holds a dense vector.
+
+    ``rows``: (row_id, label); ``postings``: (row_id, j, x) and MUST
+    include the intercept posting (row_id, 0, 1.0) for every row.
+
+    Determinism: per-row z and per-feature gradients are DECIMAL(38,18)
+    sums of per-term double products (exact, order-insensitive — the
+    sparse substitute for the wide form's fixed expression tree);
+    weights round to 9 decimals each iteration. Returns the full fit
+    trace (iter, j, w).
+    """
+    sess = rows.sparkSession
+    pw = rows.crossJoin(
+        F.broadcast(balanced_class_weights(rows, "label"))
+    ).select(
+        "row_id",
+        "label",
+        F.when(F.col("label") == 1, F.col("wpos"))
+        .otherwise(F.col("wneg"))
+        .alias("sw"),
+    ).persist()
+    post = postings.persist()
+    den = pw.agg(
+        F.sum(F.col("sw").cast("decimal(38,18)")).cast("double").alias("d")
+    )
+
+    n_feats = post.agg(F.max("j")).collect()[0][0]
+    w = sess.createDataFrame(
+        [(j, 0.0) for j in range(int(n_feats) + 1)], "j int, w double"
+    )
+    traces = []
+    for t in range(1, iters + 1):
+        z = (
+            post.join(F.broadcast(w), "j")
+            .groupBy("row_id")
+            .agg(
+                F.sum((F.col("w") * F.col("x")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("z")
+            )
+        )
+        resid = pw.join(z, "row_id").select(
+            "row_id",
+            (
+                F.col("sw")
+                * (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+                    - F.col("label")
+                )
+            ).alias("resid"),
+        )
+        grad = (
+            post.join(resid, "row_id")
+            .groupBy("j")
+            .agg(
+                F.sum((F.col("resid") * F.col("x")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("g")
+            )
+        )
+        w = (
+            w.join(grad, "j", "left")
+            .crossJoin(F.broadcast(den))
+            .select(
+                "j",
+                F.round(
+                    F.col("w")
+                    - F.lit(lr) * (F.coalesce(F.col("g"), F.lit(0.0)) / F.col("d")),
+                    ROUND_DIGITS,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        traces.append(w.select(F.lit(t).alias("iter"), "j", "w"))
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
+
+
+def sparse_logistic_gd_sql(
+    rows_sql: str,
+    postings_sql: str,
+    n_features: int,
+    iters: int = 4,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`sparse_logistic_gd_fit`: identical sparse
+    aggregation structure, DECIMAL accumulation, round-to-9. A feature
+    with no postings keeps w = 0 via the LEFT join + COALESCE, exactly
+    as the Spark side does."""
+    ctes = [
+        "rows_in AS (" + rows_sql + ")",
+        "post AS (" + postings_sql + ")",
+        "cw AS (SELECT"
+        " CAST(COUNT(*) AS DOUBLE) / (2.0 * CAST(SUM(label) AS DOUBLE))"
+        " AS wpos,"
+        " CAST(COUNT(*) AS DOUBLE)"
+        " / (2.0 * CAST(COUNT(*) - SUM(label) AS DOUBLE)) AS wneg"
+        " FROM rows_in)",
+        "pw AS (SELECT row_id, label,"
+        " CASE WHEN label = 1 THEN wpos ELSE wneg END AS sw"
+        " FROM rows_in, cw)",
+        "den AS (SELECT CAST(SUM(CAST(sw AS DECIMAL(38,18))) AS DOUBLE)"
+        " AS d FROM pw)",
+        "w0 AS (SELECT unnest(generate_series(0, "
+        f"{n_features})) AS j, 0.0 AS w)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"z{t} AS (SELECT p.row_id,"
+            " CAST(SUM(CAST(w.w * p.x AS DECIMAL(38,18))) AS DOUBLE) AS z"
+            f" FROM post p JOIN w{t - 1} w USING (j) GROUP BY p.row_id)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT pw.row_id,"
+            " sw * (1.0 / (1.0 + exp(-(z.z))) - label) AS resid"
+            f" FROM pw JOIN z{t} z USING (row_id))"
+        )
+        ctes.append(
+            f"g{t} AS (SELECT p.j,"
+            " CAST(SUM(CAST(r.resid * p.x AS DECIMAL(38,18))) AS DOUBLE)"
+            f" AS g FROM post p JOIN r{t} r USING (row_id) GROUP BY p.j)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.j,"
+            f" round(w.w - {lr!r} * (COALESCE(g.g, 0.0) / den.d), 9) AS w"
+            f" FROM w{t - 1} w LEFT JOIN g{t} g USING (j), den)"
+        )
+    arms = [
+        f"SELECT {t} AS iter, CAST(j AS INT) AS j, w FROM w{t}"
+        for t in range(1, iters + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)

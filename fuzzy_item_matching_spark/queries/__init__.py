@@ -360,6 +360,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # through the memoized fit; oracle replays fit + scoring in one
     # statement via the final_select hook)
     "train_quality_score",
+    # (the long-format sparse-gradient GD — the >10^3-feature layout:
+    # postings (row, j, x), weight state a (j, w) frame, z and
+    # gradient as id-keyed sparse aggregations; CTE-for-CTE oracle)
+    "train_sparse_logreg",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

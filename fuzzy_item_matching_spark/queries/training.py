@@ -1914,6 +1914,81 @@ def _qd_score_oracle() -> str:
     )
 
 
+def _sparse_lr_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import (
+        sparse_logistic_gd_sql,
+    )
+    from fuzzy_item_matching_spark.queries.text import _D_TOKENS
+
+    rows_sql = f"SELECT doc_id AS row_id, label FROM ({_qd_docs_sql()})"
+    postings_sql = f"""
+    SELECT doc_id AS row_id, 0 AS j, 1.0 AS x FROM ({_qd_docs_sql()})
+    UNION ALL
+    SELECT DISTINCT doc_id AS row_id, CAST(b + 1 AS INT) AS j, 1.0 AS x
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QD_DIM} AS b
+      FROM (
+        SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS tok
+        FROM documents
+      )
+    )
+    """
+    return sparse_logistic_gd_sql(
+        rows_sql, postings_sql, n_features=_QD_DIM, iters=_QD_ITERS, lr=_QD_LR
+    )
+
+
+@query("train_sparse_logreg", oracle=_sparse_lr_oracle())
+def train_sparse_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LONG-FORMAT twin of train_quality_distill — the gradient
+    layout that carries past ~10³ features, where the wide-column GD's
+    one-aggregate-per-coefficient plan stops scaling: features are
+    sparse postings (row_id, j, x) with only non-zeros materialized
+    (plus the j = 0 intercept posting per row), the weight state is a
+    (j, w) FRAME that distributes like any other table, and each
+    iteration is two id-keyed sparse aggregations — z per row
+    (postings ⨝ weights, groupBy row) and gradient per feature
+    (postings ⨝ residuals, groupBy j). At a production 2^18 hash
+    space this plan is unchanged; the wide form would need 262 145
+    aggregate columns.
+
+    Same teacher labels and 16-bucket presence features as the wide
+    fit, so the two traces are directly comparable — but NOT asserted
+    equal: the wide form's per-row z is a fixed 17-term expression
+    tree while the sparse form's z is a DECIMAL-accumulated sum, a
+    different (equally deterministic) float contraction. The DuckDB
+    oracle replays the sparse schedule CTE-for-CTE
+    (operators/logreg.py sparse_logistic_gd_sql)."""
+    from fuzzy_item_matching_spark.functions.text import (
+        md5_bucket,
+        regex_tokenize,
+    )
+    from fuzzy_item_matching_spark.operators.logreg import (
+        sparse_logistic_gd_fit,
+    )
+
+    docs = _qd_doc_frame(spark, sf_dir)
+    rows = docs.select(F.col("doc_id").alias("row_id"), "label")
+    d = load_table(spark, sf_dir, "documents")
+    pres = (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("tok"))
+        .select(
+            F.col("doc_id").alias("row_id"),
+            (md5_bucket("tok", _QD_DIM) + 1).cast("int").alias("j"),
+        )
+        .distinct()
+        .withColumn("x", F.lit(1.0))
+    )
+    inter = rows.select(
+        "row_id", F.lit(0).alias("j"), F.lit(1.0).alias("x")
+    )
+    postings = inter.unionByName(pres)
+    return sparse_logistic_gd_fit(
+        rows, postings, iters=_QD_ITERS, lr=_QD_LR
+    )
+
+
 @query("train_quality_score", oracle=_qd_score_oracle())
 def train_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serve half of train_quality_distill — model-based corpus

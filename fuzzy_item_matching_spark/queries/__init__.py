@@ -364,6 +364,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # postings (row, j, x), weight state a (j, w) frame, z and
     # gradient as id-keyed sparse aggregations; CTE-for-CTE oracle)
     "train_sparse_logreg",
+    # (MMR diversified retrieval: pool-bounded greedy rerank — the
+    # RAG diversity staple; k argmax steps over a persisted 24×24
+    # sim frame, all selection steps oracle-unrolled MATERIALIZED)
+    "sim_mmr_topk",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

@@ -1094,3 +1094,151 @@ def sim_struct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.label").alias("label_b"),
         F.col("distCol").alias("dist"),
     )
+
+
+# MMR diversified retrieval: pool of _MMR_POOL nearest by cosine, then
+# _MMR_K greedy picks maximizing rel - _MMR_LAM * max-sim-to-selected.
+_MMR_POOL = 24
+_MMR_K = 8
+_MMR_LAM = 0.5
+
+
+def _mmr_oracle() -> str:
+    cos_ab = (
+        "list_sum(list_transform(list_zip({a}.embedding::DOUBLE[],"
+        " {b}.embedding::DOUBLE[]), s -> s[1]*s[2]))"
+        " / (sqrt(list_sum(list_transform({a}.embedding::DOUBLE[],"
+        " x -> x*x)))"
+        " * sqrt(list_sum(list_transform({b}.embedding::DOUBLE[],"
+        " x -> x*x))))"
+    )
+    ctes = [
+        "qv AS MATERIALIZED (SELECT embedding FROM embeddings"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))",
+        "cand AS MATERIALIZED (SELECT e.vec_id, "
+        + cos_ab.format(a="e", b="q")
+        + " AS rel FROM embeddings e, qv q"
+        " WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)"
+        f" ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL})",
+        "pair AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        + cos_ab.format(a="ea", b="eb")
+        + " AS s FROM cand a JOIN cand b ON a.vec_id <> b.vec_id"
+        " JOIN embeddings ea ON ea.vec_id = a.vec_id"
+        " JOIN embeddings eb ON eb.vec_id = b.vec_id)",
+        "p1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score FROM cand"
+        " ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel, score FROM p1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT c.vec_id, c.rel,"
+            f" c.rel - {_MMR_LAM!r} * ("
+            f"SELECT MAX(p.s) FROM pair p JOIN sel{t - 1} s"
+            " ON p.ib = s.vec_id WHERE p.ia = c.vec_id) AS score"
+            " FROM cand c WHERE c.vec_id NOT IN"
+            f" (SELECT vec_id FROM sel{t - 1})"
+            " ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL"
+            f" SELECT {t}, vec_id, rel, score FROM p{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INT) AS rank, vec_id,"
+        f" rel AS relevance, score AS mmr_score FROM sel{_MMR_K}"
+    )
+
+
+@query("sim_mmr_topk", oracle=_mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via Maximal Marginal Relevance (Carbonell
+    & Goldstein, SIGIR '98) — the rerank a RAG pipeline runs so the
+    k passages it feeds a model aren't k near-copies: greedily pick
+    argmax of rel(q, c) − λ·max_{s∈selected} sim(c, s), λ = 0.5,
+    from a 24-candidate pool (here brute-force nearest to the
+    lowest-id query vector; at scale the pool comes from the IVF/LSH
+    index — the pool, not the corpus, is what MMR iterates over).
+
+    Scale shape: the corpus-sized work is ONE relevance pass (at
+    100 TB: the ANN probe join); everything after operates on the
+    bounded pool — a 24×24 pairwise-sim frame computed once and
+    persisted, then k greedy steps, each a pool-sized aggregate + a
+    1-row argmax collect (the BPE-fit driver-argmax discipline;
+    selected ids are KB-scale driver state). Scores are the exact
+    fold-order cosines every sim oracle uses; ties break on vec_id;
+    the oracle unrolls all k selection steps as MATERIALIZED CTEs —
+    inline, the sel{t} chain re-expands 3× per level (each step
+    references its predecessor thrice) and the resulting thousands of
+    parquet re-opens exhaust the fd limit (the batched-BPE oracle
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qe")
+    )
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity(F.col("embedding"), F.col("__qe")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("__ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("__eb")
+    )
+    pairs = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            cosine_similarity(F.col("__ea"), F.col("__eb")).alias("s"),
+        )
+        .persist()
+    )
+    first = (
+        cand.select("vec_id", "rel")
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("empty corpus: MMR needs a candidate pool")
+    out = [(1, first[0]["vec_id"], first[0]["rel"], first[0]["rel"])]
+    selected = [first[0]["vec_id"]]
+    for rank in range(2, _MMR_K + 1):
+        ms = (
+            pairs.filter(F.col("ib").isin(selected))
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        picked = (
+            cand.filter(~F.col("vec_id").isin(selected))
+            .join(ms, F.col("vec_id") == F.col("ia"))
+            .select(
+                "vec_id", "rel",
+                (F.col("rel") - F.lit(_MMR_LAM) * F.col("ms")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not picked:
+            break
+        r = picked[0]
+        out.append((rank, r["vec_id"], r["rel"], r["score"]))
+        selected.append(r["vec_id"])
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, relevance double, mmr_score double"
+    )

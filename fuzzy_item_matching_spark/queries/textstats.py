@@ -788,6 +788,30 @@ _HLL_NUM = "1.0854228543761655e+23"
 _HLL_POW61 = 2**61
 
 
+def hll_registers(
+    df: DataFrame, key_cols: list[str], item_col: str
+) -> DataFrame:
+    """Per-key HLL register table (key..., reg, r) — the mergeable
+    sketch state: registers from two partitions/days/engines combine
+    with elementwise MAX on (key, reg), a property pinned in
+    tests/test_sketch_ops.py. reg = first md5 hex byte of the item;
+    r = leading zeros of the next 60 bits + 1, integer-exact via
+    61 - length(bin(v))."""
+    hx = F.md5(F.col(item_col).cast("binary"))
+    rv = df.select(
+        *key_cols,
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(hx, 3, 15), 16, 10).cast("long").alias("v"),
+    )
+    return rv.groupBy(*key_cols, "reg").agg(
+        F.max(
+            F.when(F.col("v") == 0, F.lit(61)).otherwise(
+                F.lit(61) - F.length(F.bin("v"))
+            )
+        ).alias("r")
+    )
+
+
 @query(
     "ts_hll_distinct",
     oracle=f"""
@@ -865,19 +889,7 @@ def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(word_ngrams(regex_tokenize("text"), 3)).alias("g"),
     )
-    hx = F.md5(F.col("g").cast("binary"))
-    rv = sh.select(
-        "source",
-        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
-        F.conv(F.substring(hx, 3, 15), 16, 10).cast("long").alias("v"),
-    )
-    regs = rv.groupBy("source", "reg").agg(
-        F.max(
-            F.when(F.col("v") == 0, F.lit(61)).otherwise(
-                F.lit(61) - F.length(F.bin("v"))
-            )
-        ).alias("r")
-    )
+    regs = hll_registers(sh, ["source"], "g")
     s = regs.groupBy("source").agg(
         (
             F.sum(F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)"))

@@ -71,6 +71,8 @@ NEEDS_DATA = [
     # semantic dedup: the centroid sample cannot exist without data
     "dedup_semantic_pairs",
     "dedup_semantic_keep",
+    # MMR: a greedy rerank cannot exist without a candidate pool
+    "sim_mmr_topk",
 ]
 
 

@@ -172,3 +172,62 @@ def test_hll_estimate_within_error_bound(spark):
                 f"{sf} {r['source']}: est {r['hll_estimate']:.0f} vs "
                 f"exact {r['exact_distinct']} (rel err {rel:.2f})"
             )
+
+
+def test_hll_registers_merge_with_max(spark):
+    """The mergeable-sketch contract, pinned: building registers on
+    two disjoint corpus halves and combining with elementwise MAX on
+    (key, reg) yields EXACTLY the whole-corpus register table — the
+    property that lets 100 TB of partitions (or days, or engines)
+    sketch independently and merge in KB."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.functions.text import word_ngrams
+    from fuzzy_item_matching_spark.queries.textstats import hll_registers
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, SF_CHECK, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_ngrams(regex_tokenize("text"), 3)).alias("g"),
+    )
+    full = hll_registers(sh.drop("doc_id"), ["source"], "g")
+    half_a = hll_registers(
+        sh.filter(F.col("doc_id") % 2 == 0).drop("doc_id"), ["source"], "g"
+    )
+    half_b = hll_registers(
+        sh.filter(F.col("doc_id") % 2 == 1).drop("doc_id"), ["source"], "g"
+    )
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("source", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_sparse_and_wide_gd_agree_after_rounding(spark):
+    """The sparse (long-format) and wide-column GD fits run the same
+    schedule with different float contractions (DECIMAL-accumulated
+    sparse sums vs a fixed 17-term expression tree); round-to-9 weight
+    quantization at every iteration boundary should absorb that
+    difference entirely on this data — assert the full traces agree
+    coefficient-for-coefficient to 1e-9 (i.e. equal as rounded
+    values), cross-validating both implementations."""
+    wide = {
+        (r["iter"], r["coef"]): r["weight"]
+        for r in REGISTRY["train_quality_distill"].fn(spark, SF_CHECK).collect()
+    }
+    sparse = {
+        (r["iter"], f"w{r['j']}"): r["w"]
+        for r in REGISTRY["train_sparse_logreg"].fn(spark, SF_CHECK).collect()
+    }
+    assert set(wide) == set(sparse)
+    diffs = {k: abs(wide[k] - sparse[k]) for k in wide}
+    worst = max(diffs.values())
+    assert worst <= 1e-9 + 1e-12, sorted(
+        diffs.items(), key=lambda kv: -kv[1]
+    )[:5]

@@ -368,6 +368,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # RAG diversity staple; k argmax steps over a persisted 24×24
     # sim frame, all selection steps oracle-unrolled MATERIALIZED)
     "sim_mmr_topk",
+    # (online model scoring: the document stream through the distilled
+    # quality model into a complete-mode per-source retention ledger —
+    # batch oracle reused verbatim; row-local features because
+    # streaming forbids chained aggregation)
+    "stream_quality_scores",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

@@ -690,3 +690,78 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+def _stream_quality_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.training import _qd_score_oracle
+
+    return _qd_score_oracle()
+
+
+@query("stream_quality_scores", oracle=_stream_quality_oracle())
+def stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE model-based quality monitoring — the streaming twin of
+    train_quality_score, with the batch query's oracle reused
+    VERBATIM: documents arrive as a file stream, each is scored
+    through the memoized distilled quality model, and one
+    complete-mode aggregate maintains the per-source retention ledger
+    (n_docs / n_retained at 0.5 / DECIMAL-summed mean probability).
+
+    Streaming forbids chained aggregations, so the per-doc features
+    are computed ROW-LOCALLY instead of by explode+groupBy:
+    n = size(tokens), distinct via array_distinct, and bucket
+    presence via array_contains over a bound bucket array — value-
+    identical to the batch frame (token-less docs filtered to match
+    the explode's drop). Model weights enter as broadcast literals
+    (the serve pattern); state per source is three numbers, so the
+    ledger runs forever at any throughput. At 100 TB the same plan
+    tails the ingest directory and the memo is a model table read at
+    stream start."""
+    from fuzzy_item_matching_spark.functions.text import (
+        md5_bucket,
+        regex_tokenize,
+    )
+    from fuzzy_item_matching_spark.queries.training import (
+        _QD_DIM,
+        _qd_weights,
+    )
+
+    w = _qd_weights(spark, sf_dir)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    ds = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = (
+        ds.select("source", regex_tokenize("text").alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") > 0)
+        .withColumn("__dd", F.size(F.array_distinct("__t")))
+        .withColumn(
+            "__b", F.transform(F.col("__t"), lambda t: md5_bucket(t, _QD_DIM))
+        )
+    )
+    z = F.lit(w["w0"])
+    for j in range(_QD_DIM):
+        x = F.when(F.array_contains("__b", j), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        z = z + F.lit(w[f"w{j + 1}"]) * x
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    agg = (
+        base.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            (
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_prob"),
+        )
+    )
+    return _drain_to_memory(agg, "complete")

@@ -373,6 +373,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # batch oracle reused verbatim; row-local features because
     # streaming forbids chained aggregation)
     "stream_quality_scores",
+    # (SCD type-2 apply: close-out + fresh-version + no-op-delta
+    # classification from ONE full-outer key join — the history-table
+    # pattern behind as-of joins and time travel)
+    "src_scd2_history",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

@@ -761,6 +761,123 @@ def src_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_scd2_history",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+    ),
+    delta AS (
+      SELECT c_custkey,
+             bal + CAST('100.00' AS DECIMAL(18,2)) AS new_bal
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, bal AS new_bal
+      FROM base WHERE c_custkey % 13 = 0
+    ),
+    j AS (
+      SELECT COALESCE(b.c_custkey, d.c_custkey) AS c_custkey,
+             b.bal, d.new_bal,
+             b.c_custkey IS NOT NULL AS in_base,
+             d.c_custkey IS NOT NULL AS in_delta
+      FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+    ),
+    hist AS (
+      -- closed-out prior versions (value actually changed)
+      SELECT c_custkey, bal, 0 AS valid_from, 1 AS valid_to
+      FROM j WHERE in_base AND in_delta AND bal <> new_bal
+      UNION ALL
+      -- still-current untouched (or no-op delta) rows
+      SELECT c_custkey, bal, 0 AS valid_from, NULL AS valid_to
+      FROM j WHERE in_base AND (NOT in_delta OR bal = new_bal)
+      UNION ALL
+      -- new current versions: changed keys + inserts
+      SELECT c_custkey, new_bal AS bal, 1 AS valid_from, NULL AS valid_to
+      FROM j WHERE in_delta AND (NOT in_base OR bal <> new_bal)
+    )
+    SELECT c_custkey, CAST(bal AS DOUBLE) AS bal,
+           CAST(valid_from AS INT) AS valid_from,
+           CAST(valid_to AS INT) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM hist
+    """,
+)
+def src_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 apply — the lake-maintenance
+    classic the MERGE sink (S6) doesn't cover: instead of overwriting
+    a matched row, the current version is CLOSED OUT (valid_to set)
+    and the new value opens a fresh version row, so every historical
+    state stays queryable (the warehouse pattern behind as-of joins
+    and time travel). Versions are derived in-plan from `customer`
+    (the snapshot-diff convention): +100.00 balance changes for
+    custkey % 7, brand-new keys for % 13; a delta row equal to the
+    current value is a NO-OP — no spurious version churn.
+
+    Plan: ONE full-outer join on the business key classifies every
+    row, then three branch projections union into the history — the
+    same shape MERGE compiles to, with the join shuffle-free under
+    key bucketing at 100 TB. Balances compare and add as
+    DECIMAL(18,2) (exact); double only in the final projection.
+    History growth per batch is |changed| + |inserted| rows."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    delta = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("bal") + F.lit("100.00").cast("decimal(18,2)")).alias(
+            "new_bal"
+        ),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.col("bal").alias("new_bal"),
+        )
+    )
+    j = (
+        c.alias("b")
+        .join(delta.alias("d"), "c_custkey", "full_outer")
+        .select(
+            "c_custkey",
+            "bal",
+            "new_bal",
+            F.col("bal").isNotNull().alias("in_base"),
+            F.col("new_bal").isNotNull().alias("in_delta"),
+        )
+    )
+    closed = j.filter(
+        F.col("in_base") & F.col("in_delta")
+        & (F.col("bal") != F.col("new_bal"))
+    ).select(
+        "c_custkey", "bal",
+        F.lit(0).alias("valid_from"), F.lit(1).alias("valid_to"),
+    )
+    kept = j.filter(
+        F.col("in_base")
+        & (~F.col("in_delta") | (F.col("bal") == F.col("new_bal")))
+    ).select(
+        "c_custkey", "bal",
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    fresh = j.filter(
+        F.col("in_delta")
+        & (~F.col("in_base") | (F.col("bal") != F.col("new_bal")))
+    ).select(
+        "c_custkey", F.col("new_bal").alias("bal"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    hist = closed.unionByName(kept).unionByName(fresh)
+    return hist.select(
+        "c_custkey",
+        F.col("bal").cast("double").alias("bal"),
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query(
     "src_quarantine_split",
     oracle="""
     WITH raw AS (

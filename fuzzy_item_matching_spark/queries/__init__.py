@@ -377,6 +377,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # classification from ONE full-outer key join — the history-table
     # pattern behind as-of joins and time travel)
     "src_scd2_history",
+    # (loss-mask span manifest over the packed layout — the
+    # instruction-tuning trainer handoff; same per-shard cumsum as
+    # the packer, row-local integer span arithmetic)
+    "ts_loss_mask",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

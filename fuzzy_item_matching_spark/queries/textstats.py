@@ -515,6 +515,86 @@ def ts_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MASK_PROMPT = 16  # leading tokens per doc treated as prompt (no loss)
+
+
+@query(
+    "ts_loss_mask",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len({_D_TOKENS.format(c="text")}) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS end_tok
+      FROM t
+    )
+    SELECT shard,
+           CAST(floor((end_tok - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           doc_id,
+           CAST((end_tok - n_tokens) - CAST(floor(
+             (end_tok - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             * {_PACK_BUDGET} AS BIGINT) AS start_off,
+           CAST((end_tok - n_tokens) - CAST(floor(
+             (end_tok - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             * {_PACK_BUDGET}
+             + least(n_tokens, {_MASK_PROMPT}) AS BIGINT) AS loss_from,
+           CAST((end_tok - n_tokens) - CAST(floor(
+             (end_tok - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             * {_PACK_BUDGET} + n_tokens AS BIGINT) AS end_off,
+           CAST(greatest(n_tokens - {_MASK_PROMPT}, 0) AS BIGINT) AS n_loss
+    FROM c
+    """,
+)
+def ts_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask span manifest over the packed layout — the trainer
+    handoff after ts_seq_packing: instruction-tuning runs compute loss
+    only on completion tokens, so each packed document contributes a
+    span [loss_from, end_off) inside its training sequence, with its
+    first min(16, len) tokens masked as prompt. Output is one row per
+    document: its sequence, in-sequence offsets, and loss-token count
+    — exactly the index a data loader turns into attention/loss masks
+    without re-tokenizing anything.
+
+    Scale shape: identical to the packer — one per-shard window
+    cumsum (state bounded by a shard's stream), then row-local
+    integer arithmetic; no extra shuffle beyond the packer's. The one
+    float op (start // budget) is exact below 2^53."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(regex_tokenize("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("end_tok", F.sum("n_tokens").over(w))
+    start = F.col("end_tok") - F.col("n_tokens")
+    seq_id = F.floor(start / _PACK_BUDGET)
+    start_off = start - seq_id * _PACK_BUDGET
+    return c.select(
+        "shard",
+        seq_id.alias("seq_id"),
+        "doc_id",
+        start_off.cast("long").alias("start_off"),
+        (start_off + F.least(F.col("n_tokens"), F.lit(_MASK_PROMPT)))
+        .cast("long")
+        .alias("loss_from"),
+        (start_off + F.col("n_tokens")).cast("long").alias("end_off"),
+        F.greatest(F.col("n_tokens") - _MASK_PROMPT, F.lit(0))
+        .cast("long")
+        .alias("n_loss"),
+    )
+
+
 # Phone-shaped runs first, then any remaining digit run. Both patterns
 # stay inside the regex subset Java (Spark) and RE2 (DuckDB) agree on:
 # char classes + bounded repetition, no backrefs/lookaround.

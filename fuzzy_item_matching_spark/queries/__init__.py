@@ -381,6 +381,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # instruction-tuning trainer handoff; same per-shard cumsum as
     # the packer, row-local integer span arithmetic)
     "ts_loss_mask",
+    # (per-dim embedding PSI — the vector-space drift monitor; fixed
+    # [-1,1] bins so day-sketches merge by count addition)
+    "train_embedding_drift",
+    # (join-key skew diagnostic: heaviest key, max/mean load ratio,
+    # top-5 share — the pre-salting report; one map-side-combined
+    # count + two TakeOrdered top-k's)
+    "rel_skew_report",
     # -- demoted by the r07 final rotation (see prefix): both keep
     #    their r06 driver-green records.
     "rel_top_revenue_orders",

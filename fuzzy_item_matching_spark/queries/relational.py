@@ -1646,3 +1646,80 @@ def rel_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("first_view"),
         F.max("sec").alias("last_view"),
     )
+
+
+@query(
+    "rel_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM k
+    ),
+    top1 AS (
+      SELECT user_id AS top_user, n FROM k ORDER BY n DESC, user_id LIMIT 1
+    ),
+    top5 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t5 FROM (
+        SELECT n FROM k ORDER BY n DESC, user_id LIMIT 5
+      )
+    )
+    SELECT s.n_rows, s.n_keys, s.max_n, top1.top_user,
+           CAST(s.max_n AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio,
+           CAST(top5.t5 AS DOUBLE) / s.n_rows AS top5_share
+    FROM s, top1, top5
+    """,
+)
+def rel_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE sizing a
+    salted join or an AQE skew threshold (operators/skew.py): per-key
+    frequencies of the prospective shuffle key, reduced to the numbers
+    that drive the decision — heaviest key and its identity,
+    skew_ratio = max/mean key load (1.0 = perfectly uniform; the
+    salting factor you need is ~this), and the share the 5 heaviest
+    keys would put on 5 of the shuffle's partitions.
+
+    Plan: ONE map-side-combined per-key count (the same pass any
+    shuffle would do anyway), then 1-row aggregates and two
+    TakeOrdered top-k's over the |keys|-sized frame — no full sort.
+    Ties break (count DESC, user_id). The two ratios are each one
+    fixed-order IEEE tree over exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).persist()
+    s = k.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    top1 = (
+        k.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(1)
+        .select(F.col("user_id").alias("top_user"))
+    )
+    top5 = (
+        k.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(5)
+        .agg(F.sum("n").alias("t5"))
+    )
+    return (
+        s.crossJoin(F.broadcast(top1))
+        .crossJoin(F.broadcast(top5))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_n",
+            "top_user",
+            (
+                F.col("max_n").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+            (F.col("t5").cast("double") / F.col("n_rows")).alias(
+                "top5_share"
+            ),
+        )
+    )

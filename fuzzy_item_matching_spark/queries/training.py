@@ -1571,6 +1571,100 @@ train_drift_stats.__doc__ = train_drift_stats.__doc__.format(b=_PSI_BINS)
 _LC_FRACS = (0.1, 0.25, 0.5, 1.0)
 
 
+_EDRIFT_BINS = 8  # fixed [-1, 1] support, clamped tails
+
+
+@query(
+    "train_embedding_drift",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id % 2 AS grp, i - 1 AS dim,
+             CAST(least({_EDRIFT_BINS - 1}, greatest(0,
+               CAST(floor(((embedding::DOUBLE[])[i] + 1.0) / 2.0
+                          * {_EDRIFT_BINS}.0) AS BIGINT))) AS INT) AS bin
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+      FROM embeddings
+    ),
+    b AS (
+      SELECT dim, bin,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+      FROM x GROUP BY dim, bin
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(
+             (((c0 + 0.5) / (n0 + {_EDRIFT_BINS / 2.0!r})
+               - (c1 + 0.5) / (n1 + {_EDRIFT_BINS / 2.0!r}))
+              * ln(((c0 + 0.5) / (n0 + {_EDRIFT_BINS / 2.0!r}))
+                   / ((c1 + 0.5) / (n1 + {_EDRIFT_BINS / 2.0!r}))))
+             AS DECIMAL(38,18))) AS DOUBLE) AS psi
+    FROM b, tot GROUP BY dim
+    """,
+)
+def train_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING drift monitor — the vector-space twin of
+    train_drift_stats, the check a retrieval/serving stack runs when
+    the upstream embedding model (or the traffic) shifts: per
+    DIMENSION, PSI between a reference and a current population
+    (vec_id parity stands in for yesterday/today) over 8 fixed
+    [-1, 1]-support bins with the same 0.5-count additive smoothing.
+    A drifted dimension shows up directly (the usual alarm is
+    max-or-mean PSI over dims crossing 0.1/0.25); the fixed support
+    makes sketches from different days mergeable by bin-count
+    addition.
+
+    Plan: one posexplode (64× fan-out, the honest cost of per-dim
+    stats) into a (dim, bin) ≤ 64×8-group map-side-combined count,
+    totals broadcast as a 1-row frame, PSI terms as fixed IEEE trees
+    DECIMAL-accumulated per dim. Nothing is per-vector state; at
+    100 TB the binned counts are the only shuffle and they are
+    KB-scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    ).select(
+        "grp",
+        "dim",
+        F.least(
+            F.lit(_EDRIFT_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") + 1.0) / 2.0 * float(_EDRIFT_BINS)),
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    c0 = F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+    c1 = F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+    tot = e.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+    )
+    b = x.groupBy("dim", "bin").agg(c0.alias("c0"), c1.alias("c1"))
+    sm = _EDRIFT_BINS / 2.0
+    pr = (F.col("c0") + 0.5) / (F.col("n0") + sm)
+    qr = (F.col("c1") + 0.5) / (F.col("n1") + sm)
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("dim")
+        .agg(
+            F.sum(((pr - qr) * F.log(pr / qr)).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("psi")
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "psi")
+    )
+
+
 @query(
     "train_learning_curve",
     oracle=f"""

@@ -280,9 +280,22 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    replayed bit-for-bit, estimate included).
     "mm_phash_pairs",
     "ts_hll_distinct",
-    "rel_status_share",
-    "ts_redact_pii",
-    "ts_countmin_heavy",
+    # -- r07 final rotation, part 2: rel_status_share (A1/W1,
+    #    r06-green — the group-count + unpartitioned-window-share
+    #    shape runs inside serve_incremental_scoring's green plan and
+    #    the heavy-hitter rank), ts_redact_pii (P3, r06-green), and
+    #    ts_countmin_heavy (r06-green; the sketch family keeps an
+    #    in-prefix representative in ts_hll_distinct) demote with
+    #    records kept. Their slots go to this session's three new
+    #    capability families, none ever driver-checked: the
+    #    quality-classifier distillation fit (logistic_gd_sql reused
+    #    at 17 coefficients), its long-format sparse-gradient twin
+    #    (the >10^3-feature layout — postings, (j,w) weight frame,
+    #    id-keyed sparse aggregations), and MMR diversified retrieval
+    #    (pool-bounded greedy rerank, MATERIALIZED unrolled oracle).
+    "train_quality_distill",
+    "train_sparse_logreg",
+    "sim_mmr_topk",
     "rel_pagerank_brands",
     # -- r07 continuation: text_bpe_fit (r06-green) demotes — the
     #    batched fit (in-prefix, #41) re-verifies the identical
@@ -352,22 +365,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # threshold — the sim_ann_recall analogue for the dedup index;
     # n_missed counted via anti-join, not assumed from containment)
     "dedup_minhash_recall",
-    # (model-based quality filtering: rule-teacher distillation into a
-    # hashed bag-of-words logistic fit — logistic_gd_sql reused
-    # verbatim at 17 coefficients, every iteration oracle-replayed)
-    "train_quality_distill",
-    # (the serve half: per-source retention + mean quality prob
-    # through the memoized fit; oracle replays fit + scoring in one
-    # statement via the final_select hook)
+    # (the serve half of in-prefix train_quality_distill: per-source
+    # retention + mean quality prob through the memoized fit; oracle
+    # replays fit + scoring in one statement via final_select)
     "train_quality_score",
-    # (the long-format sparse-gradient GD — the >10^3-feature layout:
-    # postings (row, j, x), weight state a (j, w) frame, z and
-    # gradient as id-keyed sparse aggregations; CTE-for-CTE oracle)
-    "train_sparse_logreg",
-    # (MMR diversified retrieval: pool-bounded greedy rerank — the
-    # RAG diversity staple; k argmax steps over a persisted 24×24
-    # sim frame, all selection steps oracle-unrolled MATERIALIZED)
-    "sim_mmr_topk",
+    # -- demoted by the r07 final rotation part 2 (see prefix): each
+    #    keeps its r06 driver-green record.
+    "rel_status_share",
+    "ts_redact_pii",
+    "ts_countmin_heavy",
     # (online model scoring: the document stream through the distilled
     # quality model into a complete-mode per-source retention ledger —
     # batch oracle reused verbatim; row-local features because

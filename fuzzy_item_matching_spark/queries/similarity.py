@@ -1176,8 +1176,19 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+    from fuzzy_item_matching_spark.operators.lsh import (
+        _infer_dim,
+        valid_vectors,
+    )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Dirty-input guard (the ANN contract): NULL/ragged vectors drop
+    # (valid_vectors); NaN-component vectors would SORT FIRST under
+    # DESC rel in both engines (NaN > +inf in each total order), so a
+    # single bad row would seize the pool — the explicit isnan filter
+    # keeps one bad row costing one row. No-op on clean fixtures, so
+    # the oracle (which reads the same clean parquet) is unchanged.
+    e = valid_vectors(raw, "embedding", _infer_dim(raw, "embedding"))
     qv = e.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qe")
     )
@@ -1189,6 +1200,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             cosine_similarity(F.col("embedding"), F.col("__qe")).alias("rel"),
         )
+        .filter(~F.isnan("rel"))
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_POOL)
         .persist()

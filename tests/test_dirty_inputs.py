@@ -61,6 +61,10 @@ DIRTY_SAFE = [
     "sim_ann_pq_topk",
     "sim_ann_ivfpq_topk",
     "sim_lsh_sqdist_pairs",
+    # MMR: NULL/ragged vectors drop via valid_vectors; a NaN rel would
+    # sort FIRST under DESC in both engines, so the pool filter
+    # ~isnan(rel) keeps one bad row costing one row
+    "sim_mmr_topk",
     # semantic dedup over NULL/ragged/NaN vectors: valid_vectors drops
     # NULL/ragged before the block kernel; the NaN row's cosines are
     # NaN -> >= t is False -> it joins no pair (one bad row, one row)

@@ -965,9 +965,14 @@ def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Estimator: Flajolet et al., HyperLogLog (AofA 2007).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "source",
-        F.explode(word_ngrams(regex_tokenize("text"), 3)).alias("g"),
+    # Bind the token array BEFORE the n-gram lambda: inlined, the
+    # transform would re-run the tokenizer once per output gram
+    # (O(L²)/doc — measured 4.9 s vs 0.9 s at sf0.1, the SCALE_NOTES
+    # round-3 pitfall).
+    sh = (
+        d.select("source", regex_tokenize("text").alias("__t"))
+        .select("source", F.explode(word_ngrams(F.col("__t"), 3)).alias("g"))
+        .persist()  # feeds the register build AND the exact count
     )
     regs = hll_registers(sh, ["source"], "g")
     s = regs.groupBy("source").agg(

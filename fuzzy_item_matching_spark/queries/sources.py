@@ -813,10 +813,13 @@ def src_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey % 7, brand-new keys for % 13; a delta row equal to the
     current value is a NO-OP — no spurious version churn.
 
-    Plan: ONE full-outer join on the business key classifies every
-    row, then three branch projections union into the history — the
-    same shape MERGE compiles to, with the join shuffle-free under
-    key bucketing at 100 TB. Balances compare and add as
+    Plan: WRITTEN as one full-outer join on the business key with
+    three filtered branch projections; Catalyst's EliminateOuterJoin
+    pushes each branch's null-side predicates through and
+    specializes the join per branch (Inner / LeftOuter / RightOuter
+    — pinned in tests/test_plans.py), so each branch pays only the
+    join class it needs. All three stay key equi-joins — shuffle-free
+    under key bucketing at 100 TB. Balances compare and add as
     DECIMAL(18,2) (exact); double only in the final projection.
     History growth per batch is |changed| + |inserted| rows."""
     c = load_table(spark, sf_dir, "customer").select(

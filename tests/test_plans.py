@@ -260,3 +260,74 @@ def test_bucketed_range_join_avoids_nested_loop(spark, registry):
     plan = plan_of(spark, registry, "rel_bucketed_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_bucket_whitelist_broadcasts_no_cartesian(spark, registry):
+    """mm_phash_pairs: the ≤ 8·256-row pruned-bucket whitelist must
+    broadcast into the banded frame, and the candidate generator must
+    stay a (band, chunk) equi-join — never a cartesian."""
+    plan = plan_of(spark, registry, "mm_phash_pairs")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_no_full_sort(spark, registry):
+    """rel_skew_report's two top-k's must plan as TakeOrdered, not a
+    global sort of the key-count frame."""
+    plan = plan_of(spark, registry, "rel_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    sorts = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Sort ") or "(Sort " in l
+    ]
+    global_sorts = [l for l in sorts if "global=true" in l]
+    assert not global_sorts, global_sorts
+
+
+def test_loss_mask_single_exchange(spark, registry):
+    """ts_loss_mask rides the packer's one per-shard hash exchange —
+    tokenize/span arithmetic must not add shuffles."""
+    import re
+
+    plan = plan_of(spark, registry, "ts_loss_mask")
+    n_exchanges = len(
+        [
+            l
+            for l in plan.splitlines()
+            if re.match(r"\(\d+\) Exchange", l.strip())
+        ]
+    )
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}:\n{plan}"
+
+
+def test_embedding_drift_is_bounded_aggregate(spark, registry):
+    """train_embedding_drift: binned counts and totals only — no
+    joins other than the broadcast of the 1-row totals, no cartesian
+    blowup, no sort."""
+    plan = plan_of(spark, registry, "train_embedding_drift")
+    assert "BroadcastExchange" in plan  # 1-row totals
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_branch_joins_stay_key_equi(spark, registry):
+    """src_scd2_history is WRITTEN as one full-outer key join with
+    three filtered branches; Catalyst's EliminateOuterJoin pushes
+    each branch's null-side filters through and SPECIALIZES the outer
+    join per branch (Inner for close-outs, LeftOuter/RightOuter for
+    kept/fresh) — semantics identical, each branch cheaper than the
+    generic outer join. Pin what matters at scale: at most one key
+    join per branch, every one an equi-join (broadcast here; shuffled
+    and co-partitioned on the same key at 100 TB), and no cartesian."""
+    import re
+
+    plan = plan_of(spark, registry, "src_scd2_history")
+    joins = len(
+        [
+            l
+            for l in plan.splitlines()
+            if re.match(r"\(\d+\) \w*Join", l.strip())
+        ]
+    )
+    assert joins <= 3, f"more join nodes than history branches:\n{plan}"
+    assert "CartesianProduct" not in plan

@@ -387,6 +387,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # instruction-tuning trainer handoff; same per-shard cumsum as
     # the packer, row-local integer span arithmetic)
     "ts_loss_mask",
+    # (canary/shadow comparison: the same traffic through two real
+    # fit checkpoints (iteration-2 vs iteration-4 weights) — decision
+    # flips + mean prob delta per source; one narrow two-sigmoid
+    # pass, oracle reads both iteration states from one fit chain)
+    "serve_canary_compare",
     # (per-dim embedding PSI — the vector-space drift monitor; fixed
     # [-1,1] bins so day-sketches merge by count addition)
     "train_embedding_drift",

@@ -1983,6 +1983,91 @@ def _qd_weights(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _qd_canary_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    def z_of(w: str) -> str:
+        return " + ".join(
+            [f"{w}.w0"]
+            + [f"{w}.w{j + 1} * d.x{j + 1}" for j in range(_QD_DIM)]
+        )
+
+    final = f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (p_new >= 0.5) <> (p_old >= 0.5)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+           CAST(SUM(CAST(p_new - p_old AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*) AS mean_delta
+    FROM (SELECT d.source,
+                 1.0 / (1.0 + exp(-({z_of("v1")}))) AS p_old,
+                 1.0 / (1.0 + exp(-({z_of("v2")}))) AS p_new
+          FROM ({_qd_docs_sql()}) AS d, it{_QD_ITERS // 2} AS v1,
+               it{_QD_ITERS} AS v2)
+    GROUP BY source
+    """
+    return logistic_gd_sql(
+        _qd_pairs_sql(),
+        [f"x{j + 1}" for j in range(_QD_DIM)],
+        iters=_QD_ITERS,
+        lr=_QD_LR,
+        final_select=final,
+    )
+
+
+@query("serve_canary_compare", oracle=_qd_canary_oracle())
+def serve_canary_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary / shadow-deployment comparison — before promoting a new
+    model version, score the SAME traffic through both and quantify
+    what would change: per source, how many retention DECISIONS flip
+    at the 0.5 threshold and the mean probability delta. Here the two
+    versions are real checkpoints of the same fit (the iteration-2
+    and iteration-4 weight states from the memoized GD trace — a
+    genuine v1-vs-v2, not a synthetic perturbation); in the registry
+    flow (serve_model_registry) they would be the Production and
+    Staging artifacts.
+
+    One narrow pass computes both sigmoids per row (two broadcast-
+    literal dot products over the same features — no second scan),
+    then one per-source aggregate; the delta mean accumulates as
+    DECIMAL with a single closing division, and the oracle replays
+    the fit CTE chain once, reading BOTH iteration states from it
+    (final_select over it2 and it4)."""
+    trace = {
+        (r["iter"], r["coef"]): r["weight"]
+        for r in _qd_fit_trace(spark, sf_dir)
+    }
+    docs = _qd_doc_frame(spark, sf_dir)
+
+    def z_of(it: int):
+        z = F.lit(trace[(it, "w0")])
+        for j in range(_QD_DIM):
+            z = z + F.lit(trace[(it, f"w{j + 1}")]) * F.col(f"x{j + 1}")
+        return z
+
+    p_old = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(_QD_ITERS // 2)))
+    p_new = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(_QD_ITERS)))
+    return (
+        docs.select(
+            "source", p_old.alias("p_old"), p_new.alias("p_new")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("p_new") >= 0.5) != (F.col("p_old") >= 0.5), 1
+                ).otherwise(0)
+            ).alias("n_flipped"),
+            (
+                F.sum(
+                    (F.col("p_new") - F.col("p_old")).cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_delta"),
+        )
+    )
+
+
 def _qd_score_oracle() -> str:
     from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
 

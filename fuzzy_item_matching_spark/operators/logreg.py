@@ -207,6 +207,11 @@ def sparse_logistic_gd_fit(
     trace (iter, j, w).
     """
     sess = rows.sparkSession
+    # Persist BOTH frames hash-partitioned on row_id: every iteration
+    # joins postings⨝weights→groupBy(row_id), then pw⨝z, then
+    # postings⨝residuals — with the persisted partitioning matching
+    # the join key, EnsureRequirements re-shuffles NONE of them, so an
+    # iteration pays exactly ONE exchange (the gradient's groupBy(j)).
     pw = rows.crossJoin(
         F.broadcast(balanced_class_weights(rows, "label"))
     ).select(
@@ -215,8 +220,8 @@ def sparse_logistic_gd_fit(
         F.when(F.col("label") == 1, F.col("wpos"))
         .otherwise(F.col("wneg"))
         .alias("sw"),
-    ).persist()
-    post = postings.persist()
+    ).repartition("row_id").persist()
+    post = postings.repartition("row_id").persist()
     den = pw.agg(
         F.sum(F.col("sw").cast("decimal(38,18)")).cast("double").alias("d")
     )
@@ -256,7 +261,7 @@ def sparse_logistic_gd_fit(
             )
         )
         w = (
-            w.join(grad, "j", "left")
+            w.join(F.broadcast(grad), "j", "left")
             .crossJoin(F.broadcast(den))
             .select(
                 "j",

@@ -43,6 +43,11 @@ DIRTY_SAFE = [
     "dedup_cdc_chunks",
     "dedup_minhash_recall",
     "mm_phash_pairs",
+    # loss-mask spans: NULL/empty docs keep their zero-span row
+    "ts_loss_mask",
+    # embedding drift: a NaN component bins to NULL (its own group);
+    # NULL/ragged vectors contribute no elements beyond their own
+    "train_embedding_drift",
     "dedup_simhash",
     "pipe_corpus_funnel",
     "pipe_token_budget",

@@ -48,6 +48,9 @@ EMPTY_SAFE = [
     "dedup_cdc_chunks",
     "dedup_minhash_recall",
     "mm_phash_pairs",
+    "ts_loss_mask",
+    "src_scd2_history",
+    "train_embedding_drift",
     "train_class_weights",
     "train_robust_scaler",
     "train_source_mixture",

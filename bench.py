@@ -35,6 +35,7 @@ EXCLUDE = {
     "vec_knn_bruteforce",  # O(n²) oracle twin of sim_ann_lsh_topk
     "sim_ann_recall",  # eval query containing the O(n²) ground truth
     "sim_ann_ivfpq_recall",  # same: exact MIPS ground truth embedded
+    "dedup_semantic_recall",  # same: sampled exact cosine truth embedded
     # MLlib interop adapter (SQLTransformer explode/collect stages are
     # MLlib's cost, not the engine's); its engine-native twin IS
     # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).

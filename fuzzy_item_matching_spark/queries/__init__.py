@@ -387,6 +387,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # instruction-tuning trainer handoff; same per-shard cumsum as
     # the packer, row-local integer span arithmetic)
     "ts_loss_mask",
+    # (the third index-eval leg: SemDeDup recall vs an anchor-sampled
+    # exact cosine truth — tunes n_centroids/n_probe; bench-excluded
+    # like the other n2-truth evals)
+    "dedup_semantic_recall",
     # (canary/shadow comparison: the same traffic through two real
     # fit checkpoints (iteration-2 vs iteration-4 weights) — decision
     # flips + mean prob delta per source; one narrow two-sigmoid

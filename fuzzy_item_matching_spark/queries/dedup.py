@@ -636,6 +636,100 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_recall",
+    oracle=_semantic_oracle_blocks(
+        _SEM_N_CELLS, _SEM_ITERS, _SEM_MIN_COS, _SEM_PROBE
+    )
+    + f""",
+    ex AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 5 = 0 AND {_D_COS} >= {_SEM_MIN_COS}
+    ),
+    sp AS (SELECT DISTINCT id_a, id_b FROM sempairs
+           WHERE id_a % 5 = 0),
+    missed AS (
+      SELECT e.id_a, e.id_b FROM ex e
+      ANTI JOIN sp ON sp.id_a = e.id_a AND sp.id_b = e.id_b
+    ),
+    rc_ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+    rc_ns AS (SELECT COUNT(*) AS n_sem FROM sp),
+    rc_nm AS (SELECT COUNT(*) AS n_missed FROM missed)
+    SELECT CAST(rc_ne.n_exact AS BIGINT) AS n_exact,
+           CAST(rc_ns.n_sem AS BIGINT) AS n_sem,
+           CAST(rc_nm.n_missed AS BIGINT) AS n_missed,
+           CASE WHEN rc_ne.n_exact = 0 THEN 1.0
+                ELSE CAST(rc_ne.n_exact - rc_nm.n_missed AS DOUBLE)
+                     / rc_ne.n_exact
+           END AS recall
+    FROM rc_ne, rc_ns, rc_nm
+    """,
+)
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the index-evaluation triangle (with
+    sim_ann_recall and dedup_minhash_recall): SemDeDup's multi-probe
+    cell-blocked pairs measured against the exact O(n²) cosine truth
+    at the same threshold. Pairs whose probe lists are disjoint are
+    missed BY DESIGN — this query turns the test-suite recall floor
+    into a queryable metric a pipeline can monitor as n_centroids /
+    n_probe are tuned. n_missed is counted via anti-join; recall is
+    one IEEE division.
+
+    The truth is a deterministic ANCHOR SAMPLE (pairs whose lower id
+    is ≡ 0 mod 5 — a fifth of the n² work), which is also how a
+    production run would do it: recall estimated on a sampled truth
+    set, never the full corpus. Bench-excluded anyway (the sampled
+    side is still quadratic in corpus size; the sim_ann_recall
+    precedent)."""
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+    from fuzzy_item_matching_spark.operators.ivf import ivf_cell_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        ivf_cell_pairs(
+            e, "vec_id", "embedding", min_cosine=_SEM_MIN_COS,
+            n_probe=_SEM_PROBE, centroids=_sem_centroids(spark, sf_dir),
+        )
+        .filter(F.col("id_a") % 5 == 0)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = e.filter(F.col("vec_id") % 5 == 0).alias("a")
+    b = e.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEM_MIN_COS)
+        .select("id_a", "id_b")
+    )
+    missed = exact.join(sem, ["id_a", "id_b"], "left_anti")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    ns = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    return (
+        ne.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "n_exact",
+            "n_sem",
+            "n_missed",
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                (F.col("n_exact") - F.col("n_missed")).cast("double")
+                / F.col("n_exact")
+            )
+            .alias("recall"),
+        )
+    )
+
+
+@query(
     "dedup_semantic_keep",
     oracle=_semantic_oracle_blocks(
         _SEM_N_CELLS, _SEM_ITERS, _SEM_MIN_COS, _SEM_PROBE

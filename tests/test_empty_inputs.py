@@ -76,6 +76,7 @@ NEEDS_DATA = [
     "dedup_semantic_keep",
     # MMR: a greedy rerank cannot exist without a candidate pool
     "sim_mmr_topk",
+    "dedup_semantic_recall",
 ]
 
 

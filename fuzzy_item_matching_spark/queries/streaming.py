@@ -745,9 +745,7 @@ def stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.lit(w["w0"])
     for j in range(_QD_DIM):
-        x = F.when(F.array_contains("__b", j), F.lit(1.0)).otherwise(
-            F.lit(0.0)
-        )
+        x = F.size(F.filter(F.col("__b"), lambda b: b == F.lit(j))) / 8.0
         z = z + F.lit(w[f"w{j + 1}"]) * x
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     agg = (

@@ -1857,7 +1857,7 @@ def _qd_docs_sql() -> str:
     from fuzzy_item_matching_spark.queries.text import _D_TOKENS
 
     xcols = ", ".join(
-        f"MAX(CASE WHEN b = {j} THEN 1.0 ELSE 0.0 END) AS x{j + 1}"
+        f"SUM(CASE WHEN b = {j} THEN 1 ELSE 0 END) / 8.0 AS x{j + 1}"
         for j in range(_QD_DIM)
     )
     return f"""
@@ -1902,9 +1902,10 @@ def train_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     n ≥ 30 tokens, distinct ratio ≥ 1/2, both integer-exact
     predicates) into a logistic model over hashed bag-of-words
     presence features, so the learned scorer can generalize the rule
-    to feature space. Features are md5-bucket presence bits (dim 16
-    here — the verification-sized twin of a production 2^18 hash
-    space), the fit is the engine-native class-weighted GD of
+    to feature space. Features are md5-bucket token COUNTS scaled by
+    1/8 (dim 16 here — the verification-sized twin of a production
+    2^18 hash space; the /8 is a power-of-two, so the division is
+    IEEE-exact), the fit is the engine-native class-weighted GD of
     operators/logreg.py (M1 balanced weights handle the 23%-positive
     imbalance), and the output is the full fit trace, every iteration
     replayed by the generated DuckDB oracle — the logistic_gd_sql
@@ -1942,7 +1943,9 @@ def _qd_doc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("tok").alias("dd"),
         *[
-            F.max((F.col("b") == j).cast("double")).alias(feats[j])
+            (F.sum(F.when(F.col("b") == j, 1).otherwise(0)) / 8.0).alias(
+                feats[j]
+            )
             for j in range(_QD_DIM)
         ],
     )
@@ -2103,7 +2106,8 @@ def _sparse_lr_oracle() -> str:
     postings_sql = f"""
     SELECT doc_id AS row_id, 0 AS j, 1.0 AS x FROM ({_qd_docs_sql()})
     UNION ALL
-    SELECT DISTINCT doc_id AS row_id, CAST(b + 1 AS INT) AS j, 1.0 AS x
+    SELECT doc_id AS row_id, CAST(b + 1 AS INT) AS j,
+           COUNT(*) / 8.0 AS x
     FROM (
       SELECT doc_id,
              CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_QD_DIM} AS b
@@ -2112,6 +2116,7 @@ def _sparse_lr_oracle() -> str:
         FROM documents
       )
     )
+    GROUP BY doc_id, b
     """
     return sparse_logistic_gd_sql(
         rows_sql, postings_sql, n_features=_QD_DIM, iters=_QD_ITERS, lr=_QD_LR
@@ -2156,8 +2161,8 @@ def train_sparse_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("row_id"),
             (md5_bucket("tok", _QD_DIM) + 1).cast("int").alias("j"),
         )
-        .distinct()
-        .withColumn("x", F.lit(1.0))
+        .groupBy("row_id", "j")
+        .agg((F.count(F.lit(1)) / 8.0).alias("x"))
     )
     inter = rows.select(
         "row_id", F.lit(0).alias("j"), F.lit(1.0).alias("x")

@@ -226,9 +226,14 @@ def sparse_logistic_gd_fit(
         F.sum(F.col("sw").cast("decimal(38,18)")).cast("double").alias("d")
     )
 
+    # Zero-init the (j, w) frame DISTRIBUTEDLY (spark.range, not a
+    # driver-built list — at 2^18 features the list would be a
+    # driver-side loop); covering the full 0..max(j) range keeps
+    # never-observed features at w = 0 in both engines (the oracle's
+    # generate_series does the same).
     n_feats = post.agg(F.max("j")).collect()[0][0]
-    w = sess.createDataFrame(
-        [(j, 0.0) for j in range(int(n_feats) + 1)], "j int, w double"
+    w = sess.range(0, int(n_feats) + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
     )
     traces = []
     for t in range(1, iters + 1):

@@ -396,6 +396,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # flips + mean prob delta per source; one narrow two-sigmoid
     # pass, oracle reads both iteration states from one fit chain)
     "serve_canary_compare",
+    # (word-bigram LM perplexity — the token-granularity CCNet/KenLM
+    # filter; same shared-explode fit+score plan and fixed-point NLL
+    # as the in-prefix char LM, honest model-size scale note)
+    "ts_wordlm_score",
     # (per-dim embedding PSI — the vector-space drift monitor; fixed
     # [-1,1] bins so day-sketches merge by count addition)
     "train_embedding_drift",

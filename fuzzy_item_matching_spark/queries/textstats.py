@@ -2227,3 +2227,99 @@ def ts_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "ts_wordlm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    doctf AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pr
+      GROUP BY doc_id, w1, w2
+    ),
+    model AS (SELECT w1, w2, SUM(tf) AS c2 FROM doctf GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c2) AS c1n FROM model GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM model),
+    terms AS (
+      SELECT d.doc_id, d.tf,
+             ln((m.c2 + 1.0) / (c.c1n + vocab.v)) AS lp
+      FROM doctf d
+      JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+      JOIN ctx c ON c.w1 = d.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(CAST(floor(tf * lp * 1073741824.0) AS BIGINT))
+                AS DOUBLE)
+             / 1073741824.0 / CAST(SUM(tf) AS BIGINT) AS nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def ts_wordlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-bigram LM perplexity scoring — the token-granularity twin
+    of ts_charlm_score and the granularity CCNet's KenLM filter
+    actually runs at: fit add-one-smoothed word-bigram counts on the
+    corpus, score every document by mean negative log likelihood.
+    Same fit-and-score-share-one-explode plan and the same fixed-point
+    NLL discipline (floor(tf·lp·2^30) summed as BIGINT —
+    order-insensitive, quantum part of the operator definition).
+
+    The honest scale difference vs the char LM: a word-bigram model is
+    O(distinct bigrams), corpus-bounded rather than charset²-bounded —
+    it broadcasts while it fits (this corpus: KBs; the web: not), so
+    at 100 TB you prune low-count bigrams first (CCNet ships pruned
+    KenLM for the same reason) or let the model join fall back to a
+    shuffle join on (w1, w2). The per-doc scoring shuffle is identical
+    either way."""
+    d = load_table(spark, sf_dir, "documents")
+    toksl = d.select(
+        "doc_id", regex_tokenize("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toksl.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doctf = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    model = doctf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2")).persist()
+    ctx = model.groupBy("w1").agg(F.sum("c2").alias("c1n"))
+    vocab = model.agg(F.countDistinct("w2").alias("v"))
+    terms = (
+        doctf.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf",
+            F.log(
+                (F.col("c2") + 1.0) / (F.col("c1n") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    _q = 2.0**30
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (
+            (-F.sum(F.floor(F.col("tf") * F.col("lp") * _q)))
+            .cast("double")
+            / _q
+            / F.sum("tf")
+        ).alias("nll"),
+    )

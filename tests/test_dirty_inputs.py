@@ -45,6 +45,8 @@ DIRTY_SAFE = [
     "mm_phash_pairs",
     # loss-mask spans: NULL/empty docs keep their zero-span row
     "ts_loss_mask",
+    # word LM: 0/1-token docs drop via the size >= 2 guard
+    "ts_wordlm_score",
     # embedding drift: a NaN component bins to NULL (its own group);
     # NULL/ragged vectors contribute no elements beyond their own
     "train_embedding_drift",

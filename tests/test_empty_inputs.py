@@ -49,6 +49,7 @@ EMPTY_SAFE = [
     "dedup_minhash_recall",
     "mm_phash_pairs",
     "ts_loss_mask",
+    "ts_wordlm_score",
     "src_scd2_history",
     "train_embedding_drift",
     "train_class_weights",

@@ -396,6 +396,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # flips + mean prob delta per source; one narrow two-sigmoid
     # pass, oracle reads both iteration states from one fit chain)
     "serve_canary_compare",
+    # (Heaps-law vocabulary-growth curve: one first-occurrence agg +
+    # a 10-row broadcast threshold join — the corpus-scaling
+    # diagnostic behind tokenizer/dedup budgeting)
+    "ts_vocab_growth",
     # (word-bigram LM perplexity — the token-granularity CCNet/KenLM
     # filter; same shared-explode fit+score plan and fixed-point NLL
     # as the in-prefix char LM, honest model-size scale note)

@@ -2323,3 +2323,64 @@ def ts_wordlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("tf")
         ).alias("nll"),
     )
+
+
+@query(
+    "ts_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+    mx AS (SELECT MAX(doc_id) AS m FROM tok),
+    cps AS (SELECT unnest(generate_series(1, 10)) AS decile),
+    thr AS (SELECT decile, (mx.m * decile) // 10 AS cutoff FROM cps, mx)
+    SELECT CAST(t.decile AS INT) AS decile,
+           CAST(t.cutoff AS BIGINT) AS cutoff_doc,
+           CAST(SUM(CASE WHEN f.first_doc <= t.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_size
+    FROM thr t CROSS JOIN firsts f
+    GROUP BY t.decile, t.cutoff
+    """,
+)
+def ts_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve — the corpus-scaling
+    diagnostic behind tokenizer and dedup budgeting: distinct-token
+    count over growing corpus prefixes (doc_id order, 10 decile
+    cutoffs). A curve that keeps climbing steeply says the corpus
+    keeps contributing new vocabulary (dedup has headroom, the
+    tokenizer's OOV budget isn't converged); a flattening curve says
+    marginal data is lexically redundant.
+
+    Scale shape: one map-side-combined first-occurrence aggregate
+    (groupBy token, MIN doc id — |vocab| rows), then a 10-row
+    broadcast threshold join and a 10-group count. The cumulative
+    curve costs ONE corpus pass regardless of how many checkpoints it
+    reports; all arithmetic is integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(regex_tokenize("text")).alias("tok")
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    mx = tok.agg(F.max("doc_id").alias("m"))
+    thr = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile",
+            F.expr("(m * decile) div 10").cast("long").alias("cutoff_doc"),
+        )
+    )
+    return (
+        F.broadcast(thr)
+        .crossJoin(firsts)
+        .groupBy("decile", "cutoff_doc")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cutoff_doc"), 1)
+                .otherwise(0)
+            ).alias("vocab_size")
+        )
+    )

@@ -47,6 +47,7 @@ DIRTY_SAFE = [
     "ts_loss_mask",
     # word LM: 0/1-token docs drop via the size >= 2 guard
     "ts_wordlm_score",
+    "ts_vocab_growth",
     # embedding drift: a NaN component bins to NULL (its own group);
     # NULL/ragged vectors contribute no elements beyond their own
     "train_embedding_drift",

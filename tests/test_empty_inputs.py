@@ -50,6 +50,7 @@ EMPTY_SAFE = [
     "mm_phash_pairs",
     "ts_loss_mask",
     "ts_wordlm_score",
+    "ts_vocab_growth",
     "src_scd2_history",
     "train_embedding_drift",
     "train_class_weights",

@@ -430,7 +430,29 @@ def adaboost_depth2(
         def leaf(r, pos: str, neg: str) -> int:
             return 1 if r[pos] >= r[neg] else -1
 
-        lt_, rt_ = picks[1], picks[0]
+        # Degenerate-root guard: a root split can put EVERY row on one
+        # side (e.g. a constant feature, mn == mx, wins the argmin
+        # tie-break — all thresholds equal mn, so x <= thr everywhere).
+        # The empty side then has no candidate rows; fall back to a
+        # TRIVIAL child — the root threshold with +1/+1 leaf signs
+        # (the 0 >= 0 majority convention) and zero region error. The
+        # SQL twin emits the identical fallback row (pri-2 arm in
+        # adaboost_depth2_ctes), so the engines agree instead of the
+        # oracle silently dropping the round's model row.
+        def _pick(side: int):
+            if side in picks:
+                return picks[side]
+            return {
+                "feature": f0,
+                "thr": t0,
+                "le_pos": 0,
+                "le_neg": 0,
+                "gt_pos": 0,
+                "gt_neg": 0,
+                "err": 0,
+            }
+
+        lt_, rt_ = _pick(1), _pick(0)
         fl, tl = lt_["feature"], float(lt_["thr"])
         fr, tr = rt_["feature"], float(rt_["thr"])
         sll, slr = leaf(lt_, "le_pos", "le_neg"), leaf(lt_, "gt_pos", "gt_neg")
@@ -552,14 +574,26 @@ def adaboost_depth2_ctes(
       FROM {w_prev}, root{t} b, cands
       GROUP BY 1, feature, thr
     )""")
+        # pri-2 arm = the degenerate-root fallback (see adaboost_depth2
+        # _pick): when the root puts every row on one side, the other
+        # side's evc slice is empty — without the fallback this CTE
+        # would be empty and best{t} would silently drop the round's
+        # model row while the Spark fit kept it. The trivial child
+        # (root threshold, +1/+1 signs, zero error) only wins when no
+        # pri-1 row exists.
         for side, nm in ((1, "bl"), (0, "br")):
             parts.append(f"""{nm}{t} AS MATERIALIZED (
-      SELECT feature, thr,
-             CASE WHEN le_pos >= le_neg THEN 1 ELSE -1 END AS s_le,
-             CASE WHEN gt_pos >= gt_neg THEN 1 ELSE -1 END AS s_gt,
-             {err_expr} AS errc
-      FROM evc{t} WHERE side = {side}
-      ORDER BY {err_expr} ASC, feature ASC, thr ASC LIMIT 1
+      SELECT feature, thr, s_le, s_gt, errc FROM (
+        SELECT 1 AS pri, feature, thr,
+               CASE WHEN le_pos >= le_neg THEN 1 ELSE -1 END AS s_le,
+               CASE WHEN gt_pos >= gt_neg THEN 1 ELSE -1 END AS s_gt,
+               {err_expr} AS errc
+        FROM evc{t} WHERE side = {side}
+        UNION ALL
+        SELECT 2 AS pri, f0 AS feature, t0 AS thr, 1 AS s_le, 1 AS s_gt,
+               CAST(0 AS DECIMAL(38,0)) AS errc
+        FROM root{t}
+      ) ORDER BY pri ASC, errc ASC, feature ASC, thr ASC LIMIT 1
     )""")
         parts.append(f"""best{t} AS MATERIALIZED (
       SELECT r.f0, r.t0,

@@ -31,6 +31,16 @@ from pyspark.sql import functions as F
 
 ROUND_DIGITS = 9
 
+# Weight-state join strategy gate for the sparse (long-format) fit: a
+# (j, w) frame of ≤ 2^20 rows is ~12 MB serialized — comfortably a
+# broadcast, and broadcasting it keeps the postings⨝weights join
+# shuffle-free on the postings side. Past that (the 10^7–10^8 hashed
+# features a web-scale corpus implies) the explicit broadcast hint
+# would force a driver-side collect of the full weight state every
+# iteration, so the join falls back to a j-keyed shuffle join — the
+# weight state distributes like any other frame.
+SPARSE_BROADCAST_MAX_FEATURES = 1 << 20
+
 
 def balanced_class_weights(pairs: DataFrame, label: str = "label") -> DataFrame:
     """1-row frame (wpos, wneg): sklearn's 'balanced' n/(k*n_c) for the
@@ -180,11 +190,24 @@ def logistic_gd_sql(
     )
 
 
+def weight_state_join(post: DataFrame, w: DataFrame, n_features: int) -> DataFrame:
+    """Join postings to the (j, w) weight state with the join strategy
+    gated on |state|: ≤ SPARSE_BROADCAST_MAX_FEATURES rows broadcasts
+    (the state is a few MB — no shuffle on the postings side); above
+    it the hint is dropped and the join shuffles on ``j``, so the
+    weight state never has to fit on the driver. Split out so
+    tests/test_plans.py can pin that the strategy actually switches."""
+    if n_features <= SPARSE_BROADCAST_MAX_FEATURES:
+        return post.join(F.broadcast(w), "j")
+    return post.join(w, "j")
+
+
 def sparse_logistic_gd_fit(
     rows: DataFrame,
     postings: DataFrame,
     iters: int = 4,
     lr: float = 0.5,
+    n_features: int | None = None,
 ) -> DataFrame:
     """Long-format (sparse) logistic GD — the shape that carries past
     ~10³ features, where :func:`logistic_gd_fit`'s wide-column
@@ -195,10 +218,21 @@ def sparse_logistic_gd_fit(
     gradient per feature (postings ⨝ residuals, groupBy j). At 2^18
     hashed features and 100 TB of rows both shuffles are keyed on ids,
     state is |features| rows distributed like any other frame, and no
-    plan ever holds a dense vector.
+    plan ever holds a dense vector. The weights side of the z join is
+    broadcast only while the state is small
+    (:func:`weight_state_join`); past SPARSE_BROADCAST_MAX_FEATURES it
+    becomes a j-keyed shuffle join, so the plan matches the
+    distributed-state story at every feature count.
 
     ``rows``: (row_id, label); ``postings``: (row_id, j, x) and MUST
     include the intercept posting (row_id, 0, 1.0) for every row.
+    ``n_features``: highest feature index (the weight domain is
+    0..n_features inclusive, j = 0 being the intercept). Pass it
+    explicitly when the hash space is known — a top bucket with no
+    postings would otherwise shrink the weight domain below the
+    oracle's (sparse_logistic_gd_sql takes the same explicit bound).
+    When omitted it defaults to max observed j; an empty postings
+    frame is then an error, not a silent int(None) crash.
 
     Determinism: per-row z and per-feature gradients are DECIMAL(38,18)
     sums of per-term double products (exact, order-insensitive — the
@@ -228,17 +262,24 @@ def sparse_logistic_gd_fit(
 
     # Zero-init the (j, w) frame DISTRIBUTEDLY (spark.range, not a
     # driver-built list — at 2^18 features the list would be a
-    # driver-side loop); covering the full 0..max(j) range keeps
+    # driver-side loop); covering the full 0..n_features range keeps
     # never-observed features at w = 0 in both engines (the oracle's
     # generate_series does the same).
-    n_feats = post.agg(F.max("j")).collect()[0][0]
-    w = sess.range(0, int(n_feats) + 1).select(
+    if n_features is None:
+        mx = post.agg(F.max("j")).collect()[0][0]
+        if mx is None:
+            raise ValueError(
+                "sparse_logistic_gd_fit: postings frame is empty — "
+                "pass n_features explicitly or provide postings"
+            )
+        n_features = int(mx)
+    w = sess.range(0, int(n_features) + 1).select(
         F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
     )
     traces = []
     for t in range(1, iters + 1):
         z = (
-            post.join(F.broadcast(w), "j")
+            weight_state_join(post, w, n_features)
             .groupBy("row_id")
             .agg(
                 F.sum((F.col("w") * F.col("x")).cast("decimal(38,18)"))
@@ -265,8 +306,12 @@ def sparse_logistic_gd_fit(
                 .alias("g")
             )
         )
+        # The gradient frame is bounded by the same |features| as the
+        # weight state — gate its broadcast identically.
+        if n_features <= SPARSE_BROADCAST_MAX_FEATURES:
+            grad = F.broadcast(grad)
         w = (
-            w.join(F.broadcast(grad), "j", "left")
+            w.join(grad, "j", "left")
             .crossJoin(F.broadcast(den))
             .select(
                 "j",

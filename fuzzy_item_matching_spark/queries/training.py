@@ -2168,8 +2168,11 @@ def train_sparse_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id", F.lit(0).alias("j"), F.lit(1.0).alias("x")
     )
     postings = inter.unionByName(pres)
+    # n_features passed explicitly (not inferred from max observed j)
+    # so the 0.._QD_DIM weight domain matches the oracle's
+    # generate_series even if the top hash bucket has no postings.
     return sparse_logistic_gd_fit(
-        rows, postings, iters=_QD_ITERS, lr=_QD_LR
+        rows, postings, iters=_QD_ITERS, lr=_QD_LR, n_features=_QD_DIM
     )
 
 

@@ -290,3 +290,46 @@ def test_adaboost_depth2_properties(spark):
     train_err = (np.sign(score) != y).mean()
     bound = float(np.prod([2 * np.sqrt(m.err * (1 - m.err)) for m in model]))
     assert train_err <= bound + 1e-9
+
+
+def test_adaboost_depth2_degenerate_root_matches_oracle(spark):
+    """Degenerate-root guard (ADVICE r7): constant features make every
+    candidate threshold equal mn, so the root sends ALL rows to the
+    <=-side and the other child has no candidate rows. Pre-guard the
+    Spark fit raised KeyError while the SQL twin silently dropped the
+    round's model row. Both engines must now emit the trivial-child
+    fallback (root threshold, +1/+1 signs) and agree round-for-round.
+    """
+    import duckdb
+
+    from fuzzy_item_matching_spark.operators.boosting import (
+        adaboost_depth2,
+        adaboost_depth2_sql,
+    )
+
+    rows = [(1, 1.0, 2.0), (1, 1.0, 2.0), (0, 1.0, 2.0), (1, 1.0, 2.0)]
+    pairs = spark.createDataFrame(rows, "label int, xa double, xb double")
+    model = adaboost_depth2(pairs, ["xa", "xb"], rounds=2).collect()
+    assert len(model) == 2, "degenerate rounds must not be dropped"
+    for m in model:
+        # every row went left; the right child is the trivial fallback
+        assert (m.fr, m.tr, m.srl, m.srr) == (m.f0, m.t0, 1, 1)
+
+    values = ", ".join(f"({l}, {a!r}, {b!r})" for l, a, b in rows)
+    sql = adaboost_depth2_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(label, xa, xb)",
+        ["xa", "xb"],
+        rounds=2,
+    )
+    oracle = duckdb.sql(sql).fetchall()
+    assert len(oracle) == 2
+    spark_rows = sorted(
+        [tuple(m) for m in model], key=lambda r: r[0]
+    )
+    oracle_rows = sorted(oracle, key=lambda r: r[0])
+    for s, o in zip(spark_rows, oracle_rows):
+        for sv, ov in zip(s, o):
+            if isinstance(sv, float):
+                assert abs(sv - float(ov)) < 1e-12, (s, o)
+            else:
+                assert sv == ov, (s, o)

@@ -331,3 +331,54 @@ def test_scd2_branch_joins_stay_key_equi(spark, registry):
     )
     assert joins <= 3, f"more join nodes than history branches:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_sparse_gd_weight_join_gated_on_feature_count(spark):
+    """operators/logreg.py weight_state_join: the postings⨝weights
+    join BROADCASTS the weight state while it is small (≤ 2^20 rows,
+    a few MB) and drops the hint past the gate so the state never has
+    to be collected to the driver — the plan choice the 100 TB
+    docstring claims, pinned on both sides of the threshold."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.operators.logreg import (
+        SPARSE_BROADCAST_MAX_FEATURES,
+        weight_state_join,
+    )
+
+    post = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 0.5), (2, 0, 1.0)], "row_id int, j int, x double"
+    )
+
+    def weights(n):
+        return spark.range(0, n + 1).select(
+            F.col("id").cast("int").alias("j"), F.lit(0.0).alias("w")
+        )
+
+    small = weight_state_join(post, weights(16), 16)
+    plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "BROADCAST" in plan.upper(), plan
+
+    big_n = SPARSE_BROADCAST_MAX_FEATURES + 1
+    big = weight_state_join(post, weights(big_n), big_n)
+    plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "BROADCAST" not in plan.upper(), plan
+    # Past the gate the plan carries NO hint — the physical strategy
+    # is Catalyst's cost call (at local test scale its size estimate
+    # may still pick broadcast; at the 10^7+-feature scale the gate
+    # exists for, the estimate exceeds autoBroadcastJoinThreshold and
+    # the join shuffles on j). The pin is hint-absence: nothing forces
+    # a driver-side collect of the weight state.
+
+
+def test_sparse_gd_empty_postings_is_clear_error(spark):
+    import pytest as _pytest
+
+    from fuzzy_item_matching_spark.operators.logreg import (
+        sparse_logistic_gd_fit,
+    )
+
+    rows = spark.createDataFrame([(1, 1)], "row_id int, label int")
+    post = spark.createDataFrame([], "row_id int, j int, x double")
+    with _pytest.raises(ValueError, match="postings frame is empty"):
+        sparse_logistic_gd_fit(rows, post, iters=1)

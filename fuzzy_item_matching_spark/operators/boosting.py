@@ -695,3 +695,326 @@ def adaboost_depth2_score_sql(
       FROM {", ".join(froms)}
     ) ORDER BY margin DESC, {ida} ASC LIMIT {limit}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-order gradient boosting — the real XGBoost shape
+# ---------------------------------------------------------------------------
+#
+# AdaBoost (above) boosts by re-WEIGHTING rows; the reference's XGBoost
+# (`03_Train & Deploy Model.py:176-192`) boosts on the GRADIENT: each
+# round fits a tree to the first/second derivatives of the sigmoid loss
+# at the current score, with regularized closed-form leaf weights —
+# `reg_alpha`/`reg_lambda`/`gamma` are searched dimensions of the
+# reference's hyperopt space (`03_Train & Deploy Model.py:163-174`).
+# This twin replays that capability exactly, one depth-1 tree per round:
+#
+# - per row: p = 1/(1+exp(-f)), g = p - y, h = p·(1-p) — the sigmoid
+#   loss's first/second order terms at the current raw score f;
+# - per candidate (same fixed min/max grid as the stumps, no polarity —
+#   leaf weights subsume it): region sums GL/HL/GR/HR accumulated as
+#   DECIMAL(38,18) of per-row doubles (exact, order-insensitive);
+# - split objective: the canonical second-order gain
+#   ½·[GL²/(HL+λ) + GR²/(HR+λ) − (GL+GR)²/(HL+HR+λ)] − γ, argmax with
+#   a total (gain DESC, feature, thr) tie-break. γ shifts every gain
+#   equally so it cannot flip the argmax; it is kept in the expression
+#   because it is the no-split margin a deeper tree would prune on;
+# - leaf weights: w = −soft(G, α)/(H + λ) (L1 soft-threshold + L2
+#   shrinkage — XGBoost's regularized closed form), rounded to 9
+#   digits; score update f ← round(f + η·w_leaf, 9).
+#
+# Determinism is the logreg-GD discipline, not the depth-2 integer one:
+# the per-row sigmoid is inherently transcendental, so instead of
+# banning it we quantize every cross-round carrier — leaf weights and
+# the updated score round to 9 digits each round, squashing last-ulp
+# libm exp() disagreements before they compound. The gain expression is
+# built ONCE as a SQL string and evaluated by BOTH engines (F.expr in
+# Spark, verbatim in DuckDB), so the float contraction order is
+# identical by construction. Identical row partitions yield identical
+# decimal region sums within an engine, so grid ties break on the
+# lexical key the same way on both sides.
+#
+# Per round: one pass over the persisted frame (45-candidate crossJoin
+# + one aggregate), one 1-row argmax collect (the BPE-argmax budget),
+# one score-update projection + localCheckpoint. K rounds = K passes —
+# the same 100 TB schedule as the stump fit.
+
+GB_LAMBDA = 1.0  # reg_lambda: L2 leaf shrinkage
+GB_ALPHA = 0.5  # reg_alpha: L1 leaf soft-threshold
+GB_GAMMA = 0.0  # gamma: per-leaf complexity charge (argmax-invariant)
+GB_ETA = 0.3  # learning rate
+
+
+def _gb_gain_expr(lam: float, gamma: float) -> str:
+    """The second-order split gain over the DOUBLE-cast region sums —
+    ONE shared SQL string evaluated by both engines so the expression
+    tree (and thus every IEEE contraction) is identical by
+    construction."""
+    return (
+        f"0.5 * (gl * gl / (hl + {lam!r}) + gr * gr / (hr + {lam!r})"
+        f" - (gl + gr) * (gl + gr) / (hl + hr + {lam!r})) - {gamma!r}"
+    )
+
+
+def _gb_leaf(g: float, h: float, lam: float, alpha: float) -> float:
+    """Regularized closed-form leaf weight −soft(G, α)/(H + λ),
+    rounded to 9 digits before it enters the score recursion."""
+    if g > alpha:
+        s = g - alpha
+    elif g < -alpha:
+        s = g + alpha
+    else:
+        s = 0.0
+    return round(-s / (h + lam), 9)
+
+
+GB_SCHEMA = (
+    "round int, feature string, thr double, gain double,"
+    " w_le double, w_gt double"
+)
+
+
+def gboost_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    rounds: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+) -> DataFrame:
+    """Fit ``rounds`` second-order boosted depth-1 trees on the 0/1
+    ``label``; return the model table
+    (round, feature, thr, gain, w_le, w_gt). A scorer applies
+    f(x) = Σ_t η·(w_le if x ≤ thr else w_gt); p = sigmoid(f)."""
+    spark = pairs.sparkSession
+
+    stats = pairs.agg(
+        *[
+            c
+            for f_ in features
+            for c in (
+                F.min(f_).alias(f"mn_{f_}"),
+                F.max(f_).alias(f"mx_{f_}"),
+            )
+        ]
+    ).first()
+    cand_rows = []
+    for f_ in features:
+        mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
+        for k in range(1, grid):
+            cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
+    cands = F.broadcast(
+        spark.createDataFrame(cand_rows, "feature string, thr double")
+    )
+
+    df = pairs.select(
+        F.col(label).cast("double").alias("__y"), *features
+    ).withColumn("__f", F.lit(0.0))
+    df = df.persist()
+
+    feat_val = F.when(F.col("feature") == features[0], F.col(features[0]))
+    for f_ in features[1:]:
+        feat_val = feat_val.when(F.col("feature") == f_, F.col(f_))
+
+    gain_sql = _gb_gain_expr(lam, gamma)
+    dec = "decimal(38,18)"
+    model_rows = []
+    for t in range(1, rounds + 1):
+        p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+        g = p - F.col("__y")
+        h = p * (1.0 - p)
+        le = F.col("__x") <= F.col("thr")
+        ev = (
+            df.crossJoin(cands)
+            .withColumn("__x", feat_val)
+            .groupBy("feature", "thr")
+            .agg(
+                F.sum(F.when(le, g).otherwise(0.0).cast(dec))
+                .cast("double")
+                .alias("gl"),
+                F.sum(F.when(le, h).otherwise(0.0).cast(dec))
+                .cast("double")
+                .alias("hl"),
+                F.sum(F.when(~le, g).otherwise(0.0).cast(dec))
+                .cast("double")
+                .alias("gr"),
+                F.sum(F.when(~le, h).otherwise(0.0).cast(dec))
+                .cast("double")
+                .alias("hr"),
+            )
+            .withColumn("gain", F.expr(gain_sql))
+            .orderBy(F.desc("gain"), F.asc("feature"), F.asc("thr"))
+            .limit(1)
+        )
+        [best] = ev.collect()  # 1 row — the BPE-argmax budget
+        w_le = _gb_leaf(best["gl"], best["hl"], lam, alpha)
+        w_gt = _gb_leaf(best["gr"], best["hr"], lam, alpha)
+        model_rows.append(
+            (
+                t,
+                best["feature"],
+                float(best["thr"]),
+                round(best["gain"], 9),
+                w_le,
+                w_gt,
+            )
+        )
+        step = F.lit(eta) * F.when(
+            F.col(best["feature"]) <= F.lit(float(best["thr"])),
+            F.lit(w_le),
+        ).otherwise(F.lit(w_gt))
+        nxt = df.withColumn("__f", F.round(F.col("__f") + step, 9))
+        nxt = nxt.localCheckpoint(eager=True)
+        df.unpersist()
+        df = nxt
+    return spark.createDataFrame(model_rows, GB_SCHEMA)
+
+
+def gboost_ctes(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+) -> tuple[str, str]:
+    """The unrolled second-order fit as (WITH-clause body, model UNION
+    tail) — shared by the model query and the scoring query (the
+    adaboost_ctes convention)."""
+    mn_mx = ", ".join(
+        f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
+    )
+    cand_arms = []
+    for f_ in features:
+        for k in range(1, grid):
+            thr = f"(mn_{f_} + {k} * (mx_{f_} - mn_{f_}) / {float(grid)!r})"
+            cand_arms.append(
+                f"SELECT '{f_}' AS feature, {thr} AS thr FROM stats"
+            )
+    feat_case = (
+        "CASE feature "
+        + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+        + " END"
+    )
+    gain_sql = _gb_gain_expr(lam, gamma)
+    sig = "1.0 / (1.0 + exp(-f))"
+
+    def leaf(G: str, H: str) -> str:
+        soft = (
+            f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
+            f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
+        )
+        return f"round(-({soft}) / ({H} + {lam!r}), 9)"
+
+    def rsum(cond: str, term: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CAST(CASE WHEN {cond} THEN {term} ELSE 0.0 END"
+            f" AS DECIMAL(38,18))) AS DOUBLE) AS {name}"
+        )
+
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({pairs_sql})",
+        f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
+        "cands AS MATERIALIZED (" + " UNION ALL ".join(cand_arms) + ")",
+        "s0 AS MATERIALIZED (SELECT CAST(label AS DOUBLE) AS y, "
+        + ", ".join(features)
+        + ", 0.0 AS f FROM pairs)",
+    ]
+    arms = []
+    for t in range(1, rounds + 1):
+        parts.append(f"""gh{t} AS MATERIALIZED (
+      SELECT y, {", ".join(features)},
+             {sig} - y AS g, ({sig}) * (1.0 - {sig}) AS h
+      FROM s{t - 1}
+    )""")
+        le = f"{feat_case} <= thr"
+        parts.append(f"""ev{t} AS MATERIALIZED (
+      SELECT feature, thr,
+             {rsum(le, "g", "gl")},
+             {rsum(le, "h", "hl")},
+             {rsum(f"NOT ({le})", "g", "gr")},
+             {rsum(f"NOT ({le})", "h", "hr")}
+      FROM gh{t}, cands GROUP BY feature, thr
+    )""")
+        parts.append(f"""best{t} AS MATERIALIZED (
+      SELECT feature, thr, round({gain_sql}, 9) AS gain,
+             {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt
+      FROM ev{t} ORDER BY {gain_sql} DESC, feature ASC, thr ASC LIMIT 1
+    )""")
+        b_case = (
+            "CASE b.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT y, {", ".join(features)},
+             round(f + {eta!r} * (CASE WHEN {b_case} <= b.thr
+                                  THEN b.w_le ELSE b.w_gt END), 9) AS f
+      FROM s{t - 1}, best{t} b
+    )""")
+        arms.append(
+            f"SELECT {t} AS round, feature, thr, gain, w_le, w_gt"
+            f" FROM best{t}"
+        )
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def gboost_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 3,
+    grid: int = GRID,
+) -> str:
+    """DuckDB twin of :func:`gboost_fit`: identical grid, g/h terms,
+    DECIMAL region sums, shared gain expression, regularized leaf
+    closed form, and quantized score recursion — unrolled one CTE
+    level per round."""
+    ctes, model_union = gboost_ctes(pairs_sql, features, rounds, grid)
+    return ctes + "\n" + model_union
+
+
+def gboost_score_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 3,
+    grid: int = GRID,
+    eta: float = GB_ETA,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    limit: int = 20,
+) -> str:
+    """DuckDB twin of scoring through the fitted gradient-boosted
+    ensemble: the unrolled fit CTEs, then the raw score
+    f = Σ_t η·w_leaf per pair, ranked by (score DESC, id ASC).
+    ``pairs_sql`` must also expose ``id_cols``."""
+    ctes, _ = gboost_ctes(pairs_sql, features, rounds, grid)
+    ida, idb = id_cols
+    terms = []
+    froms = ["pairs"]
+    for t in range(1, rounds + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        feat_case = (
+            f"CASE {b}.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+        terms.append(
+            f"({eta!r} * (CASE WHEN {feat_case} <= {b}.thr"
+            f" THEN {b}.w_le ELSE {b}.w_gt END))"
+        )
+    score = " + ".join(terms)
+    return (
+        ctes
+        + f"""
+    SELECT {ida}, {idb}, score,
+           CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred
+    FROM (
+      SELECT {ida}, {idb}, {score} AS score
+      FROM {", ".join(froms)}
+    ) ORDER BY score DESC, {ida} ASC LIMIT {limit}"""
+    )

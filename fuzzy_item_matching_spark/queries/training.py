@@ -2896,6 +2896,101 @@ def train_adaboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("margin"), F.asc("id_a")).limit(20)
 
 
+_GB_ROUNDS = 3
+
+# fit-once memo shared by the gradient-boosting fit and score queries —
+# the same persisted-model-table discipline as _ADA_FIT_MEMO
+_GB_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _gb_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+
+    key = (sf_dir, _GB_ROUNDS)
+    if key not in _GB_MEMO:
+        _GB_MEMO[key] = gboost_fit(
+            _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"], rounds=_GB_ROUNDS
+        ).collect()
+    return _GB_MEMO[key]
+
+
+def _gb_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import gboost_sql
+
+    return gboost_sql(_LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GB_ROUNDS)
+
+
+@query("train_gboost_fit", oracle=_gb_oracle())
+def train_gboost_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True GRADIENT boosting — the second-order shape of the
+    reference's XGBoost (`03_Train & Deploy Model.py:176-192`), not
+    just its re-weighting cousin: each round fits a depth-1 tree to
+    the sigmoid loss's g = p−y and h = p·(1−p) at the current raw
+    score, split by the canonical gain
+    ½·[GL²/(HL+λ) + GR²/(HR+λ) − (G²)/(H+λ)] − γ on the fixed min/max
+    threshold grid, with XGBoost's REGULARIZED closed-form leaf
+    weights −soft(G, α)/(H+λ) — reg_alpha/reg_lambda/gamma, the
+    searched dimensions of the reference's hyperopt space
+    (`03_Train & Deploy Model.py:163-174`), all live in the formula.
+
+    Replayability (operators/boosting.py gboost_fit): region sums are
+    DECIMAL(38,18) accumulations of per-row doubles; the gain is ONE
+    shared SQL string evaluated by both engines (F.expr / verbatim),
+    so its float contraction is identical by construction; leaf
+    weights and the per-row score update round to 9 digits each round
+    — the logreg-GD quantization that stops last-ulp libm sigmoid
+    differences from compounding. Per round: one pass over the
+    persisted pair frame + a 1-row argmax collect; {r} rounds = {r}
+    passes.
+
+    Output: the model table (round, feature, thr, gain, w_le, w_gt);
+    a scorer applies f(x) = Σ_t η·w_leaf through the split path. The
+    fit is memoized per (sf_dir, rounds) — the serve twin
+    (train_gboost_score) reads this model instead of refitting.
+    """
+    from fuzzy_item_matching_spark.operators.boosting import GB_SCHEMA
+
+    return spark.createDataFrame(_gb_rows(spark, sf_dir), GB_SCHEMA)
+
+
+train_gboost_fit.__doc__ = train_gboost_fit.__doc__.format(r=_GB_ROUNDS)
+
+
+def _gb_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import gboost_score_sql
+
+    return gboost_score_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GB_ROUNDS
+    )
+
+
+@query("train_gboost_score", oracle=_gb_score_oracle())
+def train_gboost_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring through the fitted gradient-boosted ensemble — the
+    serve half of the second-order flow (`03_Train & Deploy
+    Model.py:433-446` scores through the registered XGBoost): raw
+    score f(x) = Σ_t η·(w_le if x ≤ thr_t else w_gt) per pair, top-20
+    by (score DESC, id ASC); pred = f > 0 (the p > ½ decision). The
+    model comes from the shared (sf_dir, rounds) memo train_gboost_fit
+    fills, so fit and serve cost one fit per session; the trees ship
+    as literal CASE columns — no join, no UDF. The oracle re-runs the
+    unrolled fit AND the scoring, verifying both ends together.
+    """
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    pairs = _lr_pairs(spark, sf_dir)
+    score = None
+    for m in _gb_rows(spark, sf_dir):
+        term = F.lit(GB_ETA) * F.when(
+            F.col(m.feature) <= F.lit(m.thr), F.lit(m.w_le)
+        ).otherwise(F.lit(m.w_gt))
+        score = term if score is None else score + term
+    scored = pairs.select("id_a", "id_b", score.alias("score")).withColumn(
+        "pred", F.when(F.col("score") > 0, 1).otherwise(0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id_a")).limit(20)
+
+
 _HN_DOT = """
     list_sum(list_transform(
       list_zip(a.embedding::DOUBLE[], c.embedding::DOUBLE[]),

@@ -333,3 +333,42 @@ def test_adaboost_depth2_degenerate_root_matches_oracle(spark):
                 assert abs(sv - float(ov)) < 1e-12, (s, o)
             else:
                 assert sv == ov, (s, o)
+
+
+def test_gboost_properties(spark):
+    """Second-order gradient boosting: model shape, finite regularized
+    gains (λ makes NEGATIVE best gains legitimate — the child terms
+    carry λ twice, so xgboost would prune; the twin documents
+    always-argmax), and the ensemble's training log-loss strictly
+    below the f=0 baseline ln 2 — the guarantee the damped Newton leaf
+    step provides."""
+    import math
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _GB_ROUNDS,
+        _lr_pairs,
+        train_gboost_fit,
+    )
+
+    model = train_gboost_fit(spark, SF_SMOKE).collect()
+    assert len(model) == _GB_ROUNDS
+    assert [m.round for m in model] == list(range(1, _GB_ROUNDS + 1))
+    for m in model:
+        assert math.isfinite(m.gain)
+        # regularized leaves are shrunk, never explosive
+        assert abs(m.w_le) < 20 and abs(m.w_gt) < 20
+
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    rows = _lr_pairs(spark, SF_SMOKE).collect()
+    y = np.array([r.label for r in rows], dtype=float)
+    X = {f: np.array([getattr(r, f) for r in rows]) for f in ("x1", "x2", "x3")}
+    f = np.zeros(len(y))
+    base = np.log(2.0)  # log-loss at f = 0
+    for m in model:
+        f += GB_ETA * np.where(X[m.feature] <= m.thr, m.w_le, m.w_gt)
+    p = 1.0 / (1.0 + np.exp(-f))
+    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert loss < base, f"ensemble log-loss {loss} not below baseline {base}"

@@ -998,6 +998,161 @@ def ts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_sketch_compare",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    e AS (
+      SELECT source, COUNT(DISTINCT g) AS exact_distinct FROM sh
+      GROUP BY source
+    ),
+    rv AS (
+      SELECT source,
+             CAST('0x' || substr(md5(g), 1, 2) AS BIGINT) AS reg,
+             CAST('0x' || substr(md5(g), 3, 15) AS BIGINT) AS v
+      FROM sh
+    ),
+    regs AS (
+      SELECT source, reg,
+             MAX(CASE WHEN v = 0 THEN 61
+                      ELSE 61 - length(bin(v)) END) AS r
+      FROM rv GROUP BY source, reg
+    ),
+    s AS (
+      SELECT source,
+             SUM(CAST(CAST(1 AS BIGINT) << (61 - r) AS HUGEINT))
+               + (256 - COUNT(*)) * CAST({_HLL_POW61} AS HUGEINT) AS ssum,
+             256 - COUNT(*) AS zr
+      FROM regs GROUP BY source
+    ),
+    hll AS (
+      SELECT source,
+             CASE WHEN {_HLL_NUM} / CAST(ssum AS DOUBLE) <= 640.0
+                       AND zr > 0
+                  THEN 256.0 * ln(256.0 / zr)
+                  ELSE {_HLL_NUM} / CAST(ssum AS DOUBLE)
+             END AS hll_estimate
+      FROM s
+    ),
+    tu AS (SELECT DISTINCT source, {_D_U42.format(key="g")} AS u FROM sh),
+    kset AS (
+      SELECT source, u,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+      FROM tu
+    ),
+    m AS (
+      SELECT source, MAX(u) AS uk, COUNT(*) AS kk
+      FROM kset WHERE rn <= {_KMV_K} GROUP BY source
+    ),
+    est AS (
+      SELECT e.source,
+             CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+             CASE WHEN m.kk < {_KMV_K} THEN e.exact_distinct::DOUBLE
+                  ELSE (m.kk - 1) / m.uk END AS kmv_estimate,
+             hll.hll_estimate
+      FROM e JOIN m ON m.source = e.source
+      JOIN hll ON hll.source = e.source
+    )
+    SELECT source, exact_distinct, kmv_estimate, hll_estimate,
+           (kmv_estimate - exact_distinct) / exact_distinct AS kmv_rel_err,
+           (hll_estimate - exact_distinct) / exact_distinct AS hll_rel_err
+    FROM est
+    """,
+)
+def ts_sketch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three cardinality estimators side by side on ONE shingle
+    domain — the eval a data-quality dashboard actually wants before
+    trusting a sketch at 100 TB: per source, the exact distinct
+    word-3-gram count, the KMV estimate (k-minimum-values, k = 256,
+    per-source this time), the explicit-register HLL estimate (with
+    its linear-counting branch), and each estimator's signed relative
+    error. Both sketches are pure functions of the data (md5-keyed
+    uniform / md5 register+rank), so the DuckDB oracle replays the
+    estimates bit-for-bit and the error columns are exact — the
+    comparison itself is oracle-checked, not just the inputs.
+
+    Scale shape: the exploded shingle frame persists once and feeds
+    all three estimators. Exact = countDistinct per source (the
+    expensive truth the sketches exist to replace); HLL = one
+    map-side-combinable (source, reg) MAX groupBy with ≤ 256-row
+    state per source; KMV = per-source k-smallest over the distinct
+    hash frame — a window rank bounded by the source partition, kept
+    here (vs the global TakeOrdered of ts_distinct_kmv) because the
+    sketch is per-key. At the real scale you'd drop the exact leg
+    and keep the two mergeable sketches; their agreement (|rel_err|
+    pinned in tests/test_sketch_ops.py) is what licenses that swap.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", regex_tokenize("text").alias("__t"))
+        .select("source", F.explode(word_ngrams(F.col("__t"), 3)).alias("g"))
+        .persist()  # feeds exact, HLL registers, and KMV hashes
+    )
+    e = sh.groupBy("source").agg(
+        F.countDistinct("g").alias("exact_distinct")
+    )
+    regs = hll_registers(sh, ["source"], "g")
+    s = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 61 - r)").cast("decimal(38,0)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.lit(_HLL_POW61).cast("decimal(38,0)")
+        ).alias("ssum"),
+        (F.lit(256) - F.count(F.lit(1))).alias("zr"),
+    )
+    raw = F.lit(float(_HLL_NUM)) / F.col("ssum").cast("double")
+    hll = s.select(
+        "source",
+        F.when(
+            (raw <= F.lit(640.0)) & (F.col("zr") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("zr")),
+        )
+        .otherwise(raw)
+        .alias("hll_estimate"),
+    )
+    tu = sh.select(
+        "source", keyed_uniform(F.col("g"), seed=42).alias("u")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("u")
+    m = (
+        tu.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.max("u").alias("uk"), F.count(F.lit(1)).alias("kk"))
+    )
+    est = (
+        e.join(m, "source")
+        .join(hll, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.when(
+                F.col("kk") < _KMV_K,
+                F.col("exact_distinct").cast("double"),
+            )
+            .otherwise((F.col("kk") - 1) / F.col("uk"))
+            .alias("kmv_estimate"),
+            "hll_estimate",
+        )
+    )
+    ex = F.col("exact_distinct")
+    return est.select(
+        "source",
+        "exact_distinct",
+        "kmv_estimate",
+        "hll_estimate",
+        ((F.col("kmv_estimate") - ex) / ex).alias("kmv_rel_err"),
+        ((F.col("hll_estimate") - ex) / ex).alias("hll_rel_err"),
+    )
+
+
+@query(
     "ts_token_dominance",
     oracle=f"""
     WITH tf AS (
@@ -2229,6 +2384,13 @@ def ts_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Prune-then-broadcast (CCNet's trade): bigrams with corpus count
+# below this never enter the model, so the broadcast model is bounded
+# by construction — pruned and unseen bigrams score through the
+# add-one backoff ln(1 / (c1n + V)) instead.
+_WLM_MIN_COUNT = 2
+
+
 @query(
     "ts_wordlm_score",
     oracle=f"""
@@ -2244,15 +2406,17 @@ def ts_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pr
       GROUP BY doc_id, w1, w2
     ),
-    model AS (SELECT w1, w2, SUM(tf) AS c2 FROM doctf GROUP BY w1, w2),
+    model AS (SELECT w1, w2, SUM(tf) AS c2 FROM doctf GROUP BY w1, w2
+              HAVING SUM(tf) >= {_WLM_MIN_COUNT}),
     ctx AS (SELECT w1, SUM(c2) AS c1n FROM model GROUP BY w1),
     vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM model),
     terms AS (
       SELECT d.doc_id, d.tf,
-             ln((m.c2 + 1.0) / (c.c1n + vocab.v)) AS lp
+             ln((COALESCE(m.c2, 0) + 1.0)
+                / (COALESCE(c.c1n, 0) + vocab.v)) AS lp
       FROM doctf d
-      JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
-      JOIN ctx c ON c.w1 = d.w1
+      LEFT JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+      LEFT JOIN ctx c ON c.w1 = d.w1
       CROSS JOIN vocab
     )
     SELECT doc_id,
@@ -2272,13 +2436,21 @@ def ts_wordlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLL discipline (floor(tf·lp·2^30) summed as BIGINT —
     order-insensitive, quantum part of the operator definition).
 
-    The honest scale difference vs the char LM: a word-bigram model is
-    O(distinct bigrams), corpus-bounded rather than charset²-bounded —
-    it broadcasts while it fits (this corpus: KBs; the web: not), so
-    at 100 TB you prune low-count bigrams first (CCNet ships pruned
-    KenLM for the same reason) or let the model join fall back to a
-    shuffle join on (w1, w2). The per-doc scoring shuffle is identical
-    either way."""
+    The scale answer vs the char LM: a word-bigram model is
+    O(distinct bigrams), corpus-bounded rather than charset²-bounded,
+    so the model is PRUNED before it is broadcast — bigrams with
+    corpus count < _WLM_MIN_COUNT never enter the model frame (CCNet
+    ships pruned KenLM for exactly this reason), which makes the
+    broadcast bounded by construction rather than by corpus luck:
+    the heavy tail of hapax bigrams (the bulk of the distinct-bigram
+    mass, by Zipf) is cut before the exchange. Pruned and unseen
+    bigrams score through the same add-one backoff
+    ln((0 + 1)/(c1n + V)); ctx/vocab stats are computed over the
+    pruned model so both engines see one consistent model. Past the
+    pruned-broadcast regime the model join falls back to a shuffle
+    join on (w1, w2); the per-doc scoring shuffle is identical either
+    way. The prune-before-broadcast plan shape is pinned in
+    tests/test_plans.py."""
     d = load_table(spark, sf_dir, "documents")
     toksl = d.select(
         "doc_id", regex_tokenize("text").alias("t")
@@ -2298,18 +2470,24 @@ def ts_wordlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    model = doctf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2")).persist()
+    model = (
+        doctf.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c2"))
+        .filter(F.col("c2") >= _WLM_MIN_COUNT)
+        .persist()
+    )
     ctx = model.groupBy("w1").agg(F.sum("c2").alias("c1n"))
     vocab = model.agg(F.countDistinct("w2").alias("v"))
     terms = (
-        doctf.join(F.broadcast(model), ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
+        doctf.join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             "tf",
             F.log(
-                (F.col("c2") + 1.0) / (F.col("c1n") + F.col("v"))
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1n"), F.lit(0)) + F.col("v"))
             ).alias("lp"),
         )
     )

@@ -2531,14 +2531,29 @@ _D_W2V_U = (
              END AS v
       FROM v1 LEFT JOIN ctx2 ON ctx2.w = v1.w AND ctx2.d = v1.d
     ),
+    ctx3 AS MATERIALIZED (
+      SELECT p.w, v.d,
+             CAST(SUM(CAST(v.v AS DECIMAL(20,18)) * CAST(p.cnt AS DECIMAL(12,0)))
+                  AS DOUBLE) AS sum_c,
+             SUM(p.cnt) AS deg
+      FROM pair_counts p JOIN v2 v ON v.w = p.c
+      GROUP BY p.w, v.d
+    ),
+    v3 AS MATERIALIZED (
+      SELECT v2.w, v2.d,
+             CASE WHEN ctx3.deg IS NULL THEN v2.v
+                  ELSE v2.v + {_W2V_LR!r} * (ctx3.sum_c / ctx3.deg - v2.v)
+             END AS v
+      FROM v2 LEFT JOIN ctx3 ON ctx3.w = v2.w AND ctx3.d = v2.d
+    ),
     doc_counts AS MATERIALIZED (
       SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w
     )
-    SELECT t.doc_id, v2.d,
-           CAST(SUM(CAST(v2.v AS DECIMAL(20,18)) * CAST(t.cnt AS DECIMAL(12,0)))
+    SELECT t.doc_id, v3.d,
+           CAST(SUM(CAST(v3.v AS DECIMAL(20,18)) * CAST(t.cnt AS DECIMAL(12,0)))
                 AS DOUBLE) / SUM(t.cnt) AS value
-    FROM doc_counts t JOIN v2 ON v2.w = t.w
-    GROUP BY t.doc_id, v2.d
+    FROM doc_counts t JOIN v3 ON v3.w = t.w
+    GROUP BY t.doc_id, v3.d
     """,
 )
 def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2552,14 +2567,14 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - init: v0[w,d] = md5-uniform(seed, word, dim) - 0.5 — the
       fixed-init half of the judge's T10 ask;
-    - TWO unrolled full-batch update steps
+    - THREE unrolled full-batch update steps
       (hierarchical-softmax-free): v ← v + lr·(mean of adjacent
       context vectors − v), the window-1 skip-gram pull toward
       co-occurrence means — each step one postings join + one
       DECIMAL-summed aggregate, the intermediate vector frame
       persisted between steps (the logreg-GD unroll discipline; the
-      oracle replays both levels, ctx/v1 then ctx2/v2);
-    - doc embedding: per-dim mean of v2 over the doc's vocab words.
+      oracle replays every level, ctx/v1 → ctx2/v2 → ctx3/v3);
+    - doc embedding: per-dim mean of v3 over the doc's vocab words.
 
     Plan: the token frame persists once and feeds vocab count, pair
     build, and doc aggregation; pair/doc multiplicities pre-aggregate
@@ -2649,15 +2664,16 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
 
-    # two unrolled iterations (the logreg/adaboost discipline): each
+    # three unrolled iterations (the logreg/adaboost discipline): each
     # intermediate vector frame feeds BOTH the next ctx aggregation and
     # the next update's left join, so persist between steps instead of
     # re-deriving the whole recursion per consumer.
     v1 = step(v0).persist()
-    v2 = step(v1)
+    v2 = step(v1).persist()
+    v3 = step(v2)
     doc_counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        doc_counts.join(v2, "w")
+        doc_counts.join(v3, "w")
         .groupBy("doc_id", "d")
         .agg(
             (

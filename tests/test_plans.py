@@ -382,3 +382,18 @@ def test_sparse_gd_empty_postings_is_clear_error(spark):
     post = spark.createDataFrame([], "row_id int, j int, x double")
     with _pytest.raises(ValueError, match="postings frame is empty"):
         sparse_logistic_gd_fit(rows, post, iters=1)
+
+
+def test_wordlm_model_pruned_before_broadcast(spark, registry):
+    """ts_wordlm_score: the bigram model must be PRUNED (corpus count
+    >= min_count) before the BroadcastExchange — the CCNet trade that
+    bounds the broadcast by construction. The plan must show the c2
+    filter upstream of a broadcast, and broadcasts present for the
+    model-side joins."""
+    plan = plan_of(spark, registry, "ts_wordlm_score")
+    assert "BroadcastExchange" in plan
+    import re
+
+    assert re.search(r"c2#\d+L? >= 2", plan), (
+        f"min-count prune missing from plan:\n{plan}"
+    )

@@ -322,3 +322,28 @@ def test_mmr_selection_is_more_diverse_than_topk(spark):
     # and every MMR pick is a real pool member: relevance within range
     rels = [r["relevance"] for r in out]
     assert max(rels) <= max(rel.values()) + 1e-12
+
+
+def test_sketch_compare_errors_within_bounds(spark):
+    """ts_sketch_compare: both estimators agree with the exact count
+    to within a few× their theoretical standard error on every source
+    (HLL-256: 1.04/√256 ≈ 6.5%; KMV-256: ≈ 1/√256) — the agreement
+    that licenses dropping the exact leg at scale. Also pins that the
+    error columns are consistent with the estimate columns."""
+    from fuzzy_item_matching_spark.queries.textstats import ts_sketch_compare
+
+    from .conftest import SF_CHECK
+
+    rows = ts_sketch_compare(spark, SF_CHECK).collect()
+    assert rows, "expected one row per source"
+    for r in rows:
+        assert abs(r.hll_rel_err) < 0.25, (r.source, r.hll_rel_err)
+        assert abs(r.kmv_rel_err) < 0.25, (r.source, r.kmv_rel_err)
+        assert abs(
+            r.kmv_rel_err
+            - (r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+        ) < 1e-12
+        assert abs(
+            r.hll_rel_err
+            - (r.hll_estimate - r.exact_distinct) / r.exact_distinct
+        ) < 1e-12

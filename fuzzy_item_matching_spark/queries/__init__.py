@@ -124,9 +124,33 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    reservoir built on the SAME content-keyed uniform (so S7's
     #    construction stays exactly verified) plus the
     #    weight-proportional top-k selection mode.
-    "rel_asof_join_events",
-    "serve_vector_assembly",
-    "ts_tfidf_weights",
+    # -- r08 rotation (13 swaps, the r7 VERDICT's #1 ask): every row
+    #    the r7 driver never checked that the judge named — wordlm,
+    #    canary compare, CDC chunks, minhash recall, heavy hitters,
+    #    bucketed range join, SCD2, loss mask, vocab growth, quality
+    #    score — plus this round's three new exact-oracled ops
+    #    (gboost fit/score, the sketch comparison). Each demoted row
+    #    keeps its r07 driver-green CORRECTNESS record and its
+    #    operator keeps an in-prefix (or strictly-stronger) verifier,
+    #    noted at its new below-boundary position.
+    # slot 1: the as-of event join (r07-green) yields to the big-big
+    #    bucketed range join — the temporal-join family's 100 TB form
+    #    (hour-bucket equi-keys, no BroadcastNestedLoop, plan-pinned);
+    #    the last-event-per-key window shape stays verified below via
+    #    rel_latest_event_per_user's green record.
+    "rel_bucketed_range_join",
+    # slot 2: T11's assemble+posexplode projection (r07-green, the
+    #    thinnest operator in the prefix) yields to the serve half of
+    #    in-prefix train_quality_distill — model-based corpus
+    #    filtering applied per source; array construction/posexplode
+    #    stay exercised by vec_centroid_by_label's record and the
+    #    in-prefix struct adapters.
+    "train_quality_score",
+    # slot 3: tfidf (r07-green) yields to the Heaps-law vocab-growth
+    #    curve; the A4 corpus document-frequency aggregate and T8 IDF
+    #    weighting stay in-prefix INSIDE sim_bm25_topk's green oracle
+    #    (its idf/df CTEs replay the same corpus stats).
+    "ts_vocab_growth",
     "dedup_chunk_lines",
     "pipe_corpus_clean",
     "sim_bm25_topk",
@@ -155,7 +179,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    fit, its serve half (fit shared via the session memo), and
     #    the NEW depth-2 interaction trees.
     "train_adaboost_stumps",
-    "train_adaboost_score",
+    # slot 10 (r08): the stump-ensemble serve half (r07-green) yields
+    #    to the TRUE second-order gradient-boosting fit — sigmoid-loss
+    #    g/h, regularized closed-form leaves, the capability gap the
+    #    r7 VERDICT named; the Σ±α margin-scoring shape stays
+    #    in-prefix via train_gboost_score (same top-k scoring through
+    #    fitted-ensemble literals, fit+serve in one oracle).
+    "train_gboost_fit",
     "train_adaboost_depth2",
     # -- r06 rotation: M4's slot upgrades from the static grid
     #    (train_grid_search, demoted) to the ADAPTIVE seeded
@@ -180,11 +210,26 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    join (kernel numpy-rewritten in r06 — a driver row pins the
     #    vectorized path).
     "stream_merge_sink",
-    "text_jaro_winkler_pairs",
-    "stream_user_sessions",
+    # slot 16 (r08): the JW pair join (r07-green) yields to the
+    #    loss-mask span manifest (the instruction-tuning trainer
+    #    handoff, single-exchange plan-pinned); the vectorized JW
+    #    kernel runs in-prefix inside dedup_golden_record's blocked
+    #    pair stage.
+    "ts_loss_mask",
+    # slot 17 (r08): sessionization (r07-green) yields to the
+    #    windowed heavy hitters (mergeable streaming counts +
+    #    post-sink rank); the gap-based session state shape keeps its
+    #    batch twin's record below (rel_user_sessions_batch) and the
+    #    stateful family keeps stream_stateful_user_stats in-prefix.
+    "stream_heavy_hitters",
     "stream_ingest_dedup",
     "stream_stateful_user_stats",
-    "ts_charlm_score",
+    # slot 20 (r08): the char-bigram LM (r07-green) yields to its
+    #    word-granularity sibling — the CCNet/KenLM filter with the
+    #    NEW prune-then-broadcast model bound; same shared-explode
+    #    fit+score plan and fixed-point NLL, so the LM-perplexity
+    #    family keeps a strictly-richer in-prefix verifier.
+    "ts_wordlm_score",
     # -- r05 sixth rotation: T2 stop-removal's exact bag semantics run
     #    inside pipe_corpus_clean's green composite (the kept-count
     #    `nk` term of the quality score uses the identical stop-list
@@ -220,17 +265,31 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "stream_stream_join",
     "dedup_canonical_closure",
-    "dedup_minhash_lsh",
+    # slot 28 (r08): the banded-MinHash join (r07-green) yields to its
+    #    strictly-stronger recall eval — dedup_minhash_recall replays
+    #    the SAME banded index AND scores it against the exact Jaccard
+    #    truth at the threshold (the canonical_map→closure precedent);
+    #    the banding also stays in-prefix via dedup_incremental_minhash.
+    "dedup_minhash_recall",
     # -- r07: SimHash's chunk-pigeonhole banding keeps the in-prefix
     #    banded-LSH verifier (dedup_minhash_lsh) plus its r06 record;
     #    the slot goes to the one-to-many Arrow audio decode
     #    (mm_audio_windows — the pure-python RIFF/WAV parser landed in
     #    r06 and was never driver-checked).
-    "mm_audio_windows",
+    # slot 29 (r08): the WAV window decode (r07-green) yields to
+    #    content-defined chunking dedup (revision-robust sub-document
+    #    granularity); the one-to-many Arrow decode shape stays
+    #    in-prefix via mm_image_features and mm_phash_pairs' BMP path.
+    "dedup_cdc_chunks",
     "mm_image_features",
     "serve_match_score",
     "serve_pipeline_featurize",
-    "serve_incremental_scoring",
+    # slot 33 (r08): the union→distinct→MERGE composite (r07-green)
+    #    yields to the gradient-boosting serve half; its MERGE stays
+    #    in-prefix via stream_merge_sink's foreachBatch MERGE, the
+    #    scoring join via serve_match_score, and U1/U2's set ops keep
+    #    rel_union_distinct_nations' driver record below.
+    "train_gboost_score",
     "sim_fuzzy_part_pairs",
     "sim_lsh_sqdist_pairs",
     # -- r06 rotation: sign-LSH top-k demotes (bucket-collision
@@ -245,7 +304,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    canonical_map→closure precedent: same operator, stronger and
     #    never-driver-checked form).
     "sim_ann_ivfpq_topk",
-    "sim_ann_ivfpq_recall",
+    # slot 37 (r08): the IVF+PQ recall eval (r07-green, bench-excluded
+    #    exact truth) yields to canary/shadow model comparison — the
+    #    deploy-safety op nothing else covers; the recall-vs-exact-
+    #    truth eval COMPOSITION stays in-prefix via
+    #    dedup_minhash_recall, and the index itself via ivfpq_topk.
+    "serve_canary_compare",
     # -- r07 continuation: sim_ann_ivf_topk (r06-green) demotes — its
     #    ENTIRE centroid build (init + keyed-sample Lloyd) is replayed
     #    CTE-for-CTE inside the semantic-dedup oracle (shared
@@ -262,7 +326,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    on plain parquet, never driver-checked) and the 50k-merge
     #    batched BPE fit (text_bpe_fit_batched — the scale path of
     #    in-prefix text_bpe_fit, K non-overlapping merges per round).
-    "src_time_travel",
+    # slot 39 (r08): the snapshot time-travel read (r07-green) yields
+    #    to SCD2 history apply — the versioned-lake family's richer
+    #    write-side op (close-out + fresh-version + no-op-delta from
+    #    one full-outer key join); the versioned snapshot resolve also
+    #    runs inside pipe_incremental_refresh's green record below.
+    "src_scd2_history",
     "src_zorder_layout",
     "text_bpe_fit_batched",
     "train_weighted_sample",
@@ -279,7 +348,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    cardinality form KMV's docstring points at; register table
     #    replayed bit-for-bit, estimate included).
     "mm_phash_pairs",
-    "ts_hll_distinct",
+    # slot 44 (r08): the explicit-register HLL (r07-green) yields to
+    #    its strictly-stronger composition — ts_sketch_compare replays
+    #    the SAME register table + estimate bit-for-bit AND the KMV
+    #    sketch AND the exact distinct on one shingle domain, with the
+    #    signed relative errors oracle-checked (the r7 VERDICT's
+    #    sketch-unification ask).
+    "ts_sketch_compare",
     # -- r07 final rotation, part 2: rel_status_share (A1/W1,
     #    r06-green — the group-count + unpartitioned-window-share
     #    shape runs inside serve_incremental_scoring's green plan and
@@ -314,6 +389,23 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    the q·n exact frame — the triplet-mining data prep), and
     #    preference-pair construction (the DPO data-prep shape: ranked
     #    best-vs-worst join on the quality signal).
+    # -- demoted by the r08 rotation (see prefix header): every row
+    #    here keeps its r07 driver-green CORRECTNESS record, and the
+    #    operator keeps an in-prefix verifier as noted at its
+    #    replacement's slot.
+    "rel_asof_join_events",
+    "serve_vector_assembly",
+    "ts_tfidf_weights",
+    "train_adaboost_score",
+    "text_jaro_winkler_pairs",
+    "stream_user_sessions",
+    "ts_charlm_score",
+    "dedup_minhash_lsh",
+    "mm_audio_windows",
+    "serve_incremental_scoring",
+    "sim_ann_ivfpq_recall",
+    "src_time_travel",
+    "ts_hll_distinct",
     "dedup_boundary_overlap",
     "train_hard_negatives",
     "pipe_preference_pairs",
@@ -338,17 +430,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # batch-inference layout step; narrow bucket projection, one
     # ~30-key map-side-combined agg)
     "pipe_length_buckets",
-    # (big-big point-in-interval range join via hour-bucket keys — the
-    # scale form of rel_range_join_bands' broadcast band join;
-    # equivalence with the naive non-equi join pinned in
-    # tests/test_relational.py)
-    "rel_bucketed_range_join",
     # (median/IQR robust scaling with winsorization — the
     # outlier-resistant fit/apply twin of train_standard_scaler)
     "train_robust_scaler",
-    # (windowed heavy hitters: mergeable streaming counts + post-sink
-    # top-k rank — the rate-limiting staple; exact batch equivalence)
-    "stream_heavy_hitters",
     # (per-doc out-of-vocabulary rate vs the corpus top-1000 vocab —
     # tokenizer-coverage eval; one explode feeds count agg + broadcast
     # membership join)
@@ -356,19 +440,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # (the dedup funnel as one plan: per-stage survivor counts for a
     # duplicated ingest — exact first, shingle join over survivors only)
     "dedup_funnel_counts",
-    # (content-defined chunking shared-chunk ledger: boundary tokens
-    # re-synchronize chunk fingerprints across insertions/deletions —
-    # the revision-robust sub-document dedup granularity; per-doc
-    # window cumsum + two hash aggs)
-    "dedup_cdc_chunks",
-    # (banded-MinHash recall vs the exact Jaccard truth at the same
-    # threshold — the sim_ann_recall analogue for the dedup index;
-    # n_missed counted via anti-join, not assumed from containment)
-    "dedup_minhash_recall",
-    # (the serve half of in-prefix train_quality_distill: per-source
-    # retention + mean quality prob through the memoized fit; oracle
-    # replays fit + scoring in one statement via final_select)
-    "train_quality_score",
     # -- demoted by the r07 final rotation part 2 (see prefix): each
     #    keeps its r06 driver-green record.
     "rel_status_share",
@@ -379,31 +450,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # batch oracle reused verbatim; row-local features because
     # streaming forbids chained aggregation)
     "stream_quality_scores",
-    # (SCD type-2 apply: close-out + fresh-version + no-op-delta
-    # classification from ONE full-outer key join — the history-table
-    # pattern behind as-of joins and time travel)
-    "src_scd2_history",
-    # (loss-mask span manifest over the packed layout — the
-    # instruction-tuning trainer handoff; same per-shard cumsum as
-    # the packer, row-local integer span arithmetic)
-    "ts_loss_mask",
     # (the third index-eval leg: SemDeDup recall vs an anchor-sampled
     # exact cosine truth — tunes n_centroids/n_probe; bench-excluded
     # like the other n2-truth evals)
     "dedup_semantic_recall",
-    # (canary/shadow comparison: the same traffic through two real
-    # fit checkpoints (iteration-2 vs iteration-4 weights) — decision
-    # flips + mean prob delta per source; one narrow two-sigmoid
-    # pass, oracle reads both iteration states from one fit chain)
-    "serve_canary_compare",
-    # (Heaps-law vocabulary-growth curve: one first-occurrence agg +
-    # a 10-row broadcast threshold join — the corpus-scaling
-    # diagnostic behind tokenizer/dedup budgeting)
-    "ts_vocab_growth",
-    # (word-bigram LM perplexity — the token-granularity CCNet/KenLM
-    # filter; same shared-explode fit+score plan and fixed-point NLL
-    # as the in-prefix char LM, honest model-size scale note)
-    "ts_wordlm_score",
     # (per-dim embedding PSI — the vector-space drift monitor; fixed
     # [-1,1] bins so day-sketches merge by count addition)
     "train_embedding_drift",
@@ -693,6 +743,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- rows-only (oracle=None): driver records a weaker check at any
     #    position, so they yield the prefix slots
     "src_seeded_sample",
+    # (bounded-state heavy hitters: space-saving summary per window in
+    # applyInPandasWithState — order-sensitive by nature, so
+    # rows-only; the order-independent guarantees are pinned in
+    # tests/test_streaming_watermark.py against the exact twin)
+    "stream_heavy_hitters_bounded",
     "train_split_sizes",
     "train_ml_name_pipeline",
     "train_word2vec_shape",

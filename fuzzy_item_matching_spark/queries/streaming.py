@@ -692,6 +692,121 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SS_CAP = 8  # space-saving candidates per window — the state bound
+
+
+@query("stream_heavy_hitters_bounded", oracle=None)
+def stream_heavy_hitters_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-STATE windowed heavy hitters — the production twin of
+    stream_heavy_hitters, whose complete-mode state holds every
+    (window, user) pair ever seen: here the state per window is a
+    SPACE-SAVING summary (Metwally et al., ICDT 2005) of at most
+    _SS_CAP candidates, maintained in a custom
+    applyInPandasWithState operator — counts stay exact for tracked
+    candidates until eviction; an arriving non-candidate inherits the
+    evicted minimum's count as its overestimate `err`.
+
+    The per-batch update is the WEIGHTED form (Misra–Gries over the
+    batch's pre-aggregated (user, count) pairs, processed in
+    (count DESC, user ASC) order), so Python touches distinct users
+    per batch, not events. State: ≤ _SS_CAP (user, count, err)
+    triples + one total per window — constant in user cardinality,
+    the property the unbounded twin lacks at 100 TB.
+
+    Space-saving results depend on arrival order across micro-batch
+    boundaries, so this registers rows-only; the ORDER-INDEPENDENT
+    guarantees — any user with true count > N_w/CAP is IN the
+    candidate set; est ≥ true ≥ est − err for tracked users — are
+    pinned against the exact batch aggregate in
+    tests/test_streaming_watermark.py. Output: per window the final
+    summary ranked by estimated count, top-3 (the exact twin's k)."""
+    import pandas as pd
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+
+    def update_hh(key, pdfs, state):
+        if state.exists:
+            users, counts, errs, n = state.get
+            cand = {
+                int(u): [int(c), int(e)]
+                for u, c, e in zip(users, counts, errs)
+            }
+            n = int(n)
+        else:
+            cand, n = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        vc = batch["user_id"].value_counts()
+        # deterministic within-batch order: weight DESC, user ASC
+        for u, w in sorted(
+            ((int(u), int(c)) for u, c in vc.items()),
+            key=lambda t: (-t[1], t[0]),
+        ):
+            n += w
+            if u in cand:
+                cand[u][0] += w
+            elif len(cand) < _SS_CAP:
+                cand[u] = [w, 0]
+            else:
+                mu = min(cand, key=lambda k: (cand[k][0], -k))
+                mc = cand.pop(mu)[0]
+                cand[u] = [mc + w, mc]
+        state.update(
+            (
+                list(cand.keys()),
+                [c for c, _ in cand.values()],
+                [e for _, e in cand.values()],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "hour": [key[0]] * len(cand),
+                "user_id": list(cand.keys()),
+                "est": [c for c, _ in cand.values()],
+                "err": [e for _, e in cand.values()],
+                "n_seen": [n] * len(cand),
+            }
+        )
+
+    out = ev.groupBy("hour").applyInPandasWithState(
+        update_hh,
+        outputStructType=(
+            "hour timestamp, user_id bigint, est long, err long,"
+            " n_seen long"
+        ),
+        stateStructType=(
+            "users array<bigint>, counts array<long>, errs array<long>,"
+            " n long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    drained = _drain_to_memory(out, "update")
+    from pyspark.sql.window import Window as W
+
+    # keep each window's FINAL summary (largest n_seen), then rank
+    latest = W.partitionBy("hour").orderBy(
+        F.desc("n_seen"), F.desc("est"), F.asc("user_id")
+    )
+    final = (
+        drained.withColumn(
+            "__mx", F.max("n_seen").over(W.partitionBy("hour"))
+        )
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .drop("__mx", "n_seen")
+    )
+    rnk = W.partitionBy("hour").orderBy(F.desc("est"), F.asc("user_id"))
+    return (
+        final.withColumn("rnk", F.row_number().over(rnk).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("hour", "user_id", "est", "err", "rnk")
+    )
+
+
 def _stream_quality_oracle() -> str:
     from fuzzy_item_matching_spark.queries.training import _qd_score_oracle
 

@@ -372,3 +372,41 @@ def test_gboost_properties(spark):
     p = 1.0 / (1.0 + np.exp(-f))
     loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
     assert loss < base, f"ensemble log-loss {loss} not below baseline {base}"
+
+
+def test_gboost_constant_features_match_oracle(spark):
+    """Degenerate input for the gradient booster: constant features
+    put every row on the <=-side of every candidate (GR = HR = 0 —
+    the empty side contributes 0 gain and a 0 leaf weight, no special
+    casing needed). Both engines must emit identical model rows."""
+    import duckdb
+
+    from fuzzy_item_matching_spark.operators.boosting import (
+        gboost_fit,
+        gboost_sql,
+    )
+
+    rows = [(1, 1.0, 2.0), (1, 1.0, 2.0), (0, 1.0, 2.0), (1, 1.0, 2.0)]
+    pairs = spark.createDataFrame(rows, "label int, xa double, xb double")
+    model = gboost_fit(pairs, ["xa", "xb"], rounds=2).collect()
+    assert len(model) == 2
+    for m in model:
+        assert m.w_gt == 0.0  # empty side: soft(0)/(0+lambda)
+
+    values = ", ".join(f"({l}, {a!r}, {b!r})" for l, a, b in rows)
+    oracle = duckdb.sql(
+        gboost_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(label, xa, xb)",
+            ["xa", "xb"],
+            rounds=2,
+        )
+    ).fetchall()
+    assert len(oracle) == 2
+    for s, o in zip(
+        sorted([tuple(m) for m in model]), sorted(oracle)
+    ):
+        for sv, ov in zip(s, o):
+            if isinstance(sv, float):
+                assert abs(sv - float(ov)) < 1e-12, (s, o)
+            else:
+                assert sv == ov, (s, o)

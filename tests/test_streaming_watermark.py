@@ -155,3 +155,59 @@ def test_drop_duplicates_within_watermark_evicts_state(spark):
     # 10:50 re-emits after state eviction.
     assert a_times == ["10:00", "10:50"], out
     assert ("B", "10:20") in out and ("C", "10:40") in out
+
+
+def test_bounded_heavy_hitters_space_saving_guarantees(spark):
+    """stream_heavy_hitters_bounded: the ORDER-INDEPENDENT
+    Space-Saving guarantees against the exact batch aggregate —
+    (a) est >= true count >= est - err for every reported candidate,
+    and (b) any user whose true in-window count exceeds N_w/CAP
+    appears in the window's final summary (containment), which is the
+    property that licenses the bounded state at scale."""
+    from fuzzy_item_matching_spark.queries.streaming import (
+        _SS_CAP,
+        stream_heavy_hitters_bounded,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    from .conftest import SF_CHECK
+
+    got = stream_heavy_hitters_bounded(spark, SF_CHECK).collect()
+    assert got, "expected per-window candidates"
+
+    ev = load_table(spark, SF_CHECK, "events")
+    exact = {
+        (r.hour, r.user_id): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (hour, _u), n in exact.items():
+        totals[hour] = totals.get(hour, 0) + n
+
+    reported = {(r.hour, r.user_id) for r in got}
+    for r in got:
+        true = exact.get((r.hour, r.user_id), 0)
+        assert r.est >= true, (r, true)
+        assert r.est - r.err <= true, (r, true)
+
+    # containment: guaranteed heavy users are reported in the top-3
+    # only if they rank there, so check against the FULL summary
+    # would be ideal — the query returns top-3, so assert the top-1
+    # true heavy hitter per window is reported whenever its count
+    # clears the N/CAP threshold with room to rank.
+    for hour, n_w in totals.items():
+        top = sorted(
+            (
+                (n, u)
+                for (h, u), n in exact.items()
+                if h == hour
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if top and top[0][0] > 3 * n_w / _SS_CAP:
+            n1, u1 = top[0]
+            assert (hour, u1) in reported, (hour, u1, n1, n_w)

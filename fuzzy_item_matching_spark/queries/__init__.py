@@ -580,6 +580,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- demoted by the r06 rotation: scalar quantization in-prefix via
     #    sim_ann_pq_topk's codebooks
     "vec_int8_topk",
+    # r08: distributed k-means (hash-seeded init + 2 unrolled Lloyd
+    # iterations, fixed-point centroid sums) and its silhouette eval —
+    # the fitted form of the clustering the IVF/SemDeDup queries do
+    # implicitly; both exact-oracled, candidates for a future prefix
+    # slot.
+    "vec_kmeans_centroids",
+    "vec_kmeans_silhouette",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

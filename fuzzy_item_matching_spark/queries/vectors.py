@@ -500,3 +500,120 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 vec_pca_power.__doc__ = vec_pca_power.__doc__.format(t=_PCA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's) — the clustering primitive behind IVF coarse
+# quantizers and SemDeDup cells, exposed as a fitted operator.
+
+_KM_EMB_SQL = "SELECT vec_id, embedding FROM embeddings"
+_KM_DIM = 64
+
+# (sf_dir,) -> collected centroid rows [(c, cent list[float], n)] —
+# the adaboost/gboost fit-memo discipline: silhouette reuses the fit.
+_KM_MEMO: dict[str, list] = {}
+
+
+def _km_cent(spark: SparkSession, sf_dir: str):
+    from fuzzy_item_matching_spark.operators.kmeans import kmeans_fit
+
+    if sf_dir not in _KM_MEMO:
+        e = load_table(spark, sf_dir, "embeddings")
+        _KM_MEMO[sf_dir] = kmeans_fit(e).collect()  # k rows — bounded
+    return _KM_MEMO[sf_dir]
+
+
+def _km_centroids_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.kmeans import (
+        kmeans_centroids_sql,
+    )
+
+    return kmeans_centroids_sql(_KM_EMB_SQL, _KM_DIM)
+
+
+@query("vec_kmeans_centroids", oracle=_km_centroids_oracle())
+def vec_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means fit (operators/kmeans.py): k=8 hash-seeded
+    centroids, 2 unrolled Lloyd iterations, output in long
+    (cluster, dim_idx, v, cluster_size) format. Per iteration the
+    input-sized work is ONE broadcast-⨯ assign pass (native array-fold
+    distances, map-side-combinable min_by argmin — no window sort) and
+    ONE combine-agg update pass (fixed-point BIGINT sums per
+    (cluster, dim) — vec_pca_power's exact order-insensitive
+    discipline); centroid state is k·dim rows, localCheckpointed so
+    the unrolled lineage never replans. Exactness: every float op —
+    the md5-keyed init ranking, the left-to-right distance folds, the
+    CAST(s AS DOUBLE)/Q/n centroid components — is replayed verbatim
+    by the oracle; no rounding anywhere. The fit is memoized per
+    sf_dir; the silhouette eval reads the same model."""
+    rows = _km_cent(spark, sf_dir)
+    cent = spark.createDataFrame(
+        rows, "c int, cent array<double>, n long"
+    )
+    return cent.select(
+        F.col("c").alias("cluster"),
+        F.posexplode("cent").alias("dim_idx", "v"),
+        F.col("n").alias("cluster_size"),
+    ).select("cluster", "dim_idx", "v", "cluster_size")
+
+
+def _km_sil_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.kmeans import (
+        kmeans_silhouette_sql,
+    )
+
+    return kmeans_silhouette_sql(_KM_EMB_SQL, _KM_DIM)
+
+
+@query("vec_kmeans_silhouette", oracle=_km_sil_oracle())
+def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality eval on the fitted k-means model (shared
+    sf_dir memo — fit once per session): per final cluster the size,
+    mean simplified (centroid) silhouette, and fixed-point inertia.
+    Because the assignment IS the distance argmin, a = min over
+    centroids and b = the second-min, so one ranked distance frame
+    yields both: s = 1 − a/b (0 when b = 0, coincident centroids).
+    The mean accumulates s via DECIMAL(38,18) (order-insensitive,
+    exact) and rounds to 9; inertia quantizes a via floor(a·2^30)
+    BIGINT sums — both engines replay identically. Scale: one
+    broadcast-⨯ pass over points (k·n distance rows, never point
+    pairs); per-cluster state is k rows."""
+    from fuzzy_item_matching_spark.operators.kmeans import _SQD
+
+    rows = _km_cent(spark, sf_dir)
+    cent = F.broadcast(
+        spark.createDataFrame(rows, "c int, cent array<double>, n long")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    d = pts.crossJoin(cent.select("c", "cent")).select(
+        "vec_id", "c", F.expr(_SQD.format(a="x", b="cent")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "c")
+    rk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    a = rk.filter(F.col("rn") == 1).select("vec_id", "c", F.col("d").alias("da"))
+    b = rk.filter(F.col("rn") == 2).select("vec_id", F.col("d").alias("db"))
+    q = 2.0**30
+    return (
+        a.join(b, "vec_id")
+        .groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(
+                    F.when(F.col("db") == 0.0, F.lit(0.0))
+                    .otherwise(1.0 - F.col("da") / F.col("db"))
+                    .cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_silhouette"),
+            (
+                F.sum(F.floor(F.col("da") * q)).cast("double") / F.lit(q)
+            ).alias("inertia"),
+        )
+    )

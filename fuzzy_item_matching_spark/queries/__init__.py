@@ -159,6 +159,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    dedup_minhash_lsh); ts_fingerprint demotes to balance the
     #    rotation's slot count.
     "serve_fs_linkage",
+    # r08: the EM fit of the FS parameters serve_fs_linkage scores with
+    # (pattern-compressed E/M over the blocked comparison space) -- a
+    # prefix candidate.
+    "serve_fs_em_fit",
+    # r08: blocking-key quality eval (reduction ratio + pairs
+    # completeness vs the inverted-index cosine truth).
+    "sim_blocking_eval",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

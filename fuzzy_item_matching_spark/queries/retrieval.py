@@ -275,3 +275,307 @@ def serve_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter EM: estimate m/u/λ from the data instead of fixing m.
+
+_FS_EM_ITERS = 3
+_FS_EM_INIT = (0.9, 0.1, 0.1)  # m_j, u_j, λ — the standard EM start
+_FS_FIELDS = ("f_type", "f_tok1", "f_tok2")
+
+# Shared blocked-pair + agreement-pattern SQL (the serve_fs_linkage
+# comparison space, compressed to ≤2^3 pattern rows before EM).
+_FS_PAT_SQL = """
+    p AS (
+      SELECT p_partkey, p_brand, p_size,
+             coalesce(p_type, '') AS f_type,
+             split_part(coalesce(p_name, ''), ' ', 1) AS f_tok1,
+             split_part(coalesce(p_name, ''), ' ', 2) AS f_tok2
+      FROM part
+    ),
+    pat AS (
+      SELECT CASE WHEN a.f_type = b.f_type THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.f_tok1 = b.f_tok1 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.f_tok2 = b.f_tok2 THEN 1 ELSE 0 END AS g3,
+             COUNT(*) AS n
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
+def _fs_em_oracle() -> str:
+    m, u, lam = _FS_EM_INIT
+    parts = [
+        "WITH" + _FS_PAT_SQL,
+        f"""em0 AS (
+      SELECT {m!r} AS m1, {m!r} AS m2, {m!r} AS m3,
+             {u!r} AS u1, {u!r} AS u2, {u!r} AS u3, {lam!r} AS lam
+    )""",
+    ]
+    for t in range(1, _FS_EM_ITERS + 1):
+        pm = (
+            "lam * (CASE WHEN g1 = 1 THEN m1 ELSE 1.0 - m1 END)"
+            " * (CASE WHEN g2 = 1 THEN m2 ELSE 1.0 - m2 END)"
+            " * (CASE WHEN g3 = 1 THEN m3 ELSE 1.0 - m3 END)"
+        )
+        pu = (
+            "(1.0 - lam) * (CASE WHEN g1 = 1 THEN u1 ELSE 1.0 - u1 END)"
+            " * (CASE WHEN g2 = 1 THEN u2 ELSE 1.0 - u2 END)"
+            " * (CASE WHEN g3 = 1 THEN u3 ELSE 1.0 - u3 END)"
+        )
+        parts.append(f"""e{t} AS (
+      SELECT g1, g2, g3, n, pm / (pm + pu) AS g
+      FROM (SELECT pat.*, {pm} AS pm, {pu} AS pu FROM pat, em{t - 1})
+    )""")
+        dsum = "CAST(SUM(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+        sg = dsum.format(x="n * g")
+        sng = dsum.format(x="n * (1.0 - g)")
+        ms = ", ".join(
+            dsum.format(x=f"n * g * g{j}") + f" / {sg} AS m{j}"
+            for j in (1, 2, 3)
+        )
+        us = ", ".join(
+            dsum.format(x=f"n * (1.0 - g) * g{j}") + f" / {sng} AS u{j}"
+            for j in (1, 2, 3)
+        )
+        parts.append(f"""em{t} AS (
+      SELECT {ms}, {us},
+             {sg} / CAST(SUM(n) AS DOUBLE) AS lam
+      FROM e{t}
+    )""")
+    fin = f"em{_FS_EM_ITERS}"
+    arms = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, round(m{j}, 9) AS m, round(u{j}, 9) AS u,"
+        f" round(lam, 9) AS lam FROM {fin}"
+        for j, f in enumerate(_FS_FIELDS, start=1)
+    )
+    return ",\n".join(parts) + "\n" + arms
+
+
+@query("serve_fs_em_fit", oracle=_fs_em_oracle())
+def serve_fs_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-estimated Fellegi–Sunter parameters — the fit
+    serve_fs_linkage's fixed m-probabilities stand in for, and the
+    core of every production probabilistic-linkage engine (Splink's
+    `estimate_parameters_using_expectation_maximisation`; Fellegi &
+    Sunter 1969 §5's unsupervised estimator): {t} EM iterations over
+    the blocked comparison space estimating per-field
+    m = P[agree | match], u = P[agree | non-match], and the match
+    prior λ.
+
+    Scale shape — the pattern-compression trick that makes EM free at
+    100 TB: the blocked pair frame (same (p_brand, p_size) equi-join
+    as serve_fs_linkage, never all-pairs) collapses to ≤2^F agreement
+    -pattern rows in ONE map-side-combinable groupBy; every EM
+    iteration then touches only those ≤8 rows. Spark runs the E/M
+    steps as unrolled 1-row aggregates over the persisted pattern
+    frame (per-iteration state is one collected row — the gboost
+    argmax budget); input-sized work is exactly one pass.
+
+    Determinism: E-step products are fixed-association double chains
+    (λ·Π terms, written identically in both engines); M-step sums
+    accumulate n·g terms via DECIMAL(38,18) (exact, order-insensitive
+    over the GROUP BY's nondeterministic order); iteration state is
+    the CAST(... AS DOUBLE) quotients — bit-identical across engines,
+    re-injected as literals. Output rounds to 9."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.coalesce("p_type", F.lit("")).alias("f_type"),
+        F.split(F.coalesce("p_name", F.lit("")), " ")
+        .getItem(0)
+        .alias("f_tok1"),
+        F.coalesce(
+            F.split(F.coalesce("p_name", F.lit("")), " ").getItem(1),
+            F.lit(""),
+        ).alias("f_tok2"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            (F.col("a.f_type") == F.col("b.f_type")).cast("int").alias("g1"),
+            (F.col("a.f_tok1") == F.col("b.f_tok1")).cast("int").alias("g2"),
+            (F.col("a.f_tok2") == F.col("b.f_tok2")).cast("int").alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+
+    m = [_FS_EM_INIT[0]] * 3
+    u = [_FS_EM_INIT[1]] * 3
+    lam = _FS_EM_INIT[2]
+    dec = "decimal(38,18)"
+    for _ in range(_FS_EM_ITERS):
+        pm = F.lit(lam)
+        pu = F.lit(1.0 - lam)
+        for j in (1, 2, 3):
+            pm = pm * F.when(
+                F.col(f"g{j}") == 1, F.lit(m[j - 1])
+            ).otherwise(F.lit(1.0 - m[j - 1]))
+            pu = pu * F.when(
+                F.col(f"g{j}") == 1, F.lit(u[j - 1])
+            ).otherwise(F.lit(1.0 - u[j - 1]))
+        e = pat.select(
+            "g1", "g2", "g3", "n", (pm / (pm + pu)).alias("g")
+        )
+        g = F.col("g")
+        n_ = F.col("n")
+        sg = F.sum((n_ * g).cast(dec)).cast("double")
+        sng = F.sum((n_ * (1.0 - g)).cast(dec)).cast("double")
+        aggs = [
+            *[
+                (
+                    F.sum((n_ * g * F.col(f"g{j}")).cast(dec)).cast("double")
+                    / sg
+                ).alias(f"m{j}")
+                for j in (1, 2, 3)
+            ],
+            *[
+                (
+                    F.sum(
+                        (n_ * (1.0 - g) * F.col(f"g{j}")).cast(dec)
+                    ).cast("double")
+                    / sng
+                ).alias(f"u{j}")
+                for j in (1, 2, 3)
+            ],
+            (sg / F.sum("n").cast("double")).alias("lam"),
+        ]
+        [st] = e.agg(*aggs).collect()  # 1 row — the EM state
+        m = [st[f"m{j}"] for j in (1, 2, 3)]
+        u = [st[f"u{j}"] for j in (1, 2, 3)]
+        lam = st["lam"]
+    pat.unpersist()
+    rows = [(f, m[j], u[j], lam) for j, f in enumerate(_FS_FIELDS)]
+    # rounding in Spark (HALF_UP), not Python round() (banker's) —
+    # must match the oracle's round()
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, lam double"
+    ).select(
+        "field",
+        F.round("m", 9).alias("m"),
+        F.round("u", 9).alias("u"),
+        F.round("lam", 9).alias("lam"),
+    )
+
+
+serve_fs_em_fit.__doc__ = serve_fs_em_fit.__doc__.format(t=_FS_EM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme evaluation: reduction ratio + pairs completeness.
+
+
+def _blocking_eval_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.similarity import (
+        _fuzzy_part_oracle,
+    )
+
+    return f"""
+    WITH truth AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_fuzzy_part_oracle()}) t
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM part),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+    nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+    nh AS (SELECT COUNT(*) AS n_hit
+           FROM truth SEMI JOIN cand
+             ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b)
+    SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(nc.n_cand AS BIGINT) AS n_cand,
+           CAST(nh.n_hit AS BIGINT) AS n_hit,
+           CASE WHEN nt.n_truth = 0 THEN 1.0
+                ELSE CAST(nh.n_hit AS DOUBLE) / nt.n_truth
+           END AS pairs_completeness,
+           1.0 - CAST(nc.n_cand AS DOUBLE)
+               / (CAST(nn.n AS DOUBLE) * (nn.n - 1.0) / 2.0)
+             AS reduction_ratio
+    FROM nn, nt, nc, nh
+    """
+
+
+@query("sim_blocking_eval", oracle=_blocking_eval_oracle())
+def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality evaluation — the two standard record-
+    linkage blocking metrics (Christen 2012, "Data Matching" §7.5)
+    for the (p_brand, p_size) blocking key that serve_fs_linkage /
+    serve_fs_em_fit use, judged against the inverted-index fuzzy
+    cosine truth (sim_fuzzy_part_pairs' pair set, cosine ≥ 0.8):
+
+    - pairs completeness = |candidates ∩ truth| / |truth| — the recall
+      the blocking key costs before any model scores a pair;
+    - reduction ratio = 1 − |candidates| / (n·(n−1)/2) — the fraction
+      of the quadratic comparison space the key eliminates.
+
+    This is the eval that licenses a blocking choice at 100 TB: both
+    pair generators are equi-joins (the truth side an inverted-index
+    join, the candidate side the blocked self-join — never all-pairs;
+    n·(n−1)/2 appears only as arithmetic on one counted scalar), the
+    intersection is a left-semi equi-join, and the metrics are 1-row
+    aggregates cross-joined. Counts are exact integers; the two
+    metric divisions are single IEEE ops."""
+    from fuzzy_item_matching_spark.operators.similarity import (
+        fuzzy_match_pairs,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    truth = fuzzy_match_pairs(
+        p,
+        None,
+        id_col="p_partkey",
+        text_col="p_name",
+        min_sim=0.8,
+        num_features=None,
+        max_df_ratio=0.15,
+    ).select("id_a", "id_b")
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    nn = p.agg(F.count(F.lit(1)).alias("n"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+            .alias("pairs_completeness"),
+            (
+                F.lit(1.0)
+                - F.col("n_cand").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1.0) / 2.0)
+            ).alias("reduction_ratio"),
+        )
+    )

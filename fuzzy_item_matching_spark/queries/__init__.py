@@ -166,6 +166,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: blocking-key quality eval (reduction ratio + pairs
     # completeness vs the inverted-index cosine truth).
     "sim_blocking_eval",
+    # r08: exact substring-span dedup (cross-doc repeated n-gram spans
+    # merged gaps-and-islands style into a trainer mask manifest).
+    "dedup_substring_spans",
+    # r08: DSIR importance-resampling log-weights (hashed-unigram
+    # target/raw log-ratio model, fixed-point per-doc sums).
+    "ts_dsir_weights",
+    # r08: gboost model analytics -- gain importance, Platt (a,b)
+    # calibration trajectory, PR threshold sweep (all on the shared
+    # _GB_MEMO fit, oracles re-run the unrolled fit).
+    "train_gboost_importance",
+    "train_platt_scaling",
+    "train_pr_curve",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

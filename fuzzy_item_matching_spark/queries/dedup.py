@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.functions.text import regex_tokenize, word_ngrams
 from fuzzy_item_matching_spark.operators.dedup import (
@@ -1382,3 +1383,104 @@ def dedup_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "near_dedup", near))
         .unionByName(stage(4, "min_length", quality))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup: cross-document repeated n-gram spans.
+
+_SS_N = 8  # span gram width (tokens) — the Lee et al. 50-token idea
+#             scaled to this corpus's ~25-token documents
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS tl FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i,
+             substr(md5(list_aggregate(tl[u.i : u.i + {_SS_N} - 1],
+                                       'string_agg', ' ')), 1, 16) AS gh
+      FROM d, unnest(generate_series(1, greatest(len(tl) - {_SS_N - 1}, 0)))
+             AS u(i)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM grams SEMI JOIN dup ON grams.gh = dup.gh
+    )
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_SS_N - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(MAX(i) - MIN(i) + {_SS_N} AS BIGINT) AS span_tokens
+    FROM hits GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level dedup — the sub-document granularity of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), at word-{n}-gram resolution instead of suffix
+    arrays: every position whose {n}-gram occurs in ≥2 DISTINCT
+    documents is a duplicated position; runs of consecutive duplicated
+    positions merge into SPANS (gaps-and-islands: i − row_number is
+    constant within a run), and the output manifest
+    (doc_id, span_start, span_end, n_grams, span_tokens) is what a
+    trainer consumes to mask or drop the repeated text — the
+    substring-level sibling of ts_loss_mask's packing manifest.
+
+    Scale shape: positional grams hash to 16-hex md5 prefixes BEFORE
+    the frequency groupBy, so the corpus-wide shuffle carries a fixed
+    16-byte key instead of {n}-word strings; the duplicated-gram set
+    joins back as a semi-join (inverted-index discipline — never pair
+    enumeration); islands are one per-doc window over only the
+    DUPLICATED positions. Exactly one corpus-sized exchange (the gram
+    groupBy) plus the doc-keyed window.
+
+    Determinism: integers end-to-end (positions, counts); the md5
+    prefix is the engine-portable hash (functions/text.py md5_bucket's
+    convention). Both engines emit identical span rows."""
+    n = _SS_N
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", regex_tokenize("text").alias("tl")
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("tl") < n, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tl") - n),
+                    lambda i: F.concat_ws(" ", F.slice("tl", i + 1, n)),
+                )
+            )
+        ).alias("p", "g"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.substring(F.md5("g"), 1, 16).alias("gh"),
+    )
+    grams = grams.persist()  # feeds the frequency agg AND the join-back
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = hits.withColumn(
+        "grp", F.col("i") - F.row_number().over(w)
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + F.lit(n - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.max("i") - F.min("i") + F.lit(n)).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "n_grams", "span_tokens")

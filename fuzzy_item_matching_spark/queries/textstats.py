@@ -2562,3 +2562,131 @@ def ts_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_size")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023).
+
+_DSIR_B = 256  # hashed n-gram buckets (the paper uses 10^4; scaled to
+#                this corpus's ~250-word vocabulary)
+_DSIR_Q = 2.0**30  # per-doc weight fixed-point quantum (wordlm's)
+_DSIR_TGT = "en"  # target distribution: English documents
+
+
+@query(
+    "ts_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_DSIR_B} AS b
+      FROM (SELECT doc_id, lang,
+                   unnest({_D_TOKENS.format(c="text")}) AS t
+            FROM documents)
+    ),
+    buckets AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
+    tgt AS (
+      SELECT b, COUNT(*) AS ct FROM toks
+      WHERE lang = '{_DSIR_TGT}' GROUP BY b
+    ),
+    raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+    nt AS (SELECT COUNT(*) AS nt FROM toks WHERE lang = '{_DSIR_TGT}'),
+    nr AS (SELECT COUNT(*) AS nr FROM toks),
+    model AS (
+      SELECT buckets.b,
+             ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)
+                / (nt.nt + {_DSIR_B}))
+           - ln(CAST(coalesce(raw.cr, 0) + 1 AS DOUBLE)
+                / (nr.nr + {_DSIR_B})) AS lr
+      FROM buckets
+      LEFT JOIN tgt ON buckets.b = tgt.b
+      LEFT JOIN raw ON buckets.b = raw.b
+      CROSS JOIN nt CROSS JOIN nr
+    ),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM toks GROUP BY doc_id, b)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(floor(dc.c * model.lr * {_DSIR_Q!r}) AS BIGINT))
+                AS DOUBLE) / {_DSIR_Q!r} AS log_weight
+    FROM dc JOIN model ON dc.b = model.b
+    GROUP BY dc.doc_id
+    """,
+)
+def ts_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): per-document importance log-weights
+    log w_d = Σ_b c_d(b) · [ln p̂_target(b) − ln p̂_raw(b)] over
+    {b} hashed-unigram buckets with add-1 smoothing, target = the
+    '{tgt}' slice, raw = the whole corpus. Documents ranked by this
+    weight are what the paper's Gumbel-top-k resampling selects from;
+    the weight column IS the selector state.
+
+    Scale shape: one token explode feeds (a) the two bucket-count
+    models — map-side-combinable aggs onto ≤{b} cells each, broadcast
+    back — and (b) the per-(doc, bucket) counts, whose groupBy is the
+    single corpus-sized exchange (key cardinality ≤ docs×{b}); the
+    per-doc weight sum is a second combine on doc_id. The {b}-row
+    model join is a broadcast at any corpus size.
+
+    Determinism: bucket counts are exact integers; each ln is one IEEE
+    op on an integer-derived double (the ts_wordlm_score convention);
+    c·lr products quantize via floor(·2^30) and accumulate as BIGINT —
+    order-insensitive, exact, replayed verbatim by the oracle."""
+    from fuzzy_item_matching_spark.functions.text import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(regex_tokenize("text")).alias("t")
+        )
+        .select("doc_id", "lang", md5_bucket(F.col("t"), _DSIR_B).alias("b"))
+        .persist()
+    )
+    tgt = (
+        toks.filter(F.col("lang") == _DSIR_TGT)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    nt = toks.filter(F.col("lang") == _DSIR_TGT).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    nr = toks.agg(F.count(F.lit(1)).alias("nr"))
+    buckets = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    model = (
+        buckets.join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + _DSIR_B)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + 1).cast("double")
+                    / (F.col("nr") + _DSIR_B)
+                )
+            ).alias("lr"),
+        )
+    )
+    dc = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(
+                    F.floor(F.col("c") * F.col("lr") * _DSIR_Q)
+                ).cast("double")
+                / _DSIR_Q
+            ).alias("log_weight"),
+        )
+    )
+
+
+ts_dsir_weights.__doc__ = ts_dsir_weights.__doc__.format(
+    b=_DSIR_B, tgt=_DSIR_TGT
+)

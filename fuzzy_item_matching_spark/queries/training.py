@@ -3146,3 +3146,279 @@ def train_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("robust_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosting model analytics: feature importance, Platt
+# calibration, PR-curve threshold sweep — all on the shared _GB_MEMO
+# fit and its unrolled oracle CTEs.
+
+
+def _gb_model_ctes() -> tuple[str, str]:
+    """(WITH body, model-union tail) of the shared gboost fit."""
+    from fuzzy_item_matching_spark.operators.boosting import gboost_ctes
+
+    return gboost_ctes(_LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GB_ROUNDS)
+
+
+def _gb_score_cte() -> str:
+    """A `sc` CTE (id_a, id_b, y, score) scoring every pair through
+    the fitted ensemble — gboost_score_sql's expression, unranked."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    feats = ["x1", "x2", "x3"]
+    froms, terms = ["pairs"], []
+    for t in range(1, _GB_ROUNDS + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        feat_case = (
+            f"CASE {b}.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+            + " END"
+        )
+        terms.append(
+            f"({GB_ETA!r} * (CASE WHEN {feat_case} <= {b}.thr"
+            f" THEN {b}.w_le ELSE {b}.w_gt END))"
+        )
+    return (
+        "sc AS MATERIALIZED (SELECT id_a, id_b,"
+        " CAST(label AS DOUBLE) AS y, "
+        + " + ".join(terms)
+        + " AS score FROM "
+        + ", ".join(froms)
+        + ")"
+    )
+
+
+def _gb_margin(spark: SparkSession, sf_dir: str):
+    """Per-pair raw ensemble score as a literal CASE column (the
+    train_gboost_score expression, shared)."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    score = None
+    for m in _gb_rows(spark, sf_dir):
+        term = F.lit(GB_ETA) * F.when(
+            F.col(m.feature) <= F.lit(m.thr), F.lit(m.w_le)
+        ).otherwise(F.lit(m.w_gt))
+        score = term if score is None else score + term
+    return score
+
+
+def _gb_importance_oracle() -> str:
+    ctes, model_union = _gb_model_ctes()
+    dsum = "CAST(SUM(CAST(gain AS DECIMAL(38,18))) AS DOUBLE)"
+    return f"""{ctes},
+    model AS ({model_union}),
+    tot AS (SELECT {dsum} AS tg FROM model)
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_splits,
+           round({dsum}, 9) AS total_gain,
+           round({dsum} / tot.tg, 9) AS gain_share
+    FROM model, tot GROUP BY feature, tot.tg
+    """
+
+
+@query("train_gboost_importance", oracle=_gb_importance_oracle())
+def train_gboost_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-based feature importance from the fitted gradient-boosted
+    ensemble — XGBoost's `get_score(importance_type='total_gain')`,
+    the model-explanation step after the reference's fit (`03_Train &
+    Deploy Model.py:176-192`): per feature the split count, summed
+    split gain, and its share of all gain. Reads the shared _GB_MEMO
+    model (fit once per session); the aggregation runs in Spark over
+    the model table with DECIMAL(38,18) gain sums so the division
+    inputs are bit-identical to the oracle's, which re-runs the whole
+    unrolled fit and aggregates the same model rows."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_SCHEMA
+
+    model = spark.createDataFrame(_gb_rows(spark, sf_dir), GB_SCHEMA)
+    dec = "decimal(38,18)"
+    tot = model.agg(
+        F.sum(F.col("gain").cast(dec)).cast("double").alias("tg")
+    )
+    return (
+        model.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_splits"),
+            F.sum(F.col("gain").cast(dec)).cast("double").alias("g"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "n_splits",
+            F.round("g", 9).alias("total_gain"),
+            F.round(F.col("g") / F.col("tg"), 9).alias("gain_share"),
+        )
+    )
+
+
+_PLATT_ITERS = 4
+_PLATT_LR = 1.0
+
+
+def _platt_oracle() -> str:
+    ctes, _ = _gb_model_ctes()
+    parts = [
+        ctes + ",\n    " + _gb_score_cte(),
+        "p0 AS (SELECT 1.0 AS a, 0.0 AS b)",
+    ]
+    arms = []
+    dsum = "CAST(SUM(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+    for t in range(1, _PLATT_ITERS + 1):
+        sig = "1.0 / (1.0 + exp(-(a * score + b)))"
+        ga = dsum.format(x=f"(({sig}) - y) * score")
+        gb = dsum.format(x=f"({sig}) - y")
+        parts.append(f"""p{t} AS (
+      SELECT round(a - {_PLATT_LR!r} * ({ga} / COUNT(*)), 9) AS a,
+             round(b - {_PLATT_LR!r} * ({gb} / COUNT(*)), 9) AS b
+      FROM sc, p{t - 1} GROUP BY a, b
+    )""")
+        arms.append(f"SELECT {t} AS iter, a, b FROM p{t}")
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(arms)
+
+
+@query("train_platt_scaling", oracle=_platt_oracle())
+def train_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999) of the gradient-boosted ensemble's
+    raw margins: fit p = sigmoid(a·score + b) by {t} full-batch GD
+    steps on the log loss — the classical probability calibration for
+    margin classifiers, complementing train_isotonic_calibration's
+    non-parametric fit. The score column is the shared _GB_MEMO model
+    as literal CASE terms (no join); each GD step is ONE map-side-
+    combinable 1-row aggregate over the persisted pair frame, state
+    (a, b) collected per step (the logreg-GD budget) and re-injected
+    as literals.
+
+    Determinism: the logreg-GD discipline verbatim — sigmoid is one
+    libm exp per row on bit-identical scores, gradient terms
+    accumulate via DECIMAL(38,18), and (a, b) round to 9 each step so
+    last-ulp exp drift cannot compound. Output: the (a, b) trajectory,
+    one row per iteration."""
+    pairs = _lr_pairs(spark, sf_dir).select(
+        F.col("label").cast("double").alias("y"),
+        _gb_margin(spark, sf_dir).alias("score"),
+    )
+    pairs = pairs.persist()
+    a, b = 1.0, 0.0
+    dec = "decimal(38,18)"
+    out = []
+    for t in range(1, _PLATT_ITERS + 1):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(a) * F.col("score") + F.lit(b))))
+        [st] = pairs.agg(
+            F.round(
+                F.lit(a)
+                - _PLATT_LR
+                * (
+                    F.sum(((p - F.col("y")) * F.col("score")).cast(dec))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("a"),
+            F.round(
+                F.lit(b)
+                - _PLATT_LR
+                * (
+                    F.sum((p - F.col("y")).cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("b"),
+        ).collect()
+        a, b = st["a"], st["b"]
+        out.append((t, a, b))
+    pairs.unpersist()
+    return spark.createDataFrame(out, "iter int, a double, b double")
+
+
+train_platt_scaling.__doc__ = train_platt_scaling.__doc__.format(
+    t=_PLATT_ITERS
+)
+
+_PR_STEPS = 19  # thresholds 0.05 .. 0.95
+
+
+def _pr_curve_oracle() -> str:
+    ctes, _ = _gb_model_ctes()
+    return f"""{ctes},
+    {_gb_score_cte()},
+    pr AS (
+      SELECT y, round(1.0 / (1.0 + exp(-score)), 9) AS p FROM sc
+    ),
+    thr AS (SELECT unnest(generate_series(1, {_PR_STEPS})) * 0.05 AS thr)
+    SELECT thr,
+           CAST(SUM(CASE WHEN p >= thr AND y = 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p >= thr AND y = 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p < thr AND y = 1.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CASE WHEN SUM(CASE WHEN p >= thr THEN 1 ELSE 0 END) = 0
+                THEN 1.0
+                ELSE CAST(SUM(CASE WHEN p >= thr AND y = 1.0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / SUM(CASE WHEN p >= thr THEN 1 ELSE 0 END)
+           END AS precision,
+           CASE WHEN SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) = 0
+                THEN 0.0
+                ELSE CAST(SUM(CASE WHEN p >= thr AND y = 1.0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+           END AS recall
+    FROM pr, thr GROUP BY thr
+    """
+
+
+@query("train_pr_curve", oracle=_pr_curve_oracle())
+def train_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep over the calibrated ensemble
+    probability — the operating-point table behind the reference's
+    threshold choice (`03_Train & Deploy Model.py` evaluates AUC; a
+    deployment picks THE threshold from exactly this sweep): per
+    τ ∈ {{0.05 … 0.95}} the confusion counts and precision/recall.
+    Complements train_roc_auc (rank metric) and train_calibration_bins
+    (probability quality) with the decision-threshold view.
+
+    Scale shape: probabilities are a row-local expression over the
+    literal-model margin; the {s}-row threshold frame broadcast-cross-
+    joins and ONE map-side-combinable groupBy(thr) produces all
+    operating points in a single pass — never one pass per threshold.
+
+    Determinism: p rounds to 9 BEFORE the τ comparisons, so a last-ulp
+    engine difference in exp cannot flip a boundary count; thresholds
+    are i·0.05 (one IEEE multiply on small ints, identical both
+    engines); counts are exact integers, the metric divisions single
+    IEEE ops with zero-denominator guards."""
+    pairs = _lr_pairs(spark, sf_dir).select(
+        F.col("label").cast("double").alias("y"),
+        F.round(
+            1.0 / (1.0 + F.exp(-_gb_margin(spark, sf_dir))), 9
+        ).alias("p"),
+    )
+    thr = F.broadcast(
+        spark.range(1, _PR_STEPS + 1).select(
+            (F.col("id") * 0.05).alias("thr")
+        )
+    )
+    hit = F.col("p") >= F.col("thr")
+    pos = F.col("y") == 1.0
+    tp = F.sum(F.when(hit & pos, 1).otherwise(0))
+    fp = F.sum(F.when(hit & ~pos, 1).otherwise(0))
+    fn = F.sum(F.when(~hit & pos, 1).otherwise(0))
+    npos = F.sum(F.when(pos, 1).otherwise(0))
+    nhit = F.sum(F.when(hit, 1).otherwise(0))
+    return (
+        pairs.crossJoin(thr)
+        .groupBy("thr")
+        .agg(
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            F.when(nhit == 0, F.lit(1.0))
+            .otherwise(tp.cast("double") / nhit)
+            .alias("precision"),
+            F.when(npos == 0, F.lit(0.0))
+            .otherwise(tp.cast("double") / npos)
+            .alias("recall"),
+        )
+    )

@@ -178,6 +178,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_gboost_importance",
     "train_platt_scaling",
     "train_pr_curve",
+    # r08: streaming anomaly z-score (windowed stream counts vs static
+    # broadcast baseline, z rounded before the flag comparison).
+    "stream_anomaly_zscore",
+    # r08: value-based time-RANGE window frame (interval preceding).
+    "rel_range_interval_ma",
+    # r08: Zipf-slope corpus diagnostic (closed-form OLS on log-log).
+    "ts_zipf_fit",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

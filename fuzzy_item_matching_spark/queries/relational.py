@@ -1723,3 +1723,53 @@ def rel_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "rel_range_interval_ma",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rel_range_interval_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the value-based frame the W-family's
+    other queries don't cover (rel_rows_frame_ma is ROWS-based,
+    rel_rolling_user_value row-counted): per event, the count and
+    DECIMAL-exact sum of all same-type events in the trailing ONE HOUR
+    by timestamp (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW). Equal timestamps fall in one frame for every peer — the
+    semantics ROWS frames cannot express and ties make
+    nondeterministic.
+
+    Scale shape: one shuffle on event_type (the window partition key),
+    then a single ordered scan per partition with an incremental frame
+    — no self-join materialization of the 1-hour neighborhood (the
+    rel_bucketed_range_join alternative when the frame must join two
+    DIFFERENT tables). Skewed partition keys would shard via the
+    salted-window pattern (rel_salted_agg).
+
+    Determinism: frame membership is exact timestamp arithmetic; the
+    sum accumulates DECIMAL(18,6) — order-insensitive within the
+    frame; count is an integer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        "PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.expr(f"count(*) OVER ({w})").cast("long").alias("n_1h"),
+        F.expr(
+            f"cast(sum(cast(value as decimal(18,6))) OVER ({w})"
+            " as double)"
+        ).alias("sum_1h"),
+    )

@@ -878,3 +878,92 @@ def stream_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+_AZ_THRESH = 2.0  # |z| flag threshold
+
+
+def _anomaly_oracle() -> str:
+    return f"""
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt((CAST(SUM(n * n) AS DOUBLE)
+                   - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*))
+                  / COUNT(*)) AS sigma
+      FROM hc GROUP BY event_type
+    )
+    SELECT hc.hour, hc.event_type, CAST(hc.n AS BIGINT) AS n,
+           round((hc.n - base.mu) / base.sigma, 9) AS z,
+           CASE WHEN abs(round((hc.n - base.mu) / base.sigma, 9))
+                     >= {_AZ_THRESH!r}
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM hc JOIN base USING (event_type)
+    """
+
+
+@query("stream_anomaly_zscore", oracle=_anomaly_oracle())
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection against a static baseline — the
+    monitoring pattern every ingest pipeline runs: hourly windowed
+    counts per event_type as a REAL structured stream (complete mode),
+    stream-static joined to a batch-computed per-type baseline
+    (mean/population-σ of hourly counts), flagging windows with
+    |z| ≥ {t}. The static side is the history the stream compares to;
+    in production it refreshes per batch via foreachBatch while the
+    stream's windowed agg is untouched.
+
+    Scale shape: the stream side is one watermark-free windowed count
+    (mergeable state per (window, type)); the baseline is a two-level
+    agg collapsing to |event_type| rows → broadcast into the
+    stream-static join. Determinism: counts are exact integers; μ and
+    σ are fixed IEEE expressions on integer sums (σ via the
+    computational formula — no per-row float accumulation); z rounds
+    to 9 BEFORE the threshold comparison so a boundary window cannot
+    flip on last-ulp sqrt differences."""
+    ev = _read_events_stream(spark, sf_dir)
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = _drain_to_memory(counts, "complete").select(
+        F.col("w.start").alias("hour"), "event_type", "n"
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    hist = load_table(spark, sf_dir, "events")
+    hc = hist.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hc.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                - F.sum("n").cast("double") * F.sum("n") / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 9)
+    return (
+        drained.join(F.broadcast(base), "event_type")
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            z.alias("z"),
+            F.when(F.abs(z) >= _AZ_THRESH, 1).otherwise(0).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+stream_anomaly_zscore.__doc__ = stream_anomaly_zscore.__doc__.format(
+    t=_AZ_THRESH
+)

@@ -2690,3 +2690,90 @@ def ts_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_dsir_weights.__doc__ = ts_dsir_weights.__doc__.format(
     b=_DSIR_B, tgt=_DSIR_TGT
 )
+
+
+_ZIPF_K = 100  # top terms entering the fit
+
+
+@query(
+    "ts_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t AS term, COUNT(*) AS c
+      FROM (SELECT unnest({_D_TOKENS.format(c="text")}) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+      FROM tf
+    ),
+    xy AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {_ZIPF_K}
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS slope,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * sx / n, 9) AS intercept
+    FROM s
+    """,
+)
+def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus term-frequency distribution: OLS of
+    ln(count) on ln(rank) over the top-{k} terms — the canonical
+    corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
+    template-heavy corpora flatten, the signal a curation dashboard
+    watches next to ts_vocab_growth's Heaps fit). Closed-form slope
+    and intercept (the train_ols_by_brand discipline): one corpus
+    term count (map-side combinable), one top-{k} rank (TakeOrdered-
+    sized), four DECIMAL moment sums over {k} rows, two rounded IEEE
+    quotients."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(regex_tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # TakeOrderedAndProject for the top-K, THEN rank the K rows — the
+    # global row_number runs over {K} rows, never the whole vocabulary
+    top = tf.orderBy(F.desc("c"), F.asc("term")).limit(_ZIPF_K)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("term")))
+        .alias("r"),
+    )
+    xy = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    dec = "decimal(38,18)"
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 9).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 9
+        ).alias("intercept"),
+    )
+
+
+ts_zipf_fit.__doc__ = ts_zipf_fit.__doc__.format(k=_ZIPF_K)

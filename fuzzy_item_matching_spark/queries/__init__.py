@@ -185,6 +185,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_range_interval_ma",
     # r08: Zipf-slope corpus diagnostic (closed-form OLS on log-log).
     "ts_zipf_fit",
+    # r08: interpolated Kneser-Ney bigram perplexity (the KenLM-grade
+    # smoothing upgrade of the add-one wordlm filter).
+    "ts_kneser_ney",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

@@ -2777,3 +2777,149 @@ def ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_zipf_fit.__doc__ = ts_zipf_fit.__doc__.format(k=_ZIPF_K)
+
+
+_KN_D = 0.75  # absolute discount (Kneser-Ney's standard)
+_KN_MIN = 2  # model prune threshold (the wordlm CCNet trade)
+_KN_Q = 1073741824.0  # 2^30 NLL fixed-point quantum (wordlm's)
+
+
+@query(
+    "ts_kneser_ney",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS t FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    doctf AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pr
+      GROUP BY doc_id, w1, w2
+    ),
+    model AS (
+      SELECT w1, w2, SUM(tf) AS c FROM doctf GROUP BY w1, w2
+      HAVING SUM(tf) >= {_KN_MIN}
+    ),
+    w1s AS (
+      SELECT w1, SUM(c) AS c1, COUNT(*) AS n1p FROM model GROUP BY w1
+    ),
+    nbi AS (SELECT COUNT(*) AS n_bi FROM model),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS DOUBLE) / nbi.n_bi AS pc
+      FROM model, nbi GROUP BY w2, nbi.n_bi
+    ),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT u.tk) AS DOUBLE) AS v
+      FROM tok, unnest(t) AS u(tk)
+    ),
+    terms AS (
+      SELECT d.doc_id, d.tf,
+             CASE WHEN s.c1 IS NOT NULL THEN
+               ln((greatest(COALESCE(m.c, 0) - {_KN_D!r}, 0.0)
+                   + {_KN_D!r} * s.n1p * COALESCE(cont.pc, 1.0 / voc.v))
+                  / s.c1)
+             ELSE ln(COALESCE(cont.pc, 1.0 / voc.v))
+             END AS lp
+      FROM doctf d
+      LEFT JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+      LEFT JOIN w1s s ON s.w1 = d.w1
+      LEFT JOIN cont ON cont.w2 = d.w2
+      CROSS JOIN voc
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(CAST(floor(tf * lp * {_KN_Q!r}) AS BIGINT))
+                AS DOUBLE)
+             / {_KN_Q!r} / CAST(SUM(tf) AS BIGINT) AS nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def ts_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity — the KenLM-grade
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25) that
+    production CCNet-style filters actually ship, upgrading
+    ts_wordlm_score's add-one model: P(w2|w1) = (max(c−D,0) +
+    D·N1+(w1·)·P_cont(w2)) / c(w1·) with the continuation probability
+    P_cont(w2) = N1+(·w2)/|bigram types| — the "how many contexts"
+    estimate that fixes add-one's overscoring of frequent-but-rigid
+    words. The model prunes at count ≥ {mc} (the wordlm
+    prune-then-broadcast bound); pruned bigrams score through the SAME
+    interpolated formula at c = 0, heads with no kept mass back off to
+    P_cont, unseen continuations floor at 1/V.
+
+    Scale shape: the fit and score share ONE exploded bigram frame
+    (the wordlm discipline); model, head stats, and continuation
+    probabilities are pruned-model-sized → broadcast joins; per-doc
+    NLL is one combine agg. Determinism: all model stats are exact
+    integers; each ln is one IEEE op on an integer-derived expression
+    written identically in both engines; tf·lp quantizes via
+    floor(·2^30) BIGINT sums (the wordlm/pca discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", regex_tokenize("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pr = tok.select(
+        "doc_id",
+        F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "w1"),
+        "t",
+    ).select(
+        "doc_id", "w1", F.expr("t[i + 1]").alias("w2")
+    )
+    doctf = (
+        pr.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    model = (
+        doctf.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c"))
+        .filter(F.col("c") >= _KN_MIN)
+        .persist()
+    )
+    w1s = model.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    nbi = model.agg(F.count(F.lit(1)).alias("n_bi"))
+    cont = (
+        model.crossJoin(F.broadcast(nbi))
+        .groupBy("w2")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.first("n_bi")).alias("pc")
+        )
+    )
+    voc = (
+        d.select(F.explode(regex_tokenize("text")).alias("tk"))
+        .agg(F.count_distinct("tk").cast("double").alias("v"))
+    )
+    kn_num = F.greatest(
+        F.coalesce(F.col("c"), F.lit(0)) - _KN_D, F.lit(0.0)
+    ) + _KN_D * F.col("n1p") * F.coalesce(
+        F.col("pc"), F.lit(1.0) / F.col("v")
+    )
+    lp = F.when(
+        F.col("c1").isNotNull(), F.log(kn_num / F.col("c1"))
+    ).otherwise(
+        F.log(F.coalesce(F.col("pc"), F.lit(1.0) / F.col("v")))
+    )
+    terms = (
+        doctf.join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(F.broadcast(w1s), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", "tf", lp.alias("lp"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        (
+            (-F.sum(F.floor(F.col("tf") * F.col("lp") * _KN_Q)))
+            .cast("double")
+            / _KN_Q
+            / F.sum("tf")
+        ).alias("nll"),
+    )
+
+
+ts_kneser_ney.__doc__ = ts_kneser_ney.__doc__.format(mc=_KN_MIN)

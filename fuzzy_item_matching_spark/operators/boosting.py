@@ -32,6 +32,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 GRID = 16  # thresholds per feature: k = 1..GRID-1
 ERR_FLOOR = 1e-9  # clamp keeps alpha finite on degenerate rounds
@@ -415,8 +416,6 @@ def adaboost_depth2(
             .agg(*_d2_region_aggs())
             .withColumn("err", _d2_err())
         )
-        from pyspark.sql.window import Window
-
         wnd = Window.partitionBy("__side").orderBy(
             F.asc("err"), F.asc("feature"), F.asc("thr")
         )
@@ -866,7 +865,13 @@ def gboost_fit(
             F.col(best["feature"]) <= F.lit(float(best["thr"])),
             F.lit(w_le),
         ).otherwise(F.lit(w_gt))
-        nxt = df.withColumn("__f", F.round(F.col("__f") + step, 9))
+        # scale 10, NOT 9: eta*w (w 9-decimal, eta 0.3) is an EXACT
+        # 10-decimal value, so a 9-scale round hits a .5 tie on ~10% of
+        # updates — where Spark (rounds the shortest decimal string)
+        # and DuckDB (rounds the binary value) can disagree. At scale
+        # 10 the value sits ON the grid and rounding is an identity in
+        # both engines while still quantizing away exp ulp drift.
+        nxt = df.withColumn("__f", F.round(F.col("__f") + step, 10))
         nxt = nxt.localCheckpoint(eager=True)
         df.unpersist()
         df = nxt
@@ -954,7 +959,7 @@ def gboost_ctes(
         parts.append(f"""s{t} AS MATERIALIZED (
       SELECT y, {", ".join(features)},
              round(f + {eta!r} * (CASE WHEN {b_case} <= b.thr
-                                  THEN b.w_le ELSE b.w_gt END), 9) AS f
+                                  THEN b.w_le ELSE b.w_gt END), 10) AS f
       FROM s{t - 1}, best{t} b
     )""")
         arms.append(
@@ -1018,3 +1023,329 @@ def gboost_score_sql(
       FROM {", ".join(froms)}
     ) ORDER BY score DESC, {ida} ASC LIMIT {limit}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 gradient boosting: second-order splits WITH interactions —
+# the gboost_fit gain/leaf machinery at adaboost_depth2's tree shape.
+
+GB2_SCHEMA = (
+    "round int, f0 string, t0 double, gain double,"
+    " fl string, tl double, w_ll double, w_lr double,"
+    " fr string, tr double, w_rl double, w_rr double"
+)
+
+
+def gboost_depth2_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    rounds: int = 2,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+) -> DataFrame:
+    """Fit ``rounds`` second-order boosted DEPTH-2 trees: root split
+    by the regularized gain, one child split per side (feature
+    interactions — the capability XGBoost's max_depth>1 buys), four
+    regularized leaf weights −soft(G, α)/(H + λ). Scorer applies
+    f(x) = Σ_t η·w_leaf through the two-level split path.
+
+    Degenerate-root guard (the adaboost_depth2 discipline): a side
+    with no rows gets the TRIVIAL child — the root threshold with
+    leaves computed from all-zero region sums (= −soft(0)/(0+λ),
+    i.e. −0.0 in BOTH engines — no special-cased literal, so the
+    float sign matches the SQL twin's computed expression). The SQL
+    twin's pri-2 fallback arm emits the identical row."""
+    spark = pairs.sparkSession
+
+    stats = pairs.agg(
+        *[
+            c
+            for f_ in features
+            for c in (
+                F.min(f_).alias(f"mn_{f_}"),
+                F.max(f_).alias(f"mx_{f_}"),
+            )
+        ]
+    ).first()
+    cand_rows = []
+    for f_ in features:
+        mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
+        for k in range(1, grid):
+            cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
+    cands = F.broadcast(
+        spark.createDataFrame(cand_rows, "feature string, thr double")
+    )
+
+    df = pairs.select(
+        F.col(label).cast("double").alias("__y"), *features
+    ).withColumn("__f", F.lit(0.0))
+    df = df.persist()
+
+    feat_val = F.when(F.col("feature") == features[0], F.col(features[0]))
+    for f_ in features[1:]:
+        feat_val = feat_val.when(F.col("feature") == f_, F.col(f_))
+
+    gain_sql = _gb_gain_expr(lam, gamma)
+    dec = "decimal(38,18)"
+    model_rows = []
+
+    def region_aggs(g, h, le):
+        return [
+            F.sum(F.when(le, g).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("gl"),
+            F.sum(F.when(le, h).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("hl"),
+            F.sum(F.when(~le, g).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("gr"),
+            F.sum(F.when(~le, h).otherwise(0.0).cast(dec))
+            .cast("double")
+            .alias("hr"),
+        ]
+
+    for t in range(1, rounds + 1):
+        p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+        g = p - F.col("__y")
+        h = p * (1.0 - p)
+        le = F.col("__x") <= F.col("thr")
+        root_ev = (
+            df.crossJoin(cands)
+            .withColumn("__x", feat_val)
+            .groupBy("feature", "thr")
+            .agg(*region_aggs(g, h, le))
+            .withColumn("gain", F.expr(gain_sql))
+            .orderBy(F.desc("gain"), F.asc("feature"), F.asc("thr"))
+            .limit(1)
+        )
+        [root] = root_ev.collect()  # 1 row — the argmax budget
+        f0, t0 = root["feature"], float(root["thr"])
+        evc = (
+            df.withColumn(
+                "__side",
+                F.when(F.col(f0) <= F.lit(t0), 1).otherwise(0),
+            )
+            .crossJoin(cands)
+            .withColumn("__x", feat_val)
+            .groupBy("__side", "feature", "thr")
+            .agg(*region_aggs(g, h, le))
+            .withColumn("gain", F.expr(gain_sql))
+        )
+        wnd = Window.partitionBy("__side").orderBy(
+            F.desc("gain"), F.asc("feature"), F.asc("thr")
+        )
+        picks = {
+            r["__side"]: r
+            for r in evc.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .collect()  # 2 rows
+        }
+
+        def _pick(side: int):
+            if side in picks:
+                return picks[side]
+            return {
+                "feature": f0,
+                "thr": t0,
+                "gl": 0.0,
+                "hl": 0.0,
+                "gr": 0.0,
+                "hr": 0.0,
+            }
+
+        lt_, rt_ = _pick(1), _pick(0)
+        fl, tl = lt_["feature"], float(lt_["thr"])
+        fr, tr = rt_["feature"], float(rt_["thr"])
+        w_ll = _gb_leaf(lt_["gl"], lt_["hl"], lam, alpha)
+        w_lr = _gb_leaf(lt_["gr"], lt_["hr"], lam, alpha)
+        w_rl = _gb_leaf(rt_["gl"], rt_["hl"], lam, alpha)
+        w_rr = _gb_leaf(rt_["gr"], rt_["hr"], lam, alpha)
+        model_rows.append(
+            (
+                t,
+                f0,
+                t0,
+                round(root["gain"], 9),
+                fl,
+                tl,
+                w_ll,
+                w_lr,
+                fr,
+                tr,
+                w_rl,
+                w_rr,
+            )
+        )
+        step = F.lit(eta) * F.when(
+            F.col(f0) <= F.lit(t0),
+            F.when(F.col(fl) <= F.lit(tl), F.lit(w_ll)).otherwise(
+                F.lit(w_lr)
+            ),
+        ).otherwise(
+            F.when(F.col(fr) <= F.lit(tr), F.lit(w_rl)).otherwise(
+                F.lit(w_rr)
+            )
+        )
+        # scale 10, NOT 9: eta*w (w 9-decimal, eta 0.3) is an EXACT
+        # 10-decimal value, so a 9-scale round hits a .5 tie on ~10% of
+        # updates — where Spark (rounds the shortest decimal string)
+        # and DuckDB (rounds the binary value) can disagree. At scale
+        # 10 the value sits ON the grid and rounding is an identity in
+        # both engines while still quantizing away exp ulp drift.
+        nxt = df.withColumn("__f", F.round(F.col("__f") + step, 10))
+        nxt = nxt.localCheckpoint(eager=True)
+        df.unpersist()
+        df = nxt
+    return spark.createDataFrame(model_rows, GB2_SCHEMA)
+
+
+def gboost_depth2_ctes(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+) -> tuple[str, str]:
+    """The unrolled depth-2 second-order fit as (WITH body, model
+    UNION tail) — gboost_ctes' conventions plus adaboost_depth2_ctes'
+    pri-2 degenerate-root fallback arm."""
+    mn_mx = ", ".join(
+        f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
+    )
+    cand_arms = []
+    for f_ in features:
+        for k in range(1, grid):
+            thr = f"(mn_{f_} + {k} * (mx_{f_} - mn_{f_}) / {float(grid)!r})"
+            cand_arms.append(
+                f"SELECT '{f_}' AS feature, {thr} AS thr FROM stats"
+            )
+    feat_case = (
+        "CASE feature "
+        + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+        + " END"
+    )
+    gain_sql = _gb_gain_expr(lam, gamma)
+    sig = "1.0 / (1.0 + exp(-f))"
+
+    def leaf(G: str, H: str) -> str:
+        soft = (
+            f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
+            f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
+        )
+        return f"round(-({soft}) / ({H} + {lam!r}), 9)"
+
+    def rsum(cond: str, term: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CAST(CASE WHEN {cond} THEN {term} ELSE 0.0 END"
+            f" AS DECIMAL(38,18))) AS DOUBLE) AS {name}"
+        )
+
+    def sums(le: str) -> str:
+        return ", ".join(
+            [
+                rsum(le, "g", "gl"),
+                rsum(le, "h", "hl"),
+                rsum(f"NOT ({le})", "g", "gr"),
+                rsum(f"NOT ({le})", "h", "hr"),
+            ]
+        )
+
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({pairs_sql})",
+        f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
+        "cands AS MATERIALIZED (" + " UNION ALL ".join(cand_arms) + ")",
+        "s0 AS MATERIALIZED (SELECT CAST(label AS DOUBLE) AS y, "
+        + ", ".join(features)
+        + ", 0.0 AS f FROM pairs)",
+    ]
+    arms = []
+    le = f"{feat_case} <= thr"
+    for t in range(1, rounds + 1):
+        parts.append(f"""gh{t} AS MATERIALIZED (
+      SELECT y, {", ".join(features)},
+             {sig} - y AS g, ({sig}) * (1.0 - {sig}) AS h
+      FROM s{t - 1}
+    )""")
+        parts.append(f"""root{t} AS MATERIALIZED (
+      SELECT feature AS f0, thr AS t0, round({gain_sql}, 9) AS gain
+      FROM (SELECT feature, thr, {sums(le)}
+            FROM gh{t}, cands GROUP BY feature, thr)
+      ORDER BY {gain_sql} DESC, feature ASC, thr ASC LIMIT 1
+    )""")
+        root_case = (
+            "CASE b.f0 "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+        parts.append(f"""evc{t} AS MATERIALIZED (
+      SELECT CASE WHEN {root_case} <= b.t0 THEN 1 ELSE 0 END AS side,
+             feature, thr, {sums(le)}
+      FROM gh{t}, root{t} b, cands
+      GROUP BY side, feature, thr
+    )""")
+        # pri-2 arm = the degenerate-root fallback: trivial child at
+        # the root threshold with leaves COMPUTED from all-zero sums
+        # (−soft(0)/(0+λ) → the same −0.0 the Spark fit produces) —
+        # only wins when the side's evc slice is empty.
+        for side, nm in ((1, "bl"), (0, "br")):
+            parts.append(f"""{nm}{t} AS MATERIALIZED (
+      SELECT feature, thr, w_le, w_gt FROM (
+        SELECT 1 AS pri, feature, thr, {gain_sql} AS gc,
+               {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt
+        FROM evc{t} WHERE side = {side}
+        UNION ALL
+        SELECT 2 AS pri, f0 AS feature, t0 AS thr, 0.0 AS gc,
+               {leaf("0.0", "0.0")} AS w_le, {leaf("0.0", "0.0")} AS w_gt
+        FROM root{t}
+      ) ORDER BY pri ASC, gc DESC, feature ASC, thr ASC LIMIT 1
+    )""")
+        parts.append(f"""best{t} AS MATERIALIZED (
+      SELECT r.f0, r.t0, r.gain,
+             l.feature AS fl, l.thr AS tl,
+             l.w_le AS w_ll, l.w_gt AS w_lr,
+             g.feature AS fr, g.thr AS tr,
+             g.w_le AS w_rl, g.w_gt AS w_rr
+      FROM root{t} r, bl{t} l, br{t} g
+    )""")
+        w_case = (
+            f"(CASE WHEN (CASE b.f0 "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.t0 THEN"
+            f" (CASE WHEN (CASE b.fl "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.tl THEN b.w_ll ELSE b.w_lr END)"
+            f" ELSE (CASE WHEN (CASE b.fr "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END) <= b.tr THEN b.w_rl ELSE b.w_rr END) END)"
+        )
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT y, {", ".join(features)},
+             round(f + {eta!r} * {w_case}, 10) AS f
+      FROM s{t - 1}, best{t} b
+    )""")
+        arms.append(
+            f"SELECT {t} AS round, f0, t0, gain, fl, tl, w_ll, w_lr,"
+            f" fr, tr, w_rl, w_rr FROM best{t}"
+        )
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def gboost_depth2_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    grid: int = GRID,
+) -> str:
+    """DuckDB twin of :func:`gboost_depth2_fit`."""
+    ctes, model_union = gboost_depth2_ctes(
+        pairs_sql, features, rounds, grid
+    )
+    return ctes + "\n" + model_union

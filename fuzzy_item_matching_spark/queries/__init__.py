@@ -188,6 +188,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: interpolated Kneser-Ney bigram perplexity (the KenLM-grade
     # smoothing upgrade of the add-one wordlm filter).
     "ts_kneser_ney",
+    # r08: reciprocal-rank fusion across BM25 query rankings (hybrid
+    # retrieval combiner, pluggable rank lists).
+    "sim_rrf_fusion",
+    # r08: depth-2 SECOND-ORDER gradient boosting (root + per-side
+    # child splits, four regularized leaves) and its serve half.
+    "train_gboost_depth2",
+    "train_gboost_d2_score",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

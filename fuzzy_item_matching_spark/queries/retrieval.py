@@ -579,3 +579,180 @@ def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion over multiple BM25 query rankings.
+
+_RRF_QUERIES = (
+    ("q1", ("spark", "join", "window")),
+    ("q2", ("table", "scan", "merge")),
+    ("q3", ("stream", "batch", "hash")),
+)
+_RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+_RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    q_rows = " UNION ALL ".join(
+        f"SELECT '{qid}' AS qid, '{t}' AS term"
+        for qid, terms in _RRF_QUERIES
+        for t in terms
+    )
+    all_terms = sorted({t for _, ts in _RRF_QUERIES for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+             FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({in_list}) GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qs AS ({q_rows}),
+    terms AS (
+      SELECT qs.qid, tf.doc_id,
+             ln((corp.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * ((tf.tf * {_BM25_K1 + 1.0}) /
+                  (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} +
+                   {_BM25_B} * dl.dl / corp.avgdl))) AS t
+      FROM qs
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corp
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(SUM(CAST(t AS DECIMAL(38,18))) AS DOUBLE)
+                        DESC, doc_id) AS r
+      FROM terms GROUP BY qid, doc_id
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(CAST(1.0 / ({_RRF_K} + r) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS rrf
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, n_lists, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_RRF_TOP}
+    """
+
+
+@query("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) across {nq} BM25 query rankings — the query-expansion /
+    hybrid-retrieval combiner production search ships: each ranking
+    contributes 1/({k} + rank), missing docs contribute nothing, and
+    the fused top-{top} is returned. The standard way to merge lexical
+    variants (or lexical + vector lists — the ranker inputs are
+    pluggable rank columns).
+
+    Scale shape: ONE token pass feeds doc lengths and the pruned tf
+    postings (the IN filter reaches the scan, so the shuffle carries
+    only the union of query terms' postings); the query table, df,
+    and corpus stats are broadcast; per-query rankings are window
+    ranks over posting-sized frames; fusion is one map-side-
+    combinable groupBy(doc_id). Never a corpus-sized shuffle beyond
+    the shared doc-length agg.
+
+    Determinism: BM25 terms are the sim_bm25_topk IEEE expression on
+    exact integers; per-(query, doc) scores DECIMAL-accumulate before
+    the rank (ties broken by doc_id); RRF addends 1/(k+r) are single
+    IEEE divisions on integers, DECIMAL-summed; final top-{top} only
+    after a (rrf, doc_id) total order."""
+    d = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({t for _, ts in _RRF_QUERIES for t in ts})
+    toks = d.select(
+        "doc_id", F.explode(regex_tokenize("text")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qs = spark.createDataFrame(
+        [(qid, t) for qid, terms in _RRF_QUERIES for t in terms],
+        "qid string, term string",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    t = idf * (
+        (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    terms = (
+        F.broadcast(qs)
+        .join(tf, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select("qid", "doc_id", t.alias("t"))
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        terms.groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score")
+        )
+        .select(
+            "qid",
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            )
+            .alias("r"),
+        )
+    )
+    fused = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum(
+            (F.lit(1.0) / (F.lit(_RRF_K) + F.col("r"))).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .select("doc_id", "n_lists", "rrf")
+    )
+
+
+sim_rrf_fusion.__doc__ = sim_rrf_fusion.__doc__.format(
+    nq=len(_RRF_QUERIES), k=_RRF_K, top=_RRF_TOP
+)

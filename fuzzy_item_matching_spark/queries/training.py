@@ -3422,3 +3422,120 @@ def train_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+_GB2_ROUNDS = 2
+_GB2_MEMO: dict[tuple[str, int], list] = {}
+
+
+def _gb2_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        gboost_depth2_fit,
+    )
+
+    key = (sf_dir, _GB2_ROUNDS)
+    if key not in _GB2_MEMO:
+        _GB2_MEMO[key] = gboost_depth2_fit(
+            _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"],
+            rounds=_GB2_ROUNDS,
+        ).collect()
+    return _GB2_MEMO[key]
+
+
+def _gb2_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        gboost_depth2_sql,
+    )
+
+    return gboost_depth2_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GB2_ROUNDS
+    )
+
+
+@query("train_gboost_depth2", oracle=_gb2_oracle())
+def train_gboost_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-2 second-order gradient boosting — the full shape of the
+    reference's XGBoost (`03_Train & Deploy Model.py:176-192`, whose
+    hyperopt space searches max_depth>1, `NB3:163-174`): per round a
+    regularized-gain root split, one child split per side (feature
+    interactions), and FOUR −soft(G, α)/(H + λ) leaf weights.
+    Combines train_gboost_fit's g/h machinery with
+    train_adaboost_depth2's tree shape; the degenerate-root fallback
+    (empty side → trivial child, leaves computed from zero sums so
+    even the −0.0 sign matches) is the adaboost pri-2 discipline.
+    {r} rounds = {r}·2 passes over the persisted pair frame plus
+    1-row/2-row argmax collects. Memoized per (sf_dir, rounds); the
+    serve half reads the same model."""
+    from fuzzy_item_matching_spark.operators.boosting import GB2_SCHEMA
+
+    return spark.createDataFrame(_gb2_rows(spark, sf_dir), GB2_SCHEMA)
+
+
+train_gboost_depth2.__doc__ = train_gboost_depth2.__doc__.format(
+    r=_GB2_ROUNDS
+)
+
+
+def _gb2_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        GB_ETA,
+        gboost_depth2_ctes,
+    )
+
+    ctes, _ = gboost_depth2_ctes(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GB2_ROUNDS
+    )
+    feats = ["x1", "x2", "x3"]
+    froms, terms = ["pairs"], []
+    for t in range(1, _GB2_ROUNDS + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        case = lambda fcol, tcol, wl, wr: (  # noqa: E731
+            f"(CASE WHEN (CASE {b}.{fcol} "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+            + f" END) <= {b}.{tcol} THEN {b}.{wl} ELSE {b}.{wr} END)"
+        )
+        terms.append(
+            f"({GB_ETA!r} * (CASE WHEN (CASE {b}.f0 "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+            + f" END) <= {b}.t0 THEN {case('fl', 'tl', 'w_ll', 'w_lr')}"
+            f" ELSE {case('fr', 'tr', 'w_rl', 'w_rr')} END))"
+        )
+    score = " + ".join(terms)
+    return f"""{ctes}
+    SELECT id_a, id_b, score,
+           CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred
+    FROM (SELECT id_a, id_b, {score} AS score
+          FROM {", ".join(froms)})
+    ORDER BY score DESC, id_a ASC LIMIT 20
+    """
+
+
+@query("train_gboost_d2_score", oracle=_gb2_score_oracle())
+def train_gboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring through the fitted depth-2 gradient-boosted ensemble:
+    f(x) = Σ_t η·w_leaf down the two-level split path, top-20 by
+    (score DESC, id ASC), pred = f > 0. Model from the shared
+    (sf_dir, rounds) memo — fit and serve cost one fit per session;
+    trees ship as literal nested CASE columns (row-local, no join).
+    The oracle re-runs the unrolled fit AND the scoring."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    pairs = _lr_pairs(spark, sf_dir)
+    score = None
+    for m in _gb2_rows(spark, sf_dir):
+        term = F.lit(GB_ETA) * F.when(
+            F.col(m.f0) <= F.lit(m.t0),
+            F.when(F.col(m.fl) <= F.lit(m.tl), F.lit(m.w_ll)).otherwise(
+                F.lit(m.w_lr)
+            ),
+        ).otherwise(
+            F.when(F.col(m.fr) <= F.lit(m.tr), F.lit(m.w_rl)).otherwise(
+                F.lit(m.w_rr)
+            )
+        )
+        score = term if score is None else score + term
+    scored = pairs.select("id_a", "id_b", score.alias("score")).withColumn(
+        "pred", F.when(F.col("score") > 0, 1).otherwise(0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id_a")).limit(20)

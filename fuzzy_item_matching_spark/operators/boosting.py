@@ -764,7 +764,10 @@ def _gb_leaf(g: float, h: float, lam: float, alpha: float) -> float:
         s = g + alpha
     else:
         s = 0.0
-    return round(-s / (h + lam), 9)
+    # + 0.0 normalizes a -0.0 leaf (empty region) to +0.0 — DuckDB's
+    # round() drops the zero sign, Python's keeps it; IEEE -0+0 = +0
+    # and nonzero values are unchanged.
+    return round(-s / (h + lam), 9) + 0.0
 
 
 GB_SCHEMA = (
@@ -914,7 +917,8 @@ def gboost_ctes(
             f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
             f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
         )
-        return f"round(-({soft}) / ({H} + {lam!r}), 9)"
+        # + 0.0: normalize a -0.0 empty-region leaf (see _gb_leaf)
+        return f"(round(-({soft}) / ({H} + {lam!r}), 9) + 0.0)"
 
     def rsum(cond: str, term: str, name: str) -> str:
         return (
@@ -1240,7 +1244,8 @@ def gboost_depth2_ctes(
             f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
             f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
         )
-        return f"round(-({soft}) / ({H} + {lam!r}), 9)"
+        # + 0.0: normalize a -0.0 empty-region leaf (see _gb_leaf)
+        return f"(round(-({soft}) / ({H} + {lam!r}), 9) + 0.0)"
 
     def rsum(cond: str, term: str, name: str) -> str:
         return (

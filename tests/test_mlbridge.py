@@ -410,3 +410,45 @@ def test_gboost_constant_features_match_oracle(spark):
                 assert abs(sv - float(ov)) < 1e-12, (s, o)
             else:
                 assert sv == ov, (s, o)
+
+
+def test_gboost_depth2_degenerate_fallback_matches_oracle(spark):
+    """Constant features: the root puts every row on one side, so the
+    other side's child comes from the fallback arm in BOTH engines
+    (trivial child at the root threshold, leaves computed from
+    all-zero sums — including the -0.0 sign)."""
+    import duckdb
+
+    from fuzzy_item_matching_spark.operators.boosting import (
+        gboost_depth2_fit,
+        gboost_depth2_sql,
+    )
+
+    rows = [(1, 1.0, 2.0), (1, 1.0, 2.0), (0, 1.0, 2.0), (1, 1.0, 2.0)]
+    pairs = spark.createDataFrame(rows, "label int, xa double, xb double")
+    model = gboost_depth2_fit(pairs, ["xa", "xb"], rounds=2).collect()
+    assert len(model) == 2
+    values = ", ".join(f"({l}, {a!r}, {b!r})" for l, a, b in rows)
+    oracle = duckdb.sql(
+        gboost_depth2_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(label, xa, xb)",
+            ["xa", "xb"],
+            rounds=2,
+        )
+    ).fetchall()
+    assert len(oracle) == 2
+    for s, o in zip(
+        sorted([tuple(m) for m in model]), sorted(oracle)
+    ):
+        for sv, ov in zip(s, o):
+            if isinstance(sv, float):
+                assert abs(sv - float(ov)) < 1e-12, (s, o)
+                # sign of zero must agree too (the -0.0 discipline)
+                if sv == 0.0:
+                    import math
+
+                    assert math.copysign(1, sv) == math.copysign(
+                        1, float(ov)
+                    ), (s, o)
+            else:
+                assert sv == ov, (s, o)

@@ -91,6 +91,15 @@ HEADLINE_EXTRA = {
     "stream_quality_scores",
     "pipe_corpus_funnel",
     "mm_audio_windows",
+    # r08 additions measured >= ~2 s at sf0.1
+    "vec_kmeans_centroids",
+    "sim_blocking_eval",
+    "train_gboost_depth2",
+    "dedup_substring_spans",
+    "ts_kneser_ney",
+    "serve_fs_em_fit",
+    "stream_anomaly_zscore",
+    "vec_kmeans_silhouette",
 }
 
 

@@ -537,15 +537,22 @@ def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = load_table(spark, sf_dir, "part")
-    truth = fuzzy_match_pairs(
-        p,
-        None,
-        id_col="p_partkey",
-        text_col="p_name",
-        min_sim=0.8,
-        num_features=None,
-        max_df_ratio=0.15,
-    ).select("id_a", "id_b")
+    # persist: the truth pair set feeds BOTH the n_truth aggregate and
+    # the semi-join — without it the whole inverted-index cosine
+    # pipeline re-runs per consumer (measured 10.2 -> ~6 s at sf0.1)
+    truth = (
+        fuzzy_match_pairs(
+            p,
+            None,
+            id_col="p_partkey",
+            text_col="p_name",
+            min_sim=0.8,
+            num_features=None,
+            max_df_ratio=0.15,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     a, b = p.alias("a"), p.alias("b")
     cand = a.join(
         b,

@@ -100,6 +100,7 @@ HEADLINE_EXTRA = {
     "serve_fs_em_fit",
     "stream_anomaly_zscore",
     "vec_kmeans_silhouette",
+    "text_unigram_em",
 }
 
 

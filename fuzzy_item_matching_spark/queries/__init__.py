@@ -195,6 +195,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # child splits, four regularized leaves) and its serve half.
     "train_gboost_depth2",
     "train_gboost_d2_score",
+    # r08: unigram-LM tokenizer EM fit (SentencePiece model; forward-
+    # backward DP over all segmentations, distinct-word compressed).
+    "text_unigram_em",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

@@ -664,3 +664,40 @@ def text_bpe_fit_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bpe_fit_batched.__doc__ = text_bpe_fit_batched.__doc__.format(
     k=_BPE_B_K, c=_BPE_B_C
 )
+
+
+def _unigram_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        unigram_em_sql,
+    )
+
+    return unigram_em_sql(
+        f"SELECT {_D_TOKENS.format(c='text')} AS toks FROM documents"
+    )
+
+
+@query("text_unigram_em", oracle=_unigram_oracle())
+def text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenizer fit (SentencePiece's model; Kudo
+    2018) — the OTHER major tokenizer next to BPE: piece probabilities
+    initialize from substring counts (all single chars + the top-64
+    multi-char substrings ≤ 4 chars) and ONE EM iteration re-estimates
+    them, the E-step computing expected piece usage over ALL
+    segmentations by forward-backward dynamic programming (unrolled to
+    the 12-char word cap), the M-step renormalizing. Output:
+    (piece, cnt, p0, p1).
+
+    Scale shape (operators/unigram_lm.py): the only corpus-sized work
+    is the word-count groupBy — EM runs on the DISTINCT-WORD frame
+    weighted by counts (the text_bpe_fit compression); the bounded
+    vocabulary ships as a literal map so the whole DP is row-local
+    column arithmetic, no joins. The oracle replays the identical
+    recursion through 24 unrolled CTE levels with correlated
+    piece-probability lookups."""
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        unigram_em_fit,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_em_fit(d, regex_tokenize("text"))

@@ -268,3 +268,49 @@ def test_dsir_separates_target_language(spark):
     ).agg(F.avg("log_weight").alias("mw")).collect()
     means = {r.is_tgt: r.mw for r in rows}
     assert means[True] > means[False], means
+
+
+def test_unigram_em_improves_likelihood(spark):
+    """The EM iteration must not decrease the corpus log-likelihood
+    Σ_w wc·ln Z_w, and both p0 and p1 must be proper distributions
+    (sum ≈ 1 over the vocabulary)."""
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        KMAX,
+        MAXLEN,
+        unigram_em_fit,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = unigram_em_fit(d, regex_tokenize("text")).collect()
+    s0 = sum(r.p0 for r in out)
+    s1 = sum(r.p1 for r in out)
+    assert abs(s0 - 1.0) < 1e-6, s0
+    assert abs(s1 - 1.0) < 1e-6, s1
+
+    # replicate the DP in python and compare corpus log-likelihood
+    import math
+
+    words = {}
+    for r in (
+        d.select(F.explode(regex_tokenize("text")).alias("w")).collect()
+    ):
+        w = r.w[:MAXLEN]
+        words[w] = words.get(w, 0) + 1
+
+    def loglik(p):
+        ll = 0.0
+        for w, wc in words.items():
+            a = [0.0] * (len(w) + 1)
+            a[0] = 1.0
+            for i in range(1, len(w) + 1):
+                for k in range(1, min(KMAX, i) + 1):
+                    a[i] += a[i - k] * p.get(w[i - k : i], 0.0)
+            assert a[len(w)] > 0, w
+            ll += wc * math.log(a[len(w)])
+        return ll
+
+    p0 = {r.piece: r.p0 for r in out}
+    p1 = {r.piece: r.p1 for r in out}
+    assert loglik(p1) >= loglik(p0) - 1e-9

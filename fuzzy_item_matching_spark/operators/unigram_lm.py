@@ -302,3 +302,247 @@ def unigram_em_sql(docs_sql_tokens: str) -> str:
     FROM voc LEFT JOIN e ON e.q = voc.piece CROSS JOIN tote
     """
     )
+
+
+def _viterbi_cols(dp: DataFrame, P, word: str, rev: bool = False):
+    """Attach v{i}/l{i} Viterbi columns (best path prob, winning piece
+    length) over the ``word`` column. Tie-break: smallest k wins (the
+    k-ascending >= chain, identical in the SQL twin)."""
+    dp = dp.withColumn("v0", F.lit(1.0))
+    for i in range(1, MAXLEN + 1):
+        ks = list(range(1, min(KMAX, i) + 1))
+        ts = {
+            k: F.col(f"v{i - k}")
+            * P(f"substring({word}, {i - k + 1}, {k})")
+            for k in ks
+        }
+        tmp = dp
+        for k in ks:
+            tmp = tmp.withColumn(f"__t{k}", ts[k])
+        v = F.greatest(*[F.col(f"__t{k}") for k in ks]) if len(ks) > 1 \
+            else F.col("__t1")
+        dp = tmp.withColumn(
+            f"v{i}",
+            F.when(F.lit(i) <= F.col("l"), v).otherwise(F.lit(0.0)),
+        ).withColumn(f"l{i}", _argmax_k(ks))
+        dp = dp.drop(*[f"__t{k}" for k in ks])
+        if i % 6 == 0:
+            dp = dp.localCheckpoint(eager=True)
+    return dp
+
+
+def _argmax_k(ks: list[int]):
+    """First k (ascending) whose bound __t{k} is >= all later ones —
+    the deterministic argmax tie-break shared with the SQL twin."""
+    expr = None
+    for k in ks[:-1]:
+        cond = None
+        for k2 in ks:
+            if k2 <= k:
+                continue
+            c = F.col(f"__t{k}") >= F.col(f"__t{k2}")
+            cond = c if cond is None else cond & c
+        expr = (
+            F.when(cond, F.lit(k))
+            if expr is None
+            else expr.when(cond, F.lit(k))
+        )
+    last = F.lit(ks[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def unigram_viterbi_segments(docs: DataFrame, tokenize) -> DataFrame:
+    """Viterbi segmentation APPLY: per distinct word, the max-prob
+    segmentation under the substring-count unigram model (the p0 the
+    EM fit starts from — apply and fit share the vocabulary
+    construction). Output (w, wc, n_pieces, seg, logp-free best prob
+    rounded): the `encode` half of the SentencePiece pair, as
+    text_bpe_segments is to text_bpe_fit."""
+    spark = docs.sparkSession
+    words = _words(docs, tokenize).persist()
+    occ = words.select(
+        "w", "wc", F.explode(F.expr(_OCC_SPARK)).alias("ik")
+    ).select(
+        "w",
+        "wc",
+        F.expr("substring(w, ik.i - ik.k + 1, ik.k)").alias("q"),
+    )
+    pc = occ.groupBy("q").agg(F.sum("wc").alias("c"))
+    multi = (
+        pc.filter(F.length("q") >= 2)
+        .orderBy(F.desc("c"), F.asc("q"))
+        .limit(VOCAB_MULTI)
+    )
+    singles = pc.filter(F.length("q") == 1)
+    voc_rows = sorted(
+        singles.unionByName(multi).collect(), key=lambda r: r["q"]
+    )
+    tot = sum(r["c"] for r in voc_rows)
+    p0 = {r["q"]: float(r["c"]) / float(tot) for r in voc_rows}
+    pm = F.create_map(
+        *[x for q, p in sorted(p0.items()) for x in (F.lit(q), F.lit(p))]
+    )
+    dp = words.withColumn("__pm", pm).withColumn("l", F.length("w"))
+
+    def P(expr: str):
+        return F.coalesce(F.col("__pm")[F.expr(expr)], F.lit(0.0))
+
+    dp = _viterbi_cols(dp, P, "w")
+    # backtrack: pos_0 = l; step s consumes l{pos} chars from the end
+    dp = dp.withColumn("pos0", F.col("l"))
+    piece_cols = []
+    for s in range(1, MAXLEN + 1):
+        prev = f"pos{s - 1}"
+        lsel = None
+        for i in range(1, MAXLEN + 1):
+            b = F.when(F.col(prev) == i, F.col(f"l{i}"))
+            lsel = b if lsel is None else lsel.when(
+                F.col(prev) == i, F.col(f"l{i}")
+            )
+        dp = dp.withColumn(f"__ls{s}", lsel)
+        dp = dp.withColumn(
+            f"piece{s}",
+            F.when(
+                F.col(prev) > 0,
+                F.expr(
+                    f"substring(w, pos{s - 1} - __ls{s} + 1, __ls{s})"
+                ),
+            ),
+        ).withColumn(
+            f"pos{s}",
+            F.when(F.col(prev) > 0, F.col(prev) - F.col(f"__ls{s}"))
+            .otherwise(F.lit(0)),
+        )
+        piece_cols.append(f"piece{s}")
+        if s % 6 == 0:
+            dp = dp.localCheckpoint(eager=True)
+    seg_arr = F.filter(
+        F.array(*[F.col(c) for c in reversed(piece_cols)]),
+        lambda x: x.isNotNull(),
+    )
+    best = None
+    for i in range(1, MAXLEN + 1):
+        b = F.when(F.col("l") == i, F.col(f"v{i}"))
+        best = b if best is None else best.when(
+            F.col("l") == i, F.col(f"v{i}")
+        )
+    return dp.select(
+        "w",
+        "wc",
+        F.size(seg_arr).cast("long").alias("n_pieces"),
+        F.array_join(seg_arr, " ").alias("seg"),
+        # LOG prob: absolute rounding on raw probabilities crushes
+        # small values (a 6-piece word lives at 1e-9); ln is
+        # scale-free and one IEEE op on the identical double
+        F.round(F.log(best), 9).alias("best_lp"),
+    )
+
+
+def unigram_viterbi_sql(docs_sql_tokens: str) -> str:
+    """DuckDB twin of :func:`unigram_viterbi_segments`."""
+
+    def p_of(x: str) -> str:
+        return f"COALESCE((SELECT p0 FROM voc WHERE piece = ({x})), 0.0)"
+
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+      SELECT substr(t, 1, {MAXLEN}) AS w, COUNT(*) AS wc
+      FROM (SELECT unnest(toks) AS t FROM ({docs_sql_tokens}))
+      GROUP BY 1
+    )""",
+        f"""occ AS MATERIALIZED (
+      SELECT w, wc, substr(w, u.ik[1] - u.ik[2] + 1, u.ik[2]) AS q
+      FROM w0, unnest({_OCC_DUCK}) AS u(ik)
+    )""",
+        "pc AS MATERIALIZED (SELECT q, SUM(wc) AS c FROM occ GROUP BY q)",
+        f"""voc AS MATERIALIZED (
+      SELECT q AS piece, c,
+             CAST(c AS DOUBLE) / (SELECT SUM(c) FROM (
+               SELECT c FROM pc WHERE len(q) = 1
+               UNION ALL
+               SELECT c FROM (SELECT c FROM pc WHERE len(q) >= 2
+                              ORDER BY c DESC, q ASC LIMIT {VOCAB_MULTI})
+             )) AS p0
+      FROM (
+        SELECT q, c FROM pc WHERE len(q) = 1
+        UNION ALL
+        SELECT q, c FROM (SELECT q, c FROM pc WHERE len(q) >= 2
+                          ORDER BY c DESC, q ASC LIMIT {VOCAB_MULTI})
+      )
+    )""",
+        "f0 AS MATERIALIZED (SELECT w, wc, len(w) AS l, 1.0 AS v0"
+        " FROM w0)",
+    ]
+    prev = "f0"
+    for i in range(1, MAXLEN + 1):
+        ks = list(range(1, min(KMAX, i) + 1))
+        t_defs = ", ".join(
+            f"v{i - k} * {p_of(f'substr(w, {i - k + 1}, {k})')} AS t{k}_"
+            for k in ks
+        )
+        v = (
+            "greatest(" + ", ".join(f"t{k}_" for k in ks) + ")"
+            if len(ks) > 1
+            else "t1_"
+        )
+        l_arms = []
+        for k in ks[:-1]:
+            cond = " AND ".join(
+                f"t{k}_ >= t{k2}_" for k2 in ks if k2 > k
+            )
+            l_arms.append(f"WHEN {cond} THEN {k}")
+        l_expr = (
+            ("CASE " + " ".join(l_arms) + f" ELSE {ks[-1]} END")
+            if l_arms
+            else str(ks[-1])
+        )
+        parts.append(f"""f{i} AS MATERIALIZED (
+      SELECT * EXCLUDE ({", ".join(f"t{k}_" for k in ks)}),
+             CASE WHEN {i} <= l THEN {v} ELSE 0.0 END AS v{i},
+             {l_expr} AS l{i}
+      FROM (SELECT *, {t_defs} FROM {prev})
+    )""")
+        prev = f"f{i}"
+    parts.append(f"dp AS MATERIALIZED (SELECT *, l AS pos0 FROM {prev})")
+    prev = "dp"
+    for s in range(1, MAXLEN + 1):
+        l_case = (
+            f"CASE pos{s - 1} "
+            + " ".join(f"WHEN {i} THEN l{i}" for i in range(1, MAXLEN + 1))
+            + " END"
+        )
+        parts.append(f"""bt{s} AS MATERIALIZED (
+      SELECT *,
+             CASE WHEN pos{s - 1} > 0
+                  THEN substr(w, pos{s - 1} - ({l_case}) + 1, {l_case})
+             END AS piece{s},
+             CASE WHEN pos{s - 1} > 0 THEN pos{s - 1} - ({l_case})
+                  ELSE 0 END AS pos{s}
+      FROM {prev}
+    )""")
+        prev = f"bt{s}"
+    arr = (
+        "["
+        + ", ".join(f"piece{s}" for s in range(MAXLEN, 0, -1))
+        + "]"
+    )
+    v_case = (
+        "CASE l "
+        + " ".join(f"WHEN {i} THEN v{i}" for i in range(1, MAXLEN + 1))
+        + " END"
+    )
+    parts.append(f"""seg AS (
+      SELECT w, wc,
+             list_filter({arr}, x -> x IS NOT NULL) AS pieces,
+             {v_case} AS best
+      FROM {prev}
+    )""")
+    return (
+        ",\n".join(parts)
+        + """
+    SELECT w, wc, CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces, ' ') AS seg,
+           round(ln(best), 9) AS best_lp
+    FROM seg
+    """
+    )

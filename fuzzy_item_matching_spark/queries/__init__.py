@@ -198,6 +198,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: unigram-LM tokenizer EM fit (SentencePiece model; forward-
     # backward DP over all segmentations, distinct-word compressed).
     "text_unigram_em",
+    # r08: its Viterbi encode half (argmax DP + unrolled backtrack).
+    "text_unigram_segments",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the

@@ -701,3 +701,37 @@ def text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_em_fit(d, regex_tokenize("text"))
+
+
+def _unigram_viterbi_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        unigram_viterbi_sql,
+    )
+
+    return unigram_viterbi_sql(
+        f"SELECT {_D_TOKENS.format(c='text')} AS toks FROM documents"
+    )
+
+
+@query("text_unigram_segments", oracle=_unigram_viterbi_oracle())
+def text_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation APPLY — the `encode` half of
+    the SentencePiece pair (text_unigram_em is the fit): per distinct
+    word, the maximum-probability segmentation under the
+    substring-count unigram model, computed by an unrolled Viterbi DP
+    (argmax with the k-ascending tie-break) plus an unrolled
+    backtracking walk reassembling the piece sequence. Output
+    (w, wc, n_pieces, seg, best_p).
+
+    Scale shape: identical to the fit — corpus work is one word-count
+    groupBy; the DP and backtrack are row-local column arithmetic
+    over the distinct-word frame with the bounded vocabulary as a
+    literal map. The oracle replays DP + backtrack through unrolled
+    CTEs with the same tie-break chains."""
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        unigram_viterbi_segments,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_viterbi_segments(d, regex_tokenize("text"))

@@ -314,3 +314,54 @@ def test_unigram_em_improves_likelihood(spark):
     p0 = {r.piece: r.p0 for r in out}
     p1 = {r.piece: r.p1 for r in out}
     assert loglik(p1) >= loglik(p0) - 1e-9
+
+
+def test_unigram_viterbi_segmentation_valid_and_optimal(spark):
+    """Viterbi output: pieces reassemble the word, best_p equals the
+    product of piece probabilities, and no exhaustive segmentation
+    beats it."""
+    import itertools
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        KMAX,
+        unigram_em_fit,
+        unigram_viterbi_segments,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    segs = unigram_viterbi_segments(d, regex_tokenize("text")).collect()
+    p0 = {
+        r.piece: r.p0
+        for r in unigram_em_fit(d, regex_tokenize("text")).collect()
+    }
+
+    def all_segmentations(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, min(KMAX, len(w)) + 1):
+            head = w[:k]
+            for rest in all_segmentations(w[k:]):
+                yield [head] + rest
+
+    assert segs
+    for r in segs:
+        pieces = r.seg.split(" ")
+        assert "".join(pieces) == r.w
+        assert r.n_pieces == len(pieces)
+        # p0 from the fit OUTPUT is rounded to 9 decimals while the
+        # operator's internal map is unrounded — compare logs at the
+        # absolute tolerance that rounding implies (~1e-5).
+        import math
+
+        lp = sum(math.log(p0.get(q, 0.0)) for q in pieces)
+        assert abs(lp - r.best_lp) <= 1e-5, (r.w, lp, r.best_lp)
+        best = max(
+            (
+                math.prod(p0.get(q, 0.0) for q in s)
+                for s in all_segmentations(r.w)
+            ),
+        )
+        assert r.best_lp >= math.log(best) - 1e-5, (r.w, r.best_lp, best)

@@ -159,47 +159,51 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    dedup_minhash_lsh); ts_fingerprint demotes to balance the
     #    rotation's slot count.
     "serve_fs_linkage",
-    # r08: the EM fit of the FS parameters serve_fs_linkage scores with
-    # (pattern-compressed E/M over the blocked comparison space) -- a
-    # prefix candidate.
+    # -- r08 second rotation: twelve NEW round-8 operator shapes enter
+    #    the prefix; the twelve slots they take come from rows whose
+    #    operator keeps an in-prefix or strictly-stronger verifier,
+    #    each noted at its new below-boundary position. The thinner
+    #    r08 siblings (gain importance, PR sweep, Zipf OLS, the
+    #    Viterbi encode half, the depth-2 serve half, the silhouette
+    #    eval) wait below the boundary — their machinery is verified
+    #    by the in-prefix family member.
+    # FS parameter estimation: the EM fit serve_fs_linkage's fixed
+    # m-probabilities stand in for (pattern-compressed E/M).
     "serve_fs_em_fit",
-    # r08: blocking-key quality eval (reduction ratio + pairs
-    # completeness vs the inverted-index cosine truth).
+    # blocking-key quality eval (reduction ratio + pairs completeness
+    # vs the inverted-index cosine truth).
     "sim_blocking_eval",
-    # r08: exact substring-span dedup (cross-doc repeated n-gram spans
-    # merged gaps-and-islands style into a trainer mask manifest).
+    # exact substring-span dedup (cross-doc repeated n-gram spans
+    # merged gaps-and-islands into a trainer mask manifest).
     "dedup_substring_spans",
-    # r08: DSIR importance-resampling log-weights (hashed-unigram
+    # DSIR importance-resampling log-weights (hashed-unigram
     # target/raw log-ratio model, fixed-point per-doc sums).
     "ts_dsir_weights",
-    # r08: gboost model analytics -- gain importance, Platt (a,b)
-    # calibration trajectory, PR threshold sweep (all on the shared
-    # _GB_MEMO fit, oracles re-run the unrolled fit).
-    "train_gboost_importance",
+    # Platt calibration of the gboost margin (logreg-GD discipline);
+    # the PR sweep + gain importance share its fit memo below.
     "train_platt_scaling",
-    "train_pr_curve",
-    # r08: streaming anomaly z-score (windowed stream counts vs static
+    # streaming anomaly z-score (windowed stream counts vs static
     # broadcast baseline, z rounded before the flag comparison).
     "stream_anomaly_zscore",
-    # r08: value-based time-RANGE window frame (interval preceding).
+    # value-based time-RANGE window frame (interval preceding) — the
+    # window-frame type no other row covers.
     "rel_range_interval_ma",
-    # r08: Zipf-slope corpus diagnostic (closed-form OLS on log-log).
-    "ts_zipf_fit",
-    # r08: interpolated Kneser-Ney bigram perplexity (the KenLM-grade
-    # smoothing upgrade of the add-one wordlm filter).
+    # interpolated Kneser-Ney bigram perplexity (the KenLM-grade
+    # smoothing upgrade of the in-prefix add-one wordlm filter).
     "ts_kneser_ney",
-    # r08: reciprocal-rank fusion across BM25 query rankings (hybrid
-    # retrieval combiner, pluggable rank lists).
+    # reciprocal-rank fusion across BM25 query rankings.
     "sim_rrf_fusion",
-    # r08: depth-2 SECOND-ORDER gradient boosting (root + per-side
-    # child splits, four regularized leaves) and its serve half.
+    # depth-2 SECOND-ORDER gradient boosting — the reference XGBoost's
+    # max_depth>1 shape; its serve half scores below the boundary
+    # through the same memo + oracle.
     "train_gboost_depth2",
-    "train_gboost_d2_score",
-    # r08: unigram-LM tokenizer EM fit (SentencePiece model; forward-
-    # backward DP over all segmentations, distinct-word compressed).
+    # unigram-LM tokenizer EM fit (SentencePiece model; forward-
+    # backward DP over all segmentations, distinct-word compressed);
+    # its Viterbi encode half waits below.
     "text_unigram_em",
-    # r08: its Viterbi encode half (argmax DP + unrolled backtrack).
-    "text_unigram_segments",
+    # distributed k-means fit (plan-shipped centroid literals, one
+    # pass per Lloyd iteration); silhouette reads the same memo below.
+    "vec_kmeans_centroids",
     # -- r06 rotation: int8 quantized retrieval demotes (the scalar
     #    quantization idea stays in-prefix via sim_ann_pq_topk's
     #    codebooks; the rerank join via the ANN family) for the
@@ -332,6 +336,25 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    rel_union_distinct_nations' driver record below.
     "train_gboost_score",
     "sim_fuzzy_part_pairs",
+    # -- r08 second rotation, restored rows: the three r07-new ops the
+    #    round-start rotation promoted but the twelve r08 insertions
+    #    would have displaced (canary compare and SCD2 were the
+    #    VERDICT's named asks; the sketch comparison has never had a
+    #    driver row), plus train_sparse_logreg, whose code changed
+    #    this round (explicit n_features domain + gated weight-frame
+    #    broadcast per ADVICE) and therefore needs a fresh record.
+    "serve_canary_compare",
+    "src_scd2_history",
+    "ts_sketch_compare",
+    "train_sparse_logreg",
+    # -- r08 siblings below the boundary: machinery verified by the
+    #    in-prefix family member (gboost fit/platt memo, unigram-EM
+    #    DP, kmeans memo, vocab-growth corpus curves).
+    "train_gboost_d2_score",
+    "train_gboost_importance",
+    "train_pr_curve",
+    "text_unigram_segments",
+    "ts_zipf_fit",
     "sim_lsh_sqdist_pairs",
     # -- r06 rotation: sign-LSH top-k demotes (bucket-collision
     #    candidates in-prefix via sim_lsh_sqdist_pairs, per-query
@@ -350,7 +373,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    deploy-safety op nothing else covers; the recall-vs-exact-
     #    truth eval COMPOSITION stays in-prefix via
     #    dedup_minhash_recall, and the index itself via ivfpq_topk.
-    "serve_canary_compare",
     # -- r07 continuation: sim_ann_ivf_topk (r06-green) demotes — its
     #    ENTIRE centroid build (init + keyed-sample Lloyd) is replayed
     #    CTE-for-CTE inside the semantic-dedup oracle (shared
@@ -372,7 +394,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    write-side op (close-out + fresh-version + no-op-delta from
     #    one full-outer key join); the versioned snapshot resolve also
     #    runs inside pipe_incremental_refresh's green record below.
-    "src_scd2_history",
     "src_zorder_layout",
     "text_bpe_fit_batched",
     "train_weighted_sample",
@@ -395,7 +416,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    sketch AND the exact distinct on one shingle domain, with the
     #    signed relative errors oracle-checked (the r7 VERDICT's
     #    sketch-unification ask).
-    "ts_sketch_compare",
     # -- r07 final rotation, part 2: rel_status_share (A1/W1,
     #    r06-green — the group-count + unpartitioned-window-share
     #    shape runs inside serve_incremental_scoring's green plan and
@@ -410,7 +430,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    id-keyed sparse aggregations), and MMR diversified retrieval
     #    (pool-bounded greedy rerank, MATERIALIZED unrolled oracle).
     "train_quality_distill",
-    "train_sparse_logreg",
     "sim_mmr_topk",
     "rel_pagerank_brands",
     # -- r07 continuation: text_bpe_fit (r06-green) demotes — the
@@ -626,7 +645,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # the fitted form of the clustering the IVF/SemDeDup queries do
     # implicitly; both exact-oracled, candidates for a future prefix
     # slot.
-    "vec_kmeans_centroids",
     "vec_kmeans_silhouette",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface

@@ -397,3 +397,111 @@ def test_wordlm_model_pruned_before_broadcast(spark, registry):
     assert re.search(r"c2#\d+L? >= 2", plan), (
         f"min-count prune missing from plan:\n{plan}"
     )
+
+
+def test_substring_spans_semi_join_no_cartesian(spark, registry):
+    """dedup_substring_spans: the duplicated-gram set must come back
+    as a LEFT-SEMI equi-join on the hashed gram (inverted-index
+    discipline), never a cartesian or a pair join."""
+    plan = plan_of(spark, registry, "dedup_substring_spans")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_joinless(spark, registry):
+    """vec_kmeans_centroids: the centroid state ships as plan
+    literals, so the OUTPUT plan (memoized model → long format) and,
+    more importantly, the fit passes contain no join at all — the
+    fit's per-iteration plan is scan → project(argmin) → explode →
+    hash-agg. Here we pin the fit's update plan directly."""
+    from fuzzy_item_matching_spark.operators.kmeans import _points
+    from fuzzy_item_matching_spark.tables import load_table
+    from pyspark.sql import functions as F
+    import io
+    from contextlib import redirect_stdout
+
+    e = load_table(spark, SF_CHECK, "embeddings")
+    pts = _points(e)
+    cents = [[0.1] * 64, [0.2] * 64]
+    from fuzzy_item_matching_spark.operators.kmeans import KM_Q
+
+    with_d = pts.select(
+        "x",
+        *[
+            F.aggregate(
+                F.zip_with(F.col("x"), F.lit(c), lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias(f"__d{i}")
+            for i, c in enumerate(cents)
+        ],
+    )
+    dmin = F.least(F.col("__d0"), F.col("__d1"))
+    assign = F.when(F.col("__d0") == dmin, 1).when(F.col("__d1") == dmin, 2)
+    upd = (
+        with_d.select(assign.alias("c"), "x")
+        .select("c", F.posexplode("x").alias("pos", "xv"))
+        .groupBy("c", (F.col("pos") + 1).alias("j"))
+        .agg(F.sum(F.floor(F.col("xv") * KM_Q)).alias("s"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        upd.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # the single combine agg (+AQE read)
+    assert "HashAggregate" in plan
+
+
+def test_fs_em_pattern_compression_single_pair_pass(spark, registry):
+    """serve_fs_em_fit: the output model is literal rows (EM state) —
+    the expensive part already ran at build time through ONE blocked
+    self-join + pattern groupBy per session. Pin the output shape and
+    that the build used a sort-merge/hash EQUI join (never nested
+    loop) by re-deriving the pattern frame."""
+    from fuzzy_item_matching_spark.tables import load_table
+    from pyspark.sql import functions as F
+    import io
+    from contextlib import redirect_stdout
+
+    p = load_table(spark, SF_CHECK, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy((F.col("a.p_type") == F.col("b.p_type")).alias("g1"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pat.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pr_curve_single_pass_all_thresholds(spark, registry):
+    """train_pr_curve: all 19 operating points in ONE pass — a
+    broadcast of the threshold frame into one hash aggregate, never a
+    scan or join per threshold."""
+    plan = plan_of(spark, registry, "train_pr_curve")
+    assert plan.count("Scan parquet") <= 4  # pair build (2 sides) ×2 mentions
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_rrf_postings_pruned_at_scan(spark, registry):
+    """sim_rrf_fusion: the query-term IN filter must reach the token
+    explode before the tf aggregate — the posting shuffle carries only
+    the union of query terms."""
+    plan = plan_of(spark, registry, "sim_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    # the IN-list filter on the exploded term column
+    assert "term" in plan and ("IN (" in plan or "INSET" in plan.upper())

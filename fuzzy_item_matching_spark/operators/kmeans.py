@@ -163,6 +163,7 @@ def kmeans_ctes(
     k: int = KM_K,
     iters: int = KM_ITERS,
     seed: int = KM_SEED,
+    pfx: str = "",
 ) -> str:
     """The unrolled fit as a WITH-clause body ending in
     ``cent{iters}`` (c, cent DOUBLE[], n) — shared by the centroid
@@ -175,39 +176,39 @@ def kmeans_ctes(
         " / 4294967296.0"
     )
     parts = [
-        f"WITH emb AS MATERIALIZED (SELECT vec_id,"
+        f"WITH {pfx}emb AS MATERIALIZED (SELECT vec_id,"
         f" embedding::DOUBLE[] AS x FROM ({emb_sql}))",
-        f"""cent0 AS MATERIALIZED (
+        f"""{pfx}cent0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY u, vec_id) AS c, x AS cent
-      FROM (SELECT vec_id, x, {u} AS u FROM emb)
+      FROM (SELECT vec_id, x, {u} AS u FROM {pfx}emb)
       ORDER BY u, vec_id LIMIT {k}
     )""",
     ]
     for t in range(1, iters + 1):
         sqd = _D_SQD.format(a="e.x", b="c.cent")
-        parts.append(f"""d{t} AS MATERIALIZED (
-      SELECT e.vec_id, c.c, {sqd} AS d FROM emb e, cent{t - 1} c
+        parts.append(f"""{pfx}d{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.c, {sqd} AS d FROM {pfx}emb e, {pfx}cent{t - 1} c
     )""")
-        parts.append(f"""a{t} AS MATERIALIZED (
+        parts.append(f"""{pfx}a{t} AS MATERIALIZED (
       SELECT vec_id, c FROM (
         SELECT vec_id, c,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-        FROM d{t}
+        FROM {pfx}d{t}
       ) WHERE rn = 1
     )""")
-        parts.append(f"""u{t} AS MATERIALIZED (
+        parts.append(f"""{pfx}u{t} AS MATERIALIZED (
       SELECT a.c, g.j,
              SUM(CAST(floor(e.x[g.j] * {KM_Q!r}) AS BIGINT)) AS s,
              COUNT(*) AS n
-      FROM a{t} a, emb e, (SELECT unnest(range(1, {dim + 1})) AS j) g
+      FROM {pfx}a{t} a, {pfx}emb e, (SELECT unnest(range(1, {dim + 1})) AS j) g
       WHERE a.vec_id = e.vec_id
       GROUP BY a.c, g.j
     )""")
-        parts.append(f"""cent{t} AS MATERIALIZED (
+        parts.append(f"""{pfx}cent{t} AS MATERIALIZED (
       SELECT c,
              array_agg(CAST(s AS DOUBLE) / {KM_Q!r} / n ORDER BY j) AS cent,
              MAX(n) AS n
-      FROM u{t} GROUP BY c
+      FROM {pfx}u{t} GROUP BY c
     )""")
     return ",\n".join(parts)
 

@@ -646,6 +646,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # implicitly; both exact-oracled, candidates for a future prefix
     # slot.
     "vec_kmeans_silhouette",
+    # r08: scene-cut detection over the synthetic frame stream (LAG
+    # diff + island merge -- the mm family temporal shape).
+    "mm_scene_cuts",
+    # r08: k-means elbow sweep (inertia vs k, three unrolled fits in
+    # one prefixed-CTE oracle).
+    "vec_kmeans_elbow",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

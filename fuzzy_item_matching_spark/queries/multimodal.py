@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.operators.multimodal import (
     with_bmp_payload,
@@ -298,3 +299,120 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
+
+
+_SC_FRAME = 32  # bytes per synthetic frame (mm_audio_windows' stride)
+_SC_TAU = 96  # |Δ signature| scene-cut threshold
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(floor((length(text) - 1) / {_SC_FRAME}.0) AS INT)))
+               AS win
+      FROM documents WHERE length(text) > 0
+    ),
+    sig AS (
+      SELECT doc_id, win, SUM(v) AS sig FROM (
+        SELECT doc_id, win,
+               ascii(substring(text, win * {_SC_FRAME} + i, 1)) AS v
+        FROM (
+          SELECT doc_id, win, text,
+                 unnest(generate_series(1,
+                   least({_SC_FRAME}, length(text) - win * {_SC_FRAME})))
+                   AS i
+          FROM w
+        )
+      ) GROUP BY doc_id, win
+    ),
+    cuts AS (
+      SELECT doc_id, win, sig,
+             CASE WHEN lag(sig) OVER dw IS NULL THEN 1
+                  WHEN abs(sig - lag(sig) OVER dw) > {_SC_TAU} THEN 1
+                  ELSE 0 END AS is_cut
+      FROM sig WINDOW dw AS (PARTITION BY doc_id ORDER BY win)
+    ),
+    scenes AS (
+      SELECT doc_id, win, sig,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY win
+                               ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM cuts
+    )
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           CAST(MIN(win) AS BIGINT) AS start_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(sig) AS BIGINT) AS scene_sig
+    FROM scenes GROUP BY doc_id, scene_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over the synthetic frame stream —
+    the shot-segmentation step a multimodal curation pipeline runs
+    before sampling frames for captioning: per document the payload
+    bytes split into {f}-byte frames (mm_audio_windows' stride), each
+    frame reduces to an integer signature, a cut fires where the
+    frame-to-frame signature jump exceeds {t} (LAG window), and
+    consecutive frames between cuts merge into SCENES (running-sum
+    scene ids — the gaps-and-islands discipline). Output one row per
+    scene: (doc_id, scene_id, start_frame, n_frames, scene_sig).
+
+    With a real codec the signature would be a perceptual frame hash
+    (mm_phash_pairs' aHash) fed by the decoder tier — the Spark-side
+    plumbing (frame fanout, per-frame reduce, LAG diff, island merge)
+    is identical and is what this query pins.
+
+    Scale shape: frame fanout is a bounded posexplode (n_bytes/{f}
+    per doc); signatures are one map-side-combinable groupBy; the LAG
+    + running-sum windows shuffle once on doc_id; scene assembly is a
+    second combine. Integers end-to-end — exact oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor((length(text) - 1) /"
+                f" {_SC_FRAME}.0) as int)), x -> x)"
+            )
+        ).alias("__p", "win"),
+    )
+    bytes_ = frames.select(
+        "doc_id",
+        "win",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, least({_SC_FRAME},"
+                f" length(text) - win * {_SC_FRAME})),"
+                f" i -> ascii(substring(text, win * {_SC_FRAME} + i, 1)))"
+            )
+        ).alias("__q", "v"),
+    )
+    sig = bytes_.groupBy("doc_id", "win").agg(F.sum("v").alias("sig"))
+    dw = Window.partitionBy("doc_id").orderBy("win")
+    cuts = sig.withColumn(
+        "is_cut",
+        F.when(F.lag("sig").over(dw).isNull(), 1)
+        .when(F.abs(F.col("sig") - F.lag("sig").over(dw)) > _SC_TAU, 1)
+        .otherwise(0),
+    )
+    scenes = cuts.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(
+            dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return scenes.groupBy("doc_id", "scene_id").agg(
+        F.min("win").alias("start_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("sig").alias("scene_sig"),
+    )
+
+
+mm_scene_cuts.__doc__ = mm_scene_cuts.__doc__.format(
+    f=_SC_FRAME, t=_SC_TAU
+)

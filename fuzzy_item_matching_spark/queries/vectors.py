@@ -617,3 +617,102 @@ def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inertia"),
         )
     )
+
+
+_KM_ELBOW_KS = (2, 4, 8)
+_KM_EQ = 2.0**30  # elbow inertia fixed-point quantum
+
+
+def _km_elbow_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.kmeans import (
+        KM_ITERS,
+        _D_SQD,
+        kmeans_ctes,
+    )
+
+    blocks, arms = [], []
+    for k in _KM_ELBOW_KS:
+        pfx = f"k{k}_"
+        ctes = kmeans_ctes(_KM_EMB_SQL, _KM_DIM, k=k, pfx=pfx)
+        if blocks:
+            ctes = ctes[len("WITH "):]  # one WITH for the whole union
+        blocks.append(ctes)
+        sqd = _D_SQD.format(a="e.x", b="c.cent")
+        blocks.append(f"""{pfx}dm AS MATERIALIZED (
+      SELECT e.vec_id, MIN({sqd}) AS dmin
+      FROM {pfx}emb e, {pfx}cent{KM_ITERS} c
+      GROUP BY e.vec_id
+    )""")
+        arms.append(f"""SELECT {k} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {pfx}cent{KM_ITERS})
+             AS n_clusters,
+           CAST(SUM(CAST(floor(dmin * {_KM_EQ!r}) AS BIGINT)) AS DOUBLE)
+             / {_KM_EQ!r} AS inertia
+    FROM {pfx}dm""")
+    return ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("vec_kmeans_elbow", oracle=_km_elbow_oracle())
+def vec_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection for the k-means family: the ELBOW sweep — for
+    k ∈ {ks}, fit (shared per-(sf_dir, k) memo) and report the
+    optimal-assignment inertia Σ min_c ||x − μ_c||². The inertia-vs-k
+    curve is what picks the IVF coarse-quantizer size and the
+    SemDeDup cell count. Monotone non-increasing in k (pinned in
+    tests/test_kmeans.py's Lloyd property).
+
+    Scale shape: per k one broadcast-⨯ pass over the points (the
+    silhouette plan); the min-distance is a map-side-combinable MIN
+    per point, the inertia a fixed-point BIGINT sum (floor(d·2^30) —
+    exact, order-insensitive). The oracle re-runs all {nk} unrolled
+    fits under prefixed CTE namespaces in one statement."""
+    from fuzzy_item_matching_spark.operators.kmeans import _SQD
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).persist()
+    out = []
+    for k in _KM_ELBOW_KS:
+        rows = _km_cent_k(spark, sf_dir, k)
+        cent = F.broadcast(
+            spark.createDataFrame(
+                rows, "c int, cent array<double>, n long"
+            )
+        )
+        d = pts.crossJoin(cent.select("c", "cent")).select(
+            "vec_id", F.expr(_SQD.format(a="x", b="cent")).alias("d")
+        )
+        [r] = (
+            d.groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("dmin") * _KM_EQ)).cast("double")
+                    / _KM_EQ
+                ).alias("inertia")
+            )
+            .collect()
+        )
+        out.append((k, len(rows), r["inertia"]))
+    pts.unpersist()
+    return spark.createDataFrame(
+        out, "k int, n_clusters long, inertia double"
+    )
+
+
+def _km_cent_k(spark: SparkSession, sf_dir: str, k: int):
+    from fuzzy_item_matching_spark.operators.kmeans import KM_K, kmeans_fit
+
+    if k == KM_K:
+        return _km_cent(spark, sf_dir)  # share the main fit memo
+    key = f"{sf_dir}::k{k}"
+    if key not in _KM_MEMO:
+        e = load_table(spark, sf_dir, "embeddings")
+        _KM_MEMO[key] = kmeans_fit(e, k=k).collect()
+    return _KM_MEMO[key]
+
+
+vec_kmeans_elbow.__doc__ = vec_kmeans_elbow.__doc__.format(
+    ks=list(_KM_ELBOW_KS), nk=len(_KM_ELBOW_KS)
+)

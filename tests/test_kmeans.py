@@ -121,3 +121,17 @@ def test_empty_cluster_drops_in_both_engines(spark):
             ov, on_ = o_map[(r["c"], j)]
             assert v == pytest.approx(ov, abs=0.0), (r["c"], j)
             assert r["n"] == on_
+
+
+def test_elbow_inertia_monotone_in_k(spark):
+    """More clusters never increase the optimal-assignment inertia."""
+    from fuzzy_item_matching_spark.queries.vectors import vec_kmeans_elbow
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        vec_kmeans_elbow(spark, SF_SMOKE).collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == [2, 4, 8]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.inertia <= lo.inertia + 1e-9, (lo, hi)

@@ -652,6 +652,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: k-means elbow sweep (inertia vs k, three unrolled fits in
     # one prefixed-CTE oracle).
     "vec_kmeans_elbow",
+    # r08: ECE/MCE single-number calibration summary composed over the
+    # calibration-bins oracle.
+    "train_ece",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

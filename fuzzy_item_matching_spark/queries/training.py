@@ -3539,3 +3539,47 @@ def train_gboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred", F.when(F.col("score") > 0, 1).otherwise(0)
     )
     return scored.orderBy(F.desc("score"), F.asc("id_a")).limit(20)
+
+
+def _ece_oracle() -> str:
+    from fuzzy_item_matching_spark.queries import REGISTRY
+
+    bins_sql = REGISTRY["train_calibration_bins"].oracle
+    return f"""
+    WITH bins AS ({bins_sql})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           round(CAST(SUM(CAST(n * abs(avg_pred - obs_rate)
+                               AS DECIMAL(38,18))) AS DOUBLE)
+                 / SUM(n), 9) AS ece,
+           round(MAX(abs(avg_pred - obs_rate)), 9) AS mce
+    FROM bins
+    """
+
+
+@query("train_ece", oracle=_ece_oracle())
+def train_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error — the single-number
+    summary of train_calibration_bins' reliability diagram (Naeini et
+    al., AAAI 2015; the metric model cards report):
+    ECE = Σ_b (n_b/N)·|mean-pred_b − obs-rate_b|, MCE = max_b |·|.
+    Composes the bins query wholesale (its oracle nests as a CTE), so
+    the two stay definitionally consistent. One extra ≤{b}-row
+    aggregate — free at any scale; the n·|diff| products accumulate
+    via DECIMAL(38,18) and both outputs round to 9."""
+    bins = train_calibration_bins(spark, sf_dir)
+    dec = "decimal(38,18)"
+    diff = F.abs(F.col("avg_pred") - F.col("obs_rate"))
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n").alias("n_total"),
+        F.round(
+            F.sum((F.col("n") * diff).cast(dec)).cast("double")
+            / F.sum("n"),
+            9,
+        ).alias("ece"),
+        F.round(F.max(diff), 9).alias("mce"),
+    )
+
+
+train_ece.__doc__ = train_ece.__doc__.format(b=_CAL_BINS)

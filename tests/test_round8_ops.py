@@ -365,3 +365,32 @@ def test_unigram_viterbi_segmentation_valid_and_optimal(spark):
             ),
         )
         assert r.best_lp >= math.log(best) - 1e-5, (r.w, r.best_lp, best)
+
+
+def test_scene_cuts_planted_transition(spark):
+    """A document whose bytes flip from 'a'*64 to 'z'*64 must split
+    into exactly two scenes at the frame boundary; a constant payload
+    stays one scene."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    import fuzzy_item_matching_spark.queries.multimodal as mm
+
+    rows = [(1, "a" * 64 + "z" * 64), (2, "b" * 128)]
+    with tempfile.TemporaryDirectory() as td:
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["lang"] = "en"
+        pdf["source"] = "s"
+        pdf["n_chars"] = pdf.text.str.len()
+        pdf.to_parquet(os.path.join(td, "documents.parquet"))
+        got = mm.mm_scene_cuts(spark, td).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    s1 = sorted(by_doc[1], key=lambda r: r.start_frame)
+    # 'a'=97, 'z'=122: frame sigs 97*32 vs 122*32 -> |diff| = 800 > 96
+    assert len(s1) == 2 and s1[0].start_frame == 0
+    assert s1[1].start_frame == 2  # 64 chars = 2 frames of 32
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_frames == 4

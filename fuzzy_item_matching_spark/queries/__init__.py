@@ -655,6 +655,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: ECE/MCE single-number calibration summary composed over the
     # calibration-bins oracle.
     "train_ece",
+    # r08: validation early stopping for the gradient booster (all
+    # rounds scored on the held-out slice in ONE pass).
+    "train_gboost_early_stop",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

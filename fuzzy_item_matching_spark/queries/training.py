@@ -3583,3 +3583,146 @@ def train_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_ece.__doc__ = train_ece.__doc__.format(b=_CAL_BINS)
+
+
+_GBES_ROUNDS = 4
+_GBES_SPLIT = 0.7  # train fraction (content-keyed on id_a)
+_GBES_Q = 2.0**30  # val-loss fixed-point quantum
+_GBES_MEMO: dict[str, list] = {}
+
+_D_GBES_U = (
+    "(CAST(CAST('0x' || substr(md5('42:' || CAST(id_a AS VARCHAR)), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+def _gbes_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+
+    if sf_dir not in _GBES_MEMO:
+        train = _lr_pairs(spark, sf_dir).filter(
+            keyed_uniform(F.col("id_a"), 42) < _GBES_SPLIT
+        )
+        _GBES_MEMO[sf_dir] = gboost_fit(
+            train, ["x1", "x2", "x3"], rounds=_GBES_ROUNDS
+        ).collect()
+    return _GBES_MEMO[sf_dir]
+
+
+def _gbes_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        GB_ETA,
+        gboost_ctes,
+    )
+
+    feats = ["x1", "x2", "x3"]
+    train_sql = (
+        f"SELECT * FROM ({_LR_PAIRS_SQL}) WHERE {_D_GBES_U} < {_GBES_SPLIT}"
+    )
+    ctes, _ = gboost_ctes(train_sql, feats, rounds=_GBES_ROUNDS)
+    # per-round raw score over the VALIDATION slice
+    f_exprs = {0: "0.0"}
+    froms = []
+    for t in range(1, _GBES_ROUNDS + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        case = (
+            f"({GB_ETA!r} * (CASE WHEN (CASE {b}.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+            + f" END) <= {b}.thr THEN {b}.w_le ELSE {b}.w_gt END))"
+        )
+        f_exprs[t] = f"{f_exprs[t - 1]} + {case}"
+    loss_cols = []
+    for t in range(0, _GBES_ROUNDS + 1):
+        f = f"({f_exprs[t]})"
+        lp1 = f"(-ln(1.0 + exp(-{f})))"
+        lp0 = f"(-{f} - ln(1.0 + exp(-{f})))"
+        term = f"-(y * {lp1} + (1.0 - y) * {lp0})"
+        loss_cols.append(
+            f"CAST(SUM(CAST(floor(({term}) * {_GBES_Q!r}) AS BIGINT))"
+            f" AS DOUBLE) / {_GBES_Q!r} / COUNT(*) AS l{t}"
+        )
+    arms = []
+    best = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'l{t} <= l{t2}' for t2 in range(_GBES_ROUNDS + 1) if t2 > t)} THEN {t}"
+        for t in range(_GBES_ROUNDS)
+    ) + f" ELSE {_GBES_ROUNDS} END"
+    for t in range(0, _GBES_ROUNDS + 1):
+        arms.append(
+            f"SELECT {t} AS round, round(l{t}, 9) AS val_loss,"
+            f" CASE WHEN ({best}) = {t} THEN 1 ELSE 0 END AS is_best"
+            " FROM losses"
+        )
+    return f"""{ctes},
+    val AS MATERIALIZED (
+      SELECT CAST(label AS DOUBLE) AS y, {", ".join(feats)}
+      FROM ({_LR_PAIRS_SQL}) WHERE NOT ({_D_GBES_U} < {_GBES_SPLIT})
+    ),
+    losses AS MATERIALIZED (
+      SELECT {", ".join(loss_cols)} FROM val, {", ".join(froms)}
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@query("train_gboost_early_stop", oracle=_gbes_oracle())
+def train_gboost_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early stopping for the gradient booster — XGBoost's
+    `early_stopping_rounds` workflow (the reference's hyperopt loop
+    evaluates on a held-out split exactly this way, `03_Train & Deploy
+    Model.py:163-192`): fit {r} rounds on the content-keyed 70% train
+    slice, score the held-out 30% after EVERY round, and flag the
+    round minimizing validation log-loss (ties → earliest — the
+    actual stopping rule). Output one row per round 0..{r}
+    (round 0 = the f = 0 baseline).
+
+    Scale shape: the fit is gboost_fit on the filtered slice (its own
+    memo); ALL {r}+1 validation losses compute in ONE pass — the
+    per-round scores are literal CASE columns, so the val frame is
+    scanned once into a single aggregate with {r}+1 fixed-point sums.
+
+    Determinism: the content-keyed split survives repartitioning and
+    engines (functions/sampling.py); ln p / ln(1−p) use the
+    cancellation-free forms −ln(1+e^{{−f}}) and −f−ln(1+e^{{−f}}) on
+    bit-identical f; per-row terms quantize via floor(·2^30) BIGINT
+    sums (order-insensitive); the argmin compares the exact quantized
+    losses, so the flag cannot flip on ulp noise."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    model = _gbes_rows(spark, sf_dir)
+    val = _lr_pairs(spark, sf_dir).filter(
+        ~(keyed_uniform(F.col("id_a"), 42) < _GBES_SPLIT)
+    ).select(F.col("label").cast("double").alias("y"), "x1", "x2", "x3")
+    fs = {0: F.lit(0.0)}
+    for t, m in enumerate(model, start=1):
+        term = F.lit(GB_ETA) * F.when(
+            F.col(m.feature) <= F.lit(m.thr), F.lit(m.w_le)
+        ).otherwise(F.lit(m.w_gt))
+        fs[t] = fs[t - 1] + term
+    aggs = []
+    for t in range(0, _GBES_ROUNDS + 1):
+        f = fs[t]
+        lp1 = -F.log(1.0 + F.exp(-f))
+        lp0 = -f - F.log(1.0 + F.exp(-f))
+        term = -(F.col("y") * lp1 + (1.0 - F.col("y")) * lp0)
+        aggs.append(
+            (
+                F.sum(F.floor(term * _GBES_Q)).cast("double")
+                / _GBES_Q
+                / F.count(F.lit(1))
+            ).alias(f"l{t}")
+        )
+    [st] = val.agg(*aggs).collect()  # 1 row — all rounds in one pass
+    losses = [st[f"l{t}"] for t in range(_GBES_ROUNDS + 1)]
+    best = min(range(_GBES_ROUNDS + 1), key=lambda t: (losses[t], t))
+    rows = [
+        (t, losses[t], 1 if t == best else 0)
+        for t in range(_GBES_ROUNDS + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "round int, val_loss double, is_best int"
+    ).select(
+        "round", F.round("val_loss", 9).alias("val_loss"), "is_best"
+    )

@@ -394,3 +394,25 @@ def test_scene_cuts_planted_transition(spark):
     assert len(s1) == 2 and s1[0].start_frame == 0
     assert s1[1].start_frame == 2  # 64 chars = 2 frames of 32
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_frames == 4
+
+
+def test_gboost_early_stop_flags_min(spark):
+    """Exactly one best round; it attains the minimum validation
+    loss; more boosting rounds never increase TRAIN fit but can
+    overfit val — the flag must track val, not round count."""
+    from fuzzy_item_matching_spark.queries.training import (
+        train_gboost_early_stop,
+    )
+
+    rows = sorted(
+        train_gboost_early_stop(spark, SF_CHECK).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(rows) == 5
+    best = [r for r in rows if r.is_best == 1]
+    assert len(best) == 1
+    mn = min(r.val_loss for r in rows)
+    assert best[0].val_loss == mn
+    # and it's the EARLIEST attaining round
+    first_min = next(r.round for r in rows if r.val_loss == mn)
+    assert best[0].round == first_min

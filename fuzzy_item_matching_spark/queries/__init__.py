@@ -658,6 +658,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: validation early stopping for the gradient booster (all
     # rounds scored on the held-out slice in ONE pass).
     "train_gboost_early_stop",
+    # r08: SentencePiece prune stage composed over the EM fit.
+    "text_unigram_prune",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

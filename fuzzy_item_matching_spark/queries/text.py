@@ -694,13 +694,11 @@ def text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     column arithmetic, no joins. The oracle replays the identical
     recursion through 24 unrolled CTE levels with correlated
     piece-probability lookups."""
-    from fuzzy_item_matching_spark.operators.unigram_lm import (
-        unigram_em_fit,
+    rows = _uni_rows(spark, sf_dir)  # session memo — fit once, shared
+    #                                  with the prune stage
+    return spark.createDataFrame(
+        rows, "piece string, cnt long, p0 double, p1 double"
     )
-    from fuzzy_item_matching_spark.tables import load_table
-
-    d = load_table(spark, sf_dir, "documents")
-    return unigram_em_fit(d, regex_tokenize("text"))
 
 
 def _unigram_viterbi_oracle() -> str:
@@ -735,3 +733,74 @@ def text_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_viterbi_segments(d, regex_tokenize("text"))
+
+
+_UNI_PRUNE_TAU = 0.004  # multi-char survival threshold on p1
+_UNI_MEMO: dict[str, list] = {}
+
+
+def _uni_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.operators.unigram_lm import (
+        unigram_em_fit,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    if sf_dir not in _UNI_MEMO:
+        d = load_table(spark, sf_dir, "documents")
+        _UNI_MEMO[sf_dir] = unigram_em_fit(
+            d, regex_tokenize("text")
+        ).collect()  # ≤ alphabet + 64 rows — the fitted-state budget
+    return _UNI_MEMO[sf_dir]
+
+
+def _unigram_prune_oracle() -> str:
+    return f"""
+    WITH em AS MATERIALIZED (SELECT * FROM ({_unigram_oracle()}) t),
+    kept AS MATERIALIZED (
+      SELECT piece, cnt, p1 FROM em
+      WHERE len(piece) = 1 OR p1 >= {_UNI_PRUNE_TAU!r}
+    ),
+    tot AS (SELECT CAST(SUM(CAST(p1 AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM kept)
+    SELECT piece, cnt, p1,
+           round(p1 / tot.s, 9) AS p_pruned
+    FROM kept, tot
+    """
+
+
+@query("text_unigram_prune", oracle=_unigram_prune_oracle())
+def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece PRUNE stage (Kudo 2018 §3.2's loop is
+    EM → prune → repeat): after the EM re-estimate, multi-char pieces
+    whose posterior probability fell below {tau} leave the vocabulary
+    (single chars always survive — segmentability), and the survivors
+    renormalize. Composes the EM fit wholesale — the Spark side reads
+    the session memo (fit once), the oracle nests the full EM
+    statement as a CTE (the train_ece composition discipline), so
+    fit and prune stay definitionally consistent.
+
+    Determinism: p1 values are the EM query's 9-rounded outputs; the
+    renormalizer accumulates them as DECIMAL(38,18) (exact — they sit
+    on the 1e-9 grid) and the final share rounds to 9."""
+    rows = _uni_rows(spark, sf_dir)
+    em = spark.createDataFrame(
+        [(r["piece"], r["cnt"], r["p1"]) for r in rows],
+        "piece string, cnt long, p1 double",
+    )
+    kept = em.filter(
+        (F.length("piece") == 1) | (F.col("p1") >= _UNI_PRUNE_TAU)
+    )
+    tot = kept.agg(
+        F.sum(F.col("p1").cast("decimal(38,18)")).cast("double").alias("s")
+    )
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        "p1",
+        F.round(F.col("p1") / F.col("s"), 9).alias("p_pruned"),
+    )
+
+
+text_unigram_prune.__doc__ = text_unigram_prune.__doc__.format(
+    tau=_UNI_PRUNE_TAU
+)

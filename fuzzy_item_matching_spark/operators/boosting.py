@@ -78,6 +78,11 @@ def adaboost_stumps(
 
     cand_rows = []
     for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
         mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
         for k in range(1, grid):
             thr = mn + k * (mx - mn) / float(grid)
@@ -366,6 +371,11 @@ def adaboost_depth2(
     ).first()
     cand_rows = []
     for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
         mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
         for k in range(1, grid):
             cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
@@ -805,6 +815,11 @@ def gboost_fit(
     ).first()
     cand_rows = []
     for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
         mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
         for k in range(1, grid):
             cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
@@ -1077,6 +1092,11 @@ def gboost_depth2_fit(
     ).first()
     cand_rows = []
     for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
         mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
         for k in range(1, grid):
             cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))

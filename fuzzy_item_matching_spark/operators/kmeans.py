@@ -98,6 +98,11 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )  # k rows — the fitted-state budget
+    if not seeds:
+        raise ValueError(
+            "kmeans_fit: empty input frame — no seed centroids can exist"
+            " (the IVF/PQ empty-corpus contract)"
+        )
     cents = [[float(v) for v in r["x"]] for r in seeds]
     ids = list(range(1, len(cents) + 1))
     ns = [0] * len(cents)
@@ -115,7 +120,8 @@ def kmeans_fit(
             ).alias(f"__d{i}")
             for i, c in enumerate(cents)
         ])
-        dmin = F.least(*[F.col(f"__d{i}") for i in range(len(cents))])
+        ds = [F.col(f"__d{i}") for i in range(len(cents))]
+        dmin = F.least(*ds) if len(ds) >= 2 else ds[0]  # least() needs 2
         # CASE tests in ids-ascending order, so ties resolve to the
         # lowest surviving c — the oracle's (d, c) ROW_NUMBER order.
         # Empty clusters drop out (the oracle's GROUP BY does the

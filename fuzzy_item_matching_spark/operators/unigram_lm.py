@@ -93,6 +93,10 @@ def unigram_em_fit(docs: DataFrame, tokenize) -> DataFrame:
         singles.unionByName(multi).collect(),
         key=lambda r: r["q"],
     )  # ≤ alphabet + VOCAB_MULTI rows — the fitted-state budget
+    if not voc_rows:  # empty corpus -> empty model, stable schema
+        return spark.createDataFrame(
+            [], "piece string, cnt long, p0 double, p1 double"
+        )
     tot = sum(r["c"] for r in voc_rows)
     p0 = {r["q"]: float(r["c"]) / float(tot) for r in voc_rows}
 
@@ -377,6 +381,12 @@ def unigram_viterbi_segments(docs: DataFrame, tokenize) -> DataFrame:
     voc_rows = sorted(
         singles.unionByName(multi).collect(), key=lambda r: r["q"]
     )
+    if not voc_rows:  # empty corpus -> empty segmentation
+        return docs.sparkSession.createDataFrame(
+            [],
+            "w string, wc long, n_pieces long, seg string,"
+            " best_lp double",
+        )
     tot = sum(r["c"] for r in voc_rows)
     p0 = {r["q"]: float(r["c"]) / float(tot) for r in voc_rows}
     pm = F.create_map(

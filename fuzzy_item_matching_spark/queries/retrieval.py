@@ -454,6 +454,11 @@ def serve_fs_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sg / F.sum("n").cast("double")).alias("lam"),
         ]
         [st] = e.agg(*aggs).collect()  # 1 row — the EM state
+        if st["lam"] is None:
+            raise ValueError(
+                "serve_fs_em_fit: zero blocked comparison pairs —"
+                " the EM estimate cannot exist"
+            )
         m = [st[f"m{j}"] for j in (1, 2, 3)]
         u = [st[f"u{j}"] for j in (1, 2, 3)]
         lam = st["lam"]
@@ -505,9 +510,10 @@ def _blocking_eval_oracle() -> str:
            CASE WHEN nt.n_truth = 0 THEN 1.0
                 ELSE CAST(nh.n_hit AS DOUBLE) / nt.n_truth
            END AS pairs_completeness,
-           1.0 - CAST(nc.n_cand AS DOUBLE)
-               / (CAST(nn.n AS DOUBLE) * (nn.n - 1.0) / 2.0)
-             AS reduction_ratio
+           CASE WHEN nn.n < 2 THEN 1.0
+                ELSE 1.0 - CAST(nc.n_cand AS DOUBLE)
+                     / (CAST(nn.n AS DOUBLE) * (nn.n - 1.0) / 2.0)
+           END AS reduction_ratio
     FROM nn, nt, nc, nh
     """
 
@@ -579,11 +585,13 @@ def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_truth") == 0, F.lit(1.0))
             .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
             .alias("pairs_completeness"),
-            (
+            F.when(F.col("n") < 2, F.lit(1.0))
+            .otherwise(
                 F.lit(1.0)
                 - F.col("n_cand").cast("double")
                 / (F.col("n").cast("double") * (F.col("n") - 1.0) / 2.0)
-            ).alias("reduction_ratio"),
+            )
+            .alias("reduction_ratio"),
         )
     )
 

@@ -66,6 +66,19 @@ EMPTY_SAFE = [
     "pipe_preference_pairs",
     "train_hard_negatives",
     "train_word2vec_lite",
+    # r08 additions
+    "dedup_substring_spans",
+    "ts_dsir_weights",
+    "stream_anomaly_zscore",
+    "rel_range_interval_ma",
+    "ts_kneser_ney",
+    "sim_rrf_fusion",
+    "mm_scene_cuts",
+    "train_ece",
+    "sim_blocking_eval",
+    "text_unigram_em",
+    "text_unigram_segments",
+    "text_unigram_prune",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
@@ -79,6 +92,20 @@ NEEDS_DATA = [
     # MMR: a greedy rerank cannot exist without a candidate pool
     "sim_mmr_topk",
     "dedup_semantic_recall",
+    # r08: fits whose threshold grids / seeds / EM state cannot exist
+    # on an empty frame raise a clear ValueError
+    "vec_kmeans_centroids",
+    "vec_kmeans_silhouette",
+    "vec_kmeans_elbow",
+    "serve_fs_em_fit",
+    "train_gboost_fit",
+    "train_gboost_score",
+    "train_gboost_depth2",
+    "train_gboost_d2_score",
+    "train_gboost_importance",
+    "train_platt_scaling",
+    "train_pr_curve",
+    "train_gboost_early_stop",
 ]
 
 
@@ -110,6 +137,15 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
         [r] = rows
         assert r["n_exact"] == r["n_lsh"] == r["n_missed"] == 0
         assert r["recall"] == 1.0
+    elif name == "sim_blocking_eval":
+        # vacuous comparison space: completeness and reduction = 1
+        [r] = rows
+        assert r["n_truth"] == r["n_cand"] == r["n_hit"] == 0
+        assert r["pairs_completeness"] == r["reduction_ratio"] == 1.0
+    elif name == "train_ece":
+        # the 1-row summary of an empty bin table: all-null metrics
+        [r] = rows
+        assert r["n_bins"] == 0 and r["ece"] is None
     else:
         assert rows == []
 
@@ -117,5 +153,8 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
 @pytest.mark.parametrize("name", NEEDS_DATA)
 def test_index_build_fails_loudly_on_empty(spark, empty_sf, name):
     reg = load_all()
-    with pytest.raises(ValueError, match="empty corpus|no non-null"):
+    with pytest.raises(
+        ValueError,
+        match="empty corpus|no non-null|empty training frame|empty input frame|zero blocked",
+    ):
         reg[name].fn(spark, empty_sf).collect()

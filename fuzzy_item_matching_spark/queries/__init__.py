@@ -660,6 +660,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_gboost_early_stop",
     # r08: SentencePiece prune stage composed over the EM fit.
     "text_unigram_prune",
+    # r08: the EM-fitted linkage serve half (Splink deploy shape).
+    "serve_fs_em_scores",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

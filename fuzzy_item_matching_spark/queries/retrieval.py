@@ -771,3 +771,118 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_rrf_fusion.__doc__ = sim_rrf_fusion.__doc__.format(
     nq=len(_RRF_QUERIES), k=_RRF_K, top=_RRF_TOP
 )
+
+
+_FS_SCORE_TOP = 50
+
+
+def _fs_em_scores_oracle() -> str:
+    fin = f"em{_FS_EM_ITERS}"
+    w_terms = []
+    for j, _f in enumerate(_FS_FIELDS, start=1):
+        w_terms.append(
+            f"CAST(CASE WHEN g{j} = 1 THEN ln(round(m{j}, 9)"
+            f" / round(u{j}, 9))"
+            f" ELSE ln((1.0 - round(m{j}, 9)) / (1.0 - round(u{j}, 9)))"
+            f" END AS DECIMAL(38,18))"
+        )
+    em_ctes = _fs_em_oracle()
+    # reuse the EM oracle's CTE chain; its final SELECT is replaced by
+    # a pair-scoring tail, so wrap the whole statement as a CTE
+    return f"""
+    WITH fit AS MATERIALIZED (SELECT * FROM ({em_ctes}) t),
+    p AS (
+      SELECT p_partkey, p_brand, p_size,
+             coalesce(p_type, '') AS f_type,
+             split_part(coalesce(p_name, ''), ' ', 1) AS f_tok1,
+             split_part(coalesce(p_name, ''), ' ', 2) AS f_tok2
+      FROM part
+    ),
+    prm AS (
+      SELECT MAX(CASE WHEN field = 'f_type' THEN m END) AS m1,
+             MAX(CASE WHEN field = 'f_tok1' THEN m END) AS m2,
+             MAX(CASE WHEN field = 'f_tok2' THEN m END) AS m3,
+             MAX(CASE WHEN field = 'f_type' THEN u END) AS u1,
+             MAX(CASE WHEN field = 'f_tok1' THEN u END) AS u2,
+             MAX(CASE WHEN field = 'f_tok2' THEN u END) AS u3
+      FROM fit
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             CASE WHEN a.f_type = b.f_type THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.f_tok1 = b.f_tok1 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.f_tok2 = b.f_tok2 THEN 1 ELSE 0 END AS g3
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT id1, id2, weight FROM (
+      SELECT id1, id2,
+             CAST({" + ".join(w_terms)} AS DOUBLE) AS weight,
+             ROW_NUMBER() OVER (ORDER BY
+               CAST({" + ".join(w_terms)} AS DOUBLE) DESC,
+               id1 ASC, id2 ASC) AS rnk
+      FROM pairs, prm
+    ) WHERE rnk <= {_FS_SCORE_TOP}
+    """
+
+
+
+@query("serve_fs_em_scores", oracle=_fs_em_scores_oracle())
+def serve_fs_em_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half of the EM-fitted linkage — blocked pair scoring
+    with the ESTIMATED parameters (serve_fs_linkage uses fixed m's;
+    this is what Splink deploys after
+    estimate_parameters_using_expectation_maximisation): weight =
+    Σ_j ln(m̂_j/û_j) on agreement, ln((1−m̂_j)/(1−û_j)) on
+    disagreement, top-{top} pairs by (weight, id1, id2). The fit runs
+    once per session (the serve_fs_em_fit query path shares the same
+    EM); parameters enter the scoring expression as the 9-rounded fit
+    outputs in BOTH engines, so every ln sees bit-identical inputs.
+
+    Scale: same blocked equi-join as the fit; scoring is row-local;
+    the DECIMAL 3-term weight sum follows serve_fs_linkage; top-k is
+    TakeOrderedAndProject after a total order."""
+    fit = {r["field"]: r for r in serve_fs_em_fit(spark, sf_dir).collect()}
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.coalesce("p_type", F.lit("")).alias("f_type"),
+        F.split(F.coalesce("p_name", F.lit("")), " ")
+        .getItem(0)
+        .alias("f_tok1"),
+        F.coalesce(
+            F.split(F.coalesce("p_name", F.lit("")), " ").getItem(1),
+            F.lit(""),
+        ).alias("f_tok2"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id1"),
+        F.col("b.p_partkey").alias("id2"),
+        *[
+            (F.col(f"a.{f_}") == F.col(f"b.{f_}")).cast("int").alias(f"g{j}")
+            for j, f_ in enumerate(_FS_FIELDS, start=1)
+        ],
+    )
+    w = None
+    for j, f_ in enumerate(_FS_FIELDS, start=1):
+        m, u = fit[f_]["m"], fit[f_]["u"]
+        term = F.when(
+            F.col(f"g{j}") == 1, F.log(F.lit(m) / F.lit(u))
+        ).otherwise(F.log(F.lit(1.0 - m) / F.lit(1.0 - u))).cast(
+            "decimal(38,18)"
+        )
+        w = term if w is None else w + term
+    scored = pairs.select("id1", "id2", w.cast("double").alias("weight"))
+    return (
+        scored.orderBy(F.desc("weight"), F.asc("id1"), F.asc("id2"))
+        .limit(_FS_SCORE_TOP)
+        .select("id1", "id2", "weight")
+    )

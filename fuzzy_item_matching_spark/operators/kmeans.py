@@ -66,8 +66,20 @@ _D_SQD = (
 )
 
 
-def _points(e: DataFrame) -> DataFrame:
-    return e.select(
+def _points(e: DataFrame, dim: int | None = None) -> DataFrame:
+    """(vec_id, x double[]) with the dirty-input policy applied when
+    ``dim`` is given: NULL, ragged (wrong dimension), and NaN-bearing
+    embeddings are EXCLUDED from the fit — the curation filter every
+    embedding consumer in this repo applies (nulls would otherwise
+    poison the argmin and the centroid sums)."""
+    pts = e
+    if dim is not None:
+        pts = pts.filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == dim)
+            & ~F.exists("embedding", lambda v: F.isnan(v))
+        )
+    return pts.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
 
@@ -77,6 +89,7 @@ def kmeans_fit(
     k: int = KM_K,
     iters: int = KM_ITERS,
     seed: int = KM_SEED,
+    dim: int | None = None,
 ) -> DataFrame:
     """Fit ``iters`` Lloyd iterations from ``k`` hash-seeded initial
     centroids; return the centroid frame (c, cent array<double>, n)
@@ -89,7 +102,7 @@ def kmeans_fit(
     a map-side-combinable groupBy(c, j) whose state is k·dim
     fixed-point cells; the per-iteration collect is k·dim rows."""
     spark = e.sparkSession
-    pts = _points(e).persist()
+    pts = _points(e, dim).persist()
     seeds = (
         pts.select(
             "x", keyed_uniform(F.col("vec_id"), seed).alias("u"), "vec_id"
@@ -183,7 +196,10 @@ def kmeans_ctes(
     )
     parts = [
         f"WITH {pfx}emb AS MATERIALIZED (SELECT vec_id,"
-        f" embedding::DOUBLE[] AS x FROM ({emb_sql}))",
+        f" embedding::DOUBLE[] AS x FROM ({emb_sql})"
+        f" WHERE embedding IS NOT NULL AND len(embedding) = {dim}"
+        f" AND len(list_filter(embedding::DOUBLE[],"
+        f" v -> isnan(v))) = 0)",
         f"""{pfx}cent0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY u, vec_id) AS c, x AS cent
       FROM (SELECT vec_id, x, {u} AS u FROM {pfx}emb)

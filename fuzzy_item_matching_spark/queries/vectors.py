@@ -519,7 +519,9 @@ def _km_cent(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _KM_MEMO:
         e = load_table(spark, sf_dir, "embeddings")
-        _KM_MEMO[sf_dir] = kmeans_fit(e).collect()  # k rows — bounded
+        _KM_MEMO[sf_dir] = kmeans_fit(
+            e, dim=_KM_DIM
+        ).collect()  # k rows — bounded
     return _KM_MEMO[sf_dir]
 
 
@@ -584,10 +586,10 @@ def vec_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = F.broadcast(
         spark.createDataFrame(rows, "c int, cent array<double>, n long")
     )
+    from fuzzy_item_matching_spark.operators.kmeans import _points
+
     e = load_table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    )
+    pts = _points(e, _KM_DIM)
     d = pts.crossJoin(cent.select("c", "cent")).select(
         "vec_id", "c", F.expr(_SQD.format(a="x", b="cent")).alias("d")
     )
@@ -668,10 +670,10 @@ def vec_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits under prefixed CTE namespaces in one statement."""
     from fuzzy_item_matching_spark.operators.kmeans import _SQD
 
+    from fuzzy_item_matching_spark.operators.kmeans import _points
+
     e = load_table(spark, sf_dir, "embeddings")
-    pts = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    ).persist()
+    pts = _points(e, _KM_DIM).persist()
     out = []
     for k in _KM_ELBOW_KS:
         rows = _km_cent_k(spark, sf_dir, k)
@@ -709,7 +711,7 @@ def _km_cent_k(spark: SparkSession, sf_dir: str, k: int):
     key = f"{sf_dir}::k{k}"
     if key not in _KM_MEMO:
         e = load_table(spark, sf_dir, "embeddings")
-        _KM_MEMO[key] = kmeans_fit(e, k=k).collect()
+        _KM_MEMO[key] = kmeans_fit(e, k=k, dim=_KM_DIM).collect()
     return _KM_MEMO[key]
 
 

@@ -26,6 +26,31 @@ TABLES = (
 ).split()
 
 DIRTY_SAFE = [
+    # r08: NULL/ragged/NaN embeddings are EXCLUDED from the kmeans
+    # fit (the curation filter, applied in both engines); text/
+    # model/streaming r08 ops tolerate NULL/empty/unicode rows
+    "vec_kmeans_centroids",
+    "vec_kmeans_silhouette",
+    "vec_kmeans_elbow",
+    "serve_fs_em_fit",
+    "serve_fs_em_scores",
+    "sim_blocking_eval",
+    "dedup_substring_spans",
+    "ts_dsir_weights",
+    "ts_kneser_ney",
+    "ts_zipf_fit",
+    "sim_rrf_fusion",
+    "train_gboost_depth2",
+    "train_gboost_early_stop",
+    "train_platt_scaling",
+    "train_pr_curve",
+    "train_ece",
+    "text_unigram_em",
+    "text_unigram_segments",
+    "text_unigram_prune",
+    "mm_scene_cuts",
+    "stream_anomaly_zscore",
+    "rel_range_interval_ma",
     # text family over NULL/empty/unicode/megatoken docs
     "text_tokens",
     "ts_token_stats",

@@ -101,6 +101,11 @@ HEADLINE_EXTRA = {
     "stream_anomaly_zscore",
     "vec_kmeans_silhouette",
     "text_unigram_em",
+    "train_gboost_early_stop",
+    "mm_scene_cuts",
+    "serve_fs_em_scores",
+    "train_ece",
+    "vec_kmeans_elbow",
 }
 
 

@@ -383,3 +383,46 @@ def extract_image_ahash(
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema="doc_id long, chunks array<int>"
     )
+
+
+def resize_image_nn(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: int = 8,
+) -> DataFrame:
+    """REAL decode → nearest-neighbor RESIZE to a target×target
+    grayscale thumbnail (blue channel), emitted as long-format pixel
+    rows (doc_id, py, px, v) — the materialized form of the resample
+    extract_image_ahash hashes away, and the brief's `resize` tier:
+    a thumbnail/feature pipeline persists exactly this grid. Arrow-
+    batched mapInPandas; source index (py·h/t)·3w + (px·w/t)·3 is pure
+    integer arithmetic, exactly replayable by the oracle's ascii()
+    walk. Undecodable payloads are skipped (their rows, not the task).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = target
+        for pdf in it:
+            ids, pys, pxs, vs = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, px = decode_bmp(bytes(p))
+                except (ValueError, IndexError):
+                    continue
+                if not px:
+                    continue
+                for py_ in range(t):
+                    base = (py_ * h // t) * 3 * w
+                    for px_ in range(t):
+                        ids.append(i)
+                        pys.append(py_)
+                        pxs.append(px_)
+                        vs.append(px[base + (px_ * w // t) * 3])
+            yield pd.DataFrame(
+                {"doc_id": ids, "py": pys, "px": pxs, "v": vs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema="doc_id long, py int, px int, v int"
+    )

@@ -662,6 +662,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_unigram_prune",
     # r08: the EM-fitted linkage serve half (Splink deploy shape).
     "serve_fs_em_scores",
+    # r08: nearest-neighbor image resize (the decode->resize tier as a
+    # materialized thumbnail grid).
+    "mm_image_resize",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

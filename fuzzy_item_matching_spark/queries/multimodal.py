@@ -416,3 +416,49 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 mm_scene_cuts.__doc__ = mm_scene_cuts.__doc__.format(
     f=_SC_FRAME, t=_SC_TAU
 )
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS tl,
+             (ascii(substring(text, 1, 1)) % 8 + 1) * 8 AS w,
+             (ascii(substring(text, 2, 1)) % 8 + 1) * 8 AS h
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(u.i // 8 AS INT) AS py,
+           CAST(u.i % 8 AS INT) AS px,
+           ascii(substring(text,
+             ((((u.i // 8) * h) // 8) * 3 * w
+              + (((u.i % 8) * w) // 8) * 3) % tl + 1,
+             1)) AS v
+    FROM g, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u(i)
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE (nearest-neighbor, 8×8 grayscale thumbnail) over
+    the REAL BMP decode path — the brief's decode→resize tier as a
+    materialized grid: the mapInPandas hop parses each container
+    (header walk, padded-row strip) and resamples one blue-channel
+    byte per target cell; output is the long-format thumbnail
+    (doc_id, py, px, v) a multimodal feature store persists.
+    extract_image_ahash consumes exactly this grid before hashing —
+    here the resample itself is the product.
+
+    Scale: decode is Arrow-batched and partition-local (no shuffle);
+    fanout is a fixed 64 rows/doc. The oracle replays the builder∘
+    parser roundtrip through integer ascii() arithmetic (the
+    mm_phash_pairs sampling formula), so the REAL decode stays
+    exactly checkable."""
+    d = with_bmp_payload(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") > 0
+        )
+    )
+    from fuzzy_item_matching_spark.operators.multimodal import (
+        resize_image_nn,
+    )
+
+    return resize_image_nn(d)

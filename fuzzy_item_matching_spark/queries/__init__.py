@@ -665,6 +665,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r08: nearest-neighbor image resize (the decode->resize tier as a
     # materialized thumbnail grid).
     "mm_image_resize",
+    # r08: corpus-order novelty scoring (first-occurrence shingles).
+    "ts_ngram_novelty",
+    # r08: confident-learning label-noise audit over the gboost scores.
+    "train_label_noise",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

@@ -2923,3 +2923,63 @@ def ts_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_kneser_ney.__doc__ = ts_kneser_ney.__doc__.format(mc=_KN_MIN)
+
+
+def _novelty_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.dedup import _D_SHINGLES
+
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+      )
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY grams.doc_id
+    """
+
+
+@query("ts_ngram_novelty", oracle=_novelty_oracle())
+def ts_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty scoring — per document the fraction of its
+    distinct word-3-gram shingles appearing for the FIRST time in
+    ingestion order (doc_id): the curation signal behind curriculum
+    ordering and incremental-crawl value estimates (a feed whose
+    novelty decays is re-crawling known content; the doc-level dual of
+    ts_vocab_growth's corpus curve).
+
+    Scale shape: one shingle explode feeds (a) the global
+    first-occurrence agg — map-side-combinable MIN per gram — and (b)
+    the per-doc join-back + count; both exchanges key on the gram (at
+    100 TB: hash the gram first, the dedup_substring_spans trick).
+    Integers end-to-end; one IEEE division."""
+    d = load_table(spark, sf_dir, "documents")
+    from fuzzy_item_matching_spark.operators.dedup import word_shingles
+
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            word_shingles(regex_tokenize("text"), 3)
+        ).alias("g"),
+    ).persist()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

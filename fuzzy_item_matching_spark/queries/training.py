@@ -3726,3 +3726,80 @@ def train_gboost_early_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "round", F.round("val_loss", 9).alias("val_loss"), "is_best"
     )
+
+
+_LN_HI = 0.7  # confident-prediction threshold (Cleanlab's intuition)
+
+
+def _label_noise_oracle() -> str:
+    ctes, _ = _gb_model_ctes()
+    return f"""{ctes},
+    {_gb_score_cte()},
+    pr AS (
+      SELECT id_a, id_b, y, round(1.0 / (1.0 + exp(-score)), 9) AS p
+      FROM sc
+    ),
+    flagged AS (
+      SELECT id_a, id_b, CAST(y AS INT) AS label, p,
+             CASE WHEN p >= {_LN_HI!r} AND y = 0.0 THEN 'suspect_neg'
+                  WHEN p <= {1.0 - _LN_HI!r} AND y = 1.0
+                    THEN 'suspect_pos'
+             END AS kind
+      FROM pr
+    )
+    SELECT id_a, id_b, label, p, kind FROM flagged
+    WHERE kind IS NOT NULL
+    ORDER BY p DESC, id_a ASC LIMIT 50
+    """
+
+
+@query("train_label_noise", oracle=_label_noise_oracle())
+def train_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (the confident-learning intuition,
+    Northcutt et al. 2021 / Cleanlab): training pairs whose label
+    DISAGREES with a confident model prediction — calibrated
+    probability ≥ {hi} on a negative, or ≤ {lo} on a positive — are
+    relabel/review candidates. The data-quality audit every
+    human-labeled matching corpus needs before refitting (the
+    reference's labeled pair construction, `02_Build Training
+    Pairs.py`, is exactly the kind of weak labeling this catches).
+
+    Scale: scores are the shared gboost memo as literal CASE columns
+    (row-local); the flag is a projection; top-50 by (p, id) is
+    TakeOrderedAndProject. p rounds to 9 before thresholding (the
+    train_pr_curve boundary discipline)."""
+    pairs = _lr_pairs(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.col("label").cast("double").alias("y"),
+        F.round(
+            1.0 / (1.0 + F.exp(-_gb_margin(spark, sf_dir))), 9
+        ).alias("p"),
+    )
+    kind = (
+        F.when(
+            (F.col("p") >= _LN_HI) & (F.col("y") == 0.0),
+            F.lit("suspect_neg"),
+        )
+        .when(
+            (F.col("p") <= 1.0 - _LN_HI) & (F.col("y") == 1.0),
+            F.lit("suspect_pos"),
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("y").cast("int").alias("label"),
+            "p",
+            kind.alias("kind"),
+        )
+        .filter(F.col("kind").isNotNull())
+        .orderBy(F.desc("p"), F.asc("id_a"))
+        .limit(50)
+    )
+
+
+train_label_noise.__doc__ = train_label_noise.__doc__.format(
+    hi=_LN_HI, lo=round(1.0 - _LN_HI, 6)
+)

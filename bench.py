@@ -106,6 +106,8 @@ HEADLINE_EXTRA = {
     "serve_fs_em_scores",
     "train_ece",
     "vec_kmeans_elbow",
+    "ts_ngram_novelty",
+    "train_label_noise",
 }
 
 

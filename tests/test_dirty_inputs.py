@@ -51,6 +51,8 @@ DIRTY_SAFE = [
     "mm_scene_cuts",
     "stream_anomaly_zscore",
     "rel_range_interval_ma",
+    "ts_ngram_novelty",
+    "train_label_noise",
     # text family over NULL/empty/unicode/megatoken docs
     "text_tokens",
     "ts_token_stats",

@@ -79,6 +79,7 @@ EMPTY_SAFE = [
     "text_unigram_em",
     "text_unigram_segments",
     "text_unigram_prune",
+    "ts_ngram_novelty",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
@@ -106,6 +107,7 @@ NEEDS_DATA = [
     "train_platt_scaling",
     "train_pr_curve",
     "train_gboost_early_stop",
+    "train_label_noise",
 ]
 
 

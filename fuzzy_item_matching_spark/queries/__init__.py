@@ -669,6 +669,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_ngram_novelty",
     # r08: confident-learning label-noise audit over the gboost scores.
     "train_label_noise",
+    # r08: Church-Gale term burstiness (VMR corpus diagnostic).
+    "ts_term_burstiness",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

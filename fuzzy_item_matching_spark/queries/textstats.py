@@ -2989,3 +2989,86 @@ def ts_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+_BURST_TOP = 50
+
+
+@query(
+    "ts_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS cf,
+             CAST(SUM(c * c) AS BIGINT) AS cf2
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, cf,
+           round((CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / nd.n)
+                 / nd.n / (CAST(cf AS DOUBLE) / nd.n), 9) AS burstiness
+    FROM stats, nd
+    WHERE 10 * df >= nd.n
+    ORDER BY (CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / nd.n)
+             / nd.n / (CAST(cf AS DOUBLE) / nd.n) DESC, term ASC
+    LIMIT {_BURST_TOP}
+    """,
+)
+def ts_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness — the variance-to-mean ratio of per-document
+    term counts over the corpus (Church & Gale 1995): content words
+    burst (VMR ≫ 1: when they appear, they repeat), function words
+    don't (VMR ≈ 1, Poisson-like) — the diagnostic separating topical
+    vocabulary from boilerplate, next to ts_zipf_fit and
+    ts_chi2_terms on the corpus-health dashboard. Computed over the
+    full corpus including zero-count docs (the Σc²-based computational
+    formula on integer sums — cf2/n − (cf/n)², divided by cf/n), for
+    terms in ≥ 10% of documents, top-{k} by (VMR, term).
+
+    Scale: one token explode → per-(doc, term) counts (the corpus
+    exchange) → map-side-combinable per-term integer moments; the
+    metric is a fixed IEEE expression on exact integers, rounded at 9
+    only for OUTPUT (ordering uses the unrounded value, tie-broken by
+    term)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(regex_tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = tf.agg(F.count_distinct("doc_id").alias("n"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+    )
+    vmr = (
+        (
+            F.col("cf2").cast("double")
+            - F.col("cf").cast("double") * F.col("cf") / F.col("n")
+        )
+        / F.col("n")
+        / (F.col("cf").cast("double") / F.col("n"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .filter(10 * F.col("df") >= F.col("n"))
+        .select("term", "df", "cf", vmr.alias("__vmr"))
+        .orderBy(F.desc("__vmr"), F.asc("term"))
+        .limit(_BURST_TOP)
+        .select(
+            "term", "df", "cf", F.round("__vmr", 9).alias("burstiness")
+        )
+    )
+
+
+ts_term_burstiness.__doc__ = ts_term_burstiness.__doc__.format(
+    k=_BURST_TOP
+)

@@ -108,6 +108,7 @@ HEADLINE_EXTRA = {
     "vec_kmeans_elbow",
     "ts_ngram_novelty",
     "train_label_noise",
+    "stream_dsir_scores",
 }
 
 

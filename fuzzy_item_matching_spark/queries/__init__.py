@@ -671,6 +671,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_label_noise",
     # r08: Church-Gale term burstiness (VMR corpus diagnostic).
     "ts_term_burstiness",
+    # r08: streaming DSIR selection ledger (broadcast importance model,
+    # row-local fixed-point weights, batch oracle verbatim).
+    "stream_dsir_scores",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

@@ -189,34 +189,54 @@ def main() -> None:
         for name, ts in times.items()
     }
     total = sum(t for t in per_query.values() if t > 0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "pass_totals": [
-                    round(
-                        sum(
-                            ts[i]
-                            for ts in times.values()
-                            if len(ts) > i and ts[i] >= 0
-                        ),
-                        3,
-                    )
-                    for i in range(passes)
-                ],
-                "tiers": {
-                    "tier": tier,
-                    "headline_n": len(headline),
-                    "headline_passes": passes,
-                    "tail_passes": 1 if tier == "mixed" else passes,
-                },
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": per_query,
+            "pass_totals": [
+                round(
+                    sum(
+                        ts[i]
+                        for ts in times.values()
+                        if len(ts) > i and ts[i] >= 0
+                    ),
+                    3,
+                )
+                for i in range(passes)
+            ],
+            "tiers": {
+                "tier": tier,
+                "headline_n": len(headline),
+                "headline_passes": passes,
+                "tail_passes": 1 if tier == "mixed" else passes,
+            },
+            "sf": sf,
+        }
     )
+    print(payload)
+    # Durable in-repo copy: the driver's BENCH_r{N}.json capture keeps
+    # only the tail of long stdout (r08 lost per-query times for ~160
+    # queries, "parsed": null), so every bench run also writes the
+    # complete record to BENCH_LOCAL_r{N}.json. Round number comes from
+    # SPARK_GRAFT_ROUND when set, else max(existing BENCH_r*) + 1.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            seen = [
+                int(mm.group(1))
+                for f in os.listdir(repo)
+                if (mm := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        with open(
+            os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json"), "w"
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError as e:  # never let the durable copy break the bench
+        print(f"[bench] BENCH_LOCAL write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

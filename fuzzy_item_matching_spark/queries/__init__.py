@@ -145,20 +145,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    filtering applied per source; array construction/posexplode
     #    stay exercised by vec_centroid_by_label's record and the
     #    in-prefix struct adapters.
-    "train_quality_score",
     # slot 3: tfidf (r07-green) yields to the Heaps-law vocab-growth
     #    curve; the A4 corpus document-frequency aggregate and T8 IDF
     #    weighting stay in-prefix INSIDE sim_bm25_topk's green oracle
     #    (its idf/df CTEs replay the same corpus stats).
-    "ts_vocab_growth",
-    "dedup_chunk_lines",
     "pipe_corpus_clean",
     "sim_bm25_topk",
     # -- r07: the rolling-hash fingerprint keeps its r06 record (the
     #    seeded md5 hash-family discipline stays in-prefix via
     #    dedup_minhash_lsh); ts_fingerprint demotes to balance the
     #    rotation's slot count.
-    "serve_fs_linkage",
     # -- r08 second rotation: twelve NEW round-8 operator shapes enter
     #    the prefix; the twelve slots they take come from rows whose
     #    operator keeps an in-prefix or strictly-stronger verifier,
@@ -181,7 +177,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_dsir_weights",
     # Platt calibration of the gboost margin (logreg-GD discipline);
     # the PR sweep + gain importance share its fit memo below.
-    "train_platt_scaling",
     # streaming anomaly z-score (windowed stream counts vs static
     # broadcast baseline, z rounded before the flag comparison).
     "stream_anomaly_zscore",
@@ -196,7 +191,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # depth-2 SECOND-ORDER gradient boosting — the reference XGBoost's
     # max_depth>1 shape; its serve half scores below the boundary
     # through the same memo + oracle.
-    "train_gboost_depth2",
     # unigram-LM tokenizer EM fit (SentencePiece model; forward-
     # backward DP over all segmentations, distinct-word compressed);
     # its Viterbi encode half waits below.
@@ -231,7 +225,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    in-prefix via train_gboost_score (same top-k scoring through
     #    fitted-ensemble literals, fit+serve in one oracle).
     "train_gboost_fit",
-    "train_adaboost_depth2",
     # -- r06 rotation: M4's slot upgrades from the static grid
     #    (train_grid_search, demoted) to the ADAPTIVE seeded
     #    successive-halving schedule — same applyInPandas evaluation
@@ -245,7 +238,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    Word2Vec-lite — T10's exact twin, top of the judge's
     #    rotation list.
     "train_word2vec_lite",
-    "train_keyed_split_sizes",
     # -- r07: the tumbling-window agg keeps two in-prefix streaming
     #    verifiers (sessionization, stateful stats) and
     #    stream_events_hourly's r06 record; streaming dedup keeps the
@@ -266,15 +258,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    post-sink rank); the gap-based session state shape keeps its
     #    batch twin's record below (rel_user_sessions_batch) and the
     #    stateful family keeps stream_stateful_user_stats in-prefix.
-    "stream_heavy_hitters",
-    "stream_ingest_dedup",
     "stream_stateful_user_stats",
     # slot 20 (r08): the char-bigram LM (r07-green) yields to its
     #    word-granularity sibling — the CCNet/KenLM filter with the
     #    NEW prune-then-broadcast model bound; same shared-explode
     #    fit+score plan and fixed-point NLL, so the LM-perplexity
     #    family keeps a strictly-richer in-prefix verifier.
-    "ts_wordlm_score",
     # -- r05 sixth rotation: T2 stop-removal's exact bag semantics run
     #    inside pipe_corpus_clean's green composite (the kept-count
     #    `nk` term of the quality score uses the identical stop-list
@@ -300,14 +289,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    its slot goes to the LSH-join struct-output adapter — the
     #    reference's approxSimilarityJoin OUTPUT contract
     #    (datasetA/datasetB structs + distCol), never driver-checked.
-    "sim_struct_pairs",
     # -- r07 continuation: the inverted-index Jaccard verify
     #    (dedup_ngram_jaccard, r06-green) is replayed verbatim inside
     #    BOTH in-prefix MinHash oracles (their `inter` CTE); its slot
     #    goes to the incremental ingest form — delta rows probe the
     #    banded index, corpus×corpus never re-derived (the production
     #    ingest shape, a candidate topology no other row covers).
-    "dedup_incremental_minhash",
     "stream_stream_join",
     "dedup_canonical_closure",
     # slot 28 (r08): the banded-MinHash join (r07-green) yields to its
@@ -326,7 +313,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    granularity); the one-to-many Arrow decode shape stays
     #    in-prefix via mm_image_features and mm_phash_pairs' BMP path.
     "dedup_cdc_chunks",
-    "mm_image_features",
     "serve_match_score",
     "serve_pipeline_featurize",
     # slot 33 (r08): the union→distinct→MERGE composite (r07-green)
@@ -334,7 +320,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    in-prefix via stream_merge_sink's foreachBatch MERGE, the
     #    scoring join via serve_match_score, and U1/U2's set ops keep
     #    rel_union_distinct_nations' driver record below.
-    "train_gboost_score",
     "sim_fuzzy_part_pairs",
     # -- r08 second rotation, restored rows: the three r07-new ops the
     #    round-start rotation promoted but the twelve r08 insertions
@@ -344,17 +329,119 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    this round (explicit n_features domain + gated weight-frame
     #    broadcast per ADVICE) and therefore needs a fresh record.
     "serve_canary_compare",
-    "src_scd2_history",
     "ts_sketch_compare",
-    "train_sparse_logreg",
-    # -- r08 siblings below the boundary: machinery verified by the
-    #    in-prefix family member (gboost fit/platt memo, unigram-EM
-    #    DP, kmeans memo, vocab-growth corpus curves).
+    # -- r09 rotation (17 swaps, the r8 VERDICT's #1 ask): every
+    #    round-8 operator that landed after the r8 rotation and has
+    #    never had a driver row enters the prefix. Each demoted row
+    #    (listed below the boundary) keeps its r08 driver-green
+    #    CORRECTNESS record, and its operator keeps an in-prefix or
+    #    strictly-stronger verifier:
+    #    - train_quality_score → its model-filter serve shape keeps
+    #      stream_quality_scores' and train_quality_distill's green
+    #      records; the logistic scoring expression runs in-prefix
+    #      inside train_label_noise's predicted-probability stage.
+    #    - ts_vocab_growth → the corpus-order cumulative machinery
+    #      keeps a strictly-richer in-prefix verifier in
+    #      ts_ngram_novelty (first-occurrence MIN per gram over the
+    #      same corpus ordering).
+    #    - dedup_chunk_lines → sub-document granularity stays via
+    #      in-prefix dedup_cdc_chunks + dedup_substring_spans; the A2
+    #      sorted-collect reassembly keeps rel_order_lines_collect's
+    #      green record.
+    #    - serve_fs_linkage (fixed m/u) → strictly-stronger EM-fitted
+    #      family in-prefix: serve_fs_em_fit + entering
+    #      serve_fs_em_scores score through the FITTED parameters.
+    #    - train_platt_scaling → entering train_ece evaluates the SAME
+    #      calibrated-model memo; the 1-feature GD fit discipline is
+    #      in-prefix via train_logreg_gd.
+    #    - train_gboost_depth2 + train_gboost_score → entering
+    #      train_gboost_d2_score replays the whole depth-2 fit CTEs
+    #      AND the nested-path scoring in ONE oracle (the
+    #      canonical_map→closure precedent), and train_gboost_fit
+    #      stays in-prefix.
+    #    - train_adaboost_depth2 → the ±alpha first-order machinery
+    #      keeps train_adaboost_stumps in-prefix; interaction trees
+    #      keep the strictly-richer second-order depth-2 verifier.
+    #    - train_sparse_logreg (r08's fresh-record need satisfied) →
+    #      wide GD stays via in-prefix train_logreg_gd.
+    #    - dedup_incremental_minhash → the banded index stays
+    #      in-prefix via dedup_minhash_recall (same bands + truth).
+    #    - train_keyed_split_sizes → the content-keyed uniform draw
+    #      (M5's construction) runs in-prefix inside the r09
+    #      stochastic-boosting subsample and keeps
+    #      train_weighted_sample's green record.
+    #    - sim_struct_pairs (thin output adapter) → the LSH join
+    #      itself stays via sim_fuzzy_part_pairs.
+    #    - stream_ingest_dedup → the streaming anti-join shape keeps
+    #      stream_dedup_within_watermark's record; the stream family
+    #      keeps five in-prefix verifiers.
+    #    - src_scd2_history → the versioned-lake family keeps
+    #      pipe_incremental_refresh's green record.
+    #    - stream_heavy_hitters → windowed streaming counts + rank
+    #      stay in-prefix via stream_anomaly_zscore; the bounded
+    #      Space-Saving twin keeps its judge-verified row.
+    #    - ts_wordlm_score → the LM-perplexity family keeps its
+    #      strictly-richer in-prefix verifier (ts_kneser_ney, same
+    #      shared-explode fit+score plan with KN smoothing).
+    #    - mm_image_features → the real BMP decode path stays
+    #      in-prefix via entering mm_image_resize (same decoder, plus
+    #      the resample kernel) and mm_phash_pairs' record.
+    # k-means model-selection pair over the in-prefix fit's memo:
+    # the inertia elbow sweep and the mean-silhouette eval.
+    "vec_kmeans_elbow",
+    "vec_kmeans_silhouette",
+    # gboost siblings over the in-prefix fit memos: validation-NLL
+    # early stopping, fit+score-in-one-oracle depth-2, gain
+    # importance, and the PR sweep + ECE calibration evals.
+    "train_gboost_early_stop",
     "train_gboost_d2_score",
     "train_gboost_importance",
     "train_pr_curve",
+    "train_ece",
+    # unigram-LM tokenizer: Viterbi encode + EM-driven vocab prune
+    # (the SentencePiece serve/compress halves of in-prefix
+    # text_unigram_em).
     "text_unigram_segments",
+    "text_unigram_prune",
+    # FS linkage scores through the EM-FITTED parameters (the serve
+    # half of in-prefix serve_fs_em_fit).
+    "serve_fs_em_scores",
+    # multimodal temporal + raster kernels over the real BMP path.
+    "mm_scene_cuts",
+    "mm_image_resize",
+    # corpus analytics: first-occurrence novelty, Church-Gale
+    # burstiness, Zipf OLS fit.
+    "ts_ngram_novelty",
+    "ts_term_burstiness",
     "ts_zipf_fit",
+    # confident-learning label-noise audit.
+    "train_label_noise",
+    # streaming DSIR ledger (the foreachBatch twin of in-prefix
+    # ts_dsir_weights).
+    "stream_dsir_scores",
+    # ---- 50-slot prefix boundary (r09) ----
+    # -- demoted by the r09 rotation (see the block above): every row
+    #    here keeps its r08 driver-green CORRECTNESS record.
+    "train_quality_score",
+    "ts_vocab_growth",
+    "dedup_chunk_lines",
+    "serve_fs_linkage",
+    "train_platt_scaling",
+    "train_gboost_depth2",
+    "train_adaboost_depth2",
+    "train_gboost_score",
+    "train_sparse_logreg",
+    "dedup_incremental_minhash",
+    "train_keyed_split_sizes",
+    "sim_struct_pairs",
+    "stream_ingest_dedup",
+    "src_scd2_history",
+    "stream_heavy_hitters",
+    "ts_wordlm_score",
+    "mm_image_features",
+    # -- r08 siblings below the boundary: machinery verified by the
+    #    in-prefix family member (gboost fit/platt memo, unigram-EM
+    #    DP, kmeans memo, vocab-growth corpus curves).
     "sim_lsh_sqdist_pairs",
     # -- r06 rotation: sign-LSH top-k demotes (bucket-collision
     #    candidates in-prefix via sim_lsh_sqdist_pairs, per-query
@@ -441,7 +528,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    else covers.
     "pipe_token_budget",
     "rel_bloom_semi_join",
-    # ---- 50-slot prefix boundary ----
+    # (pre-r09 prefix boundary position — kept as ledger history)
     # -- new in r07, exact-oracled, first in line for the next
     #    rotation: boundary-window dedup (split-contamination pairs —
     #    suffix→prefix inverted-index join, a candidate shape no other
@@ -645,35 +732,23 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # the fitted form of the clustering the IVF/SemDeDup queries do
     # implicitly; both exact-oracled, candidates for a future prefix
     # slot.
-    "vec_kmeans_silhouette",
     # r08: scene-cut detection over the synthetic frame stream (LAG
     # diff + island merge -- the mm family temporal shape).
-    "mm_scene_cuts",
     # r08: k-means elbow sweep (inertia vs k, three unrolled fits in
     # one prefixed-CTE oracle).
-    "vec_kmeans_elbow",
     # r08: ECE/MCE single-number calibration summary composed over the
     # calibration-bins oracle.
-    "train_ece",
     # r08: validation early stopping for the gradient booster (all
     # rounds scored on the held-out slice in ONE pass).
-    "train_gboost_early_stop",
     # r08: SentencePiece prune stage composed over the EM fit.
-    "text_unigram_prune",
     # r08: the EM-fitted linkage serve half (Splink deploy shape).
-    "serve_fs_em_scores",
     # r08: nearest-neighbor image resize (the decode->resize tier as a
     # materialized thumbnail grid).
-    "mm_image_resize",
     # r08: corpus-order novelty scoring (first-occurrence shingles).
-    "ts_ngram_novelty",
     # r08: confident-learning label-noise audit over the gboost scores.
-    "train_label_noise",
     # r08: Church-Gale term burstiness (VMR corpus diagnostic).
-    "ts_term_burstiness",
     # r08: streaming DSIR selection ledger (broadcast importance model,
     # row-local fixed-point weights, batch oracle verbatim).
-    "stream_dsir_scores",
     # (binned two-population agg + cumulative window: both shapes
     # in-prefix via train_calibration_bins / train_roc_auc; new surface
     # is the smoothed PSI and sup-CDF KS closings)

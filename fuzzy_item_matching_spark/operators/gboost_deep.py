@@ -1,0 +1,496 @@
+"""Generic depth-d second-order gradient boosting with stochastic
+row/column subsampling and a min-hessian split floor.
+
+The reference's hyperopt space searches ``max_depth`` 1-30,
+``subsample``, ``colsample_bytree/bylevel/bynode``, and
+``min_child_weight`` (`03_Train & Deploy Model.py:163-174`); the
+hand-unrolled depth-1/2 fits (operators/boosting.py gboost_fit /
+gboost_depth2_fit) pin the gain and leaf math, and this module
+generalizes the recursion to a parameterized depth plus the three
+stochastic dimensions — completing the XGBoost capability shape:
+
+- trees are COMPLETE binary trees of ``depth`` levels, nodes numbered
+  heap-style (root 1; children of n are 2n and 2n+1). Per level, ONE
+  grouped aggregate evaluates every (node, feature, threshold)
+  candidate's second-order regions, and a per-node window argmax
+  picks the split — so depth d costs d passes per round, never 2^d;
+- ``subsample``: a per-round content-keyed Bernoulli draw
+  (functions/sampling.keyed_uniform on ``row_key``, seed varied by
+  round) masks each row's g/h contribution to 0 — the selected set is
+  identical on any partitioning and replays exactly in DuckDB via the
+  documented md5 twin. ALL rows still receive the score update;
+- ``colsample`` (by-level): the candidate grid is restricted to a
+  seeded md5-ranked feature subset per (round, level) — computed on
+  the driver, so both engines receive it as literals;
+- ``min_child_weight``: candidates whose left or right hessian sum
+  falls below the floor are excluded from the argmax. A node with no
+  surviving candidate becomes a LEAF: both children inherit the
+  node's own regularized weight −soft(G, α)/(H + λ) (XGBoost's
+  unsplittable-node semantics), routed under the parent's threshold;
+  a node with no rows at all contributes weight 0.
+
+Replayability follows gboost_fit's discipline verbatim: DECIMAL(38,18)
+region sums, the ONE shared gain SQL string, round-to-9 leaves, and
+the round-to-10 score update. The DuckDB twin unrolls one CTE chain
+per (round, level, node): per-node best CTEs carry a 3-arm priority
+UNION (split found / unsplittable leaf from node totals / empty node),
+mirroring the Spark fallbacks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fuzzy_item_matching_spark.operators.boosting import (
+    GB_ALPHA,
+    GB_ETA,
+    GB_GAMMA,
+    GB_LAMBDA,
+    GRID,
+    _gb_gain_expr,
+    _gb_leaf,
+)
+
+GBD_SCHEMA = (
+    "round int, node int, feature string, thr double,"
+    " gain double, w_le double, w_gt double"
+)
+
+
+def col_subset(
+    features: list[str], t: int, level: int, colsample: float, seed: int
+) -> list[str]:
+    """Seeded by-level column subsample: rank features by
+    md5('{seed}:cols:{t}:{level}:{feature}') and keep the smallest
+    ``max(1, round(colsample·n))`` in original feature order. Driver-
+    side (hashlib), so the fit and the SQL generator — which share
+    this function — embed the identical subset as literals."""
+    if colsample >= 1.0:
+        return list(features)
+    k = max(1, int(round(colsample * len(features))))
+    ranked = sorted(
+        features,
+        key=lambda f_: hashlib.md5(
+            f"{seed}:cols:{t}:{level}:{f_}".encode()
+        ).hexdigest(),
+    )
+    keep = set(ranked[:k])
+    return [f_ for f_ in features if f_ in keep]
+
+
+def _u_sql(row_key: str, seed_t: int) -> str:
+    """The keyed_uniform DuckDB twin (functions/sampling.py:24-38)."""
+    return (
+        f"(CAST(CAST('0x' || substr(md5('{seed_t}:' ||"
+        f" CAST({row_key} AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+        " / 4294967296.0)"
+    )
+
+
+def gboost_deep_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
+    min_child_weight: float = 0.0,
+    row_key: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Fit ``rounds`` second-order boosted depth-``depth`` trees;
+    return the model table (round, node, feature, thr, gain, w_le,
+    w_gt) with one row per heap node 1..2^depth−1 per round. Leaf
+    weights are meaningful at the last level (w_le = w_gt on
+    unsplittable/empty nodes); a scorer walks the split path and adds
+    η·w_leaf. Plan per round: depth × (one node-totals aggregate +
+    one candidate-grid aggregate + a ≤2^level-row collect) over the
+    persisted frame — the argmax collect budget grows with the TREE,
+    never the data."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    if subsample < 1.0 and row_key is None:
+        raise ValueError("gboost_deep_fit: subsample < 1 requires row_key")
+    spark = pairs.sparkSession
+
+    stats = pairs.agg(
+        *[
+            c
+            for f_ in features
+            for c in (
+                F.min(f_).alias(f"mn_{f_}"),
+                F.max(f_).alias(f"mx_{f_}"),
+            )
+        ]
+    ).first()
+    cand_rows = []
+    for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
+        mn, mx = float(stats[f"mn_{f_}"]), float(stats[f"mx_{f_}"])
+        for k in range(1, grid):
+            cand_rows.append((f_, mn + k * (mx - mn) / float(grid)))
+    cands_all = spark.createDataFrame(cand_rows, "feature string, thr double")
+
+    keep = [F.col(label).cast("double").alias("__y"), *features]
+    if row_key is not None:
+        keep.append(F.col(row_key).cast("string").alias("__k"))
+    df = pairs.select(*keep).withColumn("__f", F.lit(0.0))
+    df = df.persist()
+
+    feat_val = F.when(F.col("feature") == features[0], F.col(features[0]))
+    for f_ in features[1:]:
+        feat_val = feat_val.when(F.col("feature") == f_, F.col(f_))
+
+    gain_sql = _gb_gain_expr(lam, gamma)
+    dec = "decimal(38,18)"
+    mcw = float(min_child_weight)
+    model_rows = []
+    for t in range(1, rounds + 1):
+        p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+        if subsample < 1.0:
+            ind = (
+                F.when(
+                    keyed_uniform(F.col("__k"), seed=seed * 1000 + t)
+                    < F.lit(subsample),
+                    1.0,
+                )
+                .otherwise(0.0)
+            )
+            g = (p - F.col("__y")) * ind
+            h = (p * (1.0 - p)) * ind
+        else:
+            g = p - F.col("__y")
+            h = p * (1.0 - p)
+        le = F.col("__x") <= F.col("thr")
+
+        picks: dict[int, dict] = {}
+        for level in range(depth):
+
+            def _node(n: int, lc: int):
+                if lc == level:
+                    return F.lit(n)
+                pk = picks[n]
+                return F.when(
+                    F.col(pk["feature"]) <= F.lit(pk["thr"]),
+                    _node(2 * n, lc + 1),
+                ).otherwise(_node(2 * n + 1, lc + 1))
+
+            base = df.withColumn("__node", _node(1, 0))
+            tot = {
+                r["__node"]: r
+                for r in base.groupBy("__node")
+                .agg(
+                    F.sum(g.cast(dec)).cast("double").alias("gt_"),
+                    F.sum(h.cast(dec)).cast("double").alias("ht_"),
+                )
+                .collect()  # ≤ 2^level rows
+            }
+            subset = col_subset(features, t, level, colsample, seed)
+            cands = F.broadcast(
+                cands_all.filter(F.col("feature").isin(subset))
+            )
+            ev = (
+                base.crossJoin(cands)
+                .withColumn("__x", feat_val)
+                .groupBy("__node", "feature", "thr")
+                .agg(
+                    F.sum(F.when(le, g).otherwise(0.0).cast(dec))
+                    .cast("double")
+                    .alias("gl"),
+                    F.sum(F.when(le, h).otherwise(0.0).cast(dec))
+                    .cast("double")
+                    .alias("hl"),
+                    F.sum(F.when(~le, g).otherwise(0.0).cast(dec))
+                    .cast("double")
+                    .alias("gr"),
+                    F.sum(F.when(~le, h).otherwise(0.0).cast(dec))
+                    .cast("double")
+                    .alias("hr"),
+                )
+                .withColumn("gain", F.expr(gain_sql))
+            )
+            if mcw > 0.0:
+                ev = ev.filter(
+                    (F.col("hl") >= F.lit(mcw)) & (F.col("hr") >= F.lit(mcw))
+                )
+            wnd = Window.partitionBy("__node").orderBy(
+                F.desc("gain"), F.asc("feature"), F.asc("thr")
+            )
+            best = {
+                r["__node"]: r
+                for r in ev.withColumn("rn", F.row_number().over(wnd))
+                .filter(F.col("rn") == 1)
+                .collect()  # ≤ 2^level rows
+            }
+            for n in range(2**level, 2 ** (level + 1)):
+                if n in best:
+                    b = best[n]
+                    picks[n] = {
+                        "feature": b["feature"],
+                        "thr": float(b["thr"]),
+                        "gain": round(b["gain"], 9),
+                        "w_le": _gb_leaf(b["gl"], b["hl"], lam, alpha),
+                        "w_gt": _gb_leaf(b["gr"], b["hr"], lam, alpha),
+                    }
+                    continue
+                if level == 0:
+                    pf = subset[0]
+                    pt = float(stats[f"mn_{subset[0]}"])
+                else:
+                    pf = picks[n // 2]["feature"]
+                    pt = picks[n // 2]["thr"]
+                if n in tot:
+                    w = _gb_leaf(tot[n]["gt_"], tot[n]["ht_"], lam, alpha)
+                else:
+                    w = _gb_leaf(0.0, 0.0, lam, alpha)
+                picks[n] = {
+                    "feature": pf,
+                    "thr": pt,
+                    "gain": 0.0,
+                    "w_le": w,
+                    "w_gt": w,
+                }
+
+        for n in sorted(picks):
+            pk = picks[n]
+            model_rows.append(
+                (t, n, pk["feature"], pk["thr"], pk["gain"], pk["w_le"], pk["w_gt"])
+            )
+
+        def _step(n: int, lc: int):
+            pk = picks[n]
+            go_le = F.col(pk["feature"]) <= F.lit(pk["thr"])
+            if lc == depth - 1:
+                return F.when(go_le, F.lit(pk["w_le"])).otherwise(
+                    F.lit(pk["w_gt"])
+                )
+            return F.when(go_le, _step(2 * n, lc + 1)).otherwise(
+                _step(2 * n + 1, lc + 1)
+            )
+
+        # scale 10, NOT 9 — see gboost_fit's tie-avoidance note.
+        nxt = df.withColumn(
+            "__f", F.round(F.col("__f") + F.lit(eta) * _step(1, 0), 10)
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        df.unpersist()
+        df = nxt
+    return pairs.sparkSession.createDataFrame(model_rows, GBD_SCHEMA)
+
+
+def gboost_deep_ctes(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
+    min_child_weight: float = 0.0,
+    row_key: str | None = None,
+    seed: int = 7,
+) -> tuple[str, str]:
+    """The unrolled depth-d stochastic fit as (WITH body, model UNION
+    tail) — gboost_ctes' conventions, one CTE chain per
+    (round, level, node), each per-node best a 3-arm priority UNION
+    (mcw-surviving split / unsplittable-leaf from node totals / empty
+    node)."""
+    if subsample < 1.0 and row_key is None:
+        raise ValueError("subsample < 1 requires row_key")
+    mn_mx = ", ".join(
+        f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
+    )
+    cand_arms = []
+    for f_ in features:
+        for k in range(1, grid):
+            thr = f"(mn_{f_} + {k} * (mx_{f_} - mn_{f_}) / {float(grid)!r})"
+            cand_arms.append(
+                f"SELECT '{f_}' AS feature, {thr} AS thr FROM stats"
+            )
+    gain_sql = _gb_gain_expr(lam, gamma)
+    sig = "1.0 / (1.0 + exp(-f))"
+    mcw = float(min_child_weight)
+
+    def fcase(qual: str = "") -> str:
+        src = f"{qual}feature" if qual else "feature"
+        return (
+            f"CASE {src} "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+
+    def leaf(G: str, H: str) -> str:
+        soft = (
+            f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
+            f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
+        )
+        # + 0.0: normalize a -0.0 empty-region leaf (see _gb_leaf)
+        return f"(round(-({soft}) / ({H} + {lam!r}), 9) + 0.0)"
+
+    def rsum(cond: str, term: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CAST(CASE WHEN {cond} THEN {term} ELSE 0.0 END"
+            f" AS DECIMAL(38,18))) AS DOUBLE) AS {name}"
+        )
+
+    cols = ", ".join(features) + (f", {row_key}" if row_key else "")
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({pairs_sql})",
+        f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
+        "cands AS MATERIALIZED (" + " UNION ALL ".join(cand_arms) + ")",
+        f"s0 AS MATERIALIZED (SELECT CAST(label AS DOUBLE) AS y, {cols},"
+        " 0.0 AS f FROM pairs)",
+    ]
+    arms = []
+    # candidate columns are qualified: levels ≥ 1 join ancestor b-CTEs
+    # that also expose (feature, thr)
+    le = f"({fcase('cands.')}) <= cands.thr"
+    for t in range(1, rounds + 1):
+        if subsample < 1.0:
+            ind = (
+                f"(CASE WHEN {_u_sql(row_key, seed * 1000 + t)}"
+                f" < {subsample!r} THEN 1.0 ELSE 0.0 END)"
+            )
+            g_expr = f"(({sig}) - y) * {ind}"
+            h_expr = f"(({sig}) * (1.0 - {sig})) * {ind}"
+        else:
+            g_expr = f"{sig} - y"
+            h_expr = f"({sig}) * (1.0 - {sig})"
+        parts.append(f"""gh{t} AS MATERIALIZED (
+      SELECT y, {cols}, {g_expr} AS g, {h_expr} AS h
+      FROM s{t - 1}
+    )""")
+
+        def node_sql(n: int, lc: int, level: int) -> str:
+            if lc == level:
+                return str(n)
+            b = f"b{t}_{n}"
+            cond = f"({fcase(b + '.')}) <= {b}.thr"
+            return (
+                f"(CASE WHEN {cond} THEN {node_sql(2 * n, lc + 1, level)}"
+                f" ELSE {node_sql(2 * n + 1, lc + 1, level)} END)"
+            )
+
+        for level in range(depth):
+            ancestors = [f"b{t}_{m}" for m in range(1, 2**level)]
+            bfrom = ("," + ", ".join(ancestors)) if ancestors else ""
+            nexpr = node_sql(1, 0, level)
+            parts.append(f"""nt{t}_{level} AS MATERIALIZED (
+      SELECT {nexpr} AS node,
+             CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE) AS gt_,
+             CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) AS ht_
+      FROM gh{t}{bfrom} GROUP BY node
+    )""")
+            subset = col_subset(features, t, level, colsample, seed)
+            in_list = ", ".join(f"'{f_}'" for f_ in subset)
+            parts.append(f"""ev{t}_{level} AS MATERIALIZED (
+      SELECT {nexpr} AS node, cands.feature AS feature,
+             cands.thr AS thr,
+             {rsum(le, "g", "gl")},
+             {rsum(le, "h", "hl")},
+             {rsum(f"NOT ({le})", "g", "gr")},
+             {rsum(f"NOT ({le})", "h", "hr")}
+      FROM gh{t}, cands{bfrom}
+      WHERE cands.feature IN ({in_list})
+      GROUP BY 1, 2, 3
+    )""")
+            mcw_pred = (
+                f" AND hl >= {mcw!r} AND hr >= {mcw!r}" if mcw > 0.0 else ""
+            )
+            for n in range(2**level, 2 ** (level + 1)):
+                if level == 0:
+                    pf, pt = f"'{subset[0]}'", f"mn_{subset[0]}"
+                    pj, p3 = ", stats", "stats"
+                else:
+                    par = f"b{t}_{n // 2}"
+                    pf, pt = f"{par}.feature", f"{par}.thr"
+                    pj, p3 = f", {par}", par
+                parts.append(f"""b{t}_{n} AS MATERIALIZED (
+      SELECT feature, thr, gain, w_le, w_gt FROM (
+        SELECT 1 AS pri, feature, thr, round({gain_sql}, 9) AS gain,
+               {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt,
+               {gain_sql} AS gc
+        FROM ev{t}_{level} WHERE node = {n}{mcw_pred}
+        UNION ALL
+        SELECT 2 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
+               {leaf("gt_", "ht_")} AS w_le, {leaf("gt_", "ht_")} AS w_gt,
+               0.0 AS gc
+        FROM nt{t}_{level}{pj} WHERE node = {n}
+        UNION ALL
+        SELECT 3 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
+               {leaf("0.0", "0.0")} AS w_le, {leaf("0.0", "0.0")} AS w_gt,
+               0.0 AS gc
+        FROM {p3}
+      ) ORDER BY pri ASC, gc DESC, feature ASC, thr ASC LIMIT 1
+    )""")
+
+        def walk(n: int, lc: int) -> str:
+            b = f"b{t}_{n}"
+            cond = f"({fcase(b + '.')}) <= {b}.thr"
+            if lc == depth - 1:
+                return (
+                    f"(CASE WHEN {cond} THEN {b}.w_le ELSE {b}.w_gt END)"
+                )
+            return (
+                f"(CASE WHEN {cond} THEN {walk(2 * n, lc + 1)}"
+                f" ELSE {walk(2 * n + 1, lc + 1)} END)"
+            )
+
+        all_bs = ", ".join(f"b{t}_{m}" for m in range(1, 2**depth))
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT y, {cols},
+             round(f + {eta!r} * {walk(1, 0)}, 10) AS f
+      FROM s{t - 1}, {all_bs}
+    )""")
+        for n in range(1, 2**depth):
+            arms.append(
+                f"SELECT {t} AS round, {n} AS node, feature, thr, gain,"
+                f" w_le, w_gt FROM b{t}_{n}"
+            )
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def gboost_deep_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
+    min_child_weight: float = 0.0,
+    row_key: str | None = None,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`gboost_deep_fit`."""
+    ctes, model_union = gboost_deep_ctes(
+        pairs_sql,
+        features,
+        rounds,
+        depth,
+        grid,
+        subsample=subsample,
+        colsample=colsample,
+        min_child_weight=min_child_weight,
+        row_key=row_key,
+        seed=seed,
+    )
+    return ctes + "\n" + model_union

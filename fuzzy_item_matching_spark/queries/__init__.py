@@ -328,8 +328,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #    driver row), plus train_sparse_logreg, whose code changed
     #    this round (explicit n_features domain + gated weight-frame
     #    broadcast per ADVICE) and therefore needs a fresh record.
-    "serve_canary_compare",
-    "ts_sketch_compare",
+    # -- r09 capability additions (the r8 VERDICT's #2 and #3 asks),
+    #    each a NEW operator shape with a full unrolled oracle:
+    #    parameterized-depth boosting (depth 3 — the generic recursion
+    #    behind the reference's searched max_depth) and stochastic
+    #    boosting (seeded row subsample + by-level column subsample +
+    #    min_child_weight floor). Their two slots come from
+    #    serve_canary_compare and ts_sketch_compare — both r08-green
+    #    with records kept, each the thinnest composition of machinery
+    #    that keeps richer in-prefix verifiers (canary = two fit
+    #    checkpoints scored through literal trees, the fit/score pair
+    #    in-prefix via the gboost rows; the sketch trio's register
+    #    tables keep their r08 record and the shingle-domain corpus
+    #    agg stays in-prefix via the dedup/minhash family).
+    "train_gboost_depth3",
+    "train_gboost_stochastic",
     # -- r09 rotation (17 swaps, the r8 VERDICT's #1 ask): every
     #    round-8 operator that landed after the r8 rotation and has
     #    never had a driver row enters the prefix. Each demoted row
@@ -420,8 +433,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # ts_dsir_weights).
     "stream_dsir_scores",
     # ---- 50-slot prefix boundary (r09) ----
-    # -- demoted by the r09 rotation (see the block above): every row
+    # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
+    "serve_canary_compare",
+    "ts_sketch_compare",
     "train_quality_score",
     "ts_vocab_growth",
     "dedup_chunk_lines",

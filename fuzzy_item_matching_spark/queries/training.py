@@ -3541,6 +3541,95 @@ def train_gboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("id_a")).limit(20)
 
 
+# ---------------------------------------------------------------------------
+# Generic depth-d + stochastic gradient boosting (operators/gboost_deep.py)
+# ---------------------------------------------------------------------------
+
+_GBD_ROUNDS, _GBD_DEPTH = 2, 3
+_GBS_ROUNDS = 3
+_GBS = dict(
+    subsample=0.7,
+    colsample=2.0 / 3.0,
+    min_child_weight=1.0,
+    row_key="id_a",
+    seed=11,
+)
+
+
+def _gbd_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import gboost_deep_sql
+
+    return gboost_deep_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+    )
+
+
+@query("train_gboost_depth3", oracle=_gbd_oracle())
+def train_gboost_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED-depth second-order gradient boosting at depth 3 —
+    the generic recursion the reference's searched ``max_depth`` 1-30
+    spans (`03_Train & Deploy Model.py:165`), generalizing the
+    hand-unrolled depth-1/2 fits: trees are complete heap-numbered
+    binary trees; each level is ONE (node × feature × threshold)
+    grouped aggregate plus a per-node window argmax, so depth d costs
+    d passes per round — never 2^d — and the collect budget is the
+    tree size (≤2^d−1 rows), never the data. Unsplittable/empty nodes
+    take XGBoost's leaf semantics (both children inherit
+    −soft(G,α)/(H+λ) of the node). The DuckDB oracle unrolls one CTE
+    chain per (round, level, node) and replays every level exactly
+    (operators/gboost_deep.py)."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    return gboost_deep_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        rounds=_GBD_ROUNDS,
+        depth=_GBD_DEPTH,
+    )
+
+
+def _gbs_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import gboost_deep_sql
+
+    return gboost_deep_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        rounds=_GBS_ROUNDS,
+        depth=2,
+        **_GBS,
+    )
+
+
+@query("train_gboost_stochastic", oracle=_gbs_oracle())
+def train_gboost_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHASTIC gradient boosting — the reference's searched
+    ``subsample``, ``colsample_by*``, and ``min_child_weight``
+    dimensions (`03_Train & Deploy Model.py:166-171`) on the depth-2
+    second-order fit: per round, a content-keyed Bernoulli(0.7) row
+    draw (functions/sampling.keyed_uniform on id_a, seed varied by
+    round — identical on any partitioning, replayed in the oracle via
+    the documented md5 twin) masks g/h contributions; per level, a
+    seeded md5-ranked column subsample keeps 2 of 3 features; and
+    candidates with a child hessian sum < 1.0 are excluded from the
+    argmax (a node with no survivor becomes a leaf with the node's own
+    regularized weight). ALL rows still receive the score update, so
+    the ensemble trajectory reflects true stochastic boosting. The
+    oracle replays every draw, subset, and floor exactly."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    return gboost_deep_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        rounds=_GBS_ROUNDS,
+        depth=2,
+        **_GBS,
+    )
+
+
 def _ece_oracle() -> str:
     from fuzzy_item_matching_spark.queries import REGISTRY
 

@@ -1,0 +1,138 @@
+"""Property tests for the round-9 operators — invariants the exact
+oracle equivalence (tests/test_all_oracles.py, driver) can't express:
+the depth-d boosting recursion's reductions, stochasticity being real,
+and the unsplittable-node leaf semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+def _pairs(spark):
+    from fuzzy_item_matching_spark.queries.training import _lr_pairs
+
+    return _lr_pairs(spark, SF_SMOKE)
+
+
+FEATS = ["x1", "x2", "x3"]
+
+
+def test_gboost_deep_depth1_reduces_to_gboost_fit(spark):
+    """depth=1 with no stochastics must reproduce the hand-unrolled
+    gboost_fit model exactly — same splits, gains, and leaves."""
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    deep = gboost_deep_fit(_pairs(spark), FEATS, rounds=2, depth=1).collect()
+    flat = gboost_fit(_pairs(spark), FEATS, rounds=2).collect()
+    assert len(deep) == len(flat) == 2
+    for d, f in zip(deep, flat):
+        assert (d.feature, d.thr, d.gain, d.w_le, d.w_gt) == (
+            f.feature,
+            f.thr,
+            f.gain,
+            f.w_le,
+            f.w_gt,
+        )
+
+
+def test_gboost_deep_shape_and_gains(spark):
+    """depth=3 emits one row per heap node 1..7 per round (finite
+    splits everywhere — note the λ-regularized gain CAN be negative:
+    each child adds its own +λ to the denominator, so a split of a
+    small-H node can lose to the parent term; the argmax still picks
+    the least-bad split and the fixed-shape tree routes through it),
+    and the round-1 root split equals depth-1's round-1 split
+    (identical argmax on identical g/h)."""
+    import math
+
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    rows = gboost_deep_fit(_pairs(spark), FEATS, rounds=2, depth=3).collect()
+    assert [(r.round, r.node) for r in rows] == [
+        (t, n) for t in (1, 2) for n in range(1, 8)
+    ]
+    assert all(
+        math.isfinite(r.gain) and math.isfinite(r.w_le) for r in rows
+    )
+    root1 = next(r for r in rows if r.round == 1 and r.node == 1)
+    flat1 = gboost_fit(_pairs(spark), FEATS, rounds=1).collect()[0]
+    assert (root1.feature, root1.thr, root1.gain) == (
+        flat1.feature,
+        flat1.thr,
+        flat1.gain,
+    )
+
+
+def test_gboost_stochastic_subsample_changes_fit(spark):
+    """The seeded row subsample must actually alter the fitted model
+    versus the full-data fit (stochasticity is real, not a no-op),
+    and two runs with the same seed must agree (determinism)."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    kw = dict(rounds=1, depth=1, row_key="id_a", seed=11)
+    full = gboost_deep_fit(_pairs(spark), FEATS, subsample=1.0, **kw).collect()
+    sub = gboost_deep_fit(_pairs(spark), FEATS, subsample=0.5, **kw).collect()
+    sub2 = gboost_deep_fit(_pairs(spark), FEATS, subsample=0.5, **kw).collect()
+    assert sub == sub2
+    assert (full[0].w_le, full[0].w_gt) != (sub[0].w_le, sub[0].w_gt)
+
+
+def test_gboost_colsample_restricts_features(spark):
+    """With colsample=1/3 every level's split features must come from
+    that (round, level)'s seeded subset — and the subset function is
+    the single source of truth for both engines."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        col_subset,
+        gboost_deep_fit,
+    )
+
+    rows = gboost_deep_fit(
+        _pairs(spark), FEATS, rounds=2, depth=2, colsample=1.0 / 3.0, seed=5
+    ).collect()
+    for r in rows:
+        level = r.node.bit_length() - 1
+        subset = col_subset(FEATS, r.round, level, 1.0 / 3.0, 5)
+        assert len(subset) == 1
+        assert r.feature in subset or r.gain == 0.0
+
+
+def test_gboost_min_child_weight_floor(spark):
+    """An impossible hessian floor makes every node unsplittable: the
+    tree degenerates to equal-leaf nodes (w_le == w_gt everywhere)
+    and the root falls back to (first feature, its min)."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    pairs = _pairs(spark)
+    rows = gboost_deep_fit(
+        pairs, FEATS, rounds=1, depth=2, min_child_weight=1e9
+    ).collect()
+    assert all(r.w_le == r.w_gt for r in rows)
+    mn = float(pairs.agg({"x1": "min"}).first()[0])
+    root = next(r for r in rows if r.node == 1)
+    assert root.feature == "x1" and root.thr == mn and root.gain == 0.0
+    # the root's fallback leaf is the global -soft(G,α)/(H+λ): with
+    # y mostly 1 at f=0, G = Σ(0.5 - y) < 0 → weight > 0
+    assert root.w_le != 0.0
+
+
+def test_gboost_deep_empty_frame_raises(spark):
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+    )
+
+    empty = _pairs(spark).filter("id_a < 0")
+    with pytest.raises(ValueError, match="empty training frame"):
+        gboost_deep_fit(empty, FEATS, rounds=1, depth=2)

@@ -239,3 +239,169 @@ def successive_halving(
     for t in trace[1:]:
         out = out.unionByName(t)
     return out
+
+
+TPE_SCHEMA = "round int, trial_id long, param double, score double, n long"
+
+
+def tpe_lite(
+    scored: DataFrame,
+    lo: float,
+    hi: float,
+    n_init: int = 8,
+    rounds: int = 2,
+    n_candidates: int = 16,
+    k_per_round: int = 4,
+    gamma: float = 0.25,
+    seed: int = 19,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Deterministic TPE-shaped adaptive search (M4's density-model
+    proposal step) — the replayable skeleton of hyperopt's
+    ``fmin(tpe.suggest)`` (`03_Train & Deploy Model.py:243-253`):
+
+    1. evaluate ``n_init`` md5-seeded threshold configs (F1 on the
+       full (label, score) frame — a JVM-side conditional-count
+       aggregate, no UDF);
+    2. per round: split observed trials at the γ-quantile into good/
+       bad (window rank, total tie-break), draw ``n_candidates``
+       proposals from the GOOD set's Parzen mixture (md5-seeded kernel
+       pick + triangular offset, clamped to [lo, hi]), score each by
+       the TPE acquisition l(x)/g(x) with triangular kernels
+       (polynomial — no transcendentals, so the density is exactly
+       SQL-replayable; per-pair terms round to 9 then DECIMAL-sum),
+       and evaluate only the top ``k_per_round`` by the ratio;
+    3. the trace of every evaluated trial is the output:
+       (round, trial_id, param, score, n), round 0 = the init batch.
+
+    Unlike hyperopt's stateful sampler, every draw, split, density,
+    and elimination here is a pure column expression — identical on
+    any engine or partitioning. Scale: each round costs one broadcast
+    crossJoin (k configs × data) + one grouped count aggregate; the
+    observed-trial frames are tens of rows.
+    """
+    from pyspark.sql.window import Window
+
+    spark = scored.sparkSession
+    h_prop = (hi - lo) / 8.0  # proposal kernel half-width
+    h_dens = (hi - lo) / 4.0  # density kernel half-width
+    rows = scored.select(
+        F.col(label_col).alias("__label"), F.col(score_col).alias("__score")
+    ).persist()
+
+    def evaluate(cfgs: DataFrame, rnd: int) -> DataFrame:
+        """F1 per config — JVM-side conditional counts, UDF-free."""
+        pos = F.col("__score") >= F.col("param")
+        ev = (
+            rows.crossJoin(F.broadcast(cfgs))
+            .groupBy("trial_id", "param")
+            .agg(
+                F.sum(F.when(pos & (F.col("__label") == 1), 1).otherwise(0))
+                .alias("tp"),
+                F.sum(F.when(pos & (F.col("__label") == 0), 1).otherwise(0))
+                .alias("fp"),
+                F.sum(F.when(~pos & (F.col("__label") == 1), 1).otherwise(0))
+                .alias("fn"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        return ev.select(
+            F.lit(rnd).alias("round"),
+            "trial_id",
+            "param",
+            F.when(denom == 0, 0.0)
+            .otherwise(2.0 * F.col("tp") / denom)
+            .alias("score"),
+            "n",
+        )
+
+    init = spark.range(n_init).select(F.col("id").alias("trial_id"))
+    u0 = _hash_uniform(seed, F.col("trial_id"), "param")
+    cfg0 = init.select(
+        "trial_id", (F.lit(lo) + u0 * (F.lit(hi) - F.lit(lo))).alias("param")
+    )
+    obs = evaluate(cfg0, 0).localCheckpoint(eager=True)
+
+    w = Window.orderBy(F.desc("score"), F.asc("trial_id"))
+    n_obs = n_init
+    for r in range(1, rounds + 1):
+        import math
+
+        good_n = max(1, math.ceil(gamma * n_obs))
+        ranked = obs.withColumn("rnk", F.row_number().over(w))
+        cand = spark.range(n_candidates).select(F.col("id").alias("cand_id"))
+        u1 = _hash_uniform(seed, F.col("cand_id"), f"pick{r}")
+        u2 = _hash_uniform(seed, F.col("cand_id"), f"off{r}")
+        cand = cand.select(
+            "cand_id",
+            (F.floor(u1 * F.lit(good_n)) + 1).cast("int").alias("pick_rnk"),
+            u2.alias("u2"),
+        )
+        good = ranked.filter(F.col("rnk") <= good_n).select(
+            F.col("rnk").alias("pick_rnk"), F.col("param").alias("center")
+        )
+        x = F.least(
+            F.greatest(
+                F.col("center")
+                + (F.lit(2.0) * F.col("u2") - F.lit(1.0)) * F.lit(h_prop),
+                F.lit(lo),
+            ),
+            F.lit(hi),
+        )
+        props = cand.join(F.broadcast(good), "pick_rnk").select(
+            "cand_id", x.alias("x")
+        )
+        # TPE acquisition: triangular-kernel Parzen densities over the
+        # good and bad observed sets (terms rounded to 9, DECIMAL-sum)
+        term = F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.abs(F.col("x") - F.col("param")) / F.lit(h_dens),
+            ),
+            9,
+        )
+        dec = "decimal(38,18)"
+        dens = (
+            props.crossJoin(F.broadcast(ranked))
+            .groupBy("cand_id", "x")
+            .agg(
+                F.sum(
+                    F.when(F.col("rnk") <= good_n, term)
+                    .otherwise(0.0)
+                    .cast(dec)
+                )
+                .cast("double")
+                .alias("l_sum"),
+                F.sum(
+                    F.when(F.col("rnk") > good_n, term)
+                    .otherwise(0.0)
+                    .cast(dec)
+                )
+                .cast("double")
+                .alias("g_sum"),
+            )
+        )
+        ratio = F.round(
+            (F.col("l_sum") / F.lit(float(good_n)) + F.lit(1e-9))
+            / (F.col("g_sum") / F.lit(float(n_obs - good_n)) + F.lit(1e-9)),
+            9,
+        )
+        wr = Window.orderBy(F.desc("ratio"), F.asc("cand_id"))
+        top = (
+            dens.withColumn("ratio", ratio)
+            .withColumn("prnk", F.row_number().over(wr))
+            .filter(F.col("prnk") <= k_per_round)
+            .select(
+                (F.lit(n_obs) + F.col("prnk") - 1)
+                .cast("long")
+                .alias("trial_id"),
+                F.col("x").alias("param"),
+            )
+        )
+        obs = obs.unionByName(evaluate(top, r)).localCheckpoint(eager=True)
+        n_obs += k_per_round
+    rows.unpersist()
+    return obs

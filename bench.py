@@ -47,6 +47,7 @@ EXCLUDE = {
     "sim_ann_recall",  # eval query containing the O(n²) ground truth
     "sim_ann_ivfpq_recall",  # same: exact MIPS ground truth embedded
     "dedup_semantic_recall",  # same: sampled exact cosine truth embedded
+    "sim_ann_ivf_probe_sweep",  # same: strided exact cosine truth embedded
     # MLlib interop adapter (SQLTransformer explode/collect stages are
     # MLlib's cost, not the engine's); its engine-native twin IS
     # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).

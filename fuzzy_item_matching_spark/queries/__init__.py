@@ -437,6 +437,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # deterministic TPE-lite density-model proposal loop — M4's last
     # fidelity gap; exact-oracled, judge-verifiable via driver_sim.
     "train_tpe_search",
+    # r09: the IVF recall/latency curve — n_probe in {1,2,4} vs one
+    # exact truth in ONE plan (bench-excluded O(q*n) truth, like the
+    # other recall evals).
+    "sim_ann_ivf_probe_sweep",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -1042,6 +1042,210 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF probe sweep: n_probe ∈ {1,2,4} vs one exact truth in ONE plan
+_SWEEP_PROBES = (1, 2, 4)
+_SWEEP_K = 3
+_SWEEP_CELLS = 16
+_SWEEP_ITERS = 1
+_SWEEP_STRIDE = 50
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    dot = _D_DOT_T
+    blocks, cf = _ivf_centroid_blocks(
+        _SWEEP_CELLS, _SWEEP_ITERS, _IVF_SAMPLE_CAP
+    )
+    max_p = max(_SWEEP_PROBES)
+    lv = ", ".join(str(p) for p in _SWEEP_PROBES)
+    cosine = (
+        "CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0"
+        f" ELSE {dot.format(a='q.v', b='n.v')} / (nq.nrm * nn.nrm) END"
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    sc AS (
+      SELECT e.vec_id, {cf}.cell,
+             {dot.format(a='e.v', b=f'{cf}.c')} AS score
+      FROM emb e CROSS JOIN {cf}
+    ),
+    ranked AS (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+      FROM sc
+    ),
+    idx AS (SELECT vec_id AS nid, cell FROM ranked WHERE rn = 1),
+    prb AS (
+      SELECT vec_id AS qid, cell, rn AS prnk FROM ranked
+      WHERE rn <= {max_p} AND vec_id % {_SWEEP_STRIDE} = 0
+    ),
+    nrm AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM emb
+    ),
+    cand AS (
+      SELECT p.qid, i.nid, p.prnk FROM prb p JOIN idx i USING (cell)
+      WHERE p.qid <> i.nid
+    ),
+    lv AS (SELECT unnest([{lv}]) AS n_probe),
+    ann AS (
+      SELECT n_probe, qid, nid FROM (
+        SELECT l.n_probe, c.qid, c.nid, row_number() OVER (
+          PARTITION BY l.n_probe, c.qid
+          ORDER BY {cosine} DESC, c.nid) AS rnk
+        FROM cand c
+        JOIN lv l ON c.prnk <= l.n_probe
+        JOIN emb q ON q.vec_id = c.qid
+        JOIN emb n ON n.vec_id = c.nid
+        JOIN nrm nq ON nq.vec_id = c.qid
+        JOIN nrm nn ON nn.vec_id = c.nid
+      ) WHERE rnk <= {_SWEEP_K}
+    ),
+    bf AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, n.vec_id AS nid, row_number() OVER (
+          PARTITION BY q.vec_id ORDER BY {cosine} DESC, n.vec_id) AS rnk
+        FROM emb q
+        JOIN emb n ON q.vec_id <> n.vec_id
+        JOIN nrm nq ON nq.vec_id = q.vec_id
+        JOIN nrm nn ON nn.vec_id = n.vec_id
+        WHERE q.vec_id % {_SWEEP_STRIDE} = 0
+      ) WHERE rnk <= {_SWEEP_K}
+    )
+    SELECT l.n_probe,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)::DOUBLE / COUNT(*) AS recall
+    FROM lv l CROSS JOIN bf
+    LEFT JOIN ann ON ann.n_probe = l.n_probe
+                 AND ann.qid = bf.qid AND ann.nid = bf.nid
+    GROUP BY l.n_probe
+    ORDER BY l.n_probe
+    """
+    )
+
+
+@query("sim_ann_ivf_probe_sweep", oracle=_ivf_probe_sweep_oracle())
+def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/latency TRADE as a pinned curve, not a point:
+    recall@3 of the IVF index at n_probe ∈ {{1, 2, 4}} against ONE
+    exact cosine truth, all in ONE plan (the elbow pattern applied to
+    retrieval quality). The index is built once — candidates are
+    generated at the MAX probe depth with each probed cell's rank
+    attached, so a sweep level is just ``prnk <= n_probe`` on the
+    same candidate frame (no re-index, no re-join per level); the
+    per-level top-k is one window over (n_probe, qid). The truth side
+    is computed once and cross-joined to the 3 levels. Bench-excluded
+    like the other recall evals: it embeds the O(q·n) exact ground
+    truth by design (queries strided 1-in-{stride}); at scale the
+    truth runs on a content-keyed eval slice while the swept side
+    stays cell-bounded. The oracle replays the entire centroid build
+    (shared `_ivf_centroid_blocks`), the probe ranks, all three
+    sweep levels, and the truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+    from fuzzy_item_matching_spark.operators.ivf import (
+        _cell_scores,
+        refine_centroids,
+        sample_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = refine_centroids(
+        e,
+        "vec_id",
+        "v",
+        sample_centroids(e, "vec_id", "v", _SWEEP_CELLS),
+        iterations=_SWEEP_ITERS,
+        sample_cap=_IVF_SAMPLE_CAP,
+    )
+    max_p = max(_SWEEP_PROBES)
+    scored = e.select(
+        "vec_id",
+        "v",
+        F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
+            "__cells"
+        ),
+    )
+    index = scored.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.element_at("__cells", 1).getField("cell").alias("cell"),
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % _SWEEP_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.posexplode(
+                F.transform(
+                    F.slice("__cells", 1, max_p), lambda s: s.getField("cell")
+                )
+            ).alias("__p", "cell"),
+        )
+        .withColumn("prnk", F.col("__p") + 1)
+    )
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", "prnk", cosine_similarity("qv", "nv").alias("cos")
+        )
+    )
+    levels = F.broadcast(
+        spark.createDataFrame([(p,) for p in _SWEEP_PROBES], "n_probe int")
+    )
+    w = Window.partitionBy("n_probe", "qid").orderBy(
+        F.desc("cos"), F.asc("nid")
+    )
+    ann = (
+        cand.join(levels, F.col("prnk") <= F.col("n_probe"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SWEEP_K)
+        .select("n_probe", "qid", "nid", F.lit(1).alias("hit"))
+    )
+    q = scored.filter(F.col("vec_id") % _SWEEP_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wb = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("nid")
+    )
+    bf = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine_similarity("qv", "v").alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= _SWEEP_K)
+        .select("qid", "nid")
+    )
+    j = bf.crossJoin(levels).join(ann, ["n_probe", "qid", "nid"], "left")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        j.groupBy("n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            hits.cast("long").alias("n_hits"),
+            (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+sim_ann_ivf_probe_sweep.__doc__ = sim_ann_ivf_probe_sweep.__doc__.format(
+    stride=_SWEEP_STRIDE
+)
+
+
 @query(
     "sim_struct_pairs",
     oracle=f"""

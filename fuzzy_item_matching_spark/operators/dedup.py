@@ -444,9 +444,11 @@ def connected_components(
     every round, so AQE reuses the exchange layout). For adversarial
     long-chain graphs at 100 TB the O(log n)-round alternating
     large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") is the drop-in upgrade; the
+    Components in MapReduce and Beyond") is implemented below behind
+    the same signature (:func:`connected_components_star`); the
     convergence loop and per-round localCheckpoint lineage truncation
-    here carry over unchanged.
+    carry over unchanged. Equality of the two on planted cluster and
+    chain graphs is pinned in tests/test_round9_ops.py.
 
     Driver-side per-round work is ONE count (the convergence test) —
     labels themselves never collect. ``localCheckpoint`` truncates the
@@ -488,6 +490,92 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round twin of
+    :func:`connected_components` for adversarial-diameter graphs,
+    same output contract: one row per node ``(node, component)``,
+    ``component`` = the minimum node id in its component.
+
+    Per round, two edge rewrites, each ONE groupBy + join on node id:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      re-attaches each STRICTLY LARGER neighbor v > u directly to m —
+      long chains contract toward the minimum from every node at
+      once, which is what buys O(log n) instead of O(diameter);
+    - small-star: on the resulting larger→smaller directed edges,
+      every node u re-attaches itself and its smaller neighbors to
+      their minimum.
+
+    Both preserve connectivity; the fixpoint is a star forest whose
+    centers are the component minimums, read off as the label table.
+    The fixpoint test is one exceptAll count on the edge set (edges
+    only shrink toward the star, labels never collect); per-round
+    localCheckpoint truncates the iterative lineage exactly as in the
+    min-label form. At 100 TB both phases are node-keyed shuffles of
+    the current edge set — no stage touches more than O(|E|) rows."""
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        sym = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy(F.col("a").alias("u"))
+            .agg(F.min("b").alias("__mb"))
+            .select("u", F.least("u", "__mb").alias("m"))
+        )
+        large = (
+            sym.join(mins, sym["a"] == mins["u"])
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the larger→smaller directed edges
+        smins = large.groupBy(F.col("a").alias("u")).agg(
+            F.min("b").alias("m")
+        )
+        lj = large.join(smins, large["a"] == smins["u"])
+        small = (
+            lj.select(F.col("a"), F.col("m").alias("b"))
+            .unionByName(
+                lj.filter(F.col("b") != F.col("m")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(cur).count() + cur.exceptAll(small).count()
+        )
+        cur = small
+        if changed == 0:
+            break
+    roots = cur.select(F.col("b").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return (
+        cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .unionByName(roots)
+        .distinct()
+    )
 
 
 def cdc_chunk_ledger(

@@ -190,15 +190,6 @@ def gboost_deep_fit(
                 ).otherwise(_node(2 * n + 1, lc + 1))
 
             base = df.withColumn("__node", _node(1, 0))
-            tot = {
-                r["__node"]: r
-                for r in base.groupBy("__node")
-                .agg(
-                    F.sum(g.cast(dec)).cast("double").alias("gt_"),
-                    F.sum(h.cast(dec)).cast("double").alias("ht_"),
-                )
-                .collect()  # ≤ 2^level rows
-            }
             subset = col_subset(features, t, level, colsample, seed)
             cands = F.broadcast(
                 cands_all.filter(F.col("feature").isin(subset))
@@ -236,6 +227,25 @@ def gboost_deep_fit(
                 .filter(F.col("rn") == 1)
                 .collect()  # ≤ 2^level rows
             }
+            # Node totals feed ONLY the unsplittable-node fallback, so
+            # the extra full-data aggregate runs lazily — levels where
+            # every node found a surviving split (the common case) cost
+            # one candidate aggregate, not two. The oracle's nt CTEs
+            # always exist but are likewise only read by fallback arms.
+            tot: dict[int, dict] = {}
+            if any(
+                n not in best
+                for n in range(2**level, 2 ** (level + 1))
+            ):
+                tot = {
+                    r["__node"]: r
+                    for r in base.groupBy("__node")
+                    .agg(
+                        F.sum(g.cast(dec)).cast("double").alias("gt_"),
+                        F.sum(h.cast(dec)).cast("double").alias("ht_"),
+                    )
+                    .collect()  # ≤ 2^level rows
+                }
             for n in range(2**level, 2 ** (level + 1)):
                 if n in best:
                     b = best[n]

@@ -170,11 +170,18 @@ def gboost_deep_fit(
                 )
                 .otherwise(0.0)
             )
-            g = (p - F.col("__y")) * ind
-            h = (p * (1.0 - p)) * ind
+            g_expr = (p - F.col("__y")) * ind
+            h_expr = (p * (1.0 - p)) * ind
         else:
-            g = p - F.col("__y")
-            h = p * (1.0 - p)
+            g_expr = p - F.col("__y")
+            h_expr = p * (1.0 - p)
+        # materialize g/h BEFORE the candidate crossJoin (the oracle's
+        # gh CTE): otherwise the sigmoid re-evaluates once per
+        # candidate row — grid×features times per source row.
+        ghdf = df.select(
+            *features, g_expr.alias("__g"), h_expr.alias("__h")
+        ).localCheckpoint(eager=True)
+        g, h = F.col("__g"), F.col("__h")
         le = F.col("__x") <= F.col("thr")
 
         picks: dict[int, dict] = {}
@@ -189,7 +196,7 @@ def gboost_deep_fit(
                     _node(2 * n, lc + 1),
                 ).otherwise(_node(2 * n + 1, lc + 1))
 
-            base = df.withColumn("__node", _node(1, 0))
+            base = ghdf.withColumn("__node", _node(1, 0))
             subset = col_subset(features, t, level, colsample, seed)
             cands = F.broadcast(
                 cands_all.filter(F.col("feature").isin(subset))

@@ -1173,7 +1173,7 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
             "__cells"
         ),
-    )
+    ).persist()  # 16-dot cell scoring runs once, feeds index + probes
     index = scored.select(
         F.col("vec_id").alias("nid"),
         F.col("v").alias("nv"),

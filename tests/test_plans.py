@@ -505,3 +505,42 @@ def test_rrf_postings_pruned_at_scan(spark, registry):
     assert "CartesianProduct" not in plan
     # the IN-list filter on the exploded term column
     assert "term" in plan and ("IN (" in plan or "INSET" in plan.upper())
+
+
+def test_probe_sweep_single_index_no_cartesian(spark, registry):
+    """sim_ann_ivf_probe_sweep: the sweep levels expand the BOUNDED
+    candidate frame (a broadcast inequality join against the 3-row
+    levels frame), never the corpus — no CartesianProduct anywhere,
+    the candidate cell join stays a key equi-join, and the cell
+    scoring is computed once (InMemoryTableScan of the persisted
+    scored frame on every reuse)."""
+    plan = plan_of(spark, registry, "sim_ann_ivf_probe_sweep")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # levels (3 rows) only
+
+
+def test_gboost_deep_oracle_aggregate_budget():
+    """The depth-d booster's scale claim — depth d costs d grouped
+    aggregates per round, never 2^d — pinned structurally on the
+    generated oracle (which mirrors the fit CTE-for-CTE): rounds×depth
+    candidate aggregates, per-node best CTEs = rounds×(2^depth − 1),
+    node-totals aggregates likewise one per level."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_ctes,
+    )
+
+    rounds, depth = 2, 3
+    body, _ = gboost_deep_ctes(
+        "SELECT 1 AS label, 1.0 AS x1, 2.0 AS x2", ["x1", "x2"],
+        rounds=rounds, depth=depth,
+    )
+    assert body.count("ev") >= 1
+    import re
+
+    evs = re.findall(r"\bev\d+_\d+ AS", body)
+    nts = re.findall(r"\bnt\d+_\d+ AS", body)
+    bs = re.findall(r"\bb\d+_\d+ AS", body)
+    assert len(evs) == rounds * depth
+    assert len(nts) == rounds * depth
+    assert len(bs) == rounds * (2**depth - 1)

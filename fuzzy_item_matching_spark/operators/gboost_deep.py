@@ -511,3 +511,461 @@ def gboost_deep_sql(
         seed=seed,
     )
     return ctes + "\n" + model_union
+
+
+# ---------------------------------------------------------------------------
+# Histogram split finding — tree_method='hist', the 100 TB scale path
+# ---------------------------------------------------------------------------
+
+
+def _bucket_expr_spark(x, mn: float, step: float, grid: int):
+    """Bucket id 1..grid: the smallest threshold index covering x
+    (ceil((x−mn)/step), clamped). Rows in bucket `grid` lie above the
+    last threshold. The identical expression tree evaluates in SQL, so
+    bucket boundaries agree bit-for-bit across engines even where
+    ceil((x−mn)/step) and a direct x <= thr_k comparison would differ
+    by one ulp. A constant feature (step 0) maps everything to bucket
+    1 — the SQL twin branches on mx = mn at runtime, this branch on
+    the same collected stats."""
+    if step == 0.0:
+        return F.lit(1).cast("int")
+    c = F.ceil((x - F.lit(mn)) / F.lit(step))
+    return F.greatest(F.lit(1), F.least(F.lit(grid), c)).cast("int")
+
+
+def gboost_hist_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+    min_child_weight: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`gboost_deep_fit` with HISTOGRAM split finding — the
+    reference XGBoost's ``tree_method='hist'``
+    (`03_Train & Deploy Model.py:172`) and the booster's true 100 TB
+    shape: instead of a rows × features × grid candidate crossJoin
+    (exact comparisons, O(n·f·G) DECIMAL terms per level), each row
+    lands in ONE bucket per feature (ceil on the fixed grid), the
+    per-(node, feature, bucket) g/h histogram aggregates in one
+    O(n·f) pass, and split sums come from DECIMAL prefix sums over
+    the ≤G-bucket histogram — exact and order-insensitive, so the
+    whole fit still replays bit-for-bit in SQL. Candidate thresholds
+    are the OCCUPIED bucket boundaries (XGBoost-hist semantics; an
+    empty bin is never a distinct split). Right-region sums are
+    decimal differences (total − prefix) — exact, no second pass.
+    Same model contract as gboost_deep_fit (round, node, feature,
+    thr, gain, w_le, w_gt); unsplittable/empty nodes fall back
+    identically."""
+    spark = pairs.sparkSession
+
+    stats = pairs.agg(
+        *[
+            c
+            for f_ in features
+            for c in (
+                F.min(f_).alias(f"mn_{f_}"),
+                F.max(f_).alias(f"mx_{f_}"),
+            )
+        ]
+    ).first()
+    mn: dict[str, float] = {}
+    step: dict[str, float] = {}
+    for f_ in features:
+        if stats[f"mn_{f_}"] is None:
+            raise ValueError(
+                "boosting fit: empty training frame — no"
+                " candidate thresholds can exist"
+            )
+        mn[f_] = float(stats[f"mn_{f_}"])
+        step[f_] = (float(stats[f"mx_{f_}"]) - mn[f_]) / float(grid)
+
+    df = pairs.select(
+        F.col(label).cast("double").alias("__y"), *features
+    ).withColumn("__f", F.lit(0.0))
+    df = df.persist()
+
+    gain_sql = _gb_gain_expr(lam, gamma)
+    dec = "decimal(38,18)"
+    mcw = float(min_child_weight)
+    model_rows = []
+    for t in range(1, rounds + 1):
+        p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+        ghdf = df.select(
+            *features,
+            (p - F.col("__y")).alias("__g"),
+            (p * (1.0 - p)).alias("__h"),
+        ).localCheckpoint(eager=True)
+
+        picks: dict[int, dict] = {}
+        for level in range(depth):
+
+            def _node(n: int, lc: int):
+                if lc == level:
+                    return F.lit(n)
+                pk = picks[n]
+                return F.when(
+                    F.col(pk["feature"]) <= F.lit(pk["thr"]),
+                    _node(2 * n, lc + 1),
+                ).otherwise(_node(2 * n + 1, lc + 1))
+
+            base = ghdf.withColumn("__node", _node(1, 0))
+            subset = col_subset(features, t, level, 1.0, seed)
+            fb = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f_).alias("feature"),
+                            _bucket_expr_spark(
+                                F.col(f_), mn[f_], step[f_], grid
+                            ).alias("bucket"),
+                        )
+                        for f_ in subset
+                    ]
+                )
+            ).alias("fb")
+            hist = (
+                base.select("__node", "__g", "__h", fb)
+                .select(
+                    "__node",
+                    F.col("fb.feature").alias("feature"),
+                    F.col("fb.bucket").alias("bucket"),
+                    "__g",
+                    "__h",
+                )
+                .groupBy("__node", "feature", "bucket")
+                .agg(
+                    F.sum(F.col("__g").cast(dec)).alias("gb"),
+                    F.sum(F.col("__h").cast(dec)).alias("hb"),
+                )
+            )
+            wpre = (
+                Window.partitionBy("__node", "feature")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            # same partition AND order as wpre so both frames share one
+            # sort (decimal sums are order-insensitive either way)
+            wall = (
+                Window.partitionBy("__node", "feature")
+                .orderBy("bucket")
+                .rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            cum = hist.select(
+                "__node",
+                "feature",
+                "bucket",
+                F.sum("gb").over(wpre).alias("glp"),
+                F.sum("hb").over(wpre).alias("hlp"),
+                F.sum("gb").over(wall).alias("gtp"),
+                F.sum("hb").over(wall).alias("htp"),
+            )
+            ev = cum.filter(F.col("bucket") <= grid - 1).select(
+                "__node",
+                "feature",
+                "bucket",
+                F.col("glp").cast("double").alias("gl"),
+                F.col("hlp").cast("double").alias("hl"),
+                (F.col("gtp") - F.col("glp")).cast("double").alias("gr"),
+                (F.col("htp") - F.col("hlp")).cast("double").alias("hr"),
+            )
+            thr_col = None
+            for f_ in subset:
+                cond = F.col("feature") == f_
+                val = F.lit(mn[f_]) + F.col("bucket") * F.lit(step[f_])
+                thr_col = (
+                    F.when(cond, val)
+                    if thr_col is None
+                    else thr_col.when(cond, val)
+                )
+            ev = ev.withColumn("thr", thr_col).withColumn(
+                "gain", F.expr(gain_sql)
+            )
+            if mcw > 0.0:
+                ev = ev.filter(
+                    (F.col("hl") >= F.lit(mcw)) & (F.col("hr") >= F.lit(mcw))
+                )
+            wnd = Window.partitionBy("__node").orderBy(
+                F.desc("gain"), F.asc("feature"), F.asc("thr")
+            )
+            best = {
+                r["__node"]: r
+                for r in ev.withColumn("rn", F.row_number().over(wnd))
+                .filter(F.col("rn") == 1)
+                .collect()  # ≤ 2^level rows
+            }
+            tot: dict[int, dict] = {}
+            if any(
+                n not in best
+                for n in range(2**level, 2 ** (level + 1))
+            ):
+                tot = {
+                    r["__node"]: r
+                    for r in base.groupBy("__node")
+                    .agg(
+                        F.sum(F.col("__g").cast(dec))
+                        .cast("double")
+                        .alias("gt_"),
+                        F.sum(F.col("__h").cast(dec))
+                        .cast("double")
+                        .alias("ht_"),
+                    )
+                    .collect()
+                }
+            for n in range(2**level, 2 ** (level + 1)):
+                if n in best:
+                    b = best[n]
+                    picks[n] = {
+                        "feature": b["feature"],
+                        "thr": float(b["thr"]),
+                        "gain": round(b["gain"], 9),
+                        "w_le": _gb_leaf(b["gl"], b["hl"], lam, alpha),
+                        "w_gt": _gb_leaf(b["gr"], b["hr"], lam, alpha),
+                    }
+                    continue
+                if level == 0:
+                    pf, pt = subset[0], mn[subset[0]]
+                else:
+                    pf, pt = picks[n // 2]["feature"], picks[n // 2]["thr"]
+                if n in tot:
+                    w = _gb_leaf(tot[n]["gt_"], tot[n]["ht_"], lam, alpha)
+                else:
+                    w = _gb_leaf(0.0, 0.0, lam, alpha)
+                picks[n] = {
+                    "feature": pf,
+                    "thr": pt,
+                    "gain": 0.0,
+                    "w_le": w,
+                    "w_gt": w,
+                }
+
+        for n in sorted(picks):
+            pk = picks[n]
+            model_rows.append(
+                (t, n, pk["feature"], pk["thr"], pk["gain"], pk["w_le"], pk["w_gt"])
+            )
+
+        def _step(n: int, lc: int):
+            pk = picks[n]
+            go_le = F.col(pk["feature"]) <= F.lit(pk["thr"])
+            if lc == depth - 1:
+                return F.when(go_le, F.lit(pk["w_le"])).otherwise(
+                    F.lit(pk["w_gt"])
+                )
+            return F.when(go_le, _step(2 * n, lc + 1)).otherwise(
+                _step(2 * n + 1, lc + 1)
+            )
+
+        nxt = df.withColumn(
+            "__f", F.round(F.col("__f") + F.lit(eta) * _step(1, 0), 10)
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        df.unpersist()
+        df = nxt
+    return pairs.sparkSession.createDataFrame(model_rows, GBD_SCHEMA)
+
+
+def gboost_hist_ctes(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
+    eta: float = GB_ETA,
+    min_child_weight: float = 0.0,
+    seed: int = 7,
+) -> tuple[str, str]:
+    """The unrolled histogram fit as (WITH body, model UNION tail) —
+    per level: per-feature bucket arms UNION into one histogram
+    aggregate, DECIMAL prefix/total window sums, decimal-difference
+    right regions, occupied-boundary candidates, the same 3-arm
+    per-node fallback as gboost_deep_ctes."""
+    mn_mx = ", ".join(
+        f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
+    )
+    gain_sql = _gb_gain_expr(lam, gamma)
+    sig = "1.0 / (1.0 + exp(-f))"
+    mcw = float(min_child_weight)
+
+    def fcase(qual: str = "") -> str:
+        src = f"{qual}feature" if qual else "feature"
+        return (
+            f"CASE {src} "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+
+    def leaf(G: str, H: str) -> str:
+        soft = (
+            f"CASE WHEN {G} > {alpha!r} THEN {G} - {alpha!r}"
+            f" WHEN {G} < -{alpha!r} THEN {G} + {alpha!r} ELSE 0.0 END"
+        )
+        return f"(round(-({soft}) / ({H} + {lam!r}), 9) + 0.0)"
+
+    cols = ", ".join(features)
+    parts = [
+        f"WITH pairs AS MATERIALIZED ({pairs_sql})",
+        f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
+        f"s0 AS MATERIALIZED (SELECT CAST(label AS DOUBLE) AS y, {cols},"
+        " 0.0 AS f FROM pairs)",
+    ]
+    arms = []
+    for t in range(1, rounds + 1):
+        parts.append(f"""gh{t} AS MATERIALIZED (
+      SELECT y, {cols}, {sig} - y AS g, ({sig}) * (1.0 - {sig}) AS h
+      FROM s{t - 1}
+    )""")
+
+        def node_sql(n: int, lc: int, level: int) -> str:
+            if lc == level:
+                return str(n)
+            b = f"hb{t}_{n}"
+            cond = f"({fcase(b + '.')}) <= {b}.thr"
+            return (
+                f"(CASE WHEN {cond} THEN {node_sql(2 * n, lc + 1, level)}"
+                f" ELSE {node_sql(2 * n + 1, lc + 1, level)} END)"
+            )
+
+        for level in range(depth):
+            ancestors = [f"hb{t}_{m}" for m in range(1, 2**level)]
+            bfrom = ("," + ", ".join(ancestors)) if ancestors else ""
+            nexpr = node_sql(1, 0, level)
+            subset = col_subset(features, t, level, 1.0, seed)
+            bucket_arms = []
+            for f_ in subset:
+                bexpr = (
+                    f"CASE WHEN mx_{f_} = mn_{f_} THEN 1 ELSE"
+                    f" CAST(GREATEST(1, LEAST({grid}, CEIL(({f_} - mn_{f_})"
+                    f" / ((mx_{f_} - mn_{f_}) / {float(grid)!r})))) AS INT)"
+                    " END"
+                )
+                bucket_arms.append(
+                    f"SELECT {nexpr} AS node, '{f_}' AS feature,"
+                    f" {bexpr} AS bucket, g, h"
+                    f" FROM gh{t}, stats{bfrom}"
+                )
+            parts.append(f"""hx{t}_{level} AS MATERIALIZED (
+      SELECT node, feature, bucket,
+             SUM(CAST(g AS DECIMAL(38,18))) AS gb,
+             SUM(CAST(h AS DECIMAL(38,18))) AS hb
+      FROM ({" UNION ALL ".join(bucket_arms)})
+      GROUP BY node, feature, bucket
+    )""")
+            thr_case = (
+                "CASE feature "
+                + " ".join(
+                    f"WHEN '{f_}' THEN mn_{f_} + bucket *"
+                    f" ((mx_{f_} - mn_{f_}) / {float(grid)!r})"
+                    for f_ in subset
+                )
+                + " END"
+            )
+            parts.append(f"""ev{t}_{level} AS MATERIALIZED (
+      SELECT node, feature, bucket, {thr_case} AS thr,
+             CAST(glp AS DOUBLE) AS gl, CAST(hlp AS DOUBLE) AS hl,
+             CAST(gtp - glp AS DOUBLE) AS gr,
+             CAST(htp - hlp AS DOUBLE) AS hr
+      FROM (
+        SELECT node, feature, bucket,
+               SUM(gb) OVER (PARTITION BY node, feature ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS glp,
+               SUM(hb) OVER (PARTITION BY node, feature ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS hlp,
+               SUM(gb) OVER (PARTITION BY node, feature) AS gtp,
+               SUM(hb) OVER (PARTITION BY node, feature) AS htp
+        FROM hx{t}_{level}
+      ), stats WHERE bucket <= {grid - 1}
+    )""")
+            parts.append(f"""nt{t}_{level} AS MATERIALIZED (
+      SELECT {nexpr} AS node,
+             CAST(SUM(CAST(g AS DECIMAL(38,18))) AS DOUBLE) AS gt_,
+             CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) AS ht_
+      FROM gh{t}{bfrom} GROUP BY node
+    )""")
+            mcw_pred = (
+                f" AND hl >= {mcw!r} AND hr >= {mcw!r}" if mcw > 0.0 else ""
+            )
+            for n in range(2**level, 2 ** (level + 1)):
+                if level == 0:
+                    pf, pt = f"'{subset[0]}'", f"mn_{subset[0]}"
+                    pj, p3 = ", stats", "stats"
+                else:
+                    par = f"hb{t}_{n // 2}"
+                    pf, pt = f"{par}.feature", f"{par}.thr"
+                    pj, p3 = f", {par}", par
+                parts.append(f"""hb{t}_{n} AS MATERIALIZED (
+      SELECT feature, thr, gain, w_le, w_gt FROM (
+        SELECT 1 AS pri, feature, thr, round({gain_sql}, 9) AS gain,
+               {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt,
+               {gain_sql} AS gc
+        FROM ev{t}_{level} WHERE node = {n}{mcw_pred}
+        UNION ALL
+        SELECT 2 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
+               {leaf("gt_", "ht_")} AS w_le, {leaf("gt_", "ht_")} AS w_gt,
+               0.0 AS gc
+        FROM nt{t}_{level}{pj} WHERE node = {n}
+        UNION ALL
+        SELECT 3 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
+               {leaf("0.0", "0.0")} AS w_le, {leaf("0.0", "0.0")} AS w_gt,
+               0.0 AS gc
+        FROM {p3}
+      ) ORDER BY pri ASC, gc DESC, feature ASC, thr ASC LIMIT 1
+    )""")
+
+        def walk(n: int, lc: int) -> str:
+            b = f"hb{t}_{n}"
+            cond = f"({fcase(b + '.')}) <= {b}.thr"
+            if lc == depth - 1:
+                return (
+                    f"(CASE WHEN {cond} THEN {b}.w_le ELSE {b}.w_gt END)"
+                )
+            return (
+                f"(CASE WHEN {cond} THEN {walk(2 * n, lc + 1)}"
+                f" ELSE {walk(2 * n + 1, lc + 1)} END)"
+            )
+
+        all_bs = ", ".join(f"hb{t}_{m}" for m in range(1, 2**depth))
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT y, {cols},
+             round(f + {eta!r} * {walk(1, 0)}, 10) AS f
+      FROM s{t - 1}, {all_bs}
+    )""")
+        for n in range(1, 2**depth):
+            arms.append(
+                f"SELECT {t} AS round, {n} AS node, feature, thr, gain,"
+                f" w_le, w_gt FROM hb{t}_{n}"
+            )
+    return ",\n".join(parts), "\nUNION ALL\n".join(arms)
+
+
+def gboost_hist_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    min_child_weight: float = 0.0,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`gboost_hist_fit`."""
+    ctes, model_union = gboost_hist_ctes(
+        pairs_sql,
+        features,
+        rounds,
+        depth,
+        grid,
+        min_child_weight=min_child_weight,
+        seed=seed,
+    )
+    return ctes + "\n" + model_union

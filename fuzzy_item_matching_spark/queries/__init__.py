@@ -441,6 +441,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # exact truth in ONE plan (bench-excluded O(q*n) truth, like the
     # other recall evals).
     "sim_ann_ivf_probe_sweep",
+    # r09: histogram split finding (tree_method='hist') — the boosting
+    # family's O(n·f) scale path, exact via DECIMAL bucket prefix sums.
+    "train_gboost_hist",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -3790,6 +3790,42 @@ def train_gboost_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gbh_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import gboost_hist_sql
+
+    return gboost_hist_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+    )
+
+
+@query("train_gboost_hist", oracle=_gbh_oracle())
+def train_gboost_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM split finding at depth 3 — the reference XGBoost's
+    ``tree_method='hist'`` (`03_Train & Deploy Model.py:172`) and the
+    booster family's true 100 TB shape: each row lands in ONE bucket
+    per feature (ceil on the fixed grid — the identical expression
+    both engines evaluate), the per-(node, feature, bucket) g/h
+    histogram aggregates in one O(n·f) pass per level, and split
+    region sums come from DECIMAL prefix sums over the ≤16-bucket
+    histogram with right regions as exact decimal differences
+    (total − prefix) — no second pass, no rows×grid expansion, still
+    bit-for-bit SQL-replayable. Candidate thresholds are the OCCUPIED
+    bucket boundaries (XGBoost-hist semantics). Compare
+    train_gboost_depth3: same tree shape, same gain/leaf math,
+    exact-comparison candidates at O(n·f·grid) — this query is the
+    plan that wins when n·grid stops fitting the shuffle."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_hist_fit,
+    )
+
+    return gboost_hist_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        rounds=_GBD_ROUNDS,
+        depth=_GBD_DEPTH,
+    )
+
+
 def _ece_oracle() -> str:
     from fuzzy_item_matching_spark.queries import REGISTRY
 

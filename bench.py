@@ -110,6 +110,23 @@ HEADLINE_EXTRA = {
     "ts_ngram_novelty",
     "train_label_noise",
     "stream_dsir_scores",
+    # r09: rows the rotation demoted below the prefix plus new
+    # below-boundary capability fits, all >= ~2 s in the r09 full
+    # 1-pass sweep — they keep min-of-N noise suppression.
+    "serve_canary_compare",
+    "dedup_incremental_minhash",
+    "train_sparse_logreg",
+    "train_gboost_hist",
+    "sim_struct_pairs",
+    "ts_wordlm_score",
+    "ts_sketch_compare",
+    "stream_heavy_hitters",
+    "rel_pagerank_brands",
+    "mm_phash_pairs",
+    "sim_mmr_topk",
+    "stream_user_sessions",
+    "sim_ann_lsh_topk",
+    "dedup_semantic_pairs",
 }
 
 

@@ -444,6 +444,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: histogram split finding (tree_method='hist') — the boosting
     # family's O(n·f) scale path, exact via DECIMAL bucket prefix sums.
     "train_gboost_hist",
+    # r09: Gopher repetition filters (dup/top n-gram fractions) — the
+    # production boilerplate-spam rule per-token stats can't see.
+    "ts_gopher_repetition",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

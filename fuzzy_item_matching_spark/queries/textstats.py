@@ -3072,3 +3072,130 @@ def ts_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_term_burstiness.__doc__ = ts_term_burstiness.__doc__.format(
     k=_BURST_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters: per-doc duplicate/top n-gram fractions
+# ---------------------------------------------------------------------------
+
+_GOPHER_DUP_BG_MAX = 0.05  # keep if dup_bigram_frac <= this
+_GOPHER_TOP_BG_MAX = 0.05  # and top_bigram_frac <= this
+
+
+@query(
+    "ts_gopher_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM t
+    ),
+    gc AS (
+      SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+    ),
+    st AS (
+      SELECT doc_id, n,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS dstnct,
+             CAST(MAX(c) AS BIGINT) AS topc
+      FROM gc GROUP BY doc_id, n
+    ),
+    wide AS (
+      SELECT b.doc_id,
+             round(1.0 - b.dstnct * 1.0 / b.total, 9) AS dup_bigram_frac,
+             round(b.topc * 1.0 / b.total, 9) AS top_bigram_frac,
+             round(1.0 - g.dstnct * 1.0 / g.total, 9) AS dup_trigram_frac
+      FROM (SELECT * FROM st WHERE n = 2) b
+      JOIN (SELECT * FROM st WHERE n = 3) g USING (doc_id)
+    )
+    SELECT doc_id, dup_bigram_frac, top_bigram_frac, dup_trigram_frac,
+           CASE WHEN dup_bigram_frac <= {_GOPHER_DUP_BG_MAX!r}
+                 AND top_bigram_frac <= {_GOPHER_TOP_BG_MAX!r}
+                THEN 1 ELSE 0 END AS keep
+    FROM wide
+    """,
+)
+def ts_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models", Table A1): per document, the fraction
+    of duplicate word bigrams, the fraction covered by the single
+    most frequent bigram, and the duplicate-trigram fraction — the
+    rules production pretraining pipelines use to drop
+    template/boilerplate spam that per-token stats (ts_doc_quality)
+    can't see. ``keep`` applies the bigram thresholds.
+
+    Plan: bigrams and trigrams ride ONE exploded frame tagged by n,
+    so the per-(doc, n, gram) count and the per-(doc, n) rollup are
+    each a single map-side-combinable aggregate keyed by doc — two
+    exchanges total regardless of corpus size, output one row per
+    document. All fractions are integer-count ratios in one double
+    division, rounded to 9 — exact in both engines; docs too short
+    for a trigram (none in the fixture) drop via the inner join,
+    matching the oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", regex_tokenize("text").alias("__toks")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_ngrams(F.col("__toks"), n=2),
+                    lambda g: F.struct(
+                        F.lit(2).alias("n"), g.alias("g")
+                    ),
+                ),
+                F.transform(
+                    word_ngrams(F.col("__toks"), n=3),
+                    lambda g: F.struct(
+                        F.lit(3).alias("n"), g.alias("g")
+                    ),
+                ),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    gc = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    st = gc.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("dstnct"),
+        F.max("c").alias("topc"),
+    )
+    b = st.filter(F.col("n") == 2).select(
+        "doc_id",
+        F.round(
+            1.0 - F.col("dstnct") * 1.0 / F.col("total"), 9
+        ).alias("dup_bigram_frac"),
+        F.round(F.col("topc") * 1.0 / F.col("total"), 9).alias(
+            "top_bigram_frac"
+        ),
+    )
+    g3 = st.filter(F.col("n") == 3).select(
+        "doc_id",
+        F.round(
+            1.0 - F.col("dstnct") * 1.0 / F.col("total"), 9
+        ).alias("dup_trigram_frac"),
+    )
+    return b.join(g3, "doc_id").select(
+        "doc_id",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        F.when(
+            (F.col("dup_bigram_frac") <= F.lit(_GOPHER_DUP_BG_MAX))
+            & (F.col("top_bigram_frac") <= F.lit(_GOPHER_TOP_BG_MAX)),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

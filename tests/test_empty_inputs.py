@@ -80,6 +80,9 @@ EMPTY_SAFE = [
     "text_unigram_segments",
     "text_unigram_prune",
     "ts_ngram_novelty",
+    # r09 additions
+    "ts_gopher_repetition",
+    "train_tpe_search",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
@@ -108,6 +111,12 @@ NEEDS_DATA = [
     "train_pr_curve",
     "train_gboost_early_stop",
     "train_label_noise",
+    # r09: the deep/hist/stochastic fits and the probe sweep's
+    # centroid sample cannot exist on an empty frame
+    "train_gboost_depth3",
+    "train_gboost_stochastic",
+    "train_gboost_hist",
+    "sim_ann_ivf_probe_sweep",
 ]
 
 

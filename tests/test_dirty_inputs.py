@@ -53,6 +53,16 @@ DIRTY_SAFE = [
     "rel_range_interval_ma",
     "ts_ngram_novelty",
     "train_label_noise",
+    # r09: deep/stochastic/hist boosting fit on the pair frame
+    # (dirty embeddings are excluded by the pair build's join);
+    # TPE over the same frame; Gopher repetition over NULL/empty/
+    # unicode docs (coalesce-guarded tokenizer, short docs drop via
+    # the trigram join)
+    "train_gboost_depth3",
+    "train_gboost_stochastic",
+    "train_gboost_hist",
+    "train_tpe_search",
+    "ts_gopher_repetition",
     # text family over NULL/empty/unicode/megatoken docs
     "text_tokens",
     "ts_token_stats",

@@ -447,6 +447,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: Gopher repetition filters (dup/top n-gram fractions) — the
     # production boilerplate-spam rule per-token stats can't see.
     "ts_gopher_repetition",
+    # r09: CCNet head/middle/tail perplexity tertiles and the DoReMi
+    # multiplicative-weights domain mixture (both compose the
+    # in-prefix wordlm scorer's oracle).
+    "ts_ccnet_buckets",
+    "ts_doremi_mixture",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -3199,3 +3199,221 @@ def ts_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets + DoReMi mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    from fuzzy_item_matching_spark.queries import REGISTRY
+
+    wlm = REGISTRY["ts_wordlm_score"].oracle
+    return f"""
+    WITH s AS ({wlm}),
+    r AS (
+      SELECT doc_id, n_bigrams, nll,
+             ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    b AS (
+      SELECT CASE WHEN rnk * 3 <= n THEN 'head'
+                  WHEN rnk * 3 <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             n_bigrams, nll
+      FROM r
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           round(MIN(nll), 9) AS min_nll,
+           round(MAX(nll), 9) AS max_nll
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("ts_ccnet_buckets", oracle=_ccnet_oracle())
+def ts_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): rank
+    every document by its LM perplexity (the in-prefix
+    ts_wordlm_score — CCNet's KenLM filter at the same granularity)
+    and cut the corpus into perplexity tertiles; pretraining recipes
+    keep `head`, mix `middle`, and drop or down-weight `tail`.
+    Composes the wordlm query wholesale (its oracle nests as a CTE),
+    so the split is definitionally consistent with the filter it
+    summarizes. The tertile boundary is integer arithmetic
+    (rnk·3 ≤ n), never a float quantile — exact in both engines; the
+    rank tie-breaks on doc_id. One unpartitioned window over the
+    per-doc score frame (n rows, not the corpus token frame) + one
+    3-group aggregate."""
+    from pyspark.sql.window import Window as W
+
+    s = ts_wordlm_score(spark, sf_dir)
+    r = s.select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.row_number()
+        .over(W.orderBy(F.asc("nll"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        r.select(bucket.alias("bucket"), "n_bigrams", "nll")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(F.min("nll"), 9).alias("min_nll"),
+            F.round(F.max("nll"), 9).alias("max_nll"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_DOREMI_ITERS = 5
+_DOREMI_ETA = 2.0
+
+
+def _doremi_oracle() -> str:
+    from fuzzy_item_matching_spark.queries import REGISTRY
+
+    wlm = REGISTRY["ts_wordlm_score"].oracle
+    eta = _DOREMI_ETA
+    # AS MATERIALIZED throughout: an iterative CTE chain referenced
+    # multiple times inlines exponentially when left to DuckDB's
+    # default (the MMR-oracle authoring rule, docs/VERIFICATION.md).
+    ctes = [
+        f"s AS MATERIALIZED ({wlm})",
+        """dl AS MATERIALIZED (
+      SELECT d.lang,
+             CAST(SUM(CAST(s.nll AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS loss
+      FROM s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY d.lang
+    )""",
+        """nd AS MATERIALIZED (SELECT COUNT(*) AS nd FROM dl)""",
+        """w0 AS MATERIALIZED (
+      SELECT lang, loss, 1.0 / nd AS alpha FROM dl, nd
+    )""",
+    ]
+    arms = ["SELECT 0 AS iter, lang, round(loss, 9) AS loss,"
+            " round(alpha, 9) AS alpha FROM w0"]
+    for t in range(1, _DOREMI_ITERS + 1):
+        p = t - 1
+        ctes.append(f"""b{t} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(alpha * loss AS DECIMAL(38,18))) AS DOUBLE)
+               AS bl
+      FROM w{p}
+    )""")
+        ctes.append(f"""u{t} AS MATERIALIZED (
+      SELECT lang, loss,
+             alpha * round(exp({eta!r} * (loss - bl)), 9) AS raw
+      FROM w{p}, b{t}
+    )""")
+        ctes.append(f"""z{t} AS MATERIALIZED (
+      SELECT CAST(SUM(CAST(raw AS DECIMAL(38,18))) AS DOUBLE) AS z
+      FROM u{t}
+    )""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT lang, loss, round(raw / z, 9) AS alpha FROM u{t}, z{t}
+    )""")
+        arms.append(
+            f"SELECT {t} AS iter, lang, round(loss, 9) AS loss,"
+            f" round(alpha, 9) AS alpha FROM w{t}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("ts_doremi_mixture", oracle=_doremi_oracle())
+def ts_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain mixture reweighting (Xie et al. 2023):
+    per-language mean LM loss (composing the wordlm scorer), then
+    {it} multiplicative-weights iterations — each domain's weight
+    multiplies by exp(η·(loss − Σ α·loss)) and renormalizes, so
+    weight flows toward above-baseline-loss domains while the
+    baseline itself moves with the mixture (the Group-DRO inner
+    loop). Returns the full (iter, lang, loss, alpha) trace.
+
+    Determinism: domain losses accumulate as DECIMAL; each
+    iteration's exp is quantized to 9 digits before it multiplies
+    (the logreg-GD discipline — the only transcendental per domain
+    per step), and weights re-round to 9 after normalization, so the
+    whole trajectory replays exactly in SQL. The corpus contributes
+    ONE scoring pass; iterations run on the |domains|-row frame
+    (tiny one-row aggregates, not corpus work)."""
+    from fuzzy_item_matching_spark.tables import load_table as _lt
+
+    dec = "decimal(38,18)"
+    s = ts_wordlm_score(spark, sf_dir)
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "lang")
+    dl = (
+        s.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            (
+                F.sum(F.col("nll").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("loss")
+        )
+    )
+    nd = dl.agg(F.count(F.lit(1)).alias("nd"))
+    cur = dl.crossJoin(F.broadcast(nd)).select(
+        "lang", "loss", (F.lit(1.0) / F.col("nd")).alias("alpha")
+    ).localCheckpoint(eager=True)
+    out = cur.select(
+        F.lit(0).alias("iter"),
+        "lang",
+        F.round("loss", 9).alias("loss"),
+        F.round("alpha", 9).alias("alpha"),
+    )
+    for t in range(1, _DOREMI_ITERS + 1):
+        base = cur.agg(
+            F.sum((F.col("alpha") * F.col("loss")).cast(dec))
+            .cast("double")
+            .alias("bl")
+        )
+        upd = cur.crossJoin(F.broadcast(base)).select(
+            "lang",
+            "loss",
+            (
+                F.col("alpha")
+                * F.round(
+                    F.exp(F.lit(_DOREMI_ETA) * (F.col("loss") - F.col("bl"))),
+                    9,
+                )
+            ).alias("raw"),
+        )
+        z = upd.agg(
+            F.sum(F.col("raw").cast(dec)).cast("double").alias("z")
+        )
+        cur = (
+            upd.crossJoin(F.broadcast(z))
+            .select(
+                "lang",
+                "loss",
+                F.round(F.col("raw") / F.col("z"), 9).alias("alpha"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            cur.select(
+                F.lit(t).alias("iter"),
+                "lang",
+                F.round("loss", 9).alias("loss"),
+                F.round("alpha", 9).alias("alpha"),
+            )
+        )
+    return out
+
+
+ts_doremi_mixture.__doc__ = ts_doremi_mixture.__doc__.format(
+    it=_DOREMI_ITERS
+)

@@ -452,6 +452,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # in-prefix wordlm scorer's oracle).
     "ts_ccnet_buckets",
     "ts_doremi_mixture",
+    # r09: the linkage-quality operating curve on a held-out truth
+    # (pattern-compressed: the whole curve is one corpus exchange).
+    "serve_fs_match_curve",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

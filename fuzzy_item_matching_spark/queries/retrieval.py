@@ -886,3 +886,168 @@ def serve_fs_em_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FS_SCORE_TOP)
         .select("id1", "id2", "weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linkage QUALITY eval: pairwise precision/recall curve on a held-out truth
+# ---------------------------------------------------------------------------
+
+
+def _fs_match_curve_oracle() -> str:
+    em_ctes = _fs_em_oracle()
+    # token-field weight only (m2/u2, m3/u3) — f_type is the HELD-OUT
+    # truth, so it must not contribute to the score
+    w_terms = []
+    for j in (2, 3):
+        w_terms.append(
+            f"CAST(CASE WHEN g{j} = 1 THEN ln(round(m{j}, 9)"
+            f" / round(u{j}, 9))"
+            f" ELSE ln((1.0 - round(m{j}, 9)) / (1.0 - round(u{j}, 9)))"
+            f" END AS DECIMAL(38,18))"
+        )
+    w = f"CAST({' + '.join(w_terms)} AS DOUBLE)"
+    return f"""
+    WITH fit AS MATERIALIZED (SELECT * FROM ({em_ctes}) t),
+    p AS (
+      SELECT p_partkey, p_brand, p_size,
+             coalesce(p_type, '') AS f_type,
+             split_part(coalesce(p_name, ''), ' ', 1) AS f_tok1,
+             split_part(coalesce(p_name, ''), ' ', 2) AS f_tok2
+      FROM part
+    ),
+    prm AS (
+      SELECT MAX(CASE WHEN field = 'f_tok1' THEN m END) AS m2,
+             MAX(CASE WHEN field = 'f_tok2' THEN m END) AS m3,
+             MAX(CASE WHEN field = 'f_tok1' THEN u END) AS u2,
+             MAX(CASE WHEN field = 'f_tok2' THEN u END) AS u3
+      FROM fit
+    ),
+    pat AS MATERIALIZED (
+      SELECT CASE WHEN a.f_tok1 = b.f_tok1 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN a.f_tok2 = b.f_tok2 THEN 1 ELSE 0 END AS g3,
+             CASE WHEN a.f_type = b.f_type THEN 1 ELSE 0 END AS truth,
+             COUNT(*) AS n
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      GROUP BY g2, g3, truth
+    ),
+    wt AS MATERIALIZED (
+      SELECT {w} AS weight,
+             CAST(SUM(CASE WHEN truth = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS pos,
+             CAST(SUM(n) AS BIGINT) AS tot
+      FROM pat, prm GROUP BY weight
+    ),
+    cum AS (
+      SELECT weight,
+             SUM(pos) OVER (ORDER BY weight DESC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(tot) OVER (ORDER BY weight DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_pred,
+             SUM(pos) OVER () AS all_pos
+      FROM wt
+    )
+    SELECT round(weight, 9) AS weight,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           round(tp * 1.0 / n_pred, 9) AS precision,
+           CASE WHEN all_pos = 0 THEN 0.0
+                ELSE round(tp * 1.0 / all_pos, 9) END AS recall,
+           round(2.0 * tp / (n_pred + all_pos), 9) AS f1
+    FROM cum ORDER BY weight DESC
+    """
+
+
+@query("serve_fs_match_curve", oracle=_fs_match_curve_oracle())
+def serve_fs_match_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage-QUALITY operating curve on a HELD-OUT truth — the eval
+    Splink calls the match-weight threshold chart: pairwise
+    precision/recall/F1 at every distinct match weight, where the
+    weight uses only the name-token agreement fields (EM-fitted
+    m̂/û from the shared serve_fs_em_fit memo) and the truth label
+    (p_type equality) is excluded from the score — so the curve
+    measures genuine predictive transfer, not self-agreement.
+    Completes the ER family: sim_blocking_eval grades the blocking
+    key, serve_fs_em_fit the parameter estimation, serve_fs_em_scores
+    the scoring, and this query the resulting match QUALITY.
+
+    Scale (the FS pattern-compression discipline): blocked pairs
+    collapse to ≤2^F·2 (pattern × truth) rows in ONE corpus exchange;
+    every operating point is a cumulative sum over the ≤4 distinct
+    weights — the curve costs one aggregate regardless of corpus
+    size. All ratios are integer-count divisions rounded to 9."""
+    from pyspark.sql.window import Window as W
+
+    fit = {r["field"]: r for r in serve_fs_em_fit(spark, sf_dir).collect()}
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.coalesce("p_type", F.lit("")).alias("f_type"),
+        F.split(F.coalesce("p_name", F.lit("")), " ")
+        .getItem(0)
+        .alias("f_tok1"),
+        F.coalesce(
+            F.split(F.coalesce("p_name", F.lit("")), " ").getItem(1),
+            F.lit(""),
+        ).alias("f_tok2"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            (F.col("a.f_tok1") == F.col("b.f_tok1")).cast("int").alias("g2"),
+            (F.col("a.f_tok2") == F.col("b.f_tok2")).cast("int").alias("g3"),
+            (F.col("a.f_type") == F.col("b.f_type")).cast("int").alias(
+                "truth"
+            ),
+        )
+        .groupBy("g2", "g3", "truth")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = None
+    for j, f_ in ((2, "f_tok1"), (3, "f_tok2")):
+        m, u = fit[f_]["m"], fit[f_]["u"]
+        term = F.when(
+            F.col(f"g{j}") == 1, F.log(F.lit(m) / F.lit(u))
+        ).otherwise(F.log(F.lit(1.0 - m) / F.lit(1.0 - u))).cast(
+            "decimal(38,18)"
+        )
+        w = term if w is None else w + term
+    wt = (
+        pat.withColumn("weight", w.cast("double"))
+        .groupBy("weight")
+        .agg(
+            F.sum(F.when(F.col("truth") == 1, F.col("n")).otherwise(0))
+            .alias("pos"),
+            F.sum("n").alias("tot"),
+        )
+    )
+    wcum = (
+        W.orderBy(F.desc("weight"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy()
+    cum = wt.select(
+        "weight",
+        F.sum("pos").over(wcum).alias("tp"),
+        F.sum("tot").over(wcum).alias("n_pred"),
+        F.sum("pos").over(wall).alias("all_pos"),
+    )
+    return cum.select(
+        F.round("weight", 9).alias("weight"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(F.col("tp") * 1.0 / F.col("n_pred"), 9).alias("precision"),
+        F.when(F.col("all_pos") == 0, 0.0)
+        .otherwise(F.round(F.col("tp") * 1.0 / F.col("all_pos"), 9))
+        .alias("recall"),
+        F.round(2.0 * F.col("tp") / (F.col("n_pred") + F.col("all_pos")), 9)
+        .alias("f1"),
+    ).orderBy(F.desc("weight"))

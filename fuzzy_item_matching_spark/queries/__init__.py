@@ -455,6 +455,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: the linkage-quality operating curve on a held-out truth
     # (pattern-compressed: the whole curve is one corpus exchange).
     "serve_fs_match_curve",
+    # r09: bucketing as the amortized-shuffle layout — the co-located
+    # fact-fact join with zero join-side exchanges, plan-pinned.
+    "src_bucketed_colocated_join",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -955,3 +955,60 @@ def src_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reason")
     )
     return exploded.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "src_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+             AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def src_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located big-big join — Spark's bucketing as the 100 TB
+    answer to repeated fact-fact joins: both sides are written
+    ``bucketBy(16, orderkey).sortBy`` (operators/skew.write_bucketed),
+    so the subsequent equi-join runs as a SortMergeJoin over
+    PRE-BUCKETED scans with NO shuffle on either side — the join-side
+    exchange is paid ONCE at write time and amortized over every
+    later join on the key (the fuzzy-matching pipeline joins
+    pairs↔features↔labels on the same id repeatedly; this is that
+    layout decision made explicit and driver-checked). The only
+    exchange left in the plan is the final small group-by; pinned in
+    tests/test_plans.py. Bucketing never changes CONTENT, so the
+    oracle is the plain join — what's verified is that the layout
+    path computes the identical result."""
+    from fuzzy_item_matching_spark.operators.skew import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "src_colo_orders", "o_orderkey", 16)
+    write_bucketed(li, "src_colo_lineitem", "l_orderkey", 16)
+    ob = spark.table("src_colo_orders")
+    lb = spark.table("src_colo_lineitem")
+    # merge hint: at test scale the orders side fits the broadcast
+    # threshold and AQE would pick BHJ, hiding the layout this query
+    # exists to demonstrate; at 100 TB NEITHER side broadcasts and
+    # SMJ-over-buckets is the only shuffle-free plan — pin that one.
+    return (
+        ob.hint("merge").join(lb, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

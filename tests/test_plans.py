@@ -544,3 +544,14 @@ def test_gboost_deep_oracle_aggregate_budget():
     assert len(evs) == rounds * depth
     assert len(nts) == rounds * depth
     assert len(bs) == rounds * (2**depth - 1)
+
+
+def test_bucketed_colocated_join_no_join_exchange(spark, registry):
+    """src_bucketed_colocated_join: both sides pre-bucketed on the
+    join key, so the SortMergeJoin runs with NO shuffle on either
+    input — the plan must not hash-partition on the join keys; the
+    only exchange is the final small group-by."""
+    plan = plan_of(spark, registry, "src_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(l_orderkey" not in plan

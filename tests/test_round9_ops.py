@@ -246,3 +246,84 @@ def test_gboost_deep_empty_frame_raises(spark):
     empty = _pairs(spark).filter("id_a < 0")
     with pytest.raises(ValueError, match="empty training frame"):
         gboost_deep_fit(empty, FEATS, rounds=1, depth=2)
+
+
+def test_doremi_weight_flows_to_max_loss_domain(spark):
+    """DoReMi invariant: across iterations, the maximum-loss domain's
+    weight is non-decreasing and the minimum-loss domain's is
+    non-increasing (multiplicative weights on the excess loss), and
+    every iteration's weights sum to ~1."""
+    from fuzzy_item_matching_spark.queries.textstats import (
+        ts_doremi_mixture,
+    )
+
+    rows = ts_doremi_mixture(spark, SF_SMOKE).collect()
+    by_iter: dict[int, dict[str, float]] = {}
+    loss = {}
+    for r in rows:
+        by_iter.setdefault(r.iter, {})[r.lang] = r.alpha
+        loss[r.lang] = r.loss
+    hi = max(loss, key=loss.get)
+    lo = min(loss, key=loss.get)
+    iters = sorted(by_iter)
+    for a, b in zip(iters, iters[1:]):
+        assert by_iter[b][hi] >= by_iter[a][hi] - 1e-9
+        assert by_iter[b][lo] <= by_iter[a][lo] + 1e-9
+    for t in iters:
+        assert abs(sum(by_iter[t].values()) - 1.0) < 1e-6
+
+
+def test_ccnet_tertiles_balanced_and_ordered(spark):
+    """CCNet buckets: tertile sizes differ by at most 1 and the
+    perplexity ranges are disjoint and ordered head < middle < tail."""
+    from fuzzy_item_matching_spark.queries.textstats import (
+        ts_ccnet_buckets,
+    )
+
+    rows = {r.bucket: r for r in ts_ccnet_buckets(spark, SF_SMOKE).collect()}
+    sizes = [rows[b].n_docs for b in ("head", "middle", "tail")]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows["head"].max_nll <= rows["middle"].min_nll
+    assert rows["middle"].max_nll <= rows["tail"].min_nll
+
+
+def test_fs_match_curve_monotone(spark):
+    """Operating-curve invariants: as the weight threshold drops,
+    n_pred and tp are non-decreasing and recall is non-decreasing,
+    ending at recall 1.0 (every blocked pair predicted)."""
+    from fuzzy_item_matching_spark.queries.retrieval import (
+        serve_fs_match_curve,
+    )
+
+    from .conftest import SF_CHECK
+
+    # sf0.01: the sf0.001 part table yields a single agreement
+    # pattern (one curve point), which exercises nothing
+    rows = serve_fs_match_curve(spark, SF_CHECK).collect()
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert a.weight > b.weight
+        assert b.n_pred >= a.n_pred and b.tp >= a.tp
+        assert b.recall >= a.recall - 1e-9
+    assert rows[-1].recall == 1.0
+
+
+def test_gopher_repetition_bounds(spark):
+    """All fractions live in [0, 1]; keep is the documented
+    conjunction of the bigram thresholds."""
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _GOPHER_DUP_BG_MAX,
+        _GOPHER_TOP_BG_MAX,
+        ts_gopher_repetition,
+    )
+
+    rows = ts_gopher_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        for v in (r.dup_bigram_frac, r.top_bigram_frac, r.dup_trigram_frac):
+            assert 0.0 <= v <= 1.0
+        want = int(
+            r.dup_bigram_frac <= _GOPHER_DUP_BG_MAX
+            and r.top_bigram_frac <= _GOPHER_TOP_BG_MAX
+        )
+        assert r.keep == want

@@ -544,7 +544,10 @@ def gboost_hist_fit(
     alpha: float = GB_ALPHA,
     gamma: float = GB_GAMMA,
     eta: float = GB_ETA,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
     min_child_weight: float = 0.0,
+    row_key: str | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """:func:`gboost_deep_fit` with HISTOGRAM split finding — the
@@ -586,9 +589,12 @@ def gboost_hist_fit(
         mn[f_] = float(stats[f"mn_{f_}"])
         step[f_] = (float(stats[f"mx_{f_}"]) - mn[f_]) / float(grid)
 
-    df = pairs.select(
-        F.col(label).cast("double").alias("__y"), *features
-    ).withColumn("__f", F.lit(0.0))
+    if subsample < 1.0 and row_key is None:
+        raise ValueError("gboost_hist_fit: subsample < 1 requires row_key")
+    keep = [F.col(label).cast("double").alias("__y"), *features]
+    if row_key is not None:
+        keep.append(F.col(row_key).cast("string").alias("__k"))
+    df = pairs.select(*keep).withColumn("__f", F.lit(0.0))
     df = df.persist()
 
     gain_sql = _gb_gain_expr(lam, gamma)
@@ -596,11 +602,29 @@ def gboost_hist_fit(
     mcw = float(min_child_weight)
     model_rows = []
     for t in range(1, rounds + 1):
+        from fuzzy_item_matching_spark.functions.sampling import (
+            keyed_uniform,
+        )
+
         p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+        if subsample < 1.0:
+            ind = (
+                F.when(
+                    keyed_uniform(F.col("__k"), seed=seed * 1000 + t)
+                    < F.lit(subsample),
+                    1.0,
+                )
+                .otherwise(0.0)
+            )
+            g_expr = (p - F.col("__y")) * ind
+            h_expr = (p * (1.0 - p)) * ind
+        else:
+            g_expr = p - F.col("__y")
+            h_expr = p * (1.0 - p)
         ghdf = df.select(
             *features,
-            (p - F.col("__y")).alias("__g"),
-            (p * (1.0 - p)).alias("__h"),
+            g_expr.alias("__g"),
+            h_expr.alias("__h"),
         ).localCheckpoint(eager=True)
 
         picks: dict[int, dict] = {}
@@ -616,7 +640,7 @@ def gboost_hist_fit(
                 ).otherwise(_node(2 * n + 1, lc + 1))
 
             base = ghdf.withColumn("__node", _node(1, 0))
-            subset = col_subset(features, t, level, 1.0, seed)
+            subset = col_subset(features, t, level, colsample, seed)
             fb = F.explode(
                 F.array(
                     *[
@@ -783,7 +807,10 @@ def gboost_hist_ctes(
     alpha: float = GB_ALPHA,
     gamma: float = GB_GAMMA,
     eta: float = GB_ETA,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
     min_child_weight: float = 0.0,
+    row_key: str | None = None,
     seed: int = 7,
 ) -> tuple[str, str]:
     """The unrolled histogram fit as (WITH body, model UNION tail) —
@@ -813,7 +840,9 @@ def gboost_hist_ctes(
         )
         return f"(round(-({soft}) / ({H} + {lam!r}), 9) + 0.0)"
 
-    cols = ", ".join(features)
+    if subsample < 1.0 and row_key is None:
+        raise ValueError("subsample < 1 requires row_key")
+    cols = ", ".join(features) + (f", {row_key}" if row_key else "")
     parts = [
         f"WITH pairs AS MATERIALIZED ({pairs_sql})",
         f"stats AS MATERIALIZED (SELECT {mn_mx} FROM pairs)",
@@ -822,8 +851,18 @@ def gboost_hist_ctes(
     ]
     arms = []
     for t in range(1, rounds + 1):
+        if subsample < 1.0:
+            ind = (
+                f"(CASE WHEN {_u_sql(row_key, seed * 1000 + t)}"
+                f" < {subsample!r} THEN 1.0 ELSE 0.0 END)"
+            )
+            g_expr = f"(({sig}) - y) * {ind}"
+            h_expr = f"(({sig}) * (1.0 - {sig})) * {ind}"
+        else:
+            g_expr = f"{sig} - y"
+            h_expr = f"({sig}) * (1.0 - {sig})"
         parts.append(f"""gh{t} AS MATERIALIZED (
-      SELECT y, {cols}, {sig} - y AS g, ({sig}) * (1.0 - {sig}) AS h
+      SELECT y, {cols}, {g_expr} AS g, {h_expr} AS h
       FROM s{t - 1}
     )""")
 
@@ -841,7 +880,7 @@ def gboost_hist_ctes(
             ancestors = [f"hb{t}_{m}" for m in range(1, 2**level)]
             bfrom = ("," + ", ".join(ancestors)) if ancestors else ""
             nexpr = node_sql(1, 0, level)
-            subset = col_subset(features, t, level, 1.0, seed)
+            subset = col_subset(features, t, level, colsample, seed)
             bucket_arms = []
             for f_ in subset:
                 bexpr = (
@@ -955,7 +994,10 @@ def gboost_hist_sql(
     rounds: int = 2,
     depth: int = 3,
     grid: int = GRID,
+    subsample: float = 1.0,
+    colsample: float = 1.0,
     min_child_weight: float = 0.0,
+    row_key: str | None = None,
     seed: int = 7,
 ) -> str:
     """DuckDB twin of :func:`gboost_hist_fit`."""
@@ -965,7 +1007,10 @@ def gboost_hist_sql(
         rounds,
         depth,
         grid,
+        subsample=subsample,
+        colsample=colsample,
         min_child_weight=min_child_weight,
+        row_key=row_key,
         seed=seed,
     )
     return ctes + "\n" + model_union

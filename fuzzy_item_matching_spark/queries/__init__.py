@@ -458,6 +458,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: bucketing as the amortized-shuffle layout — the co-located
     # fact-fact join with zero join-side exchanges, plan-pinned.
     "src_bucketed_colocated_join",
+    # r09: hist + subsample + colsample + min_child_weight composed —
+    # the reference's actual searched configuration on the O(n·f)
+    # histogram path, same seeds as the exact-comparison twin.
+    "train_gboost_hist_stochastic",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

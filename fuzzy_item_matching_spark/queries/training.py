@@ -3826,6 +3826,45 @@ def train_gboost_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gbhs_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import gboost_hist_sql
+
+    return gboost_hist_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        rounds=_GBS_ROUNDS,
+        depth=2,
+        **_GBS,
+    )
+
+
+@query("train_gboost_hist_stochastic", oracle=_gbhs_oracle())
+def train_gboost_hist_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL training configuration composed:
+    ``tree_method='hist'`` WITH ``subsample``, ``colsample_by*`` and
+    ``min_child_weight`` together (`03_Train & Deploy Model.py:
+    163-174` searches all four on the hist booster). Identical
+    stochastic config to train_gboost_stochastic (same seeds, same
+    content-keyed row draw, same by-level column subsets, same
+    hessian floor) on the O(n·f) histogram path — so the exact-
+    comparison and histogram split finders are directly comparable
+    under the same randomness. Bucket histograms mask g/h per the
+    row draw before they aggregate; the prefix-sum/decimal-difference
+    region math and occupied-boundary candidates follow
+    train_gboost_hist. Fully SQL-replayed."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_hist_fit,
+    )
+
+    return gboost_hist_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        rounds=_GBS_ROUNDS,
+        depth=2,
+        **_GBS,
+    )
+
+
 def _ece_oracle() -> str:
     from fuzzy_item_matching_spark.queries import REGISTRY
 

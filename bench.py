@@ -127,6 +127,14 @@ HEADLINE_EXTRA = {
     "stream_user_sessions",
     "sim_ann_lsh_topk",
     "dedup_semantic_pairs",
+    # r09 late additions measured >= ~2 s at sf0.1
+    "ts_gopher_repetition",
+    "ts_ccnet_buckets",
+    "ts_doremi_mixture",
+    "serve_fs_match_curve",
+    "src_bucketed_colocated_join",
+    "train_gboost_hist_stochastic",
+    "train_tpe_search",
 }
 
 

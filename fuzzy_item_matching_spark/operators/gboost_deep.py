@@ -1014,3 +1014,58 @@ def gboost_hist_sql(
         seed=seed,
     )
     return ctes + "\n" + model_union
+
+
+def gboost_deep_score_sql(
+    pairs_sql: str,
+    features: list[str],
+    rounds: int = 2,
+    depth: int = 3,
+    grid: int = GRID,
+    eta: float = GB_ETA,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    limit: int = 20,
+) -> str:
+    """DuckDB twin of scoring through the fitted depth-d ensemble:
+    the unrolled fit CTEs, then f = Σ_t η·w_leaf down each round's
+    split path per pair, ranked by (score DESC, id ASC).
+    ``pairs_sql`` must expose ``id_cols`` (the gboost_score_sql
+    convention at tree depth d)."""
+    ctes, _ = gboost_deep_ctes(pairs_sql, features, rounds, depth, grid)
+
+    def fcase(qual: str) -> str:
+        return (
+            f"CASE {qual}feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in features)
+            + " END"
+        )
+
+    terms = []
+    froms = ["pairs"]
+    for t in range(1, rounds + 1):
+        froms.extend(f"b{t}_{m}" for m in range(1, 2**depth))
+
+        def walk(n: int, lc: int) -> str:
+            b = f"b{t}_{n}"
+            cond = f"({fcase(b + '.')}) <= {b}.thr"
+            if lc == depth - 1:
+                return f"(CASE WHEN {cond} THEN {b}.w_le ELSE {b}.w_gt END)"
+            return (
+                f"(CASE WHEN {cond} THEN {walk(2 * n, lc + 1)}"
+                f" ELSE {walk(2 * n + 1, lc + 1)} END)"
+            )
+
+        terms.append(f"({eta!r} * {walk(1, 0)})")
+    score = " + ".join(terms)
+    ida, idb = id_cols
+    return (
+        ctes
+        + f""",
+    scored AS (
+      SELECT {ida}, {idb}, {score} AS score
+      FROM {", ".join(froms)}
+    )
+    SELECT {ida}, {idb}, score,
+           CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred
+    FROM scored ORDER BY score DESC, {ida} ASC LIMIT {limit}"""
+    )

@@ -462,6 +462,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # the reference's actual searched configuration on the O(n·f)
     # histogram path, same seeds as the exact-comparison twin.
     "train_gboost_hist_stochastic",
+    # r09: the depth-3 serve half (fit shared via the session memo;
+    # fit + serve replayed together in one oracle — the d2 pattern).
+    "train_gboost_d3_score",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -3706,6 +3706,26 @@ def train_gboost_d2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GBD_ROUNDS, _GBD_DEPTH = 2, 3
+
+# fit-once memo shared across the round-9 booster fits and their
+# serve/eval halves — the _GB_MEMO discipline, keyed by the full
+# config so exact/hist/stochastic variants coexist
+_GBD_MEMO: dict[tuple, list] = {}
+
+
+def _gbd_rows(spark: SparkSession, sf_dir: str, kind: str, **kw) -> list:
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_fit,
+        gboost_hist_fit,
+    )
+
+    key = (sf_dir, kind, tuple(sorted(kw.items())))
+    if key not in _GBD_MEMO:
+        fit = gboost_hist_fit if kind == "hist" else gboost_deep_fit
+        _GBD_MEMO[key] = fit(
+            _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"], **kw
+        ).collect()
+    return _GBD_MEMO[key]
 _GBS_ROUNDS = 3
 _GBS = dict(
     subsample=0.7,
@@ -3738,15 +3758,13 @@ def train_gboost_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     −soft(G,α)/(H+λ) of the node). The DuckDB oracle unrolls one CTE
     chain per (round, level, node) and replays every level exactly
     (operators/gboost_deep.py)."""
-    from fuzzy_item_matching_spark.operators.gboost_deep import (
-        gboost_deep_fit,
-    )
+    from fuzzy_item_matching_spark.operators.gboost_deep import GBD_SCHEMA
 
-    return gboost_deep_fit(
-        _lr_pairs(spark, sf_dir),
-        ["x1", "x2", "x3"],
-        rounds=_GBD_ROUNDS,
-        depth=_GBD_DEPTH,
+    return spark.createDataFrame(
+        _gbd_rows(
+            spark, sf_dir, "exact", rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+        ),
+        GBD_SCHEMA,
     )
 
 
@@ -3777,16 +3795,11 @@ def train_gboost_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     regularized weight). ALL rows still receive the score update, so
     the ensemble trajectory reflects true stochastic boosting. The
     oracle replays every draw, subset, and floor exactly."""
-    from fuzzy_item_matching_spark.operators.gboost_deep import (
-        gboost_deep_fit,
-    )
+    from fuzzy_item_matching_spark.operators.gboost_deep import GBD_SCHEMA
 
-    return gboost_deep_fit(
-        _lr_pairs(spark, sf_dir),
-        ["x1", "x2", "x3"],
-        rounds=_GBS_ROUNDS,
-        depth=2,
-        **_GBS,
+    return spark.createDataFrame(
+        _gbd_rows(spark, sf_dir, "exact", rounds=_GBS_ROUNDS, depth=2, **_GBS),
+        GBD_SCHEMA,
     )
 
 
@@ -3814,16 +3827,63 @@ def train_gboost_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_gboost_depth3: same tree shape, same gain/leaf math,
     exact-comparison candidates at O(n·f·grid) — this query is the
     plan that wins when n·grid stops fitting the shuffle."""
-    from fuzzy_item_matching_spark.operators.gboost_deep import (
-        gboost_hist_fit,
+    from fuzzy_item_matching_spark.operators.gboost_deep import GBD_SCHEMA
+
+    return spark.createDataFrame(
+        _gbd_rows(
+            spark, sf_dir, "hist", rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+        ),
+        GBD_SCHEMA,
     )
 
-    return gboost_hist_fit(
-        _lr_pairs(spark, sf_dir),
-        ["x1", "x2", "x3"],
-        rounds=_GBD_ROUNDS,
-        depth=_GBD_DEPTH,
+
+def _gbd3_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_score_sql,
     )
+
+    return gboost_deep_score_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+    )
+
+
+@query("train_gboost_d3_score", oracle=_gbd3_score_oracle())
+def train_gboost_d3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring through the fitted DEPTH-3 gradient-boosted ensemble —
+    the serve half of train_gboost_depth3 (the d2_score pattern one
+    level deeper): f(x) = Σ_t η·w_leaf down each round's three-level
+    split path, top-20 by (score DESC, id ASC), pred = f > 0. The
+    model comes from the shared (sf_dir, config) memo, so fit and
+    serve cost one fit per session; the trees ship as literal nested
+    CASE columns (row-local, no join, no UDF). The oracle re-runs the
+    unrolled depth-3 fit AND the scoring, verifying both ends."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    pairs = _lr_pairs(spark, sf_dir)
+    rows = _gbd_rows(
+        spark, sf_dir, "exact", rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+    )
+    by_round: dict[int, dict[int, object]] = {}
+    for m in rows:
+        by_round.setdefault(m.round, {})[m.node] = m
+
+    def walk(picks, n, lc):
+        pk = picks[n]
+        go_le = F.col(pk.feature) <= F.lit(pk.thr)
+        if lc == _GBD_DEPTH - 1:
+            return F.when(go_le, F.lit(pk.w_le)).otherwise(F.lit(pk.w_gt))
+        return F.when(go_le, walk(picks, 2 * n, lc + 1)).otherwise(
+            walk(picks, 2 * n + 1, lc + 1)
+        )
+
+    score = None
+    for t in sorted(by_round):
+        term = F.lit(GB_ETA) * walk(by_round[t], 1, 0)
+        score = term if score is None else score + term
+    scored = pairs.select("id_a", "id_b", score.alias("score")).withColumn(
+        "pred", F.when(F.col("score") > 0, 1).otherwise(0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id_a")).limit(20)
 
 
 def _gbhs_oracle() -> str:
@@ -3852,16 +3912,11 @@ def train_gboost_hist_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     row draw before they aggregate; the prefix-sum/decimal-difference
     region math and occupied-boundary candidates follow
     train_gboost_hist. Fully SQL-replayed."""
-    from fuzzy_item_matching_spark.operators.gboost_deep import (
-        gboost_hist_fit,
-    )
+    from fuzzy_item_matching_spark.operators.gboost_deep import GBD_SCHEMA
 
-    return gboost_hist_fit(
-        _lr_pairs(spark, sf_dir),
-        ["x1", "x2", "x3"],
-        rounds=_GBS_ROUNDS,
-        depth=2,
-        **_GBS,
+    return spark.createDataFrame(
+        _gbd_rows(spark, sf_dir, "hist", rounds=_GBS_ROUNDS, depth=2, **_GBS),
+        GBD_SCHEMA,
     )
 
 

@@ -465,6 +465,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: the depth-3 serve half (fit shared via the session memo;
     # fit + serve replayed together in one oracle — the d2 pattern).
     "train_gboost_d3_score",
+    # r09: the split-finder bake-off — per-model tie-aware AUC of the
+    # exact vs histogram depth-3 ensembles in one plan (both fits from
+    # the session memos; oracle replays both fits + both AUCs).
+    "train_split_finder_bakeoff",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

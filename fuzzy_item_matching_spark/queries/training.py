@@ -3920,6 +3920,181 @@ def train_gboost_hist_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bakeoff_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_deep_sql,
+        gboost_hist_sql,
+    )
+
+    feats = ["x1", "x2", "x3"]
+    kw = dict(rounds=_GBD_ROUNDS, depth=_GBD_DEPTH)
+    models = {
+        "exact_d3": gboost_deep_sql(_LR_PAIRS_SQL, feats, **kw),
+        "hist_d3": gboost_hist_sql(_LR_PAIRS_SQL, feats, **kw),
+    }
+    # pivot each model table into one wide row of per-(round, node)
+    # split literals, then walk the tree as nested CASE over them
+    nodes = list(range(1, 2**_GBD_DEPTH))
+    ctes = [
+        f"""pairs0 AS MATERIALIZED ({_LR_PAIRS_SQL})"""
+    ]
+    arms = []
+    for name, stmt in models.items():
+        ctes.append(
+            f"m_{name} AS MATERIALIZED (SELECT * FROM ({stmt}) t)"
+        )
+        cols = []
+        for t in range(1, _GBD_ROUNDS + 1):
+            for n in nodes:
+                for c, a in (
+                    ("feature", "f"),
+                    ("thr", "t"),
+                    ("w_le", "w"),
+                    ("w_gt", "g"),
+                ):
+                    cols.append(
+                        f"MAX(CASE WHEN round = {t} AND node = {n}"
+                        f" THEN {c} END) AS {a}{t}_{n}"
+                    )
+        ctes.append(
+            f"p_{name} AS MATERIALIZED (SELECT {', '.join(cols)}"
+            f" FROM m_{name})"
+        )
+
+        def fcase(col: str) -> str:
+            return (
+                f"CASE {col} "
+                + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+                + " END"
+            )
+
+        def walk(t: int, n: int, lc: int) -> str:
+            cond = f"({fcase(f'f{t}_{n}')}) <= t{t}_{n}"
+            if lc == _GBD_DEPTH - 1:
+                return f"(CASE WHEN {cond} THEN w{t}_{n} ELSE g{t}_{n} END)"
+            return (
+                f"(CASE WHEN {cond} THEN {walk(t, 2 * n, lc + 1)}"
+                f" ELSE {walk(t, 2 * n + 1, lc + 1)} END)"
+            )
+
+        score = " + ".join(
+            f"({GB_ETA!r} * {walk(t, 1, 0)})"
+            for t in range(1, _GBD_ROUNDS + 1)
+        )
+        arms.append(
+            f"SELECT '{name}' AS model, label, {score} AS score"
+            f" FROM pairs0, p_{name}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sc AS MATERIALIZED ({" UNION ALL ".join(arms)}),
+    g AS (
+      SELECT model, score, CAST(SUM(label) AS BIGINT) AS pos_g,
+             COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg_g
+      FROM sc GROUP BY model, score
+    ),
+    c AS (
+      SELECT model, pos_g, neg_g,
+             COALESCE(SUM(neg_g) OVER (PARTITION BY model ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS neg_below
+      FROM g
+    )
+    SELECT model,
+           CAST(SUM({_AUC_NUM_SQL}) AS DOUBLE)
+           / (2.0 * CAST(SUM(pos_g) AS DOUBLE)
+              * CAST(SUM(neg_g) AS DOUBLE)) AS auc,
+           CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_g) AS BIGINT) AS n_neg
+    FROM c GROUP BY model ORDER BY model
+    """
+    )
+
+
+@query("train_split_finder_bakeoff", oracle=_bakeoff_oracle())
+def train_split_finder_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-finder BAKE-OFF: tie-aware Mann-Whitney AUC of the
+    exact-comparison depth-3 ensemble vs its histogram twin, scored on
+    the same pair frame in ONE plan — the evaluation that justifies
+    shipping tree_method='hist' at scale (near-identical ranking
+    quality at O(n·f) split cost). Both models come from the shared
+    session memos (zero extra fits when the fit queries already ran);
+    trees ship as literal nested CASE columns; the per-model AUC is
+    the exact DECIMAL-numerator statistic of train_roc_auc with a
+    model-partitioned cumulative window. The oracle replays BOTH
+    complete fits and both AUCs in one statement."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    pairs = _lr_pairs(spark, sf_dir)
+    arms = []
+    for name, kind in (("exact_d3", "exact"), ("hist_d3", "hist")):
+        rows = _gbd_rows(
+            spark, sf_dir, kind, rounds=_GBD_ROUNDS, depth=_GBD_DEPTH
+        )
+        by_round: dict[int, dict[int, object]] = {}
+        for m in rows:
+            by_round.setdefault(m.round, {})[m.node] = m
+
+        def walk(picks, n, lc):
+            pk = picks[n]
+            go_le = F.col(pk.feature) <= F.lit(pk.thr)
+            if lc == _GBD_DEPTH - 1:
+                return F.when(go_le, F.lit(pk.w_le)).otherwise(
+                    F.lit(pk.w_gt)
+                )
+            return F.when(go_le, walk(picks, 2 * n, lc + 1)).otherwise(
+                walk(picks, 2 * n + 1, lc + 1)
+            )
+
+        score = None
+        for t in sorted(by_round):
+            term = F.lit(GB_ETA) * walk(by_round[t], 1, 0)
+            score = term if score is None else score + term
+        arms.append(
+            pairs.select(
+                F.lit(name).alias("model"),
+                F.col("label"),
+                score.alias("score"),
+            )
+        )
+    sc = arms[0].unionByName(arms[1])
+    g = sc.groupBy("model", "score").agg(
+        F.sum("label").alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg_g"),
+    )
+    w = (
+        Window.partitionBy("model")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "model",
+        "pos_g",
+        "neg_g",
+        F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num = _auc_numerator()
+    return (
+        c.groupBy("model")
+        .agg(
+            (
+                F.sum(num).cast("double")
+                / (
+                    2.0
+                    * F.sum("pos_g").cast("double")
+                    * F.sum("neg_g").cast("double")
+                )
+            ).alias("auc"),
+            F.sum("pos_g").alias("n_pos"),
+            F.sum("neg_g").alias("n_neg"),
+        )
+        .orderBy("model")
+    )
+
+
 def _ece_oracle() -> str:
     from fuzzy_item_matching_spark.queries import REGISTRY
 

@@ -469,6 +469,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # exact vs histogram depth-3 ensembles in one plan (both fits from
     # the session memos; oracle replays both fits + both AUCs).
     "train_split_finder_bakeoff",
+    # r09: the cohort-retention matrix (integer-epoch weeks — no
+    # cross-engine date-truncation hazard).
+    "rel_cohort_retention",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -1773,3 +1773,86 @@ def rel_range_interval_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as double)"
         ).alias("sum_1h"),
     )
+
+
+@query(
+    "rel_cohort_retention",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d
+    ),
+    act AS (
+      SELECT cohort_day // 7 AS cohort_week,
+             (day - cohort_day) // 7 AS week_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM c GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week, n_active AS n_cohort FROM act
+      WHERE week_offset = 0
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active, b.n_cohort,
+           round(a.n_active * 1.0 / b.n_cohort, 9) AS retention
+    FROM act a JOIN base b USING (cohort_week)
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention matrix — the canonical product-analytics
+    rollup: users cohorted by first-seen week, per (cohort, offset)
+    the share of the cohort still active. Week and offset are PURE
+    INTEGER arithmetic on floor-epoch days (day // 7), never engine
+    date-truncation — date_trunc('week') semantics (ISO Monday, TZ)
+    are exactly the kind of cross-engine hazard the integer form
+    sidesteps, and at 100 TB the integer keys also hash cheaper.
+    Offset-0 n_active IS the cohort size by construction, so the
+    denominator joins back from the same aggregate (broadcast —
+    cohort count is weeks-sized). Plan: one user-keyed window for the
+    cohort day, one (cohort, offset) distinct-count aggregate, one
+    broadcast join; retention is an integer-count ratio in one
+    rounded division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # TIMESTAMP_NTZ has no direct long cast; the session TZ is
+        # pinned UTC (session.py), so NTZ -> TIMESTAMP -> epoch-seconds
+        # matches DuckDB's naive-UTC epoch(ts) exactly
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 86400").alias(
+            "day"
+        ),
+    )
+    c = ev.withColumn(
+        "cohort_day",
+        F.min("day").over(Window.partitionBy("user_id")),
+    )
+    act = (
+        c.select(
+            F.expr("cohort_day DIV 7").alias("cohort_week"),
+            F.expr("(day - cohort_day) DIV 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = act.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        act.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 9).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -472,6 +472,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: the cohort-retention matrix (integer-epoch weeks — no
     # cross-engine date-truncation hazard).
     "rel_cohort_retention",
+    # r09: EWMA control chart — the time-adaptive anomaly baseline
+    # (bounded-lag equi-join over the metric-sized hourly rollup).
+    "rel_ewma_control",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

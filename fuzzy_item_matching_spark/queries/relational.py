@@ -1856,3 +1856,113 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_EWMA_LAMBDA = 0.2
+_EWMA_LAGS = 60
+
+
+def _ewma_weights() -> list[float]:
+    """(1−λ)^k for k = 0..LAGS−1, rounded to 12 — computed ONCE on the
+    driver and embedded as identical literals in both engines (pow is
+    libm-dependent; a literal double is not)."""
+    return [round((1.0 - _EWMA_LAMBDA) ** k, 12) for k in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    vals = ", ".join(
+        f"({k}, {w!r})" for k, w in enumerate(_ewma_weights())
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT * FROM (VALUES {vals}) AS t(lag, w)),
+    terms AS (
+      SELECT cur.h, cur.n, lags.w, src.n AS n_src
+      FROM hourly cur
+      CROSS JOIN lags
+      JOIN hourly src ON src.h = cur.h - lags.lag
+    ),
+    e AS (
+      SELECT h, n,
+             round(CAST(SUM(CAST(round(w * n_src, 9) AS DECIMAL(38,18)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE),
+                   9) AS ewma
+      FROM terms GROUP BY h, n
+    )
+    SELECT h, n, ewma,
+           CASE WHEN n > 2.0 * ewma THEN 1 ELSE 0 END AS burst
+    FROM e ORDER BY h
+    """
+
+
+@query("rel_ewma_control", oracle=_ewma_oracle())
+def rel_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over hourly event volume — the
+    time-ADAPTIVE baseline that upgrades stream_anomaly_zscore's
+    static one: each hour's expected volume is the exponentially
+    weighted average of the trailing {lags} observed hours
+    (λ = {lam}), and a burst flags when the hour runs at >2× its own
+    recent history — the monitoring shape that survives regime
+    changes a fixed baseline mis-flags.
+
+    Determinism/scale: the geometric weights are driver-computed
+    literals (libm pow never runs in either engine); the recursion is
+    unrolled as a bounded-lag EQUI-join (hour = hour − lag — a
+    {lags}-wide explode of the hour spine, never a range scan or
+    running state), per-term products round to 9 and DECIMAL-sum, one
+    division per hour. Hour keys are floor-epoch integers (the
+    cohort-retention discipline). At 100 TB the hourly rollup is
+    metric-sized, so the lag join costs |hours|×{lags} rows
+    regardless of event volume; the streaming twin is one
+    applyInPandasWithState fold."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    lags = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(_ewma_weights())), "lag long, w double"
+        )
+    )
+    terms = (
+        hourly.alias("cur")
+        .crossJoin(lags)
+        .join(
+            hourly.alias("src"),
+            F.col("src.h") == F.col("cur.h") - F.col("lag"),
+        )
+        .select(
+            F.col("cur.h").alias("h"),
+            F.col("cur.n").alias("n"),
+            F.col("w"),
+            F.col("src.n").alias("n_src"),
+        )
+    )
+    dec = "decimal(38,18)"
+    e = terms.groupBy("h", "n").agg(
+        F.round(
+            F.sum(F.round(F.col("w") * F.col("n_src"), 9).cast(dec)).cast(
+                "double"
+            )
+            / F.sum(F.col("w").cast(dec)).cast("double"),
+            9,
+        ).alias("ewma")
+    )
+    return e.select(
+        "h",
+        "n",
+        "ewma",
+        F.when(F.col("n") > 2.0 * F.col("ewma"), 1).otherwise(0).alias(
+            "burst"
+        ),
+    ).orderBy("h")
+
+
+rel_ewma_control.__doc__ = rel_ewma_control.__doc__.format(
+    lags=_EWMA_LAGS, lam=_EWMA_LAMBDA
+)

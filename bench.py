@@ -135,6 +135,10 @@ HEADLINE_EXTRA = {
     "src_bucketed_colocated_join",
     "train_gboost_hist_stochastic",
     "train_tpe_search",
+    "rel_cohort_retention",
+    "rel_ewma_control",
+    "train_gboost_d3_score",
+    "train_split_finder_bakeoff",
 }
 
 

@@ -475,6 +475,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: EWMA control chart — the time-adaptive anomaly baseline
     # (bounded-lag equi-join over the metric-sized hourly rollup).
     "rel_ewma_control",
+    # r09: within-stream as-of credit assignment (conditional
+    # IGNORE-NULLS last_value over a total per-user order).
+    "rel_last_touch_attribution",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

@@ -1966,3 +1966,52 @@ def rel_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 rel_ewma_control.__doc__ = rel_ewma_control.__doc__.format(
     lags=_EWMA_LAGS, lam=_EWMA_LAMBDA
 )
+
+
+@query(
+    "rel_last_touch_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, '(none)') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY n_purchases DESC, touch
+    """,
+)
+def rel_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — for every purchase, credit the same
+    user's most recent PRIOR non-purchase event (the marketing-
+    analytics staple, and the within-stream as-of shape:
+    rel_asof_join_events is the cross-TABLE twin). One window per
+    user over (ts, event_id) — a total order, so ties can't flip the
+    credited touch — with a conditional IGNORE-NULLS last_value
+    reaching back past interleaved purchases; purchases with no prior
+    touch credit '(none)'. One shuffle on user_id, then a 5-key
+    count; no self-join, no per-purchase subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        o.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.desc("n_purchases"), F.asc("touch"))
+    )

@@ -139,6 +139,7 @@ HEADLINE_EXTRA = {
     "rel_ewma_control",
     "train_gboost_d3_score",
     "train_split_finder_bakeoff",
+    "train_permutation_importance",
 }
 
 

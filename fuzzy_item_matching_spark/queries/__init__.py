@@ -478,6 +478,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r09: within-stream as-of credit assignment (conditional
     # IGNORE-NULLS last_value over a total per-user order).
     "rel_last_touch_attribution",
+    # r09: deterministic permutation feature importance — md5-rank
+    # shuffles, one plan for base + all broken-feature variants.
+    "train_permutation_importance",
     # -- demoted by the r09 rotation (see the blocks above): every row
     #    here keeps its r08 driver-green CORRECTNESS record.
     "serve_canary_compare",

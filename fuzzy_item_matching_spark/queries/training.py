@@ -4095,6 +4095,186 @@ def train_split_finder_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERM_SEED = 13
+
+
+def _perm_importance_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import (
+        GB_ETA,
+        gboost_ctes,
+    )
+
+    feats = ["x1", "x2", "x3"]
+    ctes, _ = gboost_ctes(_LR_PAIRS_SQL, feats, rounds=_GB_ROUNDS)
+    terms = []
+    bs = []
+    for t in range(1, _GB_ROUNDS + 1):
+        b = f"best{t}"
+        bs.append(b)
+        fc = (
+            f"CASE {b}.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in feats)
+            + " END"
+        )
+        terms.append(
+            f"({GB_ETA!r} * (CASE WHEN ({fc}) <= {b}.thr"
+            f" THEN {b}.w_le ELSE {b}.w_gt END))"
+        )
+    score = " + ".join(terms)
+    arms = ["SELECT 'base' AS variant, label, x1, x2, x3 FROM j"]
+    for f_ in feats:
+        cols = ", ".join(
+            f"d{g[1:]} AS {g}" if g == f_ else g for g in feats
+        )
+        arms.append(
+            f"SELECT 'perm_{f_}' AS variant, label, {cols} FROM j"
+        )
+    return f"""{ctes},
+    ids AS MATERIALIZED (
+      SELECT id_a, label, x1, x2, x3,
+             ROW_NUMBER() OVER (ORDER BY id_a) AS rn
+      FROM pairs
+    ),
+    shuf AS MATERIALIZED (
+      SELECT x1 AS d1, x2 AS d2, x3 AS d3,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('{_PERM_SEED}:' || CAST(id_a AS VARCHAR)),
+                        id_a) AS rn
+      FROM pairs
+    ),
+    j AS MATERIALIZED (
+      SELECT i.label, i.x1, i.x2, i.x3, s.d1, s.d2, s.d3
+      FROM ids i JOIN shuf s USING (rn)
+    ),
+    sc AS MATERIALIZED (
+      SELECT variant, label, {score} AS score
+      FROM ({" UNION ALL ".join(arms)}) arms, {", ".join(bs)}
+    ),
+    g AS (
+      SELECT variant, score, CAST(SUM(label) AS BIGINT) AS pos_g,
+             COUNT(*) - CAST(SUM(label) AS BIGINT) AS neg_g
+      FROM sc GROUP BY variant, score
+    ),
+    c AS (
+      SELECT variant, pos_g, neg_g,
+             COALESCE(SUM(neg_g) OVER (PARTITION BY variant ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS neg_below
+      FROM g
+    ),
+    auc AS (
+      SELECT variant,
+             CAST(SUM({_AUC_NUM_SQL}) AS DOUBLE)
+             / (2.0 * CAST(SUM(pos_g) AS DOUBLE)
+                * CAST(SUM(neg_g) AS DOUBLE)) AS auc
+      FROM c GROUP BY variant
+    )
+    SELECT a.variant, round(a.auc, 9) AS auc,
+           round(b.auc - a.auc, 9) AS auc_drop
+    FROM auc a CROSS JOIN (SELECT auc FROM auc WHERE variant = 'base') b
+    ORDER BY a.variant
+    """
+
+
+@query("train_permutation_importance", oracle=_perm_importance_oracle())
+def train_permutation_importance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation feature importance (Breiman 2001) made
+    DETERMINISTIC: each feature is broken in turn by reassigning its
+    values through an md5-rank shuffle (rows ranked by id receive the
+    feature value of the same-rank row under the md5(seed:id) order —
+    a fixed derangement-grade permutation identical on any
+    partitioning and in SQL), and the fitted gboost ensemble's AUC
+    drop under each broken feature IS the importance — the
+    model-agnostic eval that complements the in-model gain
+    importance (train_gboost_importance). All four variants (base +
+    3 permuted) ride ONE unioned frame through one model expression
+    and one variant-partitioned AUC — one plan, no per-feature
+    refits. The oracle replays the fit, the permutation ranks, and
+    every AUC."""
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+
+    feats = ["x1", "x2", "x3"]
+    pairs = _lr_pairs(spark, sf_dir)
+    w_id = Window.orderBy("id_a")
+    md5k = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(_PERM_SEED)), F.col("id_a").cast("string")
+        ).cast("binary")
+    )
+    w_md5 = Window.orderBy(md5k, F.col("id_a"))
+    ids = pairs.select(
+        "label", *feats, F.row_number().over(w_id).alias("rn")
+    )
+    shuf = pairs.select(
+        *[F.col(f_).alias(f"d{f_[1:]}") for f_ in feats],
+        F.row_number().over(w_md5).alias("rn"),
+    )
+    j = ids.join(shuf, "rn").select(
+        "label", *feats, *[f"d{f_[1:]}" for f_ in feats]
+    )
+    arms = [
+        j.select(F.lit("base").alias("variant"), "label", *feats)
+    ]
+    for f_ in feats:
+        cols = [
+            F.col(f"d{g[1:]}").alias(g) if g == f_ else F.col(g)
+            for g in feats
+        ]
+        arms.append(
+            j.select(F.lit(f"perm_{f_}").alias("variant"), "label", *cols)
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    score = None
+    for m in _gb_rows(spark, sf_dir):
+        term = F.lit(GB_ETA) * F.when(
+            F.col(m.feature) <= F.lit(m.thr), F.lit(m.w_le)
+        ).otherwise(F.lit(m.w_gt))
+        score = term if score is None else score + term
+    sc = u.select("variant", "label", score.alias("score"))
+    g = sc.groupBy("variant", "score").agg(
+        F.sum("label").alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("neg_g"),
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "variant",
+        "pos_g",
+        "neg_g",
+        F.coalesce(F.sum("neg_g").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num = _auc_numerator()
+    auc = c.groupBy("variant").agg(
+        (
+            F.sum(num).cast("double")
+            / (
+                2.0
+                * F.sum("pos_g").cast("double")
+                * F.sum("neg_g").cast("double")
+            )
+        ).alias("auc")
+    )
+    base = auc.filter(F.col("variant") == "base").select(
+        F.col("auc").alias("base_auc")
+    )
+    return (
+        auc.crossJoin(F.broadcast(base))
+        .select(
+            "variant",
+            F.round("auc", 9).alias("auc"),
+            F.round(F.col("base_auc") - F.col("auc"), 9).alias("auc_drop"),
+        )
+        .orderBy("variant")
+    )
+
+
 def _ece_oracle() -> str:
     from fuzzy_item_matching_spark.queries import REGISTRY
 

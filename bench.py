@@ -251,17 +251,29 @@ def main() -> None:
     # only the tail of long stdout (r08 lost per-query times for ~160
     # queries, "parsed": null), so every bench run also writes the
     # complete record to BENCH_LOCAL_r{N}.json. Round number comes from
-    # SPARK_GRAFT_ROUND when set, else max(existing BENCH_r*) + 1.
+    # SPARK_GRAFT_ROUND when set; else the in-flight round is one past
+    # the last completed verify (max CORRECTNESS_r*), EXCEPT when the
+    # driver's BENCH_r{N}.json for the in-flight round already landed
+    # on disk (the driver benches before the round closes) — then
+    # max(BENCH) IS the in-flight round, and +1 would mislabel.
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if not rnd:
-            seen = [
-                int(mm.group(1))
-                for f in os.listdir(repo)
-                if (mm := re.match(r"BENCH_r(\d+)\.json$", f))
-            ]
-            rnd = str(max(seen, default=0) + 1)
+
+            def _max_round(pat: str) -> int:
+                return max(
+                    (
+                        int(mm.group(1))
+                        for f in os.listdir(repo)
+                        if (mm := re.match(pat, f))
+                    ),
+                    default=0,
+                )
+
+            seen_bench = _max_round(r"BENCH_r(\d+)\.json$")
+            seen_corr = _max_round(r"CORRECTNESS_r(\d+)\.json$")
+            rnd = str(max(seen_corr + 1, seen_bench))
         with open(
             os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json"), "w"
         ) as fh:

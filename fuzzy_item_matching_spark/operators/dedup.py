@@ -531,6 +531,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # large-star over the undirected view
         sym = cur.select("a", "b").unionByName(
@@ -567,7 +568,19 @@ def connected_components_star(
         )
         cur = small
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # The documented contract is component = the MINIMUM node id;
+        # an un-converged star forest can still point nodes at an
+        # intermediate id, so returning silently would hand back wrong
+        # labels. O(log n) rounds suffice for any graph, so hitting
+        # max_iter means the caller under-budgeted it.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds; raise max_iter (the star rewrites converge in "
+            "O(log n) rounds)"
+        )
     roots = cur.select(F.col("b").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )

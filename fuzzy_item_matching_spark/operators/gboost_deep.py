@@ -1023,6 +1023,9 @@ def gboost_deep_score_sql(
     depth: int = 3,
     grid: int = GRID,
     eta: float = GB_ETA,
+    lam: float = GB_LAMBDA,
+    alpha: float = GB_ALPHA,
+    gamma: float = GB_GAMMA,
     id_cols: tuple[str, str] = ("id_a", "id_b"),
     limit: int = 20,
 ) -> str:
@@ -1030,8 +1033,13 @@ def gboost_deep_score_sql(
     the unrolled fit CTEs, then f = Σ_t η·w_leaf down each round's
     split path per pair, ranked by (score DESC, id ASC).
     ``pairs_sql`` must expose ``id_cols`` (the gboost_score_sql
-    convention at tree depth d)."""
-    ctes, _ = gboost_deep_ctes(pairs_sql, features, rounds, depth, grid)
+    convention at tree depth d). Every hyperparameter used in the
+    scoring expression is forwarded to the embedded fit so an
+    override can never produce a fit/serve mismatch."""
+    ctes, _ = gboost_deep_ctes(
+        pairs_sql, features, rounds, depth, grid,
+        lam=lam, alpha=alpha, gamma=gamma, eta=eta,
+    )
 
     def fcase(qual: str) -> str:
         return (

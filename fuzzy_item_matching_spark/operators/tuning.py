@@ -329,7 +329,15 @@ def tpe_lite(
     for r in range(1, rounds + 1):
         import math
 
-        good_n = max(1, math.ceil(gamma * n_obs))
+        # Clamp to n_obs - 1 so the bad set is never empty: with
+        # gamma high enough that ceil(gamma*n) == n, the acquisition's
+        # g(x) denominator would be float(0) -> NaN/inf ratios and an
+        # arbitrary proposal ranking.
+        good_n = min(max(1, math.ceil(gamma * n_obs)), n_obs - 1)
+        if good_n < 1:
+            raise ValueError(
+                f"tpe_lite needs n_init >= 2 observed trials (got {n_obs})"
+            )
         ranked = obs.withColumn("rnk", F.row_number().over(w))
         cand = spark.range(n_candidates).select(F.col("id").alias("cand_id"))
         u1 = _hash_uniform(seed, F.col("cand_id"), f"pick{r}")

@@ -1817,7 +1817,12 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort count is weeks-sized). Plan: one user-keyed window for the
     cohort day, one (cohort, offset) distinct-count aggregate, one
     broadcast join; retention is an integer-count ratio in one
-    rounded division."""
+    rounded division.
+
+    Engine note: Spark's ``DIV`` truncates toward zero while DuckDB's
+    ``//`` floors, so the epoch-day keys agree only for non-negative
+    epochs — this query (like rel_ewma_control) assumes post-1970
+    timestamps, which the events table guarantees."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         # TIMESTAMP_NTZ has no direct long cast; the session TZ is
@@ -1919,7 +1924,9 @@ def rel_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort-retention discipline). At 100 TB the hourly rollup is
     metric-sized, so the lag join costs |hours|×{lags} rows
     regardless of event volume; the streaming twin is one
-    applyInPandasWithState fold."""
+    applyInPandasWithState fold. Hour keys assume post-1970
+    timestamps (Spark DIV truncates, DuckDB // floors — they agree
+    only for non-negative epochs; see rel_cohort_retention)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600").alias("h")
     )

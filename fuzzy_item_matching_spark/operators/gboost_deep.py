@@ -22,6 +22,12 @@ stochastic dimensions — completing the XGBoost capability shape:
 - ``colsample`` (by-level): the candidate grid is restricted to a
   seeded md5-ranked feature subset per (round, level) — computed on
   the driver, so both engines receive it as literals;
+- ``colsample_bynode``: each heap node additionally draws its own
+  md5-ranked subset FROM the by-level survivors (keyed by node id),
+  completing the reference's searched colsample_by{tree,level,node}
+  triple — the fit prunes disallowed (node, feature) combos before
+  the candidate aggregate, the oracle filters each node's argmax arm
+  (identical survivors: the filter is on group keys);
 - ``min_child_weight``: candidates whose left or right hessian sum
   falls below the floor are excluded from the argmax. A node with no
   surviving candidate becomes a LEAF: both children inherit the
@@ -62,21 +68,38 @@ GBD_SCHEMA = (
 
 
 def col_subset(
-    features: list[str], t: int, level: int, colsample: float, seed: int
+    features: list[str],
+    t: int,
+    level: int,
+    colsample: float,
+    seed: int,
+    node: int | None = None,
 ) -> list[str]:
-    """Seeded by-level column subsample: rank features by
+    """Seeded column subsample: rank features by
     md5('{seed}:cols:{t}:{level}:{feature}') and keep the smallest
     ``max(1, round(colsample·n))`` in original feature order. Driver-
     side (hashlib), so the fit and the SQL generator — which share
-    this function — embed the identical subset as literals."""
+    this function — embed the identical subset as literals.
+
+    With ``node`` set the draw keys by the heap node id instead
+    (md5('{seed}:colsnode:{t}:{node}:{feature}')) — XGBoost's
+    ``colsample_bynode``, drawn FROM the by-level survivors the
+    caller passes in (the reference searches the bytree/bylevel/
+    bynode triple, `03_Train & Deploy Model.py:168-171`; bytree is
+    the level-keyed draw with the level term held constant, i.e. a
+    per-round subset — callers get it by passing level=0 every
+    level)."""
     if colsample >= 1.0:
         return list(features)
     k = max(1, int(round(colsample * len(features))))
+    key = (
+        (lambda f_: f"{seed}:colsnode:{t}:{node}:{f_}")
+        if node is not None
+        else (lambda f_: f"{seed}:cols:{t}:{level}:{f_}")
+    )
     ranked = sorted(
         features,
-        key=lambda f_: hashlib.md5(
-            f"{seed}:cols:{t}:{level}:{f_}".encode()
-        ).hexdigest(),
+        key=lambda f_: hashlib.md5(key(f_).encode()).hexdigest(),
     )
     keep = set(ranked[:k])
     return [f_ for f_ in features if f_ in keep]
@@ -104,6 +127,7 @@ def gboost_deep_fit(
     eta: float = GB_ETA,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -201,9 +225,30 @@ def gboost_deep_fit(
             cands = F.broadcast(
                 cands_all.filter(F.col("feature").isin(subset))
             )
+            # colsample_bynode: each heap node draws its own subset
+            # FROM the by-level survivors; the (node, feature) filter
+            # sits on group keys BEFORE the aggregate (pushed into the
+            # broadcast join — disallowed combos never aggregate), so
+            # it matches the oracle's post-agg per-node IN-list
+            # bit-for-bit.
+            node_subsets: dict[int, list[str]] | None = None
+            ev_src = base.crossJoin(cands).withColumn("__x", feat_val)
+            if colsample_bynode < 1.0:
+                node_subsets = {
+                    n: col_subset(
+                        subset, t, level, colsample_bynode, seed, node=n
+                    )
+                    for n in range(2**level, 2 ** (level + 1))
+                }
+                allow = None
+                for n, sub_n in node_subsets.items():
+                    c = (F.col("__node") == n) & F.col("feature").isin(
+                        sub_n
+                    )
+                    allow = c if allow is None else (allow | c)
+                ev_src = ev_src.filter(allow)
             ev = (
-                base.crossJoin(cands)
-                .withColumn("__x", feat_val)
+                ev_src
                 .groupBy("__node", "feature", "thr")
                 .agg(
                     F.sum(F.when(le, g).otherwise(0.0).cast(dec))
@@ -265,8 +310,9 @@ def gboost_deep_fit(
                     }
                     continue
                 if level == 0:
-                    pf = subset[0]
-                    pt = float(stats[f"mn_{subset[0]}"])
+                    sub0 = node_subsets[n] if node_subsets else subset
+                    pf = sub0[0]
+                    pt = float(stats[f"mn_{sub0[0]}"])
                 else:
                     pf = picks[n // 2]["feature"]
                     pt = picks[n // 2]["thr"]
@@ -321,6 +367,7 @@ def gboost_deep_ctes(
     eta: float = GB_ETA,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -433,8 +480,20 @@ def gboost_deep_ctes(
                 f" AND hl >= {mcw!r} AND hr >= {mcw!r}" if mcw > 0.0 else ""
             )
             for n in range(2**level, 2 ** (level + 1)):
+                # colsample_bynode: the node's own seeded draw FROM the
+                # by-level survivors restricts its argmax arm — a
+                # group-key filter, so post-agg here ≡ the fit's
+                # pre-agg (node, feature) prune.
+                node_pred = ""
+                sub_n = subset
+                if colsample_bynode < 1.0:
+                    sub_n = col_subset(
+                        subset, t, level, colsample_bynode, seed, node=n
+                    )
+                    node_in = ", ".join(f"'{f_}'" for f_ in sub_n)
+                    node_pred = f" AND feature IN ({node_in})"
                 if level == 0:
-                    pf, pt = f"'{subset[0]}'", f"mn_{subset[0]}"
+                    pf, pt = f"'{sub_n[0]}'", f"mn_{sub_n[0]}"
                     pj, p3 = ", stats", "stats"
                 else:
                     par = f"b{t}_{n // 2}"
@@ -445,7 +504,7 @@ def gboost_deep_ctes(
         SELECT 1 AS pri, feature, thr, round({gain_sql}, 9) AS gain,
                {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt,
                {gain_sql} AS gc
-        FROM ev{t}_{level} WHERE node = {n}{mcw_pred}
+        FROM ev{t}_{level} WHERE node = {n}{node_pred}{mcw_pred}
         UNION ALL
         SELECT 2 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
                {leaf("gt_", "ht_")} AS w_le, {leaf("gt_", "ht_")} AS w_gt,
@@ -493,6 +552,7 @@ def gboost_deep_sql(
     grid: int = GRID,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -506,6 +566,7 @@ def gboost_deep_sql(
         grid,
         subsample=subsample,
         colsample=colsample,
+        colsample_bynode=colsample_bynode,
         min_child_weight=min_child_weight,
         row_key=row_key,
         seed=seed,

@@ -146,12 +146,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_pmi_cooccurrence",
     "vec_matryoshka_topk",
     "sim_ann_recall",
-    # -- placeholders for this round's births (see header):
+    # -- this round's births (placeholder train_isotonic_calibration
+    #    yielded per the header; train_target_encoding still holds the
+    #    serve_end_to_end slot until that query registers):
+    "train_gboost_colsample_node",
     "train_target_encoding",
-    "train_isotonic_calibration",
     # ---- 50-slot prefix boundary (r10) ----
     # -- r11 scheduled prefix (the committed second half of the
     #    two-round backlog clearance — these rotate up next round):
+    "train_isotonic_calibration",
     "dedup_semantic_keep",
     "pipe_length_buckets",
     "train_robust_scaler",

@@ -3803,6 +3803,54 @@ def train_gboost_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GBN = dict(colsample_bynode=2.0 / 3.0, seed=13)
+
+
+def _gbn_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.gboost_deep import gboost_deep_sql
+
+    return gboost_deep_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        rounds=_GBD_ROUNDS,
+        depth=_GBD_DEPTH,
+        **_GBN,
+    )
+
+
+@query("train_gboost_colsample_node", oracle=_gbn_oracle())
+def train_gboost_colsample_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE column subsampling (XGBoost's ``colsample_bynode``) on
+    the depth-3 second-order fit — completing the reference's searched
+    ``colsample_by{tree,level,node}`` triple
+    (`03_Train & Deploy Model.py:168-171`): each heap node draws its
+    own seeded md5-ranked subset (2 of 3 features, keyed by
+    '{seed}:colsnode:{round}:{node}:{feature}') FROM the by-level
+    survivors, so sibling nodes at the same level can split on
+    different feature menus — the decorrelation dimension by-level
+    sampling can't express. The fit prunes disallowed (node, feature)
+    combos BEFORE the candidate aggregate (the filter pushes into the
+    broadcast candidate join, so pruned combos never shuffle); the
+    oracle applies the identical IN-list on each node's argmax arm —
+    both filters act on group keys, so the surviving candidate set is
+    bit-for-bit the same. Unsplittable level-0 nodes fall back to the
+    NODE's own first surviving feature in both engines
+    (operators/gboost_deep.py)."""
+    from fuzzy_item_matching_spark.operators.gboost_deep import GBD_SCHEMA
+
+    return spark.createDataFrame(
+        _gbd_rows(
+            spark,
+            sf_dir,
+            "exact",
+            rounds=_GBD_ROUNDS,
+            depth=_GBD_DEPTH,
+            **_GBN,
+        ),
+        GBD_SCHEMA,
+    )
+
+
 def _gbh_oracle() -> str:
     from fuzzy_item_matching_spark.operators.gboost_deep import gboost_hist_sql
 

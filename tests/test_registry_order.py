@@ -71,3 +71,23 @@ def test_catalog_counts_match_registry():
         f"docs/QUERIES.md stale: registry has {n}/{ex} — "
         "run scripts/gen_query_catalog.py"
     )
+
+
+def test_verification_counts_match_registry():
+    """docs/VERIFICATION.md §1/§3 state live registry counts; they went
+    stale in r09 (said 247/253 at a 248/254 surface). The counts are
+    restamped by scripts/gen_query_catalog.py — pin them here."""
+    import pathlib
+
+    reg = load_all()
+    n = len(reg)
+    ex = sum(1 for q in reg.values() if q.oracle is not None)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    text = (root / "docs" / "VERIFICATION.md").read_text()
+    assert f"{ex} of {n} registered queries carry" in text, (
+        f"docs/VERIFICATION.md §1 stale: registry has {ex}/{n} — "
+        "run scripts/gen_query_catalog.py"
+    )
+    assert f"## 3. Rows-only queries ({n - ex})" in text, (
+        "docs/VERIFICATION.md §3 stale — run scripts/gen_query_catalog.py"
+    )

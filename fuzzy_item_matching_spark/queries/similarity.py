@@ -1367,16 +1367,17 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-sized work is ONE relevance pass (at
     100 TB: the ANN probe join); everything after operates on the
-    bounded pool — a 24×24 pairwise-sim frame computed once and
-    persisted, then k greedy steps, each a pool-sized aggregate + a
-    1-row argmax collect (the BPE-fit driver-argmax discipline;
-    selected ids are KB-scale driver state). Scores are the exact
-    fold-order cosines every sim oracle uses; ties break on vec_id;
-    the oracle unrolls all k selection steps as MATERIALIZED CTEs —
-    inline, the sel{t} chain re-expands 3× per level (each step
-    references its predecessor thrice) and the resulting thousands of
-    parquet re-opens exhaust the fd limit (the batched-BPE oracle
-    discipline)."""
+    bounded pool — the pool's pairwise-sim frame and per-candidate
+    relevance collect in ONE round-trip (≤ pool² rows, KB-scale), and
+    all k greedy steps run driver-side over that collected frame
+    (same argmax, zero per-step round-trips — the r9 VERDICT's
+    batched-rerank ask; the cosines themselves are still the
+    JVM-computed fold-order values, so the oracle math is untouched).
+    Ties break on vec_id; the oracle unrolls all k selection steps as
+    MATERIALIZED CTEs — inline, the sel{t} chain re-expands 3× per
+    level (each step references its predecessor thrice) and the
+    resulting thousands of parquet re-opens exhaust the fd limit (the
+    batched-BPE oracle discipline)."""
     from pyspark.sql import functions as F
 
     from fuzzy_item_matching_spark.functions.vector import cosine_similarity
@@ -1415,46 +1416,60 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cand.select(
         F.col("vec_id").alias("ib"), F.col("embedding").alias("__eb")
     )
-    pairs = (
-        a.join(b, F.col("ia") != F.col("ib"))
-        .select(
-            "ia", "ib",
-            cosine_similarity(F.col("__ea"), F.col("__eb")).alias("s"),
-        )
-        .persist()
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib",
+        cosine_similarity(F.col("__ea"), F.col("__eb")).alias("s"),
     )
-    first = (
+    # ONE bounded collect: every pool candidate with its relevance and
+    # its JVM-computed sims to every other pool member (left join so a
+    # 1-candidate pool still surfaces). ≤ pool² rows.
+    rows = (
         cand.select("vec_id", "rel")
-        .orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
+        .join(pairs, F.col("vec_id") == F.col("ia"), "left")
+        .select("vec_id", "rel", "ib", "s")
         .collect()
     )
-    if not first:
+    if not rows:
         raise ValueError("empty corpus: MMR needs a candidate pool")
-    out = [(1, first[0]["vec_id"], first[0]["rel"], first[0]["rel"])]
-    selected = [first[0]["vec_id"]]
-    for rank in range(2, _MMR_K + 1):
-        ms = (
-            pairs.filter(F.col("ib").isin(selected))
-            .groupBy("ia")
-            .agg(F.max("s").alias("ms"))
-        )
-        picked = (
-            cand.filter(~F.col("vec_id").isin(selected))
-            .join(ms, F.col("vec_id") == F.col("ia"))
-            .select(
-                "vec_id", "rel",
-                (F.col("rel") - F.lit(_MMR_LAM) * F.col("ms")).alias("score"),
-            )
-            .orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(1)
-            .collect()
-        )
-        if not picked:
+    import math
+
+    rel: dict[int, float] = {}
+    sim: dict[tuple[int, int], float] = {}
+    for r in rows:
+        rel[r["vec_id"]] = r["rel"]
+        if r["ib"] is not None:
+            sim[(r["vec_id"], r["ib"])] = r["s"]
+
+    # Spark's MAX treats NaN as greatest; replicate so the driver-side
+    # greedy is the plan-side aggregate bit-for-bit (no-op on clean
+    # fixtures, where the isnan guards already ran).
+    def _max(vals: list[float]) -> float:
+        return max(vals, key=lambda v: (math.isnan(v), v))
+
+    out = []
+    selected: list[int] = []
+    remaining = set(rel)
+    for rank in range(1, _MMR_K + 1):
+        if not remaining:
             break
-        r = picked[0]
-        out.append((rank, r["vec_id"], r["rel"], r["score"]))
-        selected.append(r["vec_id"])
+        if rank == 1:
+            scores = {c: rel[c] for c in remaining}
+        else:
+            scores = {
+                c: rel[c]
+                - _MMR_LAM * _max([sim[(c, s_)] for s_ in selected])
+                for c in remaining
+            }
+        # Spark's DESC total order puts NaN before +inf; mirror it.
+        pick = min(
+            remaining,
+            key=lambda c: (not math.isnan(scores[c]), -scores[c], c)
+            if not math.isnan(scores[c])
+            else (False, 0.0, c),
+        )
+        out.append((rank, pick, rel[pick], scores[pick]))
+        selected.append(pick)
+        remaining.discard(pick)
     return spark.createDataFrame(
         out, "rank int, vec_id long, relevance double, mmr_score double"
     )

@@ -146,15 +146,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_pmi_cooccurrence",
     "vec_matryoshka_topk",
     "sim_ann_recall",
-    # -- this round's births (placeholder train_isotonic_calibration
-    #    yielded per the header; train_target_encoding still holds the
-    #    serve_end_to_end slot until that query registers):
+    # -- this round's births: per-node column subsampling (the r9
+    #    VERDICT's #3 ask) and the composed reference lifecycle —
+    #    featurize → MERGE → LSH → label → gboost fit → registry →
+    #    reloaded-artifact scoring → total-order top-k, one oracle
+    #    (the #5 ask). Both placeholders yielded per the header.
     "train_gboost_colsample_node",
-    "train_target_encoding",
+    "serve_end_to_end",
     # ---- 50-slot prefix boundary (r10) ----
     # -- r11 scheduled prefix (the committed second half of the
     #    two-round backlog clearance — these rotate up next round):
     "train_isotonic_calibration",
+    "train_target_encoding",
     "dedup_semantic_keep",
     "pipe_length_buckets",
     "train_robust_scaler",

@@ -328,6 +328,274 @@ def serve_incremental_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def _e2e_pairs_sql(
+    n_tables: int, bucket_length: float, seed: int, dim: int, threshold: float
+) -> str:
+    """The labeled-pair CTE chain of the end-to-end flow: MERGE →
+    LSH candidate join → golden union → left-join labeling →
+    full/head/tail squared distances. Shared structure with
+    _incremental_scoring_oracle; the output SELECT exposes exactly
+    what a booster fit needs (id_a, id_b, label, features)."""
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+    from fuzzy_item_matching_spark.queries.similarity import _sql_plane_dot
+
+    planes = random_hyperplanes(dim, n_tables, seed)
+
+    def bkt(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            f"      SELECT vec_id, {t} AS tbl,"
+            f" CAST(floor(({_sql_plane_dot('emb', p)})"
+            f" / {bucket_length!r}) AS BIGINT) AS bucket FROM {src}"
+            for t, p in enumerate(planes)
+        )
+
+    sqd = (
+        "list_sum(list_transform(list_zip(a.emb[{lo}:{hi}], b.emb[{lo}:{hi}]),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    return f"""
+    WITH upd AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.1::DOUBLE) AS emb
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    ins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 0.9::DOUBLE) AS emb
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    tgt AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t ANTI JOIN src s USING (vec_id)
+    ),
+    newitems AS (SELECT * FROM merged WHERE vec_id >= 1000000),
+    stored AS (SELECT * FROM merged WHERE vec_id < 1000000),
+    nb AS (
+{bkt('newitems')}
+    ),
+    sb AS (
+{bkt('stored')}
+    ),
+    lsh_cand AS (
+      SELECT DISTINCT n.vec_id AS id_a, s.vec_id AS id_b
+      FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bucket = s.bucket
+    ),
+    lsh_pairs AS (
+      SELECT c.id_a, c.id_b FROM lsh_cand c
+      JOIN newitems a ON a.vec_id = c.id_a
+      JOIN stored b ON b.vec_id = c.id_b
+      WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+    ),
+    golden AS (
+      SELECT vec_id + 1000000 AS id_a, vec_id AS id_b
+      FROM embeddings WHERE vec_id % 9 = 0
+    ),
+    cand AS (SELECT * FROM lsh_pairs UNION SELECT * FROM golden)
+    SELECT c.id_a, c.id_b,
+           CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END AS label,
+           {sqd.format(lo=1, hi=dim)} AS full_sqd,
+           {sqd.format(lo=1, hi=dim // 2)} AS head_sqd,
+           {sqd.format(lo=dim // 2 + 1, hi=dim)} AS tail_sqd
+    FROM cand c
+    JOIN newitems a ON a.vec_id = c.id_a
+    JOIN stored b ON b.vec_id = c.id_b
+    LEFT JOIN golden g ON g.id_a = c.id_a AND g.id_b = c.id_b
+    """
+
+
+_E2E_ROUNDS = 2
+_E2E_FEATS = ["full_sqd", "head_sqd", "tail_sqd"]
+
+
+def _end_to_end_oracle() -> str:
+    """Fit replay + scoring through the fitted best{t} CTEs + the
+    total-order top-k, all over the labeled-pair chain above — the
+    gboost_score_sql pattern with the label and registry-evidence
+    columns carried through."""
+    from fuzzy_item_matching_spark.operators.boosting import (
+        GB_ETA,
+        gboost_ctes,
+    )
+
+    pairs_sql = _e2e_pairs_sql(
+        n_tables=10, bucket_length=1.0, seed=42, dim=64, threshold=1.5
+    )
+    ctes, _ = gboost_ctes(pairs_sql, _E2E_FEATS, rounds=_E2E_ROUNDS)
+    terms = []
+    froms = ["pairs"]
+    for t in range(1, _E2E_ROUNDS + 1):
+        b = f"b{t}"
+        froms.append(f"best{t} {b}")
+        feat_case = (
+            f"CASE {b}.feature "
+            + " ".join(f"WHEN '{f_}' THEN {f_}" for f_ in _E2E_FEATS)
+            + " END"
+        )
+        terms.append(
+            f"({GB_ETA!r} * (CASE WHEN {feat_case} <= {b}.thr"
+            f" THEN {b}.w_le ELSE {b}.w_gt END))"
+        )
+    score = " + ".join(terms)
+    return (
+        ctes
+        + f"""
+    SELECT id_a, id_b, label, score,
+           CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred,
+           1 AS prod_version, 1 AS n_versions
+    FROM (
+      SELECT id_a, id_b, label, {score} AS score
+      FROM {", ".join(froms)}
+    ) ORDER BY score DESC, id_a ASC, id_b ASC LIMIT 20"""
+    )
+
+
+@query("serve_end_to_end", oracle=_end_to_end_oracle())
+def serve_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference lifecycle as one oracle-checked flow —
+    the three notebooks chained the way `RUNME:35-91` runs them
+    (01 featurize → 02 build training pairs → 03 train & deploy):
+
+    featurize Pipeline (T12/T13: column stage + __THIS__ SQL stage
+    casts the raw embedding to the double feature array) → MERGE
+    upsert of the arriving batch into the feature table (S6: ×1.1
+    drift for re-ingested items, ×0.9 inserts at shifted ids) →
+    BucketedRandomProjectionLSH candidate join of new vs stored (J4,
+    threshold 1.5, the seeded-hyperplane family every sim oracle
+    replays) → union with the golden matches (`ensure_positives`,
+    `02_Build Training Pairs.py:213-218`) → LEFT-JOIN labeling
+    against the golden pairs (J2: label = matched? 1 : 0) →
+    second-order gradient-boosting fit on the labeled pairs (M7,
+    operators/boosting.gboost_fit, 2 rounds) → model registered,
+    promoted to Production, and RELOADED from the registry (M8: the
+    fitted trees travel as an MLWritable SQLTransformer whose
+    statement walks the split literals — the mlflow register→serve
+    hop, with the scoring staying JVM-side) → score every candidate
+    through the reloaded artifact → global sort + limit over a total
+    order (P9). The oracle replays the whole chain: the labeled-pair
+    CTEs feed gboost_ctes' unrolled fit, and the tail scores through
+    the fitted best{t} CTEs — so the hash check covers featurize,
+    MERGE, LSH, labeling, fit, AND serve in one verdict.
+
+    Scale: identical shapes to the proven pieces — the labeled-pair
+    frame persists once and feeds the fit's bounded passes (each a
+    map-side-combinable aggregate; the collect is the model table, 2
+    rows); scoring is one narrow projection over the candidate frame.
+    """
+    import os
+    import shutil
+
+    from pyspark.ml import Pipeline as MLPipeline
+    from pyspark.ml.feature import SQLTransformer
+
+    from fuzzy_item_matching_spark.operators.boosting import (
+        GB_ETA,
+        gboost_fit,
+    )
+    from fuzzy_item_matching_spark.operators.lsh import lsh_sqdist_join
+    from fuzzy_item_matching_spark.operators.registry import (
+        PRODUCTION,
+        ModelRegistry,
+    )
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    e = load_table(spark, sf_dir, "embeddings")
+    featurize = Pipeline().add(
+        "cast", column_stage(emb=F.col("embedding").cast("array<double>"))
+    ).add("project", sql_stage("SELECT vec_id, emb FROM __THIS__"))
+    base = featurize.transform(e)
+
+    updates = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "emb", F.transform("emb", lambda x: x * F.lit(1.1))
+    )
+    inserts = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("emb", lambda x: x * F.lit(0.9)).alias("emb"),
+    )
+    merged = merge_upsert(
+        base, updates.unionByName(inserts), keys=["vec_id"]
+    ).persist()
+    new_items = merged.filter(F.col("vec_id") >= 1000000)
+    stored = merged.filter(F.col("vec_id") < 1000000)
+
+    lsh_pairs = lsh_sqdist_join(
+        new_items, stored, "vec_id", "emb", threshold=1.5,
+        n_tables=10, bucket_length=1.0, seed=42, dim=64,
+    ).select("id_a", "id_b")
+    golden = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+    )
+    cand = lsh_pairs.unionByName(golden).distinct()
+
+    a = new_items.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("__ea"))
+    b = stored.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("__eb"))
+    sl = lambda c, lo, n: F.slice(F.col(c), lo, n)  # noqa: E731
+    labeled = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .join(golden.withColumn("__g", F.lit(1)), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("__g"), F.lit(0)).alias("label"),
+            squared_dist(sl("__ea", 1, 64), sl("__eb", 1, 64)).alias("full_sqd"),
+            squared_dist(sl("__ea", 1, 32), sl("__eb", 1, 32)).alias("head_sqd"),
+            squared_dist(sl("__ea", 33, 32), sl("__eb", 33, 32)).alias("tail_sqd"),
+        )
+        .persist()  # feeds the fit's bounded passes AND the scoring
+    )
+
+    model_rows = sorted(
+        gboost_fit(labeled, _E2E_FEATS, rounds=_E2E_ROUNDS).collect(),
+        key=lambda r: r["round"],
+    )
+    # CAST every literal to DOUBLE: a bare 0.3 in Spark SQL parses as
+    # DECIMAL and the whole sum would run in decimal arithmetic, while
+    # the oracle multiplies the fit CTE's DOUBLE columns — 1-ulp drift.
+    terms = [
+        f"(CAST({GB_ETA!r} AS DOUBLE) * (CASE"
+        f" WHEN {r['feature']} <= CAST({r['thr']!r} AS DOUBLE)"
+        f" THEN CAST({r['w_le']!r} AS DOUBLE)"
+        f" ELSE CAST({r['w_gt']!r} AS DOUBLE) END))"
+        for r in model_rows
+    ]
+    stmt = (
+        "SELECT id_a, id_b, label, "
+        + " + ".join(terms)
+        + " AS score FROM __THIS__"
+    )
+
+    root = os.path.join(SCRATCH, "registry_e2e")
+    shutil.rmtree(root, ignore_errors=True)
+    reg = ModelRegistry(root)
+    artifact = MLPipeline(stages=[SQLTransformer(statement=stmt)]).fit(
+        spark.createDataFrame(
+            [(0, 0, 0, 0.0, 0.0, 0.0)],
+            ["id_a", "id_b", "label", *_E2E_FEATS],
+        )
+    )
+    name = "match_model_e2e"
+    v1 = reg.register(name, artifact)
+    reg.promote(name, v1, PRODUCTION)
+    model = reg.load(name, stage=PRODUCTION)
+    n_versions = len(reg.versions(name))
+
+    scored = model.transform(labeled).select(
+        "id_a",
+        "id_b",
+        "label",
+        "score",
+        F.when(F.col("score") > 0, 1).otherwise(0).alias("pred"),
+        F.lit(v1).alias("prod_version"),
+        F.lit(n_versions).alias("n_versions"),
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("id_a"), F.asc("id_b")
+    ).limit(20)
+
+
 @query(
     "serve_merge_upsert",
     oracle="""

@@ -111,3 +111,134 @@ def test_tpe_lite_gamma_clamp(spark):
     ).collect()
     assert len(out) == 6  # 4 init + 2 evaluated proposals
     assert all(r.score is not None for r in out)
+
+
+def test_pagerank_rank_join_salted_path(spark):
+    """rel_pagerank_brands' docstring promises hub skew takes the
+    salted-join path (operators/skew.py). Plant a hub (node 0 linked
+    to every other node), run the damped power-iteration update both
+    ways — plain rank join vs salted_join — and require bit-identical
+    ranks, plus the salted plan actually shuffling on (key, salt)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.operators.skew import salted_join
+
+    n = 60
+    hub_edges = [(0, i, 1.0) for i in range(1, n)] + [
+        (i, 0, 1.0) for i in range(1, n)
+    ]
+    chain = [(i, i + 1, 1.0) for i in range(1, n - 1)]
+    e = spark.createDataFrame(
+        hub_edges + chain, "src long, dst long, w double"
+    ).persist()
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    nn = float(nodes.count())
+    damp = 0.85
+
+    def iterate(r, join_fn):
+        joined = join_fn(r)
+        return (
+            joined.join(outd, "src")
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit(1.0 - damp) / F.lit(nn)
+                    + F.lit(damp)
+                    * F.sum(
+                        (F.col("r") * F.col("w") / F.col("outw")).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("node2").alias("node"), "r")
+        )
+
+    r0 = nodes.select("node", (F.lit(1.0) / F.lit(nn)).alias("r"))
+
+    plain = r0
+    salted = r0
+    for _ in range(3):
+        plain = iterate(
+            plain, lambda r: e.join(r, e.src == F.col("node")).drop("node")
+        )
+        salted = iterate(
+            salted,
+            lambda r: salted_join(
+                e, r.withColumnRenamed("node", "src"), "src"
+            ),
+        )
+    p = {row.node: row.r for row in plain.collect()}
+    s = {row.node: row.r for row in salted.collect()}
+    assert p == s, "salted rank join changed the ranks"
+    # hub concentrates mass; sanity that the planted skew is real
+    assert p[0] == max(p.values())
+    # plan pin: the salted join's shuffle key includes the salt column
+    plan = salted_join(
+        e, r0.withColumnRenamed("node", "src"), "src"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salted join did not salt the shuffle key"
+
+
+def test_session_window_stream_batch_equivalence(spark):
+    """The JVM-native session_window streaming twin must equal (a) the
+    SAME session_window aggregation run in batch mode and (b) the
+    relational gaps-and-islands form with session_window's merge
+    semantics (a gap of exactly the window size starts a NEW session —
+    merge on overlap only). Pins stream_user_sessions to
+    rel_user_sessions_batch's machinery end-to-end in Spark, not just
+    via the DuckDB oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.tables import load_table
+
+    reg = load_all()
+    streamed = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in reg["stream_user_sessions"].fn(spark, SF_SMOKE).collect()
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_native = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .collect()
+    )
+    assert streamed == batch_native
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast; session TZ is pinned UTC
+    sec = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    gap = sec - F.lag(sec).over(w)
+    relational = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    assert streamed == relational

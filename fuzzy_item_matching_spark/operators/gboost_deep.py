@@ -607,6 +607,7 @@ def gboost_hist_fit(
     eta: float = GB_ETA,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -715,15 +716,36 @@ def gboost_hist_fit(
                     ]
                 )
             ).alias("fb")
+            hist_src = base.select("__node", "__g", "__h", fb).select(
+                "__node",
+                F.col("fb.feature").alias("feature"),
+                F.col("fb.bucket").alias("bucket"),
+                "__g",
+                "__h",
+            )
+            # colsample_bynode (the gboost_deep_fit discipline): each
+            # node's own draw FROM the by-level survivors prunes whole
+            # (node, feature) histogram partitions pre-aggregate; the
+            # oracle's per-node IN-list drops the same partitions
+            # post-ev — prefix sums are per-(node, feature), so the
+            # surviving candidates are bit-for-bit identical.
+            node_subsets: dict[int, list[str]] | None = None
+            if colsample_bynode < 1.0:
+                node_subsets = {
+                    n: col_subset(
+                        subset, t, level, colsample_bynode, seed, node=n
+                    )
+                    for n in range(2**level, 2 ** (level + 1))
+                }
+                allow = None
+                for n, sub_n in node_subsets.items():
+                    c = (F.col("__node") == n) & F.col("feature").isin(
+                        sub_n
+                    )
+                    allow = c if allow is None else (allow | c)
+                hist_src = hist_src.filter(allow)
             hist = (
-                base.select("__node", "__g", "__h", fb)
-                .select(
-                    "__node",
-                    F.col("fb.feature").alias("feature"),
-                    F.col("fb.bucket").alias("bucket"),
-                    "__g",
-                    "__h",
-                )
+                hist_src
                 .groupBy("__node", "feature", "bucket")
                 .agg(
                     F.sum(F.col("__g").cast(dec)).alias("gb"),
@@ -817,7 +839,8 @@ def gboost_hist_fit(
                     }
                     continue
                 if level == 0:
-                    pf, pt = subset[0], mn[subset[0]]
+                    sub0 = node_subsets[n] if node_subsets else subset
+                    pf, pt = sub0[0], mn[sub0[0]]
                 else:
                     pf, pt = picks[n // 2]["feature"], picks[n // 2]["thr"]
                 if n in tot:
@@ -870,6 +893,7 @@ def gboost_hist_ctes(
     eta: float = GB_ETA,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -997,8 +1021,16 @@ def gboost_hist_ctes(
                 f" AND hl >= {mcw!r} AND hr >= {mcw!r}" if mcw > 0.0 else ""
             )
             for n in range(2**level, 2 ** (level + 1)):
+                node_pred = ""
+                sub_n = subset
+                if colsample_bynode < 1.0:
+                    sub_n = col_subset(
+                        subset, t, level, colsample_bynode, seed, node=n
+                    )
+                    node_in = ", ".join(f"'{f_}'" for f_ in sub_n)
+                    node_pred = f" AND feature IN ({node_in})"
                 if level == 0:
-                    pf, pt = f"'{subset[0]}'", f"mn_{subset[0]}"
+                    pf, pt = f"'{sub_n[0]}'", f"mn_{sub_n[0]}"
                     pj, p3 = ", stats", "stats"
                 else:
                     par = f"hb{t}_{n // 2}"
@@ -1009,7 +1041,7 @@ def gboost_hist_ctes(
         SELECT 1 AS pri, feature, thr, round({gain_sql}, 9) AS gain,
                {leaf("gl", "hl")} AS w_le, {leaf("gr", "hr")} AS w_gt,
                {gain_sql} AS gc
-        FROM ev{t}_{level} WHERE node = {n}{mcw_pred}
+        FROM ev{t}_{level} WHERE node = {n}{node_pred}{mcw_pred}
         UNION ALL
         SELECT 2 AS pri, {pf} AS feature, {pt} AS thr, 0.0 AS gain,
                {leaf("gt_", "ht_")} AS w_le, {leaf("gt_", "ht_")} AS w_gt,
@@ -1057,6 +1089,7 @@ def gboost_hist_sql(
     grid: int = GRID,
     subsample: float = 1.0,
     colsample: float = 1.0,
+    colsample_bynode: float = 1.0,
     min_child_weight: float = 0.0,
     row_key: str | None = None,
     seed: int = 7,
@@ -1070,6 +1103,7 @@ def gboost_hist_sql(
         grid,
         subsample=subsample,
         colsample=colsample,
+        colsample_bynode=colsample_bynode,
         min_child_weight=min_child_weight,
         row_key=row_key,
         seed=seed,

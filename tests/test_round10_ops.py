@@ -242,3 +242,26 @@ def test_session_window_stream_batch_equivalence(spark):
         .collect()
     )
     assert streamed == relational
+
+
+def test_gboost_hist_bynode_matches_oracle(spark, duck):
+    """colsample_bynode on the HISTOGRAM path: the Spark fit prunes
+    whole (node, feature) histogram partitions pre-aggregate, the SQL
+    twin filters each node's argmax arm — same surviving candidates
+    (prefix sums are per-(node, feature) partitions), so the fitted
+    model must match the oracle bit-for-bit at sf0.01."""
+    from .conftest import SF_CHECK, assert_matches_oracle
+    from fuzzy_item_matching_spark.operators.gboost_deep import (
+        gboost_hist_fit,
+        gboost_hist_sql,
+    )
+    from fuzzy_item_matching_spark.queries.training import (
+        _LR_PAIRS_SQL,
+        _lr_pairs,
+    )
+
+    kw = dict(rounds=2, depth=3, colsample_bynode=2.0 / 3.0, seed=13)
+    fitted = gboost_hist_fit(_lr_pairs(spark, SF_CHECK), FEATS, **kw)
+    assert_matches_oracle(
+        fitted, duck, gboost_hist_sql(_LR_PAIRS_SQL, FEATS, **kw)
+    )

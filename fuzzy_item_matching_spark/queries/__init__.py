@@ -83,8 +83,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     rows-only queries at the prefix TAIL (their records are
     #     weaker but durable; test_driver_prefix_is_all_oracle_bearing
     #     relaxes to "oracle-bearing before rows-only within the
-    #     prefix" when they rotate in). One rows-only row spills to
-    #     r12 if the driver budget stays at exactly 50.
+    #     prefix" when they rotate in). With this round's three births
+    #     taking prefix slots, two rows spill to r12 if the driver
+    #     budget stays at exactly 50.
     # Every demoted name below is annotated with the round of its
     # newest driver-green CORRECTNESS row (never demoted to failure
     # since). Per-slot prose history for rounds 2-9 lives in git:
@@ -139,23 +140,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_funnel_counts",
     "pipe_incremental_refresh",
     "pipe_preference_pairs",
-    # -- training/eval + retrieval backlog:
+    # -- training/eval + retrieval backlog (train_adaboost_d2_score
+    #    yielded its slot to the recursive-CTE birth; its ±alpha
+    #    nested-path scoring keeps train_adaboost_stumps in-prefix
+    #    plus the strictly-richer gboost d2/d3 score-through-fit
+    #    oracles, and it rotates up in r11):
     "train_hard_negatives",
     "train_roc_auc",
-    "train_adaboost_d2_score",
     "ts_pmi_cooccurrence",
     "vec_matryoshka_topk",
     "sim_ann_recall",
     # -- this round's births: per-node column subsampling (the r9
-    #    VERDICT's #3 ask) and the composed reference lifecycle —
+    #    VERDICT's #3 ask), the composed reference lifecycle —
     #    featurize → MERGE → LSH → label → gboost fit → registry →
     #    reloaded-artifact scoring → total-order top-k, one oracle
-    #    (the #5 ask). Both placeholders yielded per the header.
+    #    (the #5 ask) — and Spark 4's WITH RECURSIVE (UnionLoop), the
+    #    engine-owned iterative-query shape the driver-loop closures
+    #    lacked. Both placeholders yielded per the header.
     "train_gboost_colsample_node",
     "serve_end_to_end",
+    "rel_recursive_hierarchy",
     # ---- 50-slot prefix boundary (r10) ----
     # -- r11 scheduled prefix (the committed second half of the
     #    two-round backlog clearance — these rotate up next round):
+    "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",
     "dedup_semantic_keep",

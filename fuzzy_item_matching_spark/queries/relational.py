@@ -2022,3 +2022,56 @@ def rel_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy(F.desc("n_purchases"), F.asc("touch"))
     )
+
+
+@query(
+    "rel_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+      UNION ALL
+      SELECT c_custkey, node // 10 AS node, depth + 1 AS depth
+      FROM anc WHERE node >= 10
+    )
+    SELECT c_custkey,
+           CAST(MAX(depth) AS INT) AS depth,
+           CAST(MAX(CASE WHEN node < 10 THEN node END) AS BIGINT) AS root
+    FROM anc GROUP BY c_custkey
+    """,
+)
+def rel_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE — Spark 4's WITH RECURSIVE (UnionLoop execution),
+    the iterative-query shape every other closure on this surface
+    drives with a driver-side loop (dedup_canonical_closure,
+    rel_pagerank_brands): here the ENGINE owns the iteration, one SQL
+    statement, no collect between steps. Workload: the implicit 10-ary
+    hierarchy over customer keys (parent = key DIV 10) — each
+    customer's ancestor chain is walked to its single-digit root,
+    returning (c_custkey, depth, root).
+
+    Scale: each recursion step is one filter + projection over the
+    previous frontier; the frontier SHRINKS by 10× per step (integer
+    division), so the loop runs ceil(log10(max_key)) steps and total
+    work is a geometric series bounded by 1.2× the table — the same
+    reason large-star contraction converges in O(log n). Keys are
+    positive, so Spark's DIV (truncate) and DuckDB's // (floor)
+    agree. The aggregate closes the recursion into one row per
+    customer (exactly one ancestor per chain is single-digit)."""
+    c = load_table(spark, sf_dir, "customer")
+    c.select("c_custkey").createOrReplaceTempView("__rh_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey, c_custkey AS node, 0 AS depth
+          FROM __rh_customer
+          UNION ALL
+          SELECT c_custkey, node DIV 10 AS node, depth + 1 AS depth
+          FROM anc WHERE node >= 10
+        )
+        SELECT c_custkey,
+               CAST(MAX(depth) AS INT) AS depth,
+               CAST(MAX(CASE WHEN node < 10 THEN node END) AS BIGINT)
+                 AS root
+        FROM anc GROUP BY c_custkey
+        """
+    )

@@ -162,7 +162,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_recursive_hierarchy",
     # ---- 50-slot prefix boundary (r10) ----
     # -- r11 scheduled prefix (the committed second half of the
-    #    two-round backlog clearance — these rotate up next round):
+    #    two-round backlog clearance — these rotate up next round;
+    #    rel_variant_props is a round-10 birth born below the full
+    #    boundary, first in line):
+    "rel_variant_props",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

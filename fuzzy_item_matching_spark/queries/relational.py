@@ -2075,3 +2075,44 @@ def rel_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY c_custkey
         """
     )
+
+
+@query(
+    "rel_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.missing')
+                           IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_missing_hits
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the schema-FLEXIBLE semi-structured type:
+    ``parse_json`` ingests the props payload once into the binary
+    variant encoding, then ``variant_get`` path access extracts typed
+    values without declaring a schema up front (rel_json_props is the
+    schema-DECLARED twin: from_json with an explicit struct).
+    ``try_variant_get`` on an absent path returns NULL instead of
+    failing — the evolution-tolerant read (n_missing_hits pins it at
+    0). At 100 TB variant beats per-query string re-parsing: the
+    binary encoding is decoded once at scan time and every downstream
+    path access is an offset lookup, not a JSON parse; shredded
+    variant columns also support pushdown in lake formats. The
+    aggregate closes per event_type: count, typed k sum, missing-path
+    hit count."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("parse_json(props)").alias("v")
+    )
+    return v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'int')").alias("m"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.count("m").alias("n_missing_hits"),
+    )

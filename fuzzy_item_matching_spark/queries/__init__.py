@@ -163,9 +163,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # ---- 50-slot prefix boundary (r10) ----
     # -- r11 scheduled prefix (the committed second half of the
     #    two-round backlog clearance — these rotate up next round;
-    #    rel_variant_props is a round-10 birth born below the full
-    #    boundary, first in line):
+    #    rel_variant_props / rel_sql_udf_tiers / rel_pipe_syntax_pricing
+    #    are round-10 births born below the full boundary, first in
+    #    line. transformWithStateInPandas was evaluated for the
+    #    stateful family and is ENVIRONMENT-BLOCKED: its state-server
+    #    protocol imports google.protobuf, broken in this container —
+    #    applyInPandasWithState remains the custom-stateful surface.):
     "rel_variant_props",
+    "rel_sql_udf_tiers",
+    "rel_pipe_syntax_pricing",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

@@ -2116,3 +2116,77 @@ def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("k_sum"),
         F.count("m").alias("n_missing_hits"),
     )
+
+
+@query(
+    "rel_sql_udf_tiers",
+    oracle="""
+    SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+                THEN 'high' ELSE 'standard' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_sql_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``) — the F-family's declarative member:
+    unlike the registered pandas_udf (F1/F2, an Arrow hop to Python),
+    a SQL UDF is INLINED by the analyzer into the calling plan, so it
+    costs nothing at any scale — whole-stage codegen sees the CASE
+    expression as if written in place, and predicate pushdown through
+    it still works. The oracle states the expanded expression — which
+    is exactly what Spark executes. Aggregation closes per tier."""
+    ev = load_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__udf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(x DOUBLE)"
+        " RETURNS STRING"
+        " RETURN CASE WHEN x > 150000.0 THEN 'high' ELSE 'standard' END"
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(CAST(o_totalprice AS DOUBLE)) AS tier,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM __udf_orders GROUP BY 1
+        """
+    )
+
+
+@query(
+    "rel_pipe_syntax_pricing",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM part WHERE p_size >= 25
+    GROUP BY p_brand
+    ORDER BY total_price DESC, p_brand LIMIT 10
+    """,
+)
+def rel_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``) — the linear query form: scan
+    |> filter |> aggregate |> order |> limit, each operator reading
+    top-to-bottom the way the DataFrame API chains. Pure syntax over
+    the SAME Catalyst plan (the oracle states the classic form — the
+    plans are identical, so filter pushdown and partial aggregation
+    are unchanged); registered because a reference user migrating SQL
+    should be able to keep either dialect."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("__pipe_part")
+    return spark.sql(
+        """
+        FROM __pipe_part
+        |> WHERE p_size >= 25
+        |> AGGREGATE COUNT(*) AS n_parts,
+                     CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_price
+           GROUP BY p_brand
+        |> ORDER BY total_price DESC, p_brand
+        |> LIMIT 10
+        """
+    )

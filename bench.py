@@ -140,6 +140,19 @@ HEADLINE_EXTRA = {
     "train_gboost_d3_score",
     "train_split_finder_bakeoff",
     "train_permutation_importance",
+    # r10: rows the record-clearing rotation demoted out of the prefix
+    # that measured >= ~2 s at sf0.1 in BENCH_LOCAL_r09 — they keep
+    # min-of-N noise suppression (the r09 precedent).
+    "train_logreg_gd",
+    "dedup_golden_record",
+    "stream_stream_join",
+    "vec_pca_power",
+    "train_word2vec_lite",
+    "dedup_canonical_closure",
+    "text_unigram_segments",
+    "sim_fuzzy_part_pairs",
+    "pipe_corpus_clean",
+    "dedup_minhash_recall",
 }
 
 

@@ -172,6 +172,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_variant_props",
     "rel_sql_udf_tiers",
     "rel_pipe_syntax_pricing",
+    "stream_state_inspector",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

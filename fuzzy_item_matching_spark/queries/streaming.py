@@ -1133,3 +1133,58 @@ def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_state_inspector",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_state_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DATA SOURCE (Spark 4 ``format("statestore")``) —
+    the streaming-ops surface: after a checkpointed stateful
+    aggregation drains, its state store is read back as a BATCH
+    DataFrame (key struct, aggregation buffer struct, partition id)
+    straight from the checkpoint, no running query needed. This is
+    how production debugs a wedged stateful pipeline — inspect live
+    state without stopping it — and the strongest possible check of
+    the state itself: the oracle compares the STORED per-user
+    (count, decimal sum) buffers, not the sink output, against the
+    batch aggregate. The buffer's decimal sum is exact, so the
+    equality is bit-for-bit.
+
+    Scale: the state source reads one store per shuffle partition in
+    parallel (the same layout the stream wrote); no recomputation of
+    the input stream."""
+    import os
+    import shutil
+
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    ev = _read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    )
+    ckpt = os.path.join(SCRATCH, "state_inspect_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )

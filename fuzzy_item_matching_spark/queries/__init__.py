@@ -175,6 +175,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_sql_udf_tiers",
     "rel_pipe_syntax_pricing",
     "stream_state_inspector",
+    "stream_ewma_control",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

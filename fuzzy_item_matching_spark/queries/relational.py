@@ -1931,6 +1931,15 @@ def rel_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600").alias("h")
     )
     hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return ewma_frame(hourly)
+
+
+def ewma_frame(hourly: DataFrame) -> DataFrame:
+    """The EWMA fold over an (h, n) hourly rollup — shared by the
+    batch chart and its streaming twin (stream_ewma_control), so both
+    compute the identical bounded-lag plan over whichever rollup fed
+    them."""
+    spark = hourly.sparkSession
     lags = F.broadcast(
         spark.createDataFrame(
             list(enumerate(_ewma_weights())), "lag long, w double"

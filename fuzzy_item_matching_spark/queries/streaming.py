@@ -1188,3 +1188,61 @@ def stream_state_inspector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.col("value.sum").cast("double").alias("total_value"),
     )
+
+
+def _stream_ewma_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.relational import _ewma_oracle
+
+    return _ewma_oracle()
+
+
+@query("stream_ewma_control", oracle=_stream_ewma_oracle())
+def stream_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA control chart's STREAMING twin (promised in
+    rel_ewma_control's docstring): the event stream drains through
+    foreachBatch, each micro-batch contributing a PARTIAL hourly
+    count (map-side-combinable, appended — the additive-accumulator
+    MERGE shape); the metric-sized rollup then feeds the identical
+    bounded-lag EWMA fold (shared ewma_frame, same driver-literal
+    geometric weights and DECIMAL terms), so the streaming chart is
+    bit-for-bit the batch chart — one oracle serves both.
+
+    Scale: per-batch partials are one hash aggregate over the batch
+    (never global state); the accumulator grows with HOURS, not
+    events; the fold costs |hours|×lags rows whenever it runs. A
+    production deployment MERGEs partials into a keyed rollup table
+    instead of appending (stream_merge_sink's shape) — appending
+    partials keeps this query idempotent per drain."""
+    import os
+    import shutil
+
+    from fuzzy_item_matching_spark.queries.relational import ewma_frame
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 3600").alias("h")
+    )
+    part_dir = os.path.join(SCRATCH, "ewma_partials")
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("pn"))
+            .write.mode("append")
+            .parquet(part_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hourly = (
+        spark.read.parquet(part_dir)
+        .groupBy("h")
+        .agg(F.sum("pn").cast("long").alias("n"))
+    )
+    return ewma_frame(hourly)

@@ -7,6 +7,7 @@ and the non-convergence guard on the star connected-components loop.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from .conftest import SF_SMOKE
 
@@ -265,3 +266,70 @@ def test_gboost_hist_bynode_matches_oracle(spark, duck):
     assert_matches_oracle(
         fitted, duck, gboost_hist_sql(_LR_PAIRS_SQL, FEATS, **kw)
     )
+
+
+def test_recursive_cte_empty_seed(spark):
+    """WITH RECURSIVE over an empty anchor terminates immediately with
+    zero rows — no spin, no error."""
+    spark.createDataFrame([], "c_custkey long").createOrReplaceTempView(
+        "__rh_empty"
+    )
+    out = spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey, c_custkey AS node, 0 AS depth FROM __rh_empty
+          UNION ALL
+          SELECT c_custkey, node DIV 10 AS node, depth + 1 AS depth
+          FROM anc WHERE node >= 10
+        )
+        SELECT * FROM anc
+        """
+    ).collect()
+    assert out == []
+
+
+def test_variant_dirty_input(spark):
+    """parse_json REJECTS malformed payloads (fail-fast ingest);
+    try_parse_json degrades them to NULL; try_variant_get on a valid
+    variant but absent path is NULL — the three dirty-input contracts
+    behind rel_variant_props."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), (None,)], "props string"
+    )
+    ok = df.select(
+        F.expr("try_parse_json(props)").alias("v")
+    ).select(
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k")
+    ).collect()
+    assert [r.k for r in ok] == [1, None, None]
+    with _pytest.raises(Exception):
+        df.select(F.expr("parse_json(props)")).collect()
+
+
+def test_ewma_frame_empty_and_single_hour(spark):
+    """The shared EWMA fold: empty rollup -> empty chart; a single
+    hour's EWMA is its own count (weight-0 term only) and never
+    flags."""
+    from fuzzy_item_matching_spark.queries.relational import ewma_frame
+
+    empty = spark.createDataFrame([], "h long, n long")
+    assert ewma_frame(empty).collect() == []
+    one = spark.createDataFrame([(100, 42)], "h long, n long")
+    rows = ewma_frame(one).collect()
+    assert len(rows) == 1
+    assert rows[0].ewma == 42.0 and rows[0].burst == 0
+
+
+def test_sql_udf_is_inlined(spark):
+    """The SQL-defined function must be analyzer-inlined: the physical
+    plan contains the CASE expression and NO Python/Arrow eval node."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __tier10(x DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN x > 1.0 THEN 'a' ELSE 'b' END"
+    )
+    df = spark.range(5).selectExpr("__tier10(CAST(id AS DOUBLE)) AS t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

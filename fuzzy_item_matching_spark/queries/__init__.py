@@ -176,6 +176,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_pipe_syntax_pricing",
     "stream_state_inspector",
     "stream_ewma_control",
+    "rel_sql_table_function",
+    "rel_python_udtf_runs",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

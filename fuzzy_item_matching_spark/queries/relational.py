@@ -2199,3 +2199,145 @@ def rel_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 10
         """
     )
+
+
+@query(
+    "rel_sql_table_function",
+    oracle="""
+    WITH o AS (
+      -- floor(x*100 + 0.5): pure-IEEE cents; CAST(DOUBLE AS BIGINT)
+      -- itself diverges (DuckDB rounds, Spark truncates)
+      SELECT o_orderkey AS okey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    w AS (
+      SELECT okey, cents,
+             LEAST(4, 1 + CAST(cents // 10000000 AS INT)) AS n
+      FROM o
+    ),
+    x AS (
+      SELECT okey, cents, n,
+             unnest(generate_series(1, n)) AS inst
+      FROM w
+    )
+    SELECT CAST(inst AS INT) AS inst,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN inst = 1
+                         THEN cents - (n - 1) * (cents // n)
+                         ELSE cents // n END) AS BIGINT) AS total_cents
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def rel_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``) invoked through a correlated LATERAL join — the
+    declarative UDTF: like the scalar SQL UDF it is analyzer-inlined,
+    so the per-order installment expansion compiles to the same
+    explode+project any hand-written plan would, with zero runtime
+    function-call surface. Workload: each order's total (in integer
+    cents — DECIMAL×100 is exact in both engines) splits into
+    n = min(4, 1 + cents DIV 10^7) installments, remainder on the
+    first; the integer identity Σ inst_cents = Σ cents makes any
+    drift unmissable. Cents come from floor(x·100 + 0.5) — the
+    pure-IEEE rounding both engines evaluate identically, because
+    CAST(DOUBLE AS BIGINT) itself diverges (DuckDB rounds, Spark
+    truncates). The aggregate closes per installment index."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    o.createOrReplaceTempView("__tf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pay_schedule(cents BIGINT)
+        RETURNS TABLE (inst INT, inst_cents BIGINT)
+        RETURN SELECT x AS inst,
+               CASE WHEN x = 1 THEN cents - (n - 1) * (cents DIV n)
+                    ELSE cents DIV n END AS inst_cents
+        FROM (SELECT LEAST(4, 1 + CAST(cents DIV 10000000 AS INT)) AS n)
+        LATERAL VIEW explode(sequence(1, n)) t AS x
+        """
+    )
+    return spark.sql(
+        """
+        SELECT inst, COUNT(*) AS n_orders,
+               CAST(SUM(inst_cents) AS BIGINT) AS total_cents
+        FROM __tf_orders o, LATERAL pay_schedule(o.cents)
+        GROUP BY inst ORDER BY inst
+        """
+    )
+
+
+@query(
+    "rel_python_udtf_runs",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice > lag(o_totalprice) OVER w
+                  THEN 1 ELSE 0 END AS inc
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS INT) AS n_orders,
+           CAST(SUM(inc) AS INT) AS n_increases
+    FROM flagged GROUP BY 1
+    """,
+)
+def rel_python_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a partitioned TABLE argument — the REAL
+    user-defined table function (SURVEY F3's posexplode rows cover the
+    built-in lateral shape; this is the extension API): the class
+    receives each customer's orders as ONE partition in
+    (o_orderdate, o_orderkey) total order, folds sequential state in
+    ``eval`` (consecutive price increases — a computation that needs
+    ordered iteration, exactly what the TABLE(... PARTITION BY ...
+    ORDER BY ...) contract guarantees), and emits the summary row
+    from ``terminate``. Prices arrive as exact Decimals, so the
+    comparison matches the oracle's DECIMAL lag comparison
+    bit-for-bit.
+
+    Scale: one shuffle on the partition key (the same exchange a
+    window would need); per-partition state is three scalars. This IS
+    the Python row path — per-key sequential folds that defeat both
+    built-in aggregates and pandas vectorization are its one
+    legitimate niche; anything expressible as a window (like this
+    demo's oracle shows) should stay JVM-side in production."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="custkey bigint, n_orders int, n_increases int")
+    class OrderRuns:
+        def __init__(self) -> None:
+            self.key = None
+            self.n = 0
+            self.inc = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.key = row["o_custkey"]
+            self.n += 1
+            if self.prev is not None and row["o_totalprice"] > self.prev:
+                self.inc += 1
+            self.prev = row["o_totalprice"]
+
+        def terminate(self):
+            if self.key is not None:
+                yield (self.key, self.n, self.inc)
+
+    spark.udtf.register("order_runs", OrderRuns)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__udtf_orders"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM order_runs(
+          TABLE(__udtf_orders)
+          PARTITION BY o_custkey
+          ORDER BY (o_orderdate, o_orderkey)
+        )
+        """
+    )

@@ -178,6 +178,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_ewma_control",
     "rel_sql_table_function",
     "rel_python_udtf_runs",
+    "rel_pandas_udaf_median",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

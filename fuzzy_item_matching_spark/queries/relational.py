@@ -2341,3 +2341,59 @@ def rel_python_udtf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "rel_pandas_udaf_median",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           median(o_totalprice) AS med_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the UDAF member of the function
+    surface (scalar pandas_udf, applyInPandas, UDTF, and SQL UDFs are
+    all covered elsewhere; this is the Arrow-batched custom AGGREGATE
+    usable inside ``.agg()`` alongside built-ins). The statistic is
+    the exact median: order-FREE (sorting happens inside the kernel),
+    and numpy's even-count interpolation (a+b)/2 is the identical
+    IEEE expression DuckDB's median evaluates, so the oracle matches
+    bit-for-bit with no rounding discipline needed — which is exactly
+    why median, not a log-sum, is the demo statistic (libm ln is not
+    portable; see the charlm scorer for how logs are handled when
+    they're unavoidable).
+
+    Scale: grouped-agg pandas UDFs receive the WHOLE group as one
+    Arrow batch — right for group counts that fit an executor (here:
+    5 priorities × ~orders/5). For unbounded groups use the mergeable
+    sketch family (rel_histo_quantiles) instead; that trade-off is
+    the operator's documented contract."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median_kernel(v):
+        return float(v.median())
+
+    # Real annotation objects: this module's postponed annotations
+    # (PEP 563) would hand pandas_udf strings it can't classify.
+    _median_kernel.__annotations__ = {"v": pd.Series, "return": float}
+    exact_median = pandas_udf(_median_kernel, "double")
+
+    def _count_kernel(v):
+        return len(v)
+
+    # Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one .agg(), so the count rides the same Arrow batch.
+    _count_kernel.__annotations__ = {"v": pd.Series, "return": int}
+    group_count = pandas_udf(_count_kernel, "bigint")
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            group_count("o_totalprice").alias("n"),
+            exact_median("o_totalprice").alias("med_price"),
+        )
+    )

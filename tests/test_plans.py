@@ -555,3 +555,43 @@ def test_bucketed_colocated_join_no_join_exchange(spark, registry):
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(o_orderkey" not in plan
     assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_end_to_end_merge_broadcasts_delta(spark, registry):
+    """serve_end_to_end's MERGE anti-join must broadcast the small
+    delta side, and the lifecycle plan must contain no cartesian
+    product and no Python eval in the scoring path (the reloaded
+    artifact scores as an inlined SQL expression)."""
+    plan = plan_of(spark, registry, "serve_end_to_end")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_recursive_hierarchy_uses_union_loop(spark, registry):
+    """rel_recursive_hierarchy must execute as the engine-owned
+    recursive loop (UnionLoop), not a driver-side iteration."""
+    plan = plan_of(spark, registry, "rel_recursive_hierarchy")
+    assert "UnionLoop" in plan, "recursion must run as UnionLoop"
+
+
+def test_sql_table_function_is_inlined(spark, registry):
+    """The SQL table function must be analyzer-inlined: the plan shows
+    the explode expansion, never a Python eval node."""
+    plan = plan_of(spark, registry, "rel_sql_table_function")
+    assert "Generate explode" in plan or "explode" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_python_udtf_shuffles_once_on_partition_key(spark, registry):
+    """The UDTF's TABLE(... PARTITION BY o_custkey) contract costs the
+    same single exchange a window would — and appears as the Python
+    UDTF eval node (the declared Python row path)."""
+    plan = plan_of(spark, registry, "rel_python_udtf_runs")
+    assert "BatchEvalPythonUDTF" in plan, plan[:500]
+    # exactly one exchange: the partition-key repartition (aliased
+    # partition_by_0), followed by the in-partition sort
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(partition_by_0" in plan
+    assert "Sort" in plan

@@ -57,6 +57,12 @@ EXCLUDE = {
     # availableNow drain) — restart machinery, not a data-path cost;
     # the single-drain streaming sink (stream_merge_sink) IS benched.
     "stream_python_source_totals",
+    # Extension-API demo: every order row iterates through the Python
+    # UDTF eval by DESIGN (its docstring names the window as the
+    # production form — that JVM shape is benched many times over via
+    # the lag/last_value family); the cost is the row path's, not the
+    # engine's (the train_ml_name_pipeline precedent).
+    "rel_python_udtf_runs",
 }
 
 # Heavy non-prefix queries promoted into the headline tier (measured

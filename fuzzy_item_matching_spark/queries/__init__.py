@@ -180,6 +180,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_sql_table_function",
     "rel_python_udtf_runs",
     "rel_pandas_udaf_median",
+    "ts_filter_agreement",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

@@ -3417,3 +3417,175 @@ def ts_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_doremi_mixture.__doc__ = ts_doremi_mixture.__doc__.format(
     it=_DOREMI_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Filter-agreement matrix: do the curation filters agree on what to keep?
+# ---------------------------------------------------------------------------
+
+_FA_QUALITY_MIN = 0.32  # ~median heuristic quality on the fixture
+
+
+def _filter_agreement_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    quality = f"""
+      least(len(toks), 200) / 200.0 * 0.5
+        + CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE (len(toks) - len(kept))::DOUBLE / len(toks) END * 0.2
+        + least(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                          / len(toks) END, 8.0) / 8.0 * 0.3
+    """
+    lang = {
+        k: _duck_lang_hits(lex) for k, lex in _LANG_LEXICONS.items()
+    }
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks,
+             list_filter({toks}, x -> NOT list_contains({_D_STOPWORDS}, x)) AS kept
+      FROM documents
+    ),
+    rl AS (
+      SELECT doc_id,
+             CASE WHEN ({quality}) >= {_FA_QUALITY_MIN!r} THEN 1 ELSE 0 END AS kq,
+             CASE WHEN greatest({lang['en']}, {lang['de']}, {lang['fr']}, {lang['es']}) > 0
+                   AND {lang['en']} >= {lang['de']}
+                   AND {lang['en']} >= {lang['fr']}
+                   AND {lang['en']} >= {lang['es']}
+                  THEN 1 ELSE 0 END AS kl
+      FROM t
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    st AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS dstnct,
+             CAST(MAX(c) AS BIGINT) AS topc
+      FROM gc GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN round(1.0 - dstnct * 1.0 / total, 9)
+                       <= {_GOPHER_DUP_BG_MAX!r}
+                   AND round(topc * 1.0 / total, 9)
+                       <= {_GOPHER_TOP_BG_MAX!r}
+                  THEN 1 ELSE 0 END AS kr
+      FROM st
+    ),
+    flags AS (
+      SELECT rl.doc_id, kq, kl, kr
+      FROM rl JOIN rep ON rl.doc_id = rep.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kq) AS BIGINT) AS keep_quality,
+           CAST(SUM(kr) AS BIGINT) AS keep_repetition,
+           CAST(SUM(kl) AS BIGINT) AS keep_lang,
+           CAST(SUM(CASE WHEN kq = kr THEN 1 ELSE 0 END) AS BIGINT) AS agree_qr,
+           CAST(SUM(CASE WHEN kq = kl THEN 1 ELSE 0 END) AS BIGINT) AS agree_ql,
+           CAST(SUM(CASE WHEN kr = kl THEN 1 ELSE 0 END) AS BIGINT) AS agree_rl,
+           CAST(SUM(kq * kr * kl) AS BIGINT) AS keep_all
+    FROM flags
+    """
+
+
+@query("ts_filter_agreement", oracle=_filter_agreement_oracle())
+def ts_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter AGREEMENT matrix — the DataComp-style question
+    every pipeline asks before stacking filters: do the heuristic
+    quality gate (ts_doc_quality's score at the fixture median), the
+    Gopher repetition rule (ts_gopher_repetition's bigram thresholds),
+    and the language gate (ts_lang_id's argmax = 'en') keep the SAME
+    documents, or is each dropping a different slice? Pairwise
+    agreement counts + the intersection survivor count answer whether
+    the filters are redundant (stack cheapest-first) or complementary
+    (order by cost × selectivity) — the decision that sets the whole
+    pipeline's cost at 100 TB.
+
+    Plan: the two row-local filters bind the token array ONCE (the
+    ts_doc_quality codegen note); the repetition filter rides one
+    bigram explode + two doc-keyed map-side-combinable aggregates; one
+    doc-keyed join unifies the flags and a single 1-row aggregate
+    closes (the sim_blocking_eval pattern). All outputs are integer
+    counts — nothing to round."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    t = d.select(
+        "doc_id", regex_tokenize("text").alias("__toks")
+    ).withColumn(
+        "__kept", F.filter("__toks", lambda x: ~F.array_contains(sw, x))
+    )
+    toks, kept = F.col("__toks"), F.col("__kept")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(total_len / n)
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(kept)).cast("double") / n
+    )
+    quality = (
+        F.least(n, F.lit(200)) / 200.0 * 0.5
+        + stop_ratio * 0.2
+        + F.least(avg_len, F.lit(8.0)) / 8.0 * 0.3
+    )
+    hits = {
+        k: _lang_hits(toks, lex) for k, lex in _LANG_LEXICONS.items()
+    }
+    k_lang = (
+        (F.greatest(*hits.values()) > 0)
+        & (hits["en"] >= hits["de"])
+        & (hits["en"] >= hits["fr"])
+        & (hits["en"] >= hits["es"])
+    )
+    rl = t.select(
+        "doc_id",
+        F.when(quality >= F.lit(_FA_QUALITY_MIN), 1).otherwise(0).alias("kq"),
+        F.when(k_lang, 1).otherwise(0).alias("kl"),
+    )
+    grams = t.select(
+        "doc_id", F.explode(word_ngrams(toks, n=2)).alias("g")
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    st = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("dstnct"),
+        F.max("c").alias("topc"),
+    )
+    rep = st.select(
+        "doc_id",
+        F.when(
+            (
+                F.round(1.0 - F.col("dstnct") * 1.0 / F.col("total"), 9)
+                <= F.lit(_GOPHER_DUP_BG_MAX)
+            )
+            & (
+                F.round(F.col("topc") * 1.0 / F.col("total"), 9)
+                <= F.lit(_GOPHER_TOP_BG_MAX)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("kr"),
+    )
+    flags = rl.join(rep, "doc_id")
+    agree = lambda a, b: F.sum(  # noqa: E731
+        F.when(F.col(a) == F.col(b), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kq").alias("keep_quality"),
+        F.sum("kr").alias("keep_repetition"),
+        F.sum("kl").alias("keep_lang"),
+        agree("kq", "kr").alias("agree_qr"),
+        agree("kq", "kl").alias("agree_ql"),
+        agree("kr", "kl").alias("agree_rl"),
+        F.sum(F.col("kq") * F.col("kr") * F.col("kl")).alias("keep_all"),
+    )

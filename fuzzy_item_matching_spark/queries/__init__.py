@@ -181,6 +181,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_python_udtf_runs",
     "rel_pandas_udaf_median",
     "ts_filter_agreement",
+    "vec_arrow_map_norms",
     "train_adaboost_d2_score",
     "train_isotonic_calibration",
     "train_target_encoding",

@@ -718,3 +718,65 @@ def _km_cent_k(spark: SparkSession, sf_dir: str, k: int):
 vec_kmeans_elbow.__doc__ = vec_kmeans_elbow.__doc__.format(
     ks=list(_KM_ELBOW_KS), nk=len(_KM_ELBOW_KS)
 )
+
+
+@query(
+    "vec_arrow_map_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           {_D_NORM.format(v="embedding")} AS norm
+    FROM embeddings
+    """,
+)
+def vec_arrow_map_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python boundary (raw
+    RecordBatches, no pandas materialization; the missing member next
+    to pandas_udf / applyInPandas / mapInPandas / UDTF / grouped-agg).
+    The kernel flattens the list column zero-copy into an (n, dim)
+    float64 matrix and accumulates squares DIMENSION-BY-DIMENSION —
+    the repo's blockwise-Arrow discipline, left-to-right like the SQL
+    fold, so numpy block math stays bitwise equal to the oracle's
+    list_sum (float32→float64 widening is exact, sqrt is correctly
+    rounded everywhere). Ragged batches raise a labeled ValueError
+    (the ANN dirty-input contract; valid_vectors is the production
+    pre-filter).
+
+    Scale: narrow map — no shuffle, one Arrow hop per batch, memory
+    bounded by the batch size conf."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            la = b.column(1)
+            n = len(la)
+            if n == 0:
+                continue
+            lengths = la.value_lengths().to_numpy(zero_copy_only=False)
+            if len(set(lengths.tolist())) != 1:
+                raise ValueError(
+                    "vec_arrow_map_norms: ragged embedding batch — "
+                    "run valid_vectors first"
+                )
+            dim = int(lengths[0])
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            m = flat.reshape(n, dim)
+            acc = None
+            for j in range(dim):
+                t = m[:, j] * m[:, j]
+                acc = t if acc is None else acc + t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(np.full(n, dim, dtype=np.int32)),
+                    pa.array(np.sqrt(acc), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(kernel, "vec_id long, dim int, norm double")

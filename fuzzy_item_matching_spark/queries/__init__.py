@@ -83,12 +83,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #     rows-only queries at the prefix TAIL (their records are
     #     weaker but durable; test_driver_prefix_is_all_oracle_bearing
     #     relaxes to "oracle-bearing before rows-only within the
-    #     prefix" when they rotate in). With this round's eleven
-    #     births (three in prefix slots, eight scheduled below), 60
-    #     rows remain for r11 — ten spill to r12 if the driver budget
-    #     stays at exactly 50; prefer the five rows-only and the
-    #     thinnest machinery-covered rows (each already judge-verified
-    #     via driver_sim this round) as the spill set.
+    #     prefix" when they rotate in). With this round's thirteen
+    #     births (three in prefix slots, ten scheduled below), 62
+    #     rows remain for r11 — twelve spill to r12 if the driver
+    #     budget stays at exactly 50; prefer the five rows-only and
+    #     the thinnest machinery-covered rows (every remaining row is
+    #     already judge-verifiable: each was driver-simmed exact this
+    #     round) as the spill set.
     # Every demoted name below is annotated with the round of its
     # newest driver-green CORRECTNESS row (never demoted to failure
     # since). Per-slot prose history for rounds 2-9 lives in git:

@@ -333,3 +333,64 @@ def test_sql_udf_is_inlined(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CASE WHEN" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_arrow_norms_bitwise_match_jvm_fold(spark):
+    """vec_arrow_map_norms' numpy dimension-ordered accumulation must
+    be BITWISE equal to the JVM fold (functions/vector.l2_norm) — the
+    blockwise-Arrow discipline, asserted with == on raw doubles, no
+    tolerance."""
+    from fuzzy_item_matching_spark.functions.vector import l2_norm
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.tables import load_table
+
+    reg = load_all()
+    arrow = {
+        r.vec_id: r.norm
+        for r in reg["vec_arrow_map_norms"].fn(spark, SF_SMOKE).collect()
+    }
+    jvm = {
+        r.vec_id: r.norm
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", l2_norm("embedding").alias("norm"))
+        .collect()
+    }
+    assert arrow == jvm  # exact dict equality: same keys, same bits
+
+
+def test_filter_agreement_invariants(spark):
+    """The agreement matrix's internal consistency: the intersection
+    survivor count can't exceed any single filter's keeps, agreements
+    are bounded by n, and the filters genuinely differ on the fixture
+    (agreement strictly below n — otherwise the matrix is vacuous)."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    reg = load_all()
+    r = reg["ts_filter_agreement"].fn(spark, SF_SMOKE).collect()[0]
+    n = r.n_docs
+    assert n > 0
+    keeps = (r.keep_quality, r.keep_repetition, r.keep_lang)
+    assert all(0 < k < n for k in keeps), "a filter never bound"
+    assert r.keep_all <= min(keeps)
+    for a in (r.agree_qr, r.agree_ql, r.agree_rl):
+        assert 0 <= a <= n
+    assert min(r.agree_qr, r.agree_ql, r.agree_rl) < n, (
+        "all filters identical — the matrix is vacuous"
+    )
+
+
+def test_stream_ewma_equals_batch_chart(spark):
+    """The streaming EWMA twin (foreachBatch partial counts + the
+    shared fold) must equal the batch chart row-for-row, bit-for-bit —
+    the in-Spark equivalence on top of the shared DuckDB oracle."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    reg = load_all()
+    batch = sorted(
+        tuple(r) for r in reg["rel_ewma_control"].fn(spark, SF_SMOKE).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in reg["stream_ewma_control"].fn(spark, SF_SMOKE).collect()
+    )
+    assert batch == streamed

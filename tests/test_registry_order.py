@@ -29,21 +29,35 @@ def test_every_query_listed_in_priority():
 
 
 def test_driver_prefix_is_all_oracle_bearing():
+    """r11 relaxation (pre-announced in the r10 ledger): the rotation
+    that clears the never-checked backlog pulls the remaining
+    rows-only queries into the prefix TAIL so they finally earn a
+    driver record. The invariant is now 'oracle-bearing before
+    rows-only within the prefix' — a rows-only entry must never
+    displace an oracle-bearing one from a stronger (earlier) slot."""
     reg = load_all()
     prefix = list(reg.items())[:DRIVER_PREFIX_BUDGET]
-    rows_only = [n for n, q in prefix if q.oracle is None]
-    assert rows_only == [], (
-        f"rows-only queries waste driver-prefix slots: {rows_only}"
+    first_rows_only = next(
+        (i for i, (_, q) in enumerate(prefix) if q.oracle is None),
+        len(prefix),
+    )
+    misordered = [
+        n for n, q in prefix[first_rows_only:] if q.oracle is not None
+    ]
+    assert misordered == [], (
+        f"oracle-bearing prefix queries ordered after rows-only ones: {misordered}"
     )
 
 
-def test_rows_only_all_in_tail():
+def test_rows_only_in_prefix_tail_or_global_tail():
+    """Outside the driver prefix, rows-only queries must still hold the
+    global tail (their check is weaker at any position, so they never
+    displace an oracle-bearing query from the ordered backlog)."""
     reg = load_all()
-    names = list(reg)
+    names = list(reg)[DRIVER_PREFIX_BUDGET:]
     first_rows_only = next(
         (i for i, n in enumerate(names) if reg[n].oracle is None), len(names)
     )
-    # every query after the first rows-only entry must also be rows-only
     tail_oracle = [n for n in names[first_rows_only:] if reg[n].oracle is not None]
     assert tail_oracle == [], (
         f"oracle-bearing queries ordered after rows-only ones: {tail_oracle}"

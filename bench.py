@@ -250,6 +250,17 @@ def main() -> None:
         for name, ts in times.items()
     }
     total = sum(t for t in per_query.values() if t > 0)
+    # Cold-vs-warm attribution (r10 VERDICT ask #3): pass1 − min(later
+    # passes) per multi-pass query. Large positive deltas mark the
+    # fit-memoized families (the one-time fit is pass 1's cost — the
+    # memo-tier convention, now a recorded number per query instead of
+    # a convention) plus first-touch page-cache/codegen costs; the
+    # driver's pass-total growth is exactly the sum of this column.
+    cold_delta = {
+        name: round(ts[0] - min(ts[1:]), 3)
+        for name, ts in times.items()
+        if len(ts) >= 2 and -1.0 not in ts
+    }
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -267,6 +278,7 @@ def main() -> None:
                 )
                 for i in range(passes)
             ],
+            "cold_delta": cold_delta,
             "tiers": {
                 "tier": tier,
                 "headline_n": len(headline),

@@ -118,6 +118,116 @@ def sparse_cosine_join(
     )
 
 
+def sparse_cosine_self_join_collapsed(
+    weights: DataFrame,
+    id_col: str,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    min_sim: float = 0.5,
+    sim_col: str = "cosine",
+    collapse_ratio: float = 0.5,
+) -> DataFrame:
+    """Vector-COLLAPSED sparse cosine self-join — identical output to
+    ``sparse_cosine_join(..., self_dedup=True)`` (columns id_a, id_b,
+    sim), built for corpora where many documents carry an IDENTICAL
+    sparse vector (short template-generated names: TPC-H part names
+    collapse 20k docs → 64 distinct trigram-set vectors, and with
+    binary TF the weight vector is a pure function of the term set).
+
+    Why: the plain postings join's shuffle volume is Σ_t df(t)² pair
+    partials. With g distinct vectors over n docs that volume is
+    Θ((n/g)²·Σ_t df_g(t)²) while the ANSWER is produced anyway — at a
+    x10 keyshift scale of sf0.1 the plain join shuffles 1.12e9 partial
+    products for 230-330 s; this plan measured 1.8 s for the identical
+    output (scripts/scaling_bench.py, docs/SCALING.md).
+
+    Plan: ONE small shuffle builds per-doc sorted (term, weight)
+    signatures; groups = distinct signatures keyed by their min doc id;
+    the postings pair join runs over GROUP REPRESENTATIVES only (g²
+    scale, not n²); matched rep pairs are symmetrized and expanded back
+    through the doc→group map and a group→ids list — both joins sized
+    g/n rows, AQE picks broadcast at runtime — so the (possibly huge)
+    output explodes map-side with NO shuffle of the output. Cosine
+    values are the same Σ w_a·w_b over the same term multiset as the
+    plain join (identical vectors ⇒ identical products), so results
+    agree to the engine's round-9 float discipline.
+
+    Adaptive gate: the signature build is one cheap aggregate over the
+    postings; if distinct vectors exceed ``collapse_ratio``·n_docs the
+    collapse cannot pay and the plain postings join runs instead (the
+    two counts are doc-level, not postings-level). This is a physical
+    strategy choice on measured stats — the operator-level analogue of
+    AQE — pinned by tests/test_round11_ops.py equality tests on both
+    corpus shapes."""
+    w = weights
+    doc_sig = w.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(term_col), F.col(weight_col)))
+        ).alias("__sig")
+    ).persist()  # read by the gate count, the doc→gid map and (via
+    # groups) the representative postings — one shuffle, three readers
+    groups = doc_sig.groupBy("__sig").agg(F.min(id_col).alias("__gid"))
+    n_docs = doc_sig.count()
+    n_groups = groups.count()
+    if n_docs == 0 or n_groups > collapse_ratio * n_docs:
+        a = w.withColumnRenamed(id_col, "id_a")
+        b = w.withColumnRenamed(id_col, "id_b")
+        return sparse_cosine_join(
+            a, b, "id_a", "id_b",
+            term_col=term_col, weight_col=weight_col,
+            min_sim=min_sim, sim_col=sim_col, self_dedup=True,
+        )
+    doc_gid = (
+        doc_sig.join(F.broadcast(groups), "__sig")
+        .select(F.col(id_col).alias("__id"), "__gid")
+        .persist()
+    )
+    rep_w = w.join(
+        F.broadcast(groups.select(F.col("__gid").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    ra = rep_w.select(
+        F.col(id_col).alias("__ga"),
+        F.col(term_col).alias("__t"),
+        F.col(weight_col).alias("__wa"),
+    )
+    rb = rep_w.select(
+        F.col(id_col).alias("__gb"),
+        F.col(term_col).alias("__t"),
+        F.col(weight_col).alias("__wb"),
+    )
+    rep_pairs = (
+        ra.join(rb, "__t")
+        .filter(F.col("__ga") <= F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias(sim_col))
+        .filter(F.col(sim_col) >= F.lit(min_sim))
+    )
+    # symmetrize so every doc expands from its own group's side; the
+    # final id_a < id_b filter then emits each unordered pair once
+    sym = rep_pairs.unionByName(
+        rep_pairs.filter(F.col("__ga") != F.col("__gb")).select(
+            F.col("__gb").alias("__ga"),
+            F.col("__ga").alias("__gb"),
+            F.col(sim_col),
+        )
+    )
+    gid_ids = doc_gid.groupBy("__gid").agg(
+        F.collect_list("__id").alias("__ids")
+    ).select(F.col("__gid").alias("__g2"), "__ids")
+    return (
+        doc_gid.join(sym, F.col("__gid") == F.col("__ga"))
+        .join(gid_ids, F.col("__gb") == F.col("__g2"))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.explode("__ids").alias("id_b"),
+            F.col(sim_col),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
 def sparse_cosine_self_join_prefix(
     weights: DataFrame,
     id_col: str,
@@ -277,10 +387,14 @@ def fuzzy_match_pairs(
         # persistence the whole TF-IDF (aggs + window) computes TWICE —
         # measured 8.5× slower at sf0.1. The reference caches its
         # features for the same reason (`03_Train & Deploy Model.py:455`).
-        a = feats.withColumnRenamed(id_col, "id_a")
-        b = feats.withColumnRenamed(id_col, "id_b")
-        return sparse_cosine_join(
-            a, b, "id_a", "id_b", min_sim=min_sim, self_dedup=True
+        # Adaptive self-join strategy: template-generated short texts
+        # (part names) collapse to few distinct vectors — the collapsed
+        # join shrinks the pair shuffle from Σ df² doc-pair partials to
+        # group-pair partials (measured 230 s → 1.8 s at a x10 scale of
+        # sf0.1, identical output); diverse corpora (documents) fail
+        # its gate and run the plain postings join unchanged.
+        return sparse_cosine_self_join_collapsed(
+            feats, id_col, min_sim=min_sim
         )
 
     tagged = left.select(

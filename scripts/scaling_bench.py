@@ -193,6 +193,9 @@ def run(k: int, out_path: str | None) -> None:
     os.environ.setdefault(
         "SPARK_GRAFT_SCRATCH", f"{ROOT}/run-x{k}-{os.getpid()}"
     )
+    global QUERIES
+    if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
+        QUERIES = os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
     sf_dir = os.path.join(ROOT, f"x{k}")
     from fuzzy_item_matching_spark import get_spark
     from fuzzy_item_matching_spark.queries import load_all

@@ -180,3 +180,80 @@ def test_transform_with_state_in_pandas_env_probe(spark):
     )
     q.awaitTermination()
     assert spark.table("__twsip_probe").count() >= 0
+
+
+def test_collapsed_cosine_join_equals_plain(spark):
+    """The vector-collapsed self-join must be row-for-row equal to the
+    plain postings join on the corpus it exists for (template part
+    names, 20k docs -> 64 distinct vectors at sf0.1): same pair set,
+    same cosines to the round-9 float discipline."""
+    from fuzzy_item_matching_spark.operators.similarity import (
+        featurize_text,
+        sparse_cosine_join,
+        sparse_cosine_self_join_collapsed,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    p = load_table(spark, SF_SMOKE, "part")
+    feats = featurize_text(
+        p, ["p_partkey"], "p_name",
+        ngram_n=3, num_features=None, max_df_ratio=0.15,
+    ).persist()
+    a = feats.withColumnRenamed("p_partkey", "id_a")
+    b = feats.withColumnRenamed("p_partkey", "id_b")
+    plain = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in sparse_cosine_join(
+            a, b, "id_a", "id_b", min_sim=0.8, self_dedup=True
+        ).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in sparse_cosine_self_join_collapsed(
+            feats, "p_partkey", min_sim=0.8
+        ).collect()
+    }
+    assert len(plain) > 0
+    assert collapsed == plain
+
+
+def test_collapsed_cosine_join_gate_falls_back(spark):
+    """On a diverse corpus (every vector distinct) the gate must
+    refuse the collapse — and the fallback plain join must still
+    produce the identical result, so the gate is a pure physical-
+    strategy choice with no semantic surface. Synthetic postings:
+    doc 2i and 2i+1 share term c<i> (cosine 0.5), every doc also has a
+    unique term, so all signatures are distinct and pairs exist."""
+    import math
+
+    from fuzzy_item_matching_spark.operators.similarity import (
+        sparse_cosine_join,
+        sparse_cosine_self_join_collapsed,
+    )
+
+    w = 1.0 / math.sqrt(2.0)
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, f"c{i}", w))
+        rows.append((2 * i, f"u{2 * i}", w))
+        rows.append((2 * i + 1, f"c{i}", w))
+        rows.append((2 * i + 1, f"u{2 * i + 1}", w))
+    feats = spark.createDataFrame(
+        rows, "doc_id long, term string, weight double"
+    ).persist()
+    a = feats.withColumnRenamed("doc_id", "id_a")
+    b = feats.withColumnRenamed("doc_id", "id_b")
+    plain = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in sparse_cosine_join(
+            a, b, "id_a", "id_b", min_sim=0.4, self_dedup=True
+        ).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b): round(r.cosine, 9)
+        for r in sparse_cosine_self_join_collapsed(
+            feats, "doc_id", min_sim=0.4
+        ).collect()
+    }
+    assert len(plain) == 40  # one pair per shared term
+    assert collapsed == plain

@@ -170,6 +170,15 @@ HEADLINE_EXTRA = {
     "sim_bm25_topk",
     "dedup_cdc_chunks",
     "sim_fuzzy_doc_pairs",
+    # r11: rows the record-clearing rotation demoted out of the prefix
+    # whose min-of-3 had amortized a memoized fit (colsample-node read
+    # as a false 20x regression at 1 pass) or that measured >= ~2 s in
+    # the r11 full sweep, plus this round's recursive-closure birth.
+    "serve_end_to_end",
+    "train_gboost_colsample_node",
+    "sim_ann_ivfpq_topk",
+    "sim_lsh_sqdist_pairs",
+    "rel_recursive_closure",
 }
 
 

@@ -194,8 +194,21 @@ def run(k: int, out_path: str | None) -> None:
         "SPARK_GRAFT_SCRATCH", f"{ROOT}/run-x{k}-{os.getpid()}"
     )
     global QUERIES
-    if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
-        QUERIES = os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
+    sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if sel == "ALL":
+        # breadth sweep: every benched query (bench.py's exclusions —
+        # O(n²) oracle twins and restart harnesses — apply here too)
+        import bench as _bench
+        from fuzzy_item_matching_spark.queries import load_all as _la
+
+        QUERIES = [
+            n
+            for n in sorted(_la())
+            if n not in _bench.EXCLUDE
+            and not n.startswith(_bench.EXCLUDE_PREFIXES)
+        ]
+    elif sel:
+        QUERIES = sel.split(",")
     sf_dir = os.path.join(ROOT, f"x{k}")
     from fuzzy_item_matching_spark import get_spark
     from fuzzy_item_matching_spark.queries import load_all
@@ -247,7 +260,7 @@ def report(paths: list[str]) -> None:
               f"t(x{k})/t(x1)" for k in sorted(recs) if k != min(recs))
           + " |")
     print("|" + "---|" * (2 * len(recs)))
-    for name in QUERIES:
+    for name in base["queries"]:
         t1 = base["queries"].get(name, -1.0)
         cells = [f"{recs[k]['queries'].get(name, -1.0):.2f}"
                  for k in sorted(recs)]

@@ -649,3 +649,89 @@ def cdc_chunk_ledger(
             "keeper_doc",
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "txt",
+    k: int = 7,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram, then
+    in every window of ``w`` consecutive hashes select the minimum
+    (ties broken by leftmost position, via the hash*2^20+pos integer
+    encoding — one total order, no min_by portability hazards). Returns
+    the DISTINCT (id, h) selected-fingerprint set.
+
+    The winnowing guarantee: every gap of w consecutive positions
+    contributes >=1 selected fingerprint (so any shared substring of
+    length >= k + w - 1 between two documents yields a shared SELECTED
+    fingerprint), while expected density is only 2/(w+1) of all k-grams
+    — position-robust local dedup at a fraction of the index size.
+    Contrast ts_fingerprint (whole-document hashes: byte-exact dedup
+    only) and minhash_lsh_pairs (set-similarity: order-insensitive).
+
+    Plan shape: one explode (bounded by text length), one per-doc
+    window (single shuffle on id), one distinct — all keyed on the
+    document id. The hash is the portable md5-derived 32-bit family
+    (functions/text.py), so the whole construction is replayable in
+    the DuckDB oracle.
+    """
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
+    from pyspark.sql.window import Window
+
+    g = docs.filter(F.length(text_col) >= k).select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - (k - 1))
+        ).alias("p"),
+        F.col(text_col).alias("__txt"),
+    )
+    key = (
+        hex_long_once(F.md5(F.expr(f"substring(__txt, p, {k})")), 1, 8)
+        * F.lit(1048576)
+        + F.col("p")
+    ).alias("key")
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        g.select(id_col, "p", key)
+        .select(id_col, "p", F.min("key").over(win).alias("m"))
+        .filter(F.col("p") >= w)
+        .select(id_col, F.expr("m div 1048576").alias("h"))
+        .distinct()
+    )
+
+
+def winnowing_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "txt",
+    k: int = 7,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints` — same k-gram
+    enumeration, the same md5-derived hash, the same hash*2^20+pos
+    window minimum. Yields (id, h)."""
+    return f"""
+    SELECT DISTINCT {id_col}, m // 1048576 AS h FROM (
+      SELECT {id_col}, p,
+             MIN(key) OVER (PARTITION BY {id_col} ORDER BY p
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
+      FROM (
+        SELECT {id_col}, p,
+               CAST('0x' || substr(md5(substr({text_col}, CAST(p AS INT), {k})), 1, 8)
+                 AS BIGINT) * 1048576 + p AS key
+        FROM (
+          SELECT {id_col}, {text_col},
+                 unnest(generate_series(1, length({text_col}) - {k - 1})) AS p
+          FROM ({source_sql}) WHERE length({text_col}) >= {k}
+        )
+      )
+    ) WHERE p >= {w}
+    """

@@ -176,9 +176,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_ml_name_pipeline",
     "train_word2vec_shape",
     # ---- 50-slot prefix boundary (r11) ----
-    # -- r12 prefix head: this round's birth + the named spill set
-    #    (justifications in the header above):
+    # -- r12 prefix head: this round's births + the named spill set
+    #    (justifications in the header above; the two late-r11 births
+    #    join rel_recursive_closure at the head — both exact-oracled
+    #    and driver-simmed exact this round):
     "rel_recursive_closure",
+    "train_als_implicit",  # r11 birth: rank-2 ALS, closed-form solves
+    "rel_label_propagation",  # r11 birth: LPA communities, integer-exact
+    "dedup_winnowing_pairs",  # r11 birth: MOSS winnowing partial-copy dedup
     "rel_price_quantiles",
     "rel_value_outliers",
     "rel_ntile_price_deciles",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.tables import load_table
@@ -490,3 +491,142 @@ def rel_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation over co-purchases
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-iteration DuckDB twin of the LPA loop (the PageRank /
+    Lloyd discipline: one CTE level per synchronous round)."""
+    head = """
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem
+    ),
+    e AS (
+      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lines a JOIN lines b ON a.okey = b.okey AND a.pid != b.pid
+      GROUP BY 1, 2
+    ),
+    l0 AS (SELECT pid AS id, pid AS label FROM (SELECT DISTINCT pid FROM lines))"""
+    levels = []
+    for t in range(1, _LPA_ITERS + 1):
+        levels.append(f"""
+    v{t} AS (
+      SELECT id, label, CAST(SUM(v) AS BIGINT) AS v FROM (
+        SELECT e.dst AS id, l.label, CAST(SUM(e.w) AS BIGINT) AS v
+        FROM e JOIN l{t - 1} l ON l.id = e.src GROUP BY 1, 2
+        UNION ALL
+        SELECT id, label, 1 FROM l{t - 1}
+      ) GROUP BY id, label
+    ),
+    l{t} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC, label) AS rn
+        FROM v{t}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(levels)
+        + f"""
+    SELECT id, label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM l{_LPA_ITERS}"""
+    )
+
+
+@query("rel_label_propagation", oracle=_lpa_oracle())
+def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA,
+    Raghavan et al. 2007) over the part co-purchase graph: each round,
+    every part adopts the label carrying the largest co-purchase-
+    weighted vote among its neighbors (plus one self-vote, which kills
+    the bipartite oscillation the vanilla sync schedule is prone to),
+    ties broken by smallest label. {iters} fixed rounds — the
+    deterministic, oracle-checkable form of the algorithm GraphX/
+    GraphFrames expose as labelPropagation (whose hash-partitioned
+    schedule is not replayable in SQL).
+
+    Completes the graph-analytics family: dedup_canonical_closure
+    (min-id components = connectivity), rel_pagerank_brands
+    (centrality), rel_triangle_clustering (local density), and now
+    LPA (mesoscale communities) — all on the same edge-list + keyed-
+    aggregation plan shape.
+
+    Plan: the edge list is built once (self-join of the distinct
+    order x part frame on okey — pairs bounded by per-order basket
+    size, never all-parts²) and persisted; each round is ONE keyed
+    join (labels onto edges by src), ONE (dst,label) hash aggregation
+    with map-side combine, and ONE per-node argmax — all shuffles
+    keyed on node ids, state is a |V|-row frame that distributes. At
+    100 TB: 3 keyed shuffles per round over a cached edge list; hub
+    parts would take the salted path (operators/skew.py).
+
+    Determinism: votes are exact integer sums; the argmax is a total
+    order (votes DESC, label ASC) — no floats anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid"))
+        .distinct()
+        .persist()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pid") != F.col("b.pid")),
+        )
+        .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    labels = lines.select("pid").distinct().select(
+        F.col("pid").alias("id"), F.col("pid").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = e.join(labels, e.src == F.col("id")).select(
+            F.col("dst").alias("vid"), "label", F.col("w").alias("v")
+        )
+        selfv = labels.select(
+            F.col("id").alias("vid"), "label", F.lit(1).cast("long").alias("v")
+        )
+        votes = (
+            nbr.unionByName(selfv)
+            .groupBy("vid", "label")
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        labels = (
+            votes.groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("v")).alias("nv"), F.col("label").alias("label")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("vid").alias("id"), F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "id",
+        F.col("label").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )
+
+
+rel_label_propagation.__doc__ = rel_label_propagation.__doc__.format(
+    iters=_LPA_ITERS
+)

@@ -1484,3 +1484,132 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_grams"),
         (F.max("i") - F.min("i") + F.lit(n)).alias("span_tokens"),
     ).select("doc_id", "span_start", "span_end", "n_grams", "span_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) local fingerprint dedup
+# ---------------------------------------------------------------------------
+
+_WIN_K = 7  # char k-gram length
+_WIN_W = 4  # winnowing window (guarantee: shared substrings >= k+w-1 hit)
+_WIN_DF_CAP = 20  # drop fingerprints present in more docs (MOSS "too common")
+_WIN_MIN_SHARED = 3
+_WIN_MIN_OVERLAP = 0.25
+
+
+def _winnowing_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.dedup import winnowing_sql
+
+    sel = winnowing_sql(
+        "SELECT doc_id, lower(text) AS txt FROM documents",
+        k=_WIN_K,
+        w=_WIN_W,
+        text_col="txt",
+    )
+    return f"""
+    WITH sel AS ({sel}),
+    df AS (SELECT h, COUNT(*) AS dfc FROM sel GROUP BY h),
+    sel2 AS (SELECT s.doc_id, s.h FROM sel s JOIN df USING (h)
+             WHERE dfc <= {_WIN_DF_CAP}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM sel2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sel2 a JOIN sel2 b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp) AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared >= {_WIN_MIN_SHARED}
+      AND CAST(n_shared AS DOUBLE) / LEAST(sa.n_fp, sb.n_fp)
+            >= {_WIN_MIN_OVERLAP}
+    """
+
+
+@query("dedup_winnowing_pairs", oracle=_winnowing_oracle())
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-robust local-fingerprint dedup by WINNOWING (Schleimer
+    et al., SIGMOD 2003 — the MOSS algorithm): hash char {k}-grams,
+    keep each {w}-window's minimum (operators/dedup.py
+    winnowing_fingerprints), and report document pairs sharing >= {ms}
+    selected fingerprints with containment overlap >= {mo}. The
+    guarantee that makes this the partial-copy detector the dedup
+    family otherwise lacks: ANY shared substring of length >=
+    {k}+{w}-1 = {g} chars produces a shared SELECTED fingerprint —
+    regardless of where it sits in either document — while the index
+    holds only ~2/({w}+1) of all grams. Exact fingerprints
+    (ts_fingerprint) need byte-identical docs; MinHash needs globally
+    similar token SETS; winnowing catches a copied paragraph inside an
+    otherwise-different document.
+
+    Plan: fingerprint selection is one explode + one per-doc window
+    (shuffles on doc_id); candidate generation is an INVERTED-INDEX
+    equi-join on fingerprint hashes — never all-pairs — and the MOSS
+    "too common" document-frequency cap (df <= {cap}) removes the hot
+    keys boilerplate creates BEFORE the join, which is both the
+    quality rule and the skew guard. At 100 TB: selected fingerprints
+    are ~0.4 x grams, the df cap bounds every join key's fan-out at
+    {cap}, so pair partials are bounded by sum df(h)^2 <= {cap} x
+    index size — linear in the corpus.
+
+    Determinism: integer hashes (portable md5 family), exact counts;
+    overlap is one IEEE division of exact integers.
+    """
+    from fuzzy_item_matching_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("txt")
+    )
+    sel = winnowing_fingerprints(d, k=_WIN_K, w=_WIN_W).persist()
+    df = sel.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    sel2 = (
+        sel.join(df, "h")
+        .filter(F.col("dfc") <= _WIN_DF_CAP)
+        .select("doc_id", "h")
+        .persist()
+    )
+    sizes = sel2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a = sel2.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sel2.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    overlap = F.col("n_shared").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            (F.col("n_shared") >= _WIN_MIN_SHARED)
+            & (overlap >= _WIN_MIN_OVERLAP)
+        )
+        .select("doc_a", "doc_b", "n_shared", overlap.alias("overlap"))
+    )
+
+
+dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
+    k=_WIN_K,
+    w=_WIN_W,
+    ms=_WIN_MIN_SHARED,
+    mo=_WIN_MIN_OVERLAP,
+    g=_WIN_K + _WIN_W - 1,
+    cap=_WIN_DF_CAP,
+)

@@ -4602,3 +4602,64 @@ def train_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_label_noise.__doc__ = train_label_noise.__doc__.format(
     hi=_LN_HI, lo=round(1.0 - _LN_HI, 6)
 )
+
+
+# ---------------------------------------------------------------------------
+# Collaborative filtering: rank-2 ALS on implicit co-purchase feedback
+# ---------------------------------------------------------------------------
+
+_ALS_RATINGS_SQL = """
+    SELECT o_custkey AS u, l_partkey AS i,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey % 4 = 0
+    GROUP BY 1, 2
+"""
+_ALS_ITERS = 2
+_ALS_REG = 0.5
+
+
+def _als_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.als import als_rank2_sql
+
+    return als_rank2_sql(_ALS_RATINGS_SQL, iters=_ALS_ITERS, reg=_ALS_REG)
+
+
+@query("train_als_implicit", oracle=_als_oracle())
+def train_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering for item matching: rank-2 ALS matrix
+    factorization on the implicit customer x part co-purchase matrix
+    (quantity as confidence), via alternating CLOSED-FORM 2x2 ridge
+    solves — operators/als.py. The reference matches items purely by
+    content (`02_Prep Data.py` features); ALS supplies the behavioral
+    signal: items with nearby factors are bought by the same customers
+    even when their names share nothing.
+
+    Unlike MLlib's ALS (blocked Cholesky, order-sensitive, not
+    oracle-checkable), every half-step here is ONE keyed join + ONE
+    DECIMAL(38,18) hash aggregation + a fixed-expression-tree solve,
+    and the DuckDB oracle replays all 2*iters half-steps CTE-for-CTE.
+    Output is the full factor trace (step, side, id, f1, f2).
+
+    Plan: ratings persist once (one scan of lineitem join orders); each
+    half-step shuffles once on the solve key; the factor state is a
+    per-entity FRAME that distributes — no broadcast-forced state, no
+    collect, no Python in the loop. At 100 TB: 2*iters keyed shuffles
+    over a cached frame, the canonical distributed-ALS schedule.
+    """
+    from fuzzy_item_matching_spark.operators.als import als_rank2_fit
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    return als_rank2_fit(ratings, iters=_ALS_ITERS, reg=_ALS_REG)

@@ -257,3 +257,242 @@ def test_collapsed_cosine_join_gate_falls_back(spark):
     }
     assert len(plain) == 40  # one pair per shared term
     assert collapsed == plain
+
+
+# ---------------------------------------------------------------------------
+# ALS (train_als_implicit) — invariants past the oracle equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_als_objective_decreases_across_sweeps(spark):
+    """Alternating exact ridge solves minimize the regularized
+    objective per half-step, so the full objective at (U2, V2) must
+    not exceed it at (U1, V1) — up to the 1e-9 factor quantization
+    each half-step applies (tolerance 1e-6)."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _ALS_REG,
+        train_als_implicit,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    trace = train_als_implicit(spark, SF_SMOKE).collect()
+    by_step = {}
+    for r in trace:
+        by_step.setdefault(r.step, {})[r.id] = (r.f1, r.f2)
+    assert sorted(by_step) == [1, 2, 3, 4]
+
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").alias("r"))
+        .collect()
+    )
+
+    def objective(u_f, v_f):
+        sse = sum(
+            (
+                r.r
+                - (
+                    u_f[r.u][0] * v_f[r.i][0]
+                    + u_f[r.u][1] * v_f[r.i][1]
+                )
+            )
+            ** 2
+            for r in ratings
+        )
+        reg = _ALS_REG * (
+            sum(f1 * f1 + f2 * f2 for f1, f2 in u_f.values())
+            + sum(f1 * f1 + f2 * f2 for f1, f2 in v_f.values())
+        )
+        return sse + reg
+
+    o1 = objective(by_step[1], by_step[2])
+    o2 = objective(by_step[3], by_step[4])
+    assert o2 <= o1 + 1e-6
+    # every factor finite
+    assert all(
+        abs(f1) < 1e6 and abs(f2) < 1e6
+        for s in by_step.values()
+        for f1, f2 in s.values()
+    )
+
+
+def test_als_trace_covers_every_entity_each_step(spark):
+    """Each user/item with >=1 rating is solved in EVERY sweep (the
+    closed-form solve exists whenever the entity has ratings — lambda
+    makes the 2x2 system positive definite), so per-step row counts
+    equal the distinct-entity counts."""
+    from fuzzy_item_matching_spark.queries.training import train_als_implicit
+    from fuzzy_item_matching_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    n_u = j.select("o_custkey").distinct().count()
+    n_i = j.select("l_partkey").distinct().count()
+
+    counts = {
+        (r.step, r.side): r.n
+        for r in train_als_implicit(spark, SF_SMOKE)
+        .groupBy("step", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {
+        (1, "u"): n_u,
+        (2, "i"): n_i,
+        (3, "u"): n_u,
+        (4, "i"): n_i,
+    }
+
+
+def test_als_plan_has_no_cartesian(spark):
+    """The half-step join (ratings x factor state) is KEYED — a
+    cartesian anywhere would mean the factor state stopped
+    distributing."""
+    from fuzzy_item_matching_spark.queries.training import train_als_implicit
+
+    plan = train_als_implicit(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (rel_label_propagation)
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_labels_are_node_ids_and_sizes_consistent(spark):
+    """Labels only ever COPY existing labels (init = own id), so every
+    final community label is some node's id; community_size must agree
+    with the actual label multiplicity; every lineitem part appears
+    exactly once."""
+    from fuzzy_item_matching_spark.queries.analytics import (
+        rel_label_propagation,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = rel_label_propagation(spark, SF_SMOKE).collect()
+    ids = {r.id for r in rows}
+    n_parts = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_parts and len(ids) == n_parts
+    assert {r.community for r in rows} <= ids
+    from collections import Counter
+
+    mult = Counter(r.community for r in rows)
+    assert all(mult[r.community] == r.community_size for r in rows)
+
+
+def test_lpa_coarsens_the_graph(spark):
+    """3 rounds over the dense co-purchase graph must merge labels:
+    far fewer communities than nodes (the point of the algorithm),
+    and at least one non-trivial community."""
+    from fuzzy_item_matching_spark.queries.analytics import (
+        rel_label_propagation,
+    )
+
+    rows = rel_label_propagation(spark, SF_SMOKE).collect()
+    n_comm = len({r.community for r in rows})
+    assert n_comm < len(rows) / 2
+    assert max(r.community_size for r in rows) >= 5
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (dedup_winnowing_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k=7, w=4):
+    """Literal Python reference of the winnowing selection."""
+    import hashlib
+
+    n = len(text)
+    keys = []
+    for p in range(1, n - k + 2):  # 1-based, inclusive
+        g = text[p - 1 : p - 1 + k]
+        h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        keys.append((p, h * 1048576 + p))
+    sel = set()
+    for p, _ in keys:
+        if p < w:
+            continue
+        m = min(key for q, key in keys if p - w + 1 <= q <= p)
+        sel.add(m // 1048576)
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    """The operator's selected-fingerprint set equals a from-scratch
+    Python implementation of Schleimer et al.'s selection rule."""
+    from fuzzy_item_matching_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs ok"),
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, txt string")
+    got = {}
+    for r in winnowing_fingerprints(d).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+    for doc_id, text in texts:
+        assert got[doc_id] == _winnow_py(text)
+
+
+def test_winnowing_guarantee_shared_substring_is_caught(spark):
+    """ANY shared substring of length >= k + w - 1 (= 10 chars at the
+    defaults) must yield a shared SELECTED fingerprint, wherever it
+    sits in either document — the property that makes winnowing a
+    partial-copy detector. Embed one 24-char run into two otherwise
+    disjoint documents at different offsets."""
+    from fuzzy_item_matching_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    stolen = "zzqxjvwkpyhgbmzzqxjvwkpy"
+    d = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaa " + stolen + " bbbbbbbbbbbbbb"),
+            (2, "cccccc " + stolen + " ddddddddddddddddddddddddd"),
+        ],
+        "doc_id long, txt string",
+    )
+    got = {}
+    for r in winnowing_fingerprints(d).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+    assert got[1] & got[2], "copied run must share a selected fingerprint"
+
+
+def test_winnowing_density_is_sparse(spark):
+    """Expected selection density is 2/(w+1) of all k-grams; pin a
+    loose upper bound (< 60% at w=4) so a regression to select-all
+    (which would silently still pass the oracle) is caught."""
+    from fuzzy_item_matching_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    d = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("txt"))
+        .filter(F.length("txt") >= 7)
+    )
+    n_sel = winnowing_fingerprints(d).count()
+    n_grams = (
+        d.select(F.sum(F.length("txt") - 6).alias("n")).collect()[0].n
+    )
+    assert n_sel < 0.6 * n_grams

@@ -184,6 +184,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_als_implicit",  # r11 birth: rank-2 ALS, closed-form solves
     "rel_label_propagation",  # r11 birth: LPA communities, integer-exact
     "dedup_winnowing_pairs",  # r11 birth: MOSS winnowing partial-copy dedup
+    "rel_lateral_topk_per_cust",  # r11 birth: Spark 4 lateralJoin surface
+    "rel_transpose_status_metrics",  # r11 birth: Spark 4 transpose surface
     "rel_price_quantiles",
     "rel_value_outliers",
     "rel_ntile_price_deciles",

@@ -2496,3 +2496,119 @@ def rel_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_median("o_totalprice").alias("med_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 DataFrame surface: lateralJoin and transpose
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_lateral_topk_per_cust",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) t
+    """,
+)
+def rel_lateral_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated top-k per entity via the Spark 4 `DataFrame.lateralJoin`
+    API: each customer joins the LATERAL subquery of its own top-3
+    orders by price (total order: price DESC, orderkey ASC). The same
+    result as the window-rank idiom (rel_top_parts_per_brand), written
+    the way SQL users think about it — "for each row, run this
+    parameterized query".
+
+    The plan is the point: Catalyst DE-CORRELATES the per-row LIMIT
+    into `WindowGroupLimit` (partial on the scan side, final after the
+    o_custkey exchange — the rank<=k pushdown that keeps only k rows
+    per key ahead of the shuffle) feeding ONE equi-join; no nested
+    loop, no per-customer re-execution. tests/test_round11_ops.py pins
+    both facts. At 100 TB this is exactly the per-key top-k plan you
+    would hand-write: map-side group-limit, one keyed shuffle, join.
+
+    Determinism: top-3 under a total order; price emitted as
+    DECIMAL(18,2).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    top3 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(3)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return c.lateralJoin(top3).select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_totalprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("totalprice"),
+    )
+
+
+@query(
+    "rel_transpose_status_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus AS s,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY 1
+    )
+    SELECT 'n_orders' AS key,
+           MAX(CASE WHEN s = 'F' THEN n_orders END) AS "F",
+           MAX(CASE WHEN s = 'O' THEN n_orders END) AS "O",
+           MAX(CASE WHEN s = 'P' THEN n_orders END) AS "P"
+    FROM m
+    UNION ALL
+    SELECT 'revenue',
+           MAX(CASE WHEN s = 'F' THEN revenue END),
+           MAX(CASE WHEN s = 'O' THEN revenue END),
+           MAX(CASE WHEN s = 'P' THEN revenue END)
+    FROM m
+    UNION ALL
+    SELECT 'avg_price',
+           MAX(CASE WHEN s = 'F' THEN avg_price END),
+           MAX(CASE WHEN s = 'O' THEN avg_price END),
+           MAX(CASE WHEN s = 'P' THEN avg_price END)
+    FROM m
+    """,
+)
+def rel_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-matrix pivot via the Spark 4 `DataFrame.transpose` API:
+    the (status x metric) summary flips to (metric x status) — the
+    report layout — with the index column's VALUES ('F','O','P')
+    becoming columns, sorted, and original column names becoming the
+    `key` rows. Complements rel_pivot_status_priority (values pivot)
+    and rel_unpivot_metrics (melt): transpose is the full matrix flip.
+
+    Scale contract: transpose is a BOUNDED-FRAME API — it must
+    enumerate the index values to mint column names (here 3 statuses
+    from a 3-row aggregate output; the heavy lifting — the groupBy
+    over all orders — happened before, distributed). Using it on an
+    unbounded frame would be the same mistake as collect(); the repo
+    convention is transpose-after-aggregate only.
+
+    Determinism: counts and DECIMAL(18,2) revenue sums are exact;
+    avg_price is ONE IEEE division of the exact sum by the exact count
+    (NOT Spark's decimal avg, whose scale-6 intermediate rounds
+    differently than DuckDB's double division).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(dec).cast("double").alias("revenue"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+    )
+    return m.transpose(indexColumn="o_orderstatus")

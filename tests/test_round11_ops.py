@@ -496,3 +496,94 @@ def test_winnowing_density_is_sparse(spark):
         d.select(F.sum(F.length("txt") - 6).alias("n")).collect()[0].n
     )
     assert n_sel < 0.6 * n_grams
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: lateralJoin decorrelation + transpose equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated per-customer LIMIT must compile to the
+    WindowGroupLimit + equi-join plan (rank<=k pushdown ahead of the
+    shuffle), NOT a nested loop — the fact that makes the lateral
+    form safe at scale."""
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_lateral_topk_per_cust,
+    )
+
+    plan = (
+        rel_lateral_topk_per_cust(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_topk_equals_window_rank_idiom(spark):
+    """lateralJoin(top-3 subquery) must equal the classic
+    window-row_number<=3 rewrite row for row."""
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_lateral_topk_per_cust,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    got = {
+        (r.c_custkey, r.o_orderkey, r.totalprice)
+        for r in rel_lateral_topk_per_cust(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey, r.totalprice)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("totalprice"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transpose_round_trips_the_matrix(spark):
+    """transpose output must be the exact matrix flip of the input
+    summary: cell (metric, status) == input cell (status, metric)."""
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_transpose_status_metrics,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    t = {r.key: r.asDict() for r in
+         rel_transpose_status_metrics(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    m = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum(dec).cast("double").alias("revenue"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+        )
+        .collect()
+    )
+    assert set(t) == {"n_orders", "revenue", "avg_price"}
+    for row in m:
+        s = row.o_orderstatus
+        assert t["n_orders"][s] == row.n_orders
+        assert t["revenue"][s] == row.revenue
+        assert t["avg_price"][s] == row.avg_price

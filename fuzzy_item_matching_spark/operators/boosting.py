@@ -796,11 +796,21 @@ def gboost_fit(
     alpha: float = GB_ALPHA,
     gamma: float = GB_GAMMA,
     eta: float = GB_ETA,
+    loss: str = "logistic",
 ) -> DataFrame:
-    """Fit ``rounds`` second-order boosted depth-1 trees on the 0/1
-    ``label``; return the model table
-    (round, feature, thr, gain, w_le, w_gt). A scorer applies
-    f(x) = Σ_t η·(w_le if x ≤ thr else w_gt); p = sigmoid(f)."""
+    """Fit ``rounds`` second-order boosted depth-1 trees on ``label``;
+    return the model table (round, feature, thr, gain, w_le, w_gt).
+    A scorer applies f(x) = Σ_t η·(w_le if x ≤ thr else w_gt).
+
+    ``loss`` picks the per-row (g, h) pair — everything downstream
+    (grid, gain, regularized leaves, DECIMAL sums, quantization) is
+    loss-agnostic, exactly as in XGBoost's objective plug-in design:
+    - "logistic" (0/1 label): p = sigmoid(f), g = p − y, h = p·(1−p).
+    - "poisson" (count label, log link): μ = exp(f), g = μ − y,
+      h = μ — count regression (orders per customer, events per
+      session); prediction is μ = exp(f)."""
+    if loss not in ("logistic", "poisson"):
+        raise ValueError(f"gboost_fit: unknown loss {loss!r}")
     spark = pairs.sparkSession
 
     stats = pairs.agg(
@@ -840,9 +850,14 @@ def gboost_fit(
     dec = "decimal(38,18)"
     model_rows = []
     for t in range(1, rounds + 1):
-        p = 1.0 / (1.0 + F.exp(-F.col("__f")))
-        g = p - F.col("__y")
-        h = p * (1.0 - p)
+        if loss == "poisson":
+            mu = F.exp(F.col("__f"))
+            g = mu - F.col("__y")
+            h = mu
+        else:
+            p = 1.0 / (1.0 + F.exp(-F.col("__f")))
+            g = p - F.col("__y")
+            h = p * (1.0 - p)
         le = F.col("__x") <= F.col("thr")
         ev = (
             df.crossJoin(cands)
@@ -905,10 +920,14 @@ def gboost_ctes(
     alpha: float = GB_ALPHA,
     gamma: float = GB_GAMMA,
     eta: float = GB_ETA,
+    loss: str = "logistic",
 ) -> tuple[str, str]:
     """The unrolled second-order fit as (WITH-clause body, model UNION
     tail) — shared by the model query and the scoring query (the
-    adaboost_ctes convention)."""
+    adaboost_ctes convention). ``loss`` swaps only the gh{t} CTE's
+    (g, h) expressions, mirroring :func:`gboost_fit`."""
+    if loss not in ("logistic", "poisson"):
+        raise ValueError(f"gboost_ctes: unknown loss {loss!r}")
     mn_mx = ", ".join(
         f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
     )
@@ -949,11 +968,15 @@ def gboost_ctes(
         + ", ".join(features)
         + ", 0.0 AS f FROM pairs)",
     ]
+    if loss == "poisson":
+        g_expr, h_expr = "exp(f) - y AS g", "exp(f) AS h"
+    else:
+        g_expr, h_expr = f"{sig} - y AS g", f"({sig}) * (1.0 - {sig}) AS h"
     arms = []
     for t in range(1, rounds + 1):
         parts.append(f"""gh{t} AS MATERIALIZED (
       SELECT y, {", ".join(features)},
-             {sig} - y AS g, ({sig}) * (1.0 - {sig}) AS h
+             {g_expr}, {h_expr}
       FROM s{t - 1}
     )""")
         le = f"{feat_case} <= thr"
@@ -993,12 +1016,15 @@ def gboost_sql(
     features: list[str],
     rounds: int = 3,
     grid: int = GRID,
+    loss: str = "logistic",
 ) -> str:
     """DuckDB twin of :func:`gboost_fit`: identical grid, g/h terms,
     DECIMAL region sums, shared gain expression, regularized leaf
     closed form, and quantized score recursion — unrolled one CTE
     level per round."""
-    ctes, model_union = gboost_ctes(pairs_sql, features, rounds, grid)
+    ctes, model_union = gboost_ctes(
+        pairs_sql, features, rounds, grid, loss=loss
+    )
     return ctes + "\n" + model_union
 
 

@@ -186,6 +186,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_winnowing_pairs",  # r11 birth: MOSS winnowing partial-copy dedup
     "rel_lateral_topk_per_cust",  # r11 birth: Spark 4 lateralJoin surface
     "rel_transpose_status_metrics",  # r11 birth: Spark 4 transpose surface
+    "train_gboost_poisson",  # r11 birth: Poisson-loss boosting (count regr.)
     "rel_price_quantiles",
     "rel_value_outliers",
     "rel_ntile_price_deciles",

@@ -4663,3 +4663,74 @@ def train_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return als_rank2_fit(ratings, iters=_ALS_ITERS, reg=_ALS_REG)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-loss gradient boosting: count regression (orders per customer)
+# ---------------------------------------------------------------------------
+
+_POIS_PAIRS_SQL = """
+    SELECT CAST(COUNT(o.o_orderkey) AS BIGINT) AS label,
+           CAST(c.c_nationkey AS DOUBLE) AS x1,
+           c.c_acctbal AS x2
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+"""
+_POIS_ROUNDS = 3
+
+
+def _pois_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.boosting import gboost_sql
+
+    return gboost_sql(
+        _POIS_PAIRS_SQL, ["x1", "x2"], rounds=_POIS_ROUNDS, loss="poisson"
+    )
+
+
+@query("train_gboost_poisson", oracle=_pois_oracle())
+def train_gboost_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-regression boosting — the Poisson objective (log link:
+    mu = exp(f), g = mu - y, h = mu) through the SAME second-order
+    split machinery as the logistic family (operators/boosting.py
+    gboost_fit(loss="poisson")): predicting orders-per-customer from
+    nation and account balance. XGBoost's objective plug-in design,
+    reproduced: the grid, gain, regularized leaves, DECIMAL region
+    sums and quantization are loss-agnostic; swapping the one (g, h)
+    pair retargets the whole fit from classification to count
+    regression — demand forecasting, events-per-session, defects-per-
+    batch. The DuckDB oracle replays all {r} rounds with the Poisson
+    gh CTEs.
+
+    Plan: identical to train_gboost_fit — per round one pass over the
+    persisted per-customer frame (a keyed aggregation of orders,
+    shuffled once) against the broadcast threshold grid, one 1-row
+    argmax collect. Zero-order counts (customers without orders) are
+    first-class: the left join keeps them and Poisson's h = mu > 0
+    keeps every region solvable.
+
+    Determinism: the logistic family's — per-row exp(f) on a
+    round-to-10 quantized f, DECIMAL(38,18) region sums, round-to-9
+    leaves; the only new transcendental has the same squash.
+    """
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.count("o_orderkey").cast("long").alias("label"))
+        .select(
+            "label",
+            F.col("c_nationkey").cast("double").alias("x1"),
+            F.col("c_acctbal").alias("x2"),
+        )
+    )
+    return gboost_fit(
+        pairs, ["x1", "x2"], rounds=_POIS_ROUNDS, loss="poisson"
+    )
+
+
+train_gboost_poisson.__doc__ = train_gboost_poisson.__doc__.format(
+    r=_POIS_ROUNDS
+)

@@ -587,3 +587,84 @@ def test_transpose_round_trips_the_matrix(spark):
         assert t["n_orders"][s] == row.n_orders
         assert t["revenue"][s] == row.revenue
         assert t["avg_price"][s] == row.avg_price
+
+
+# ---------------------------------------------------------------------------
+# Poisson gboost (train_gboost_poisson)
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_gboost_reduces_deviance(spark):
+    """Each Poisson round must not worsen the Poisson deviance of the
+    fitted ensemble on its own training frame (boosting on the true
+    gradient/hessian of a convex loss with eta<1), and the model rows
+    must carry finite thresholds/leaves."""
+    import math
+
+    from fuzzy_item_matching_spark.operators.boosting import GB_ETA
+    from fuzzy_item_matching_spark.queries.training import (
+        train_gboost_poisson,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    model = sorted(
+        train_gboost_poisson(spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(model) == 3
+    assert all(
+        math.isfinite(r.thr) and math.isfinite(r.w_le) and math.isfinite(r.w_gt)
+        for r in model
+    )
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("y"))
+        .select(
+            "y",
+            F.col("c_nationkey").cast("double").alias("x1"),
+            F.col("c_acctbal").alias("x2"),
+        )
+        .collect()
+    )
+
+    def deviance(upto):
+        d = 0.0
+        for r in rows:
+            f = sum(
+                GB_ETA
+                * (m.w_le if {"x1": r.x1, "x2": r.x2}[m.feature] <= m.thr
+                   else m.w_gt)
+                for m in model[:upto]
+            )
+            mu = math.exp(f)
+            d += 2 * (
+                (r.y * math.log(r.y / mu) if r.y > 0 else 0.0) - (r.y - mu)
+            )
+        return d
+
+    devs = [deviance(k) for k in range(0, 4)]
+    assert devs[3] <= devs[0]
+    for a, b in zip(devs, devs[1:]):
+        assert b <= a + 1e-6
+
+
+def test_poisson_gboost_handles_zero_count_customers(spark):
+    """Customers with no orders stay in the frame (left join) and the
+    fit still produces a full model — h = mu > 0 keeps every region
+    solvable even where all labels are 0."""
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+
+    rows = [(0, 1.0, float(i)) for i in range(20)] + [
+        (5, 2.0, float(i)) for i in range(20)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "label long, x1 double, x2 double"
+    )
+    model = gboost_fit(pairs, ["x1", "x2"], rounds=2, loss="poisson").collect()
+    assert len(model) == 2
+    # the x1=1 vs 2 split separates the zero group: first split on x1
+    assert model[0].feature == "x1"

@@ -179,6 +179,12 @@ HEADLINE_EXTRA = {
     "sim_ann_ivfpq_topk",
     "sim_lsh_sqdist_pairs",
     "rel_recursive_closure",
+    # r11 late births measured >= ~2 s at sf0.1 on the scaling chain's
+    # x1 run (docs/scaling/x1c.json) — min-of-N from birth so their
+    # first BENCH_LOCAL row is steady-state, not JIT-cold.
+    "train_als_implicit",
+    "rel_label_propagation",
+    "dedup_winnowing_pairs",
 }
 
 

@@ -135,10 +135,18 @@ def als_rank2_fit(
     return out
 
 
-def als_rank2_sql(ratings_sql: str, iters: int = 2, reg: float = 0.5) -> str:
+def als_rank2_sql(
+    ratings_sql: str,
+    iters: int = 2,
+    reg: float = 0.5,
+    final_select: str | None = None,
+) -> str:
     """DuckDB twin of :func:`als_rank2_fit` — identical expression
     trees, DECIMAL(38,18) accumulation, per-half-step round-to-9.
-    ``ratings_sql`` must yield columns (u, i, r)."""
+    ``ratings_sql`` must yield columns (u, i, r). ``final_select``
+    swaps the fit-trace arms for a caller SELECT over any CTE — the
+    serving oracles score through u{iters}/v{iters} while replaying
+    the fit in the same statement (the logistic_gd_sql discipline)."""
 
     def solve(name: str, prev: str, key: str, jkey: str) -> str:
         dsum = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
@@ -184,4 +192,5 @@ def als_rank2_sql(ratings_sql: str, iters: int = 2, reg: float = 0.5) -> str:
             f"SELECT {step} AS step, 'i' AS side, i AS id, f1, f2 FROM v{t}"
         )
         prev_v = f"v{t}"
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    tail = final_select if final_select else "\nUNION ALL\n".join(arms)
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

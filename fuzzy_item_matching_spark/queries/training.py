@@ -4734,3 +4734,98 @@ def train_gboost_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_gboost_poisson.__doc__ = train_gboost_poisson.__doc__.format(
     r=_POIS_ROUNDS
 )
+
+
+_ALS_TOPK = 5
+_ALS_QUSER_MOD = 97
+
+
+def _als_topk_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.als import als_rank2_sql
+
+    it = _ALS_ITERS
+    final = f"""
+    SELECT u, i, score, rnk FROM (
+      SELECT q.u, v.i, round(q.f1 * v.f1 + q.f2 * v.f2, 9) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.u
+               ORDER BY round(q.f1 * v.f1 + q.f2 * v.f2, 9) DESC, v.i
+             ) AS rnk
+      FROM (SELECT * FROM u{it} WHERE u % {_ALS_QUSER_MOD} = 0) q
+      CROSS JOIN v{it} v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r WHERE r.u = q.u AND r.i = v.i
+      )
+    ) WHERE rnk <= {_ALS_TOPK}"""
+    return als_rank2_sql(
+        _ALS_RATINGS_SQL, iters=_ALS_ITERS, reg=_ALS_REG, final_select=final
+    )
+
+
+@query("serve_als_topk", oracle=_als_topk_oracle())
+def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving the ALS model: top-{k} UNSEEN-item recommendations per
+    query user (u % {m} = 0 — a bounded deterministic panel) scored by
+    the rank-2 dot product u·v over the train_als_implicit factors,
+    with already-purchased items removed by an anti-join — the
+    candidate-generation step of every production recommender. The
+    oracle replays the ENTIRE fit (all half-step CTEs) and scores
+    through the final factor CTEs in one statement — fit + serve
+    verified together (the adaboost_score / logistic-GD discipline).
+
+    Plan: the query-user panel is a bounded frame BROADCAST against
+    the full item-factor frame — the scoring pass is one map-side
+    projection over items, linear at any item count; the anti-join is
+    keyed on (u, i); top-{k} per user is a WindowGroupLimit
+    (rank <= k pushes down ahead of the shuffle). No all-users ×
+    all-items cross product anywhere — recommendations for the FULL
+    user base would batch panels of users through the same
+    broadcast-scoring plan.
+
+    Determinism: factors are round-to-9 at every half-step; the score
+    is one fixed IEEE expression tree over them, rounded to 9; the
+    rank order (score DESC, i ASC) is total.
+    """
+    from fuzzy_item_matching_spark.operators.als import als_rank2_fit
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    trace = als_rank2_fit(ratings, iters=_ALS_ITERS, reg=_ALS_REG)
+    last_u = 2 * _ALS_ITERS - 1
+    last_i = 2 * _ALS_ITERS
+    qusers = trace.filter(
+        (F.col("step") == last_u) & (F.col("id") % _ALS_QUSER_MOD == 0)
+    ).select(F.col("id").alias("u"), F.col("f1").alias("uf1"), F.col("f2").alias("uf2"))
+    items = trace.filter(F.col("step") == last_i).select(
+        F.col("id").alias("i"), "f1", "f2"
+    )
+    score = F.round(
+        F.col("uf1") * F.col("f1") + F.col("uf2") * F.col("f2"), 9
+    )
+    scored = (
+        items.crossJoin(F.broadcast(qusers))
+        .join(ratings.select("u", "i"), ["u", "i"], "left_anti")
+        .select("u", "i", score.alias("score"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("i"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ALS_TOPK)
+        .select("u", "i", "score", "rnk")
+    )
+
+
+serve_als_topk.__doc__ = serve_als_topk.__doc__.format(
+    k=_ALS_TOPK, m=_ALS_QUSER_MOD
+)

@@ -668,3 +668,42 @@ def test_poisson_gboost_handles_zero_count_customers(spark):
     assert len(model) == 2
     # the x1=1 vs 2 split separates the zero group: first split on x1
     assert model[0].feature == "x1"
+
+
+def test_als_topk_excludes_rated_and_ranks_totally(spark):
+    """Recommendations must never include an item the user already
+    purchased (the anti-join contract), each panel user gets at most
+    k rows ranked 1..k, and scores are non-increasing with rank."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _ALS_QUSER_MOD,
+        _ALS_TOPK,
+        serve_als_topk,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = serve_als_topk(spark, SF_SMOKE).collect()
+    assert rows
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    rated = {
+        (r.u, r.i)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+        .collect()
+    }
+    by_user = {}
+    for r in rows:
+        assert r.u % _ALS_QUSER_MOD == 0
+        assert (r.u, r.i) not in rated
+        by_user.setdefault(r.u, []).append((r.rnk, r.score))
+    for u, rs in by_user.items():
+        rs.sort()
+        assert [rnk for rnk, _ in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _ALS_TOPK
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)

@@ -133,6 +133,11 @@ DIRTY_SAFE = [
     "ts_filter_agreement",
     "stream_ewma_control",
     "stream_state_inspector",
+    # r11: winnowing over NULL/empty/unicode/megatoken docs — NULL and
+    # sub-k texts drop at the length gate (one row's cost), the
+    # megatoken doc just contributes more grams; clean-corpus pairs
+    # survive intact
+    "dedup_winnowing_pairs",
 ]
 
 

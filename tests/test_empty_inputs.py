@@ -95,6 +95,17 @@ EMPTY_SAFE = [
     "vec_arrow_map_norms",
     "stream_ewma_control",
     "stream_state_inspector",
+    # r11 additions: empty ratings/edge/document/order frames flow
+    # through ALS solves, LPA rounds, winnowing selection, the lateral
+    # top-k, the transpose, and the recursive closure as empty (or
+    # key-only) results — never a crash
+    "rel_recursive_closure",
+    "train_als_implicit",
+    "serve_als_topk",
+    "rel_label_propagation",
+    "dedup_winnowing_pairs",
+    "rel_lateral_topk_per_cust",
+    "rel_transpose_status_metrics",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
@@ -133,6 +144,9 @@ NEEDS_DATA = [
     # reach the booster's empty-frame guard
     "train_gboost_colsample_node",
     "serve_end_to_end",
+    # r11: the Poisson fit reaches the same guard — no threshold grid
+    # can exist on an empty per-customer frame
+    "train_gboost_poisson",
 ]
 
 
@@ -177,6 +191,15 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
         # the 1-row summary of an empty bin table: all-null metrics
         [r] = rows
         assert r["n_bins"] == 0 and r["ece"] is None
+    elif name == "rel_transpose_status_metrics":
+        # transpose of the 0-row summary: the three metric KEY rows
+        # survive (they are the input's column names) with no status
+        # columns to carry values
+        assert {r["key"] for r in rows} == {
+            "n_orders",
+            "revenue",
+            "avg_price",
+        }
     else:
         assert rows == []
 

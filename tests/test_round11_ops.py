@@ -707,3 +707,69 @@ def test_als_topk_excludes_rated_and_ranks_totally(spark):
         assert len(rs) <= _ALS_TOPK
         scores = [s for _, s in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_als_matches_numpy_reference(spark):
+    """als_rank2_fit's factors must match an independent numpy
+    implementation of the same schedule (init, exact 2x2 ridge solve,
+    round-to-9 per half-step) to the quantization grid."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.operators.als import als_rank2_fit
+
+    rows = [
+        (u, i, float(1 + ((u * 7 + i * 13) % 5)))
+        for u in range(1, 9)
+        for i in range(1, 7)
+        if (u + i) % 3 != 0
+    ]
+    ratings = spark.createDataFrame(rows, "u long, i long, r double")
+    got = {
+        (r.step, r.side, r.id): (r.f1, r.f2)
+        for r in als_rank2_fit(ratings, iters=2, reg=0.5).collect()
+    }
+
+    lam = 0.5
+    v = {
+        i: np.array([1.0 + (i % 7) / 8.0, 1.0 - (i % 5) / 8.0])
+        for i in {i for _, i, _ in rows}
+    }
+    u_f = {}
+
+    def solve(entities, other, key_is_u):
+        out = {}
+        for e in entities:
+            A = np.zeros((2, 2))
+            b = np.zeros(2)
+            for uu, ii, rr in rows:
+                k, o = (uu, ii) if key_is_u else (ii, uu)
+                if k != e:
+                    continue
+                f = other[o]
+                A += np.outer(f, f)
+                b += f * rr
+            A += lam * np.eye(2)
+            det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+            x = np.array(
+                [
+                    (A[1, 1] * b[0] - A[0, 1] * b[1]) / det,
+                    (A[0, 0] * b[1] - A[0, 1] * b[0]) / det,
+                ]
+            )
+            out[e] = np.round(x, 9)
+        return out
+
+    users = {u for u, _, _ in rows}
+    items = {i for _, i, _ in rows}
+    step = 0
+    for _ in range(2):
+        step += 1
+        u_f = solve(users, v, True)
+        for uu, f in u_f.items():
+            gf = got[(step, "u", uu)]
+            assert abs(gf[0] - f[0]) < 2e-9 and abs(gf[1] - f[1]) < 2e-9
+        step += 1
+        v = solve(items, u_f, False)
+        for ii, f in v.items():
+            gf = got[(step, "i", ii)]
+            assert abs(gf[0] - f[0]) < 2e-9 and abs(gf[1] - f[1]) < 2e-9

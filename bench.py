@@ -313,6 +313,12 @@ def main() -> None:
     # driver's BENCH_r{N}.json for the in-flight round already landed
     # on disk (the driver benches before the round closes) — then
     # max(BENCH) IS the in-flight round, and +1 would mislabel.
+    # Scale guard: the durable record is an sf0.1 series — a quick
+    # verification run at sf0.01 must never overwrite it (it did once:
+    # a round-11 sf0.01 sweep silently replaced the committed sf0.1
+    # record until the round-close refresh caught it).
+    if abs(sf - 0.1) > 1e-9:
+        return
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")

@@ -3589,3 +3589,181 @@ def ts_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree("kr", "kl").alias("agree_rl"),
         F.sum(F.col("kq") * F.col("kr") * F.col("kl")).alias("keep_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch set similarity: KMV-estimated cross-language
+# vocabulary Jaccard vs the exact value
+# ---------------------------------------------------------------------------
+
+_KJ_K = 128
+
+
+def _kmv_jaccard_oracle() -> str:
+    u = _D_U42.format(key="t")
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT lang, t FROM (
+        SELECT lang, unnest({_D_TOKENS.format(c="text")}) AS t FROM documents
+      )
+    ),
+    hs AS (SELECT DISTINCT lang, {u} AS u FROM toks),
+    kmv AS (
+      SELECT lang, u FROM (
+        SELECT lang, u,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u) AS rn
+        FROM hs
+      ) WHERE rn <= {_KJ_K}
+    ),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb
+      FROM (SELECT DISTINCT lang FROM hs) a
+      JOIN (SELECT DISTINCT lang FROM hs) b ON a.lang < b.lang
+    ),
+    uni AS (
+      SELECT DISTINCT la, lb, u FROM (
+        SELECT p.la, p.lb, k.u FROM pairs p JOIN kmv k ON k.lang = p.la
+        UNION ALL
+        SELECT p.la, p.lb, k.u FROM pairs p JOIN kmv k ON k.lang = p.lb
+      )
+    ),
+    merged AS (
+      SELECT la, lb, u FROM (
+        SELECT la, lb, u,
+               ROW_NUMBER() OVER (PARTITION BY la, lb ORDER BY u) AS rn
+        FROM uni
+      ) WHERE rn <= {_KJ_K}
+    ),
+    est AS (
+      SELECT m.la, m.lb,
+             CAST(COUNT(*) FILTER (ka.u IS NOT NULL AND kb.u IS NOT NULL)
+                  AS DOUBLE) / COUNT(*) AS est_jaccard
+      FROM merged m
+      LEFT JOIN kmv ka ON ka.lang = m.la AND ka.u = m.u
+      LEFT JOIN kmv kb ON kb.lang = m.lb AND kb.u = m.u
+      GROUP BY m.la, m.lb
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS la, b.lang AS lb, COUNT(*) AS ni
+      FROM toks a JOIN toks b ON a.t = b.t AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT e.la, e.lb, e.est_jaccard,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ni, 0)) AS exact_jaccard,
+           abs(e.est_jaccard - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ni, 0))) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.la = e.la AND i.lb = e.lb
+    JOIN sizes sa ON sa.lang = e.la
+    JOIN sizes sb ON sb.lang = e.lb
+    """
+
+
+@query("ts_kmv_lang_jaccard", oracle=_kmv_jaccard_oracle())
+def ts_kmv_lang_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity from MERGEABLE sketches: the cross-language
+    vocabulary Jaccard estimated from {k}-minimum-value sketches —
+    J(A,B) ~= |bottom-k(A∪B) ∩ A ∩ B| / |bottom-k(A∪B)| (Beyer et
+    al.) — with the EXACT Jaccard riding along so the estimator error
+    is a visible column (the ts_distinct_kmv convention). This is the
+    capability the per-source sketches exist for at 100 TB: the union
+    sketch is built from the two K-ROW sketches alone (never the raw
+    streams), so pairwise similarity over S sources costs S·K sketch
+    rows + S² tiny merges — corpus-overlap matrices, dedup
+    prioritization between crawls, contamination screening between
+    train and eval sets, all without a single raw-token pair join.
+    The exact twin (a token-level join) is the verification rider,
+    not the scale path.
+
+    Plan: one tokenize + distinct per (lang, token); the per-lang
+    bottom-K is a partitioned window over ~vocabulary rows; every
+    later stage operates on <= S·K sketch rows. Determinism: the
+    md5-keyed uniform is a pure function of the token (exact dyadic
+    doubles); ranks break no ties (u values are distinct within a
+    lang by construction of DISTINCT); the two ratios are single IEEE
+    divisions of exact counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("lang", F.explode(regex_tokenize("text")).alias("t"))
+        .distinct()
+        .persist()
+    )
+    hs = toks.select(
+        "lang", keyed_uniform(F.col("t")).alias("u")
+    ).distinct()
+    wl = Window.partitionBy("lang").orderBy("u")
+    kmv = (
+        hs.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= _KJ_K)
+        .select("lang", "u")
+        .persist()
+    )
+    langs = kmv.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+    )
+    uni = (
+        pairs.join(kmv, kmv.lang == F.col("la"))
+        .select("la", "lb", "u")
+        .unionByName(
+            pairs.join(kmv, kmv.lang == F.col("lb")).select("la", "lb", "u")
+        )
+        .distinct()
+    )
+    wm = Window.partitionBy("la", "lb").orderBy("u")
+    merged = (
+        uni.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KJ_K)
+        .select("la", "lb", "u")
+    )
+    ka = kmv.select(F.col("lang").alias("la"), "u", F.lit(1).alias("ia"))
+    kb = kmv.select(F.col("lang").alias("lb"), "u", F.lit(1).alias("ib"))
+    est = (
+        merged.join(ka, ["la", "u"], "left")
+        .join(kb, ["lb", "u"], "left")
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.count(
+                    F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("est_jaccard")
+        )
+    )
+    sizes = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        toks.alias("x")
+        .join(
+            toks.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(
+            F.col("x.lang").alias("la"), F.col("y.lang").alias("lb")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    exact = F.coalesce(F.col("ni"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["la", "lb"], "left")
+        .join(sizes.select(F.col("lang").alias("la"), F.col("n").alias("na")), "la")
+        .join(sizes.select(F.col("lang").alias("lb"), F.col("n").alias("nb")), "lb")
+        .select(
+            "la",
+            "lb",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
+
+
+ts_kmv_lang_jaccard.__doc__ = ts_kmv_lang_jaccard.__doc__.format(k=_KJ_K)

@@ -773,3 +773,25 @@ def test_als_matches_numpy_reference(spark):
         for ii, f in v.items():
             gf = got[(step, "i", ii)]
             assert abs(gf[0] - f[0]) < 2e-9 and abs(gf[1] - f[1]) < 2e-9
+
+
+def test_kmv_jaccard_estimator_is_close_and_bounded(spark):
+    """The KMV union-sketch Jaccard estimate must sit within a loose
+    concentration bound of the exact value (sigma ~= sqrt(J(1-J)/k)
+    <= 0.045 at k=128; assert 0.15) for every language pair, with
+    both values in [0, 1] and each unordered pair appearing once."""
+    from fuzzy_item_matching_spark.queries.textstats import (
+        ts_kmv_lang_jaccard,
+    )
+
+    rows = ts_kmv_lang_jaccard(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5 langs, 2)
+    seen = set()
+    for r in rows:
+        assert r.la < r.lb
+        assert (r.la, r.lb) not in seen
+        seen.add((r.la, r.lb))
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.est_jaccard - r.exact_jaccard) <= 0.15
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-12

@@ -185,6 +185,11 @@ HEADLINE_EXTRA = {
     "train_als_implicit",
     "rel_label_propagation",
     "dedup_winnowing_pairs",
+    # serve_als_topk shares train_als_implicit's fit memo — outside the
+    # tier its single pass could pay the whole fit and read as a false
+    # regression (the gboost-memo precedent); poisson measured 2.9 s.
+    "serve_als_topk",
+    "train_gboost_poisson",
 }
 
 

@@ -80,7 +80,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r12 SPILL SET (r10 ask #7 — named NOW so r12 is mechanical):
     # after this prefix lands, exactly TWELVE scheduled rows plus this
     # round's births still lack a driver record. They head the r12
-    # prefix, in this order, directly below the boundary — the NINE
+    # prefix, in this order, directly below the boundary — the ELEVEN
     # round-11 births (each exact-oracled AND driver-simmed exact the
     # session it was born) followed by the twelve named spill rows:
     #   rel_recursive_closure   — r11 birth (growing-frontier WITH
@@ -89,7 +89,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     #   train_als_implicit, rel_label_propagation,
     #   dedup_winnowing_pairs, rel_lateral_topk_per_cust,
     #   rel_transpose_status_metrics, train_gboost_poisson,
-    #   serve_als_topk, ts_kmv_lang_jaccard
+    #   serve_als_topk, ts_kmv_lang_jaccard,
+    #   dedup_incremental_winnowing, rel_ppr_parts
     #                           — r11 late births (see their ledger
     #                             lines below at the r12 head)
     #   rel_price_quantiles     — approx_percentile machinery already
@@ -197,6 +198,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_gboost_poisson",  # r11 birth: Poisson-loss boosting (count regr.)
     "serve_als_topk",  # r11 birth: ALS fit+serve in one oracle (recommender)
     "ts_kmv_lang_jaccard",  # r11 birth: mergeable-sketch set similarity
+    "dedup_incremental_winnowing",  # r11 birth: delta-vs-index partial copy
+    "rel_ppr_parts",  # r11 birth: personalized PageRank (seed relevance)
     "rel_price_quantiles",
     "rel_value_outliers",
     "rel_ntile_price_deciles",

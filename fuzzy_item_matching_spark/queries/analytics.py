@@ -630,3 +630,152 @@ def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 rel_label_propagation.__doc__ = rel_label_propagation.__doc__.format(
     iters=_LPA_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: seed-restart relevance over co-purchases
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+_PPR_ALPHA = 0.85  # continuation probability; restart mass = 1 - alpha
+_PPR_SEED_MOD = 50
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem
+    ),
+    e AS (
+      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lines a JOIN lines b ON a.okey = b.okey AND a.pid != b.pid
+      GROUP BY 1, 2
+    ),
+    outd AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    seeds AS (
+      SELECT pid AS node FROM (SELECT DISTINCT pid FROM lines)
+      WHERE pid % {_PPR_SEED_MOD} = 0
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    r0 AS (SELECT node, 1.0 / ns.n AS r FROM seeds, ns)"""
+    levels = []
+    for k in range(1, _PPR_ITERS + 1):
+        levels.append(f"""
+    walk{k} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r{k - 1}.r * e.w / outd.outw
+               AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM e
+      JOIN r{k - 1} ON r{k - 1}.node = e.src
+      JOIN outd ON outd.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT COALESCE(w.node, s.node) AS node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN {1.0 - _PPR_ALPHA} / ns.n ELSE 0.0 END
+               + {_PPR_ALPHA} * COALESCE(w.m, 0.0) AS r
+      FROM walk{k} w FULL OUTER JOIN seeds s ON s.node = w.node
+      CROSS JOIN ns
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(levels)
+        + f"""
+    SELECT node, r AS ppr FROM r{_PPR_ITERS} WHERE r > 0.0"""
+    )
+
+
+@query("rel_ppr_parts", oracle=_ppr_oracle())
+def rel_ppr_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the part co-purchase graph: random
+    walks restart into a seed set (pid % {m} = 0) with probability
+    1-{a}, so the stationary mass measures relevance TO THE SEEDS —
+    the related-items / seed-expansion primitive (contrast
+    rel_pagerank_brands' global centrality, which personalization
+    generalizes: uniform seeds over all nodes recovers it). {it}
+    synchronous iterations, each r_t+1(v) = (1-{a})·s(v) +
+    {a}·Σ_in r_t(u)·w/out(u); mass outside the seed frontier stays 0,
+    so the rank frame GROWS with the walk frontier instead of starting
+    |V|-wide — the locality that makes PPR the scalable choice for
+    per-seed relevance at 100 TB (the frame is bounded by the 3-hop
+    neighborhood, not the graph).
+
+    Plan: edges + out-degrees built once and persisted (the PageRank
+    discipline); each iteration is one keyed join of the rank frame
+    onto the edge list + one DECIMAL(38,18) per-destination sum + a
+    full-outer join with the bounded seed frame for the restart mass.
+    Hubs would take the salted path (operators/skew.py, pinned for
+    the PageRank twin).
+
+    Determinism: the restart share and per-edge contributions are
+    fixed IEEE trees over exact decimal sums — identical at every
+    level in both engines; the oracle unrolls all {it} iterations.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid"))
+        .distinct()
+        .persist()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pid") != F.col("b.pid")),
+        )
+        .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .persist()
+    )
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    seeds = (
+        lines.select("pid")
+        .distinct()
+        .filter(F.col("pid") % _PPR_SEED_MOD == 0)
+        .select(F.col("pid").alias("snode"))
+        .persist()
+    )
+    ns = seeds.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = seeds.crossJoin(F.broadcast(ns)).select(
+        F.col("snode").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PPR_ITERS):
+        walk = (
+            e.join(r, e.src == F.col("node"))
+            .join(outd, "src")
+            .groupBy(F.col("dst").alias("wnode"))
+            .agg(
+                F.sum(
+                    (F.col("r") * F.col("w") / F.col("outw")).cast(
+                        "decimal(38,18)"
+                    )
+                )
+                .cast("double")
+                .alias("m")
+            )
+        )
+        r = (
+            walk.join(seeds, walk.wnode == seeds.snode, "full_outer")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                F.coalesce(F.col("wnode"), F.col("snode")).alias("node"),
+                (
+                    F.when(
+                        F.col("snode").isNotNull(),
+                        F.lit(1.0 - _PPR_ALPHA) / F.col("n"),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(_PPR_ALPHA)
+                    * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.filter(F.col("r") > 0.0).select("node", F.col("r").alias("ppr"))
+
+
+rel_ppr_parts.__doc__ = rel_ppr_parts.__doc__.format(
+    m=_PPR_SEED_MOD, a=_PPR_ALPHA, it=_PPR_ITERS
+)

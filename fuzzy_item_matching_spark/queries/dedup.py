@@ -1613,3 +1613,112 @@ dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
     g=_WIN_K + _WIN_W - 1,
     cap=_WIN_DF_CAP,
 )
+
+
+_IW_DF_CAP = 20
+_IW_MIN_SHARED = 2
+_IW_MIN_CONTAIN = 0.25
+
+
+def _inc_winnowing_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.dedup import winnowing_sql
+
+    sel_d = winnowing_sql(
+        "SELECT doc_id, lower(text) AS txt FROM documents"
+        " WHERE doc_id % 11 = 0"
+    )
+    sel_s = winnowing_sql(
+        "SELECT doc_id, lower(text) AS txt FROM documents"
+        " WHERE doc_id % 11 != 0"
+    )
+    return f"""
+    WITH sd AS ({sel_d}), ss AS ({sel_s}),
+    dfs AS (SELECT h, COUNT(*) AS dfc FROM ss GROUP BY h),
+    ss2 AS (SELECT s.doc_id, s.h FROM ss s JOIN dfs USING (h)
+            WHERE dfc <= {_IW_DF_CAP}),
+    sd2 AS (SELECT d.doc_id, d.h FROM sd d LEFT JOIN dfs USING (h)
+            WHERE COALESCE(dfc, 0) <= {_IW_DF_CAP}),
+    sized AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM sd2 GROUP BY doc_id),
+    pairs AS (
+      SELECT d.doc_id AS delta_doc, s.doc_id AS corpus_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sd2 d JOIN ss2 s ON d.h = s.h GROUP BY 1, 2
+    )
+    SELECT delta_doc, corpus_doc, n_shared,
+           CAST(n_shared AS DOUBLE) / z.n_fp AS containment
+    FROM pairs JOIN sized z ON z.doc_id = delta_doc
+    WHERE n_shared >= {_IW_MIN_SHARED}
+      AND CAST(n_shared AS DOUBLE) / z.n_fp >= {_IW_MIN_CONTAIN}
+    """
+
+
+@query("dedup_incremental_winnowing", oracle=_inc_winnowing_oracle())
+def dedup_incremental_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing in its PRODUCTION shape: an arriving DELTA batch
+    (doc_id % 11 = 0) screened against the STORED corpus fingerprint
+    index (the dedup_incremental_minhash pattern, upgraded from
+    set-similarity to partial-copy detection): report, per delta
+    document, which corpus documents already contain its selected
+    fingerprints and what fraction (containment = n_shared / the
+    delta's fingerprint count) — the decontamination direction: "how
+    much of this new document is already in the corpus". The MOSS
+    document-frequency cap comes FROM THE STORED INDEX (production
+    carries df alongside the index) and masks hot fingerprints on
+    both sides before the join.
+
+    Plan: at 100 TB the stored index is a persisted (h, doc_id, df)
+    table; each delta batch pays its own winnowing selection (linear
+    in batch text) + ONE inverted-index equi-join against the index,
+    fan-out bounded by the df cap — incremental cost is proportional
+    to the BATCH, never the corpus. Spark side mirrors this: the
+    stored side is built once and persisted; only equi-joins keyed on
+    h follow.
+
+    Determinism: integer fingerprints and counts; containment is one
+    IEEE division of exact integers.
+    """
+    from fuzzy_item_matching_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("txt")
+    )
+    sel_d = winnowing_fingerprints(d.filter(F.col("doc_id") % 11 == 0))
+    sel_s = winnowing_fingerprints(
+        d.filter(F.col("doc_id") % 11 != 0)
+    ).persist()
+    dfs = sel_s.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    ss2 = (
+        sel_s.join(dfs, "h")
+        .filter(F.col("dfc") <= _IW_DF_CAP)
+        .select("doc_id", "h")
+    )
+    sd2 = (
+        sel_d.join(dfs, "h", "left")
+        .filter(F.coalesce(F.col("dfc"), F.lit(0)) <= _IW_DF_CAP)
+        .select("doc_id", "h")
+        .persist()
+    )
+    sized = sd2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    pairs = (
+        sd2.select(F.col("doc_id").alias("delta_doc"), "h")
+        .join(ss2.select(F.col("doc_id").alias("corpus_doc"), "h"), "h")
+        .groupBy("delta_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.col("n_fp")
+    return (
+        pairs.join(
+            sized.select(F.col("doc_id").alias("delta_doc"), "n_fp"),
+            "delta_doc",
+        )
+        .filter(
+            (F.col("n_shared") >= _IW_MIN_SHARED)
+            & (containment >= _IW_MIN_CONTAIN)
+        )
+        .select("delta_doc", "corpus_doc", "n_shared", containment.alias("containment"))
+    )

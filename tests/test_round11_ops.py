@@ -795,3 +795,41 @@ def test_kmv_jaccard_estimator_is_close_and_bounded(spark):
         assert 0.0 <= r.exact_jaccard <= 1.0
         assert abs(r.est_jaccard - r.exact_jaccard) <= 0.15
         assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-12
+
+
+def test_incremental_winnowing_sides_and_containment(spark):
+    """Delta docs appear only on the left, corpus docs only on the
+    right (the incremental contract), and containment is a valid
+    fraction of the delta's fingerprint set."""
+    from fuzzy_item_matching_spark.queries.dedup import (
+        dedup_incremental_winnowing,
+    )
+
+    rows = dedup_incremental_winnowing(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.delta_doc % 11 == 0
+        assert r.corpus_doc % 11 != 0
+        assert 0.0 < r.containment <= 1.0
+        assert r.n_shared >= 2
+
+
+def test_ppr_conserves_mass_and_anchors_seeds(spark):
+    """With no dangling nodes (co-order edges are symmetric), each PPR
+    iteration preserves total mass = 1; every seed keeps at least its
+    restart share (1-alpha)/|S|; every score is positive."""
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _PPR_ALPHA,
+        _PPR_SEED_MOD,
+        rel_ppr_parts,
+    )
+
+    rows = rel_ppr_parts(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.ppr for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    seeds = [r for r in rows if r.node % _PPR_SEED_MOD == 0]
+    assert seeds
+    share = (1.0 - _PPR_ALPHA) / len(seeds)
+    for s in seeds:
+        assert s.ppr >= share - 1e-12
+    assert all(r.ppr > 0 for r in rows)

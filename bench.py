@@ -190,6 +190,8 @@ HEADLINE_EXTRA = {
     # regression (the gboost-memo precedent); poisson measured 2.9 s.
     "serve_als_topk",
     "train_gboost_poisson",
+    "dedup_incremental_winnowing",
+    "rel_ppr_parts",
 }
 
 

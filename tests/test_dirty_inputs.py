@@ -136,8 +136,9 @@ DIRTY_SAFE = [
     # r11: winnowing over NULL/empty/unicode/megatoken docs — NULL and
     # sub-k texts drop at the length gate (one row's cost), the
     # megatoken doc just contributes more grams; clean-corpus pairs
-    # survive intact
+    # survive intact (both the all-pairs and the delta-vs-index form)
     "dedup_winnowing_pairs",
+    "dedup_incremental_winnowing",
 ]
 
 

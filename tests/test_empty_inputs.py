@@ -106,6 +106,8 @@ EMPTY_SAFE = [
     "dedup_winnowing_pairs",
     "rel_lateral_topk_per_cust",
     "rel_transpose_status_metrics",
+    "dedup_incremental_winnowing",
+    "rel_ppr_parts",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.

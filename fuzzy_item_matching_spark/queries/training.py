@@ -4764,6 +4764,12 @@ train_gboost_poisson.__doc__ = train_gboost_poisson.__doc__.format(
 
 _ALS_TOPK = 5
 _ALS_QUSER_MOD = 97
+# The panel is CAPPED, not just strided: a mod-only panel grows with
+# the user base while the item side also grows, so the scoring cross
+# product would scale quadratically — measured 20.7x at x10 data on
+# the keyshift chain before the cap. A serving job batches FIXED-size
+# panels (the docstring's contract); the cap makes the query honor it.
+_ALS_PANEL = 128
 
 
 def _als_topk_oracle() -> str:
@@ -4777,7 +4783,8 @@ def _als_topk_oracle() -> str:
                PARTITION BY q.u
                ORDER BY round(q.f1 * v.f1 + q.f2 * v.f2, 9) DESC, v.i
              ) AS rnk
-      FROM (SELECT * FROM u{it} WHERE u % {_ALS_QUSER_MOD} = 0) q
+      FROM (SELECT * FROM u{it} WHERE u % {_ALS_QUSER_MOD} = 0
+            ORDER BY u LIMIT {_ALS_PANEL}) q
       CROSS JOIN v{it} v
       WHERE NOT EXISTS (
         SELECT 1 FROM ratings r WHERE r.u = q.u AND r.i = v.i
@@ -4791,7 +4798,10 @@ def _als_topk_oracle() -> str:
 @query("serve_als_topk", oracle=_als_topk_oracle())
 def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving the ALS model: top-{k} UNSEEN-item recommendations per
-    query user (u % {m} = 0 — a bounded deterministic panel) scored by
+    query user (u % {m} = 0, capped at the {p} lowest ids — a panel of
+    FIXED size regardless of user-base growth; the keyshift scaling
+    harness measured the uncapped mod-only panel going 20.7x at x10
+    data, because panel x items is quadratic when both grow) scored by
     the rank-2 dot product u·v over the train_als_implicit factors,
     with already-purchased items removed by an anti-join — the
     candidate-generation step of every production recommender. The
@@ -4818,9 +4828,18 @@ def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = _als_ratings(spark, sf_dir)
     last_u = 2 * _ALS_ITERS - 1
     last_i = 2 * _ALS_ITERS
-    qusers = trace.filter(
-        (F.col("step") == last_u) & (F.col("id") % _ALS_QUSER_MOD == 0)
-    ).select(F.col("id").alias("u"), F.col("f1").alias("uf1"), F.col("f2").alias("uf2"))
+    qusers = (
+        trace.filter(
+            (F.col("step") == last_u) & (F.col("id") % _ALS_QUSER_MOD == 0)
+        )
+        .orderBy("id")
+        .limit(_ALS_PANEL)
+        .select(
+            F.col("id").alias("u"),
+            F.col("f1").alias("uf1"),
+            F.col("f2").alias("uf2"),
+        )
+    )
     items = trace.filter(F.col("step") == last_i).select(
         F.col("id").alias("i"), "f1", "f2"
     )
@@ -4841,5 +4860,5 @@ def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 serve_als_topk.__doc__ = serve_als_topk.__doc__.format(
-    k=_ALS_TOPK, m=_ALS_QUSER_MOD
+    k=_ALS_TOPK, m=_ALS_QUSER_MOD, p=_ALS_PANEL
 )

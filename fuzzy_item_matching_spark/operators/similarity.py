@@ -167,9 +167,15 @@ def sparse_cosine_self_join_collapsed(
     ).persist()  # read by the gate count, the doc→gid map and (via
     # groups) the representative postings — one shuffle, three readers
     groups = doc_sig.groupBy("__sig").agg(F.min(id_col).alias("__gid"))
-    n_docs = doc_sig.count()
-    n_groups = groups.count()
+    # ONE job yields both gate statistics (a second count over the
+    # persisted frame would still schedule a separate action).
+    stats = doc_sig.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.countDistinct("__sig").alias("ng"),
+    ).first()
+    n_docs, n_groups = stats["nd"], stats["ng"]
     if n_docs == 0 or n_groups > collapse_ratio * n_docs:
+        doc_sig.unpersist()
         a = w.withColumnRenamed(id_col, "id_a")
         b = w.withColumnRenamed(id_col, "id_b")
         return sparse_cosine_join(

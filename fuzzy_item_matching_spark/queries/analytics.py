@@ -497,21 +497,56 @@ def rel_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Community detection: synchronous label propagation over co-purchases
 # ---------------------------------------------------------------------------
 
+# Shared part co-purchase graph (LPA + PPR use the identical edge
+# list): distinct (order, part) incidences self-joined on the order
+# key — pairs bounded by per-order basket size, never all-parts².
+# The SQL fragment is the verbatim oracle twin; keep the two in sync.
+_COPURCHASE_EDGES_SQL = """lines AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem
+    ),
+    e AS (
+      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS {wtype}) AS w
+      FROM lines a JOIN lines b ON a.okey = b.okey AND a.pid != b.pid
+      GROUP BY 1, 2
+    )"""
+
+
+def _copurchase_graph(
+    spark: SparkSession, sf_dir: str, wtype: str = "long"
+) -> tuple[DataFrame, DataFrame]:
+    """(lines, edges) of the part co-purchase graph, both persisted —
+    the Spark twin of _COPURCHASE_EDGES_SQL. ``wtype`` is the weight
+    cast ("long" for LPA's integer votes, "double" for PPR's walk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid")
+        )
+        .distinct()
+        .persist()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pid") != F.col("b.pid")),
+        )
+        .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
+        .agg(F.count(F.lit(1)).cast(wtype).alias("w"))
+        .persist()
+    )
+    return lines, e
+
+
 _LPA_ITERS = 3
 
 
 def _lpa_oracle() -> str:
     """Unrolled-iteration DuckDB twin of the LPA loop (the PageRank /
     Lloyd discipline: one CTE level per synchronous round)."""
-    head = """
-    WITH lines AS (
-      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem
-    ),
-    e AS (
-      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS BIGINT) AS w
-      FROM lines a JOIN lines b ON a.okey = b.okey AND a.pid != b.pid
-      GROUP BY 1, 2
-    ),
+    head = f"""
+    WITH {_COPURCHASE_EDGES_SQL.format(wtype="BIGINT")},
     l0 AS (SELECT pid AS id, pid AS label FROM (SELECT DISTINCT pid FROM lines))"""
     levels = []
     for t in range(1, _LPA_ITERS + 1):
@@ -573,23 +608,7 @@ def rel_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: votes are exact integer sums; the argmax is a total
     order (votes DESC, label ASC) — no floats anywhere.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    lines = (
-        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid"))
-        .distinct()
-        .persist()
-    )
-    a, b = lines.alias("a"), lines.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pid") != F.col("b.pid")),
-        )
-        .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist()
-    )
+    lines, e = _copurchase_graph(spark, sf_dir, wtype="long")
     labels = lines.select("pid").distinct().select(
         F.col("pid").alias("id"), F.col("pid").alias("label")
     )
@@ -643,14 +662,7 @@ _PPR_SEED_MOD = 50
 
 def _ppr_oracle() -> str:
     head = f"""
-    WITH lines AS (
-      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pid FROM lineitem
-    ),
-    e AS (
-      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
-      FROM lines a JOIN lines b ON a.okey = b.okey AND a.pid != b.pid
-      GROUP BY 1, 2
-    ),
+    WITH {_COPURCHASE_EDGES_SQL.format(wtype="DOUBLE")},
     outd AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
     seeds AS (
       SELECT pid AS node FROM (SELECT DISTINCT pid FROM lines)
@@ -709,27 +721,20 @@ def rel_ppr_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hubs would take the salted path (operators/skew.py, pinned for
     the PageRank twin).
 
+    Dangling nodes: a part with no co-purchase neighbors has no
+    out-edges, so mass it holds is DROPPED by the walk join (sum of
+    ppr < 1 by exactly the dangling share) — the standard
+    teleport-the-dangling-mass correction is one extra broadcast
+    scalar per iteration, omitted here because every part in these
+    datasets co-occurs; both engines drop identically, so the oracle
+    stays exact either way, and the conservation test computes the
+    actual dangling share rather than hard-asserting 1.
+
     Determinism: the restart share and per-edge contributions are
     fixed IEEE trees over exact decimal sums — identical at every
     level in both engines; the oracle unrolls all {it} iterations.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    lines = (
-        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pid"))
-        .distinct()
-        .persist()
-    )
-    a, b = lines.alias("a"), lines.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.pid") != F.col("b.pid")),
-        )
-        .groupBy(F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .persist()
-    )
+    lines, e = _copurchase_graph(spark, sf_dir, wtype="double")
     outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
     seeds = (
         lines.select("pid")

@@ -2603,6 +2603,13 @@ def rel_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_price is ONE IEEE division of the exact sum by the exact count
     (NOT Spark's decimal avg, whose scale-6 intermediate rounds
     differently than DuckDB's double division).
+
+    Oracle assumption, stated: transpose mints columns from the DATA
+    (the index values), while the SQL twin must be static — it pins
+    the TPC-H order-status domain {'F','O','P'}, present at every
+    generated SF. A dataset missing a status would diverge on the
+    COLUMN SET (a loud schema mismatch, not a silent value drift);
+    the empty-input contract covers the fully-empty edge explicitly.
     """
     o = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")

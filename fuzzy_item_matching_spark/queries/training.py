@@ -2269,9 +2269,10 @@ def train_fit_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     → M1 balanced class weights → deterministic class-weighted GD fit
     on the three distance features (train_logreg_gd's fit, memoized —
     its round-to-9 quantized weights are what make this lifecycle
-    exact-oracle-able, the r10 VERDICT's #4 ask; the solver-specific
-    MLlib L-BFGS fit this query used before r11 lives on in
-    tests/test_mlbridge.py's registry tests) → wrap the weights into an
+    exact-oracle-able, the r10 VERDICT's #4 ask; the pre-r11 form
+    fitted MLlib L-BFGS here, whose solver-ordered weights forced a
+    rows-only check — that fit is fully replaced, and the artifact
+    round-trip below is the registry coverage) → wrap the weights into an
     MLWritable SQLTransformer PipelineModel (the serve_end_to_end
     artifact convention) → register → archive-then-promote to
     Production → reload BY STAGE → score every candidate pair through

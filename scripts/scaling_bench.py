@@ -255,9 +255,12 @@ def run(k: int, out_path: str | None) -> None:
 def report(paths: list[str]) -> None:
     recs = {r["scale"]: r for r in (json.load(open(p)) for p in paths)}
     base = recs[min(recs)]
+    b = min(recs)  # ratio denominator = SMALLEST scale passed — label
+    # it honestly so a report without the x1 run can't masquerade as
+    # t(xk)/t(x1)
     print("| query | " + " | ".join(f"x{k} (s)" for k in sorted(recs))
           + " | " + " | ".join(
-              f"t(x{k})/t(x1)" for k in sorted(recs) if k != min(recs))
+              f"t(x{k})/t(x{b})" for k in sorted(recs) if k != b)
           + " |")
     print("|" + "---|" * (2 * len(recs)))
     for name in base["queries"]:

@@ -179,7 +179,14 @@ def test_transform_with_state_in_pandas_env_probe(spark):
         .start()
     )
     q.awaitTermination()
-    assert spark.table("__twsip_probe").count() >= 0
+    # A rate source drained with availableNow emits >= 1 row, so a
+    # stateful query that "completes" with an empty sink means the
+    # state-server path is broken even though no exception surfaced —
+    # the probe must fail in that case, not record the surface green.
+    rows = spark.table("__twsip_probe").collect()
+    assert rows, "transformWithStateInPandas drained zero rows"
+    assert {r.user_id for r in rows} <= {0, 1, 2}
+    assert all(r.n >= 1 for r in rows)
 
 
 def test_collapsed_cosine_join_equals_plain(spark):
@@ -357,12 +364,23 @@ def test_als_trace_covers_every_entity_each_step(spark):
 def test_als_plan_has_no_cartesian(spark):
     """The half-step join (ratings x factor state) is KEYED — a
     cartesian anywhere would mean the factor state stopped
-    distributing."""
-    from fuzzy_item_matching_spark.queries.training import train_als_implicit
+    distributing. Inspect ONE un-executed half-step's plan directly
+    (the memoized query frame is a LocalTableScan and would pass
+    vacuously; the fit's own chain is localCheckpoint'ed, which also
+    hides the join)."""
+    from fuzzy_item_matching_spark.operators.als import (
+        _init_factors,
+        _solve_side,
+    )
+    from fuzzy_item_matching_spark.queries.training import _als_ratings
 
-    plan = train_als_implicit(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    ratings = _als_ratings(spark, SF_SMOKE)
+    v0 = _init_factors(ratings.select("i").distinct(), "i")
+    half = _solve_side(ratings, v0, "u", "i", reg=0.5)
+    plan = half._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the keyed join is actually in the plan
 
 
 # ---------------------------------------------------------------------------
@@ -814,19 +832,28 @@ def test_incremental_winnowing_sides_and_containment(spark):
 
 
 def test_ppr_conserves_mass_and_anchors_seeds(spark):
-    """With no dangling nodes (co-order edges are symmetric), each PPR
-    iteration preserves total mass = 1; every seed keeps at least its
-    restart share (1-alpha)/|S|; every score is positive."""
+    """Each PPR iteration preserves total mass = 1 EXCEPT for mass
+    dropped at dangling nodes (documented behavior) — compute whether
+    the graph actually has dangling nodes and assert exact
+    conservation only when it doesn't (never silently skip: total must
+    always be in (0, 1 + eps]). Every seed keeps at least its restart
+    share (1-alpha)/|S|; every score is positive."""
     from fuzzy_item_matching_spark.queries.analytics import (
         _PPR_ALPHA,
         _PPR_SEED_MOD,
+        _copurchase_graph,
         rel_ppr_parts,
     )
 
     rows = rel_ppr_parts(spark, SF_SMOKE).collect()
     assert rows
     total = sum(r.ppr for r in rows)
-    assert abs(total - 1.0) < 1e-6
+    assert 0.0 < total <= 1.0 + 1e-9
+    lines, e = _copurchase_graph(spark, SF_SMOKE, wtype="double")
+    n_nodes = lines.select("pid").distinct().count()
+    n_with_out = e.select("src").distinct().count()
+    if n_nodes == n_with_out:  # no dangling nodes -> exact conservation
+        assert abs(total - 1.0) < 1e-6
     seeds = [r for r in rows if r.node % _PPR_SEED_MOD == 0]
     assert seeds
     share = (1.0 - _PPR_ALPHA) / len(seeds)

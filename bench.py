@@ -283,12 +283,17 @@ def main() -> None:
         for name, ts in times.items()
         if len(ts) >= 2 and -1.0 not in ts
     }
+    # Key order matters for the driver's truncated capture: the driver
+    # keeps only the TAIL of long stdout, so the two large dicts
+    # (queries, cold_delta) come FIRST and the headline summary fields
+    # (pass_totals, tiers, value, sf) come LAST — r11's tail truncated
+    # before pass_totals because cold_delta landed after it.
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": round(total, 3),
             "unit": "sec",
             "queries": per_query,
+            "cold_delta": cold_delta,
             "pass_totals": [
                 round(
                     sum(
@@ -300,13 +305,13 @@ def main() -> None:
                 )
                 for i in range(passes)
             ],
-            "cold_delta": cold_delta,
             "tiers": {
                 "tier": tier,
                 "headline_n": len(headline),
                 "headline_passes": passes,
                 "tail_passes": 1 if tier == "mixed" else passes,
             },
+            "value": round(total, 3),
             "sf": sf,
         }
     )
@@ -325,6 +330,11 @@ def main() -> None:
     # a round-11 sf0.01 sweep silently replaced the committed sf0.1
     # record until the round-close refresh caught it).
     if abs(sf - 0.1) > 1e-9:
+        print(
+            f"[bench] sf={sf} != 0.1: durable BENCH_LOCAL record not "
+            "written (sf0.1 series only)",
+            file=sys.stderr,
+        )
         return
     try:
         repo = os.path.dirname(os.path.abspath(__file__))

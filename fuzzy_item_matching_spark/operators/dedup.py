@@ -34,31 +34,11 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    tokens_col: Column | str,
-    n: int = 3,
-    min_jaccard: float = 0.5,
-) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via inverted index.
-
-    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed relationally:
-    explode distinct shingles → self-equi-join on shingle (only pairs
-    sharing ≥1 shingle materialize) → count = intersection → join
-    per-doc set sizes → filter. Integer arithmetic until the final
-    division, so the result is exactly oracle-checkable.
-    """
-    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    # Bind the token expression to an attribute BEFORE shingling: an
-    # expression referenced inside word_shingles' transform lambda is
-    # re-evaluated per output gram (tokenizers go O(L²) per doc).
-    # CollapseProject won't re-inline a multi-referenced non-cheap alias.
-    sh = df.select(
-        F.col(id_col).alias("__id"), toks.alias("__toks")
-    ).select(
-        "__id", F.explode(word_shingles(F.col("__toks"), n)).alias("__g")
-    ).persist()  # postings feed both join sides + the size aggregate
+def _jaccard_postings_join(sh: DataFrame, min_jaccard: float) -> DataFrame:
+    """Postings self-join core of n-gram Jaccard over an exploded
+    (__id, __g) shingle frame: equi-join on shingle → intersection
+    counts → set-size join → threshold. Integer arithmetic until the
+    final division."""
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("id_a"), "__g")
     b = sh.select(F.col("__id").alias("id_b"), "__g")
@@ -81,6 +61,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    collapse_ratio: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted index.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|), computed relationally:
+    explode distinct shingles → self-equi-join on shingle (only pairs
+    sharing ≥1 shingle materialize) → count = intersection → join
+    per-doc set sizes → filter. Integer arithmetic until the final
+    division, so the result is exactly oracle-checkable.
+
+    Duplicate collapse (r11 ask #7, the cosine-join discipline —
+    operators/collapse.py): Jaccard is a pure function of the two
+    SORTED SHINGLE SETS, so documents with identical sets group before
+    the postings join (g² pair shuffle, not n²); intra-group pairs are
+    Jaccard 1.0 by definition (nonempty sets), cross-group matches
+    expand map-side through the doc→group map. The adaptive gate (one
+    aggregate: distinct sets vs docs ≤ ``collapse_ratio``) keeps
+    diverse corpora on the plain join. Output identical either way —
+    pinned on both corpus shapes in tests/test_round12_ops.py.
+    """
+    from fuzzy_item_matching_spark.operators.collapse import (
+        expand_group_pairs,
+        group_map,
+        signature_gate,
+    )
+
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # Bind the token expression to an attribute BEFORE shingling: an
+    # expression referenced inside word_shingles' transform lambda is
+    # re-evaluated per output gram (tokenizers go O(L²) per doc).
+    # CollapseProject won't re-inline a multi-referenced non-cheap alias.
+    doc_sh = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).select(
+        "__id",
+        F.array_sort(word_shingles(F.col("__toks"), n)).alias("__sig"),
+    ).persist()  # feeds the gate, the group map, and the postings
+    n_docs, n_groups, collapse = signature_gate(doc_sh, collapse_ratio)
+    if not collapse:
+        # doc_sh STAYS persisted: the postings feed both join sides
+        # plus the size aggregate (callers clearCache per query).
+        sh = doc_sh.select("__id", F.explode("__sig").alias("__g"))
+        return _jaccard_postings_join(sh, min_jaccard)
+    groups, doc_gid = group_map(doc_sh)
+    doc_gid = doc_gid.persist()
+    rep_sh = groups.select(
+        F.col("__gid").alias("__id"), F.explode("__sig").alias("__g")
+    )
+    rep_pairs = _jaccard_postings_join(rep_sh, min_jaccard)
+    # Intra-group pairs: identical nonempty shingle sets ⇒ Jaccard
+    # exactly 1.0 (n/(2n−n), exact in IEEE). Empty-set docs emit no
+    # postings in the plain join, so they must not self-pair either.
+    self_groups = groups.filter(F.size("__sig") > 0).select(
+        "__gid", F.lit(1.0).alias("jaccard")
+    )
+    return expand_group_pairs(doc_gid, rep_pairs, ["jaccard"], self_groups)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 32, seed: int = 42) -> Column:
@@ -398,30 +442,64 @@ def simhash_pairs(
             ]
         ).alias("__chunks"),
     )
-    banded = sig.select(
-        "__id", "__chunks", F.posexplode("__chunks").alias("__band", "__chunk")
-    ).persist()  # the 64-wide simhash fold runs once, not per join side
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("x.__chunks"),
-            F.col("y.__chunks"),
-            lambda cx, cy: F.bit_count(cx.bitwiseXOR(cy)),
-        ),
-        F.lit(0),
-        lambda a, x: a + x,
+    # Duplicate collapse (r11 ask #7): the banded candidate join's
+    # buckets are (band, chunk) classes — on a duplicate-heavy corpus
+    # the duplicate classes ARE the biggest buckets and the candidate
+    # shuffle goes quadratic in class size. Hamming is a pure function
+    # of the two FINGERPRINTS, so docs with identical fingerprints
+    # (already computed, one row per doc) group before the join;
+    # intra-group pairs are Hamming 0 by definition. Same adaptive
+    # gate + map-side expansion as ngram_jaccard_pairs
+    # (operators/collapse.py); equality on both corpus shapes pinned
+    # in tests/test_round12_ops.py.
+    from fuzzy_item_matching_spark.operators.collapse import (
+        expand_group_pairs,
+        group_map,
+        signature_gate,
     )
-    return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["__band", "__chunk"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            hamming.alias("hamming"),
+
+    def banded_pairs(fp: DataFrame) -> DataFrame:
+        banded = fp.select(
+            "__id",
+            "__chunks",
+            F.posexplode("__chunks").alias("__band", "__chunk"),
+        ).persist()  # the 64-wide simhash fold runs once, not per side
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col("x.__chunks"),
+                F.col("y.__chunks"),
+                lambda cx, cy: F.bit_count(cx.bitwiseXOR(cy)),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        return (
+            banded.alias("x")
+            .join(banded.alias("y"), ["__band", "__chunk"])
+            .filter(F.col("x.__id") < F.col("y.__id"))
+            .select(
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    doc_fp = sig.select("__id", F.col("__chunks").alias("__sig")).persist()
+    n_docs, n_groups, collapse = signature_gate(doc_fp)
+    if not collapse:
+        return banded_pairs(
+            doc_fp.select("__id", F.col("__sig").alias("__chunks"))
+        )
+    groups, doc_gid = group_map(doc_fp)
+    doc_gid = doc_gid.persist()
+    rep_fp = groups.select(
+        F.col("__gid").alias("__id"), F.col("__sig").alias("__chunks")
     )
+    rep_pairs = banded_pairs(rep_fp)
+    self_groups = groups.select("__gid", F.lit(0).alias("hamming"))
+    return expand_group_pairs(doc_gid, rep_pairs, ["hamming"], self_groups)
 
 
 def connected_components(
@@ -661,8 +739,11 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram, then
     in every window of ``w`` consecutive hashes select the minimum
-    (ties broken by leftmost position, via the hash*2^20+pos integer
-    encoding — one total order, no min_by portability hazards). Returns
+    (ties broken by leftmost position, via the hash*2^30+pos integer
+    encoding — one total order, no min_by portability hazards; the
+    32-bit hash times 2^30 tops out at 2^62 < BIGINT, and position
+    stays in its own bits for documents up to 2^30 ≈ 1.07e9 chars —
+    longer texts should be chunked upstream). Returns
     the DISTINCT (id, h) selected-fingerprint set.
 
     The winnowing guarantee: every gap of w consecutive positions
@@ -691,7 +772,7 @@ def winnowing_fingerprints(
     )
     key = (
         hex_long_once(F.md5(F.expr(f"substring(__txt, p, {k})")), 1, 8)
-        * F.lit(1048576)
+        * F.lit(1073741824)
         + F.col("p")
     ).alias("key")
     win = (
@@ -703,7 +784,7 @@ def winnowing_fingerprints(
         g.select(id_col, "p", key)
         .select(id_col, "p", F.min("key").over(win).alias("m"))
         .filter(F.col("p") >= w)
-        .select(id_col, F.expr("m div 1048576").alias("h"))
+        .select(id_col, F.expr("m div 1073741824").alias("h"))
         .distinct()
     )
 
@@ -719,14 +800,14 @@ def winnowing_sql(
     enumeration, the same md5-derived hash, the same hash*2^20+pos
     window minimum. Yields (id, h)."""
     return f"""
-    SELECT DISTINCT {id_col}, m // 1048576 AS h FROM (
+    SELECT DISTINCT {id_col}, m // 1073741824 AS h FROM (
       SELECT {id_col}, p,
              MIN(key) OVER (PARTITION BY {id_col} ORDER BY p
                             ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS m
       FROM (
         SELECT {id_col}, p,
                CAST('0x' || substr(md5(substr({text_col}, CAST(p AS INT), {k})), 1, 8)
-                 AS BIGINT) * 1048576 + p AS key
+                 AS BIGINT) * 1073741824 + p AS key
         FROM (
           SELECT {id_col}, {text_col},
                  unnest(generate_series(1, length({text_col}) - {k - 1})) AS p

@@ -63,157 +63,112 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_registry_order.py asserts the invariants.
 CHECK_PRIORITY: tuple[str, ...] = (
     # =================================================================
-    # r11 rotation — the committed second half of the r10 two-round
-    # backlog-clearance schedule, executed verbatim (r10 VERDICT ask
-    # #1). The r10 prefix is 50/50 driver-green in
-    # CORRECTNESS_r10.json, so the ENTIRE prefix yields to the 45
-    # never-driver-checked exact-oracled rows scheduled at
-    # queries/__init__.py @ 5c59726 positions 51-95, followed at the
-    # prefix TAIL by the five previously rows-only queries that had no
-    # driver record (stream_heavy_hitters_bounded and
-    # train_fit_score_model gained exact oracles this round — r10 ask
-    # #4 — so only three remain rows-only;
-    # test_driver_prefix_is_all_oracle_bearing now asserts the relaxed
-    # invariant "oracle-bearing before rows-only within the prefix",
-    # exactly as the r10 ledger pre-announced).
+    # r12 rotation — executes the committed r12 prefix verbatim (r11
+    # VERDICT ask #1): the ELEVEN round-11 births followed by the
+    # TWELVE named spill rows (per-row justifications in the r11
+    # ledger, git: queries/__init__.py @ 4a17023 lines 83-120) head
+    # the prefix — this zeroes the never-driver-checked backlog for
+    # the first time in the repo's history. They are followed by the
+    # SEVEN queries whose operators round 12 refactored (the
+    # duplicate-collapse gate in ngram_jaccard_pairs / simhash_pairs,
+    # the co-purchase basket cap, the ALS scratch-parquet model
+    # table): each was judge-simmed exact after the refactor, and the
+    # slot here makes the re-proof driver-durable. Round-12 births are
+    # inserted directly after the re-verification block as they land.
+    # The entire r11 prefix (50/50 green in CORRECTNESS_r11.json,
+    # 47 exact + 3 rows-only-by-design) demotes below.
     #
-    # r12 SPILL SET (r10 ask #7 — named NOW so r12 is mechanical):
-    # after this prefix lands, exactly TWELVE scheduled rows plus this
-    # round's births still lack a driver record. They head the r12
-    # prefix, in this order, directly below the boundary — the ELEVEN
-    # round-11 births (each exact-oracled AND driver-simmed exact the
-    # session it was born) followed by the twelve named spill rows:
-    #   rel_recursive_closure   — r11 birth (growing-frontier WITH
-    #                             RECURSIVE, r10 ask #6); registered
-    #                             after the rotation was fixed
-    #   train_als_implicit, rel_label_propagation,
-    #   dedup_winnowing_pairs, rel_lateral_topk_per_cust,
-    #   rel_transpose_status_metrics, train_gboost_poisson,
-    #   serve_als_topk, ts_kmv_lang_jaccard,
-    #   dedup_incremental_winnowing, rel_ppr_parts
-    #                           — r11 late births (see their ledger
-    #                             lines below at the r12 head)
-    #   rel_price_quantiles     — approx_percentile machinery already
-    #                             driver-green via rel_histo_quantiles
-    #   rel_value_outliers      — stddev/z-score shape covered by
-    #                             stream_anomaly_zscore (r09 green)
-    #   rel_ntile_price_deciles — ntile window twin of the green
-    #                             row_number/rank family
-    #   ts_seq_packing          — greedy FFD packing; unique machinery
-    #                             but judge-simmed exact r10 + r11
-    #   ts_corpus_shuffle       — hash-order shuffle, xxhash64 keying
-    #                             green via src_keyed_sample (this
-    #                             prefix)
-    #   train_stratified_sample — per-stratum hash gate, same keying
-    #   train_diverse_sample    — maximin via LSH buckets, machinery
-    #                             green via sim_ann_lsh_topk (r05)
-    #   ts_repetition           — n-gram self-overlap twin of the
-    #                             green ts_gopher_repetition (r10)
-    #   ts_distinct_kmv         — KMV sketch twin of the green
-    #                             ts_hll_distinct (r07)
-    #   ts_token_dominance      — ratio-of-max aggregate over the
-    #                             green token-stats frame
-    #   ts_top_terms            — tf-idf top-k twin of the green
-    #                             ts_tfidf_weights (r07)
-    #   pipe_corpus_funnel      — stage-count composition of filters
-    #                             individually green (pipe_corpus_clean
-    #                             r09)
-    # Every one of the twelve was driver-simmed exact in the r10 judge
-    # re-run; none verifies unique machinery that lacks a green row
-    # elsewhere, which is the selection rule the r10 ledger committed
-    # to ("thinnest machinery-covered rows").
-    #
-    # Every demoted name below is annotated with the round of its
-    # newest driver-green CORRECTNESS row (never demoted to failure
-    # since). Per-slot prose history for rounds 2-10 lives in git:
-    # queries/__init__.py @ 5c59726 (r10), 8f43f14 and earlier.
+    # Every demoted name is annotated with the round of its newest
+    # driver-green CORRECTNESS row (never demoted to failure since).
+    # Per-slot prose history for rounds 2-11 lives in git:
+    # queries/__init__.py @ 4a17023 (r11), 5c59726 (r10), 8f43f14
+    # and earlier.
     # =================================================================
-    # -- the 45 scheduled exact-oracled rows (r10 positions 51-95,
-    #    order preserved verbatim):
-    "rel_variant_props",
-    "rel_sql_udf_tiers",
-    "rel_pipe_syntax_pricing",
-    "stream_state_inspector",
-    "stream_ewma_control",
-    "rel_sql_table_function",
-    "rel_python_udtf_runs",
-    "rel_pandas_udaf_median",
-    "ts_filter_agreement",
-    "vec_arrow_map_norms",
-    "train_adaboost_d2_score",
-    "train_isotonic_calibration",
-    "train_target_encoding",
-    "dedup_semantic_keep",
-    "pipe_length_buckets",
-    "train_robust_scaler",
-    "ts_oov_rate",
-    "dedup_semantic_recall",
-    "train_embedding_drift",
-    "ts_doc_quality",
-    "src_keyed_sample",
-    "text_bpe_segments",
-    "train_ols_by_brand",
-    "rel_basket_rules",
-    "train_calibration_bins",
-    "ts_char_entropy",
-    "ts_chi2_terms",
-    "train_ndcg",
-    "train_standard_scaler",
-    "train_bootstrap_means",
-    "train_cv_auc",
-    "train_drift_stats",
-    "ts_rag_chunks",
-    "train_learning_curve",
-    "rel_unpivot_metrics",
-    "train_source_mixture",
-    "stream_events_sliding",
-    "vec_centroid_by_label",
-    "vec_knn_bruteforce",
-    "rel_rolling_user_value",
-    "rel_rows_frame_ma",
-    "rel_observed_metrics",
-    "rel_latest_event_per_user",
-    "rel_audit_referential",
-    "rel_audit_profile",
-    # -- the five never-checked tail rows (r10 ask #4 upgraded the
-    #    first two to exact oracles this round; the last three remain
-    #    rows-only BY DESIGN — solver/shape-only outputs documented in
-    #    docs/VERIFICATION.md §3 — so they close the prefix):
-    "stream_heavy_hitters_bounded",
-    "train_fit_score_model",
-    "train_split_sizes",
-    "train_ml_name_pipeline",
-    "train_word2vec_shape",
-    # ---- 50-slot prefix boundary (r11) ----
-    # -- r12 prefix head: this round's births + the named spill set
-    #    (justifications in the header above; the two late-r11 births
-    #    join rel_recursive_closure at the head — both exact-oracled
-    #    and driver-simmed exact this round):
-    "rel_recursive_closure",
-    "train_als_implicit",  # r11 birth: rank-2 ALS, closed-form solves
-    "rel_label_propagation",  # r11 birth: LPA communities, integer-exact
-    "dedup_winnowing_pairs",  # r11 birth: MOSS winnowing partial-copy dedup
-    "rel_lateral_topk_per_cust",  # r11 birth: Spark 4 lateralJoin surface
-    "rel_transpose_status_metrics",  # r11 birth: Spark 4 transpose surface
-    "train_gboost_poisson",  # r11 birth: Poisson-loss boosting (count regr.)
-    "serve_als_topk",  # r11 birth: ALS fit+serve in one oracle (recommender)
-    "ts_kmv_lang_jaccard",  # r11 birth: mergeable-sketch set similarity
-    "dedup_incremental_winnowing",  # r11 birth: delta-vs-index partial copy
-    "rel_ppr_parts",  # r11 birth: personalized PageRank (seed relevance)
-    "rel_price_quantiles",
-    "rel_value_outliers",
-    "rel_ntile_price_deciles",
-    "ts_seq_packing",
-    "ts_corpus_shuffle",
-    "train_stratified_sample",
-    "train_diverse_sample",
-    "ts_repetition",
-    "ts_distinct_kmv",
-    "ts_token_dominance",
-    "ts_top_terms",
-    "pipe_corpus_funnel",
-    # -- demoted by the r11 rotation: the entire r10 prefix, all 50
-    #    driver-green in CORRECTNESS_r10.json:
+    # -- the 23 backlog rows (11 r11 births + 12 named spill rows,
+    #    ledger order preserved verbatim):
+    "rel_recursive_closure",  # r11 birth
+    "train_als_implicit",  # r11 birth
+    "rel_label_propagation",  # r11 birth
+    "dedup_winnowing_pairs",  # r11 birth
+    "rel_lateral_topk_per_cust",  # r11 birth
+    "rel_transpose_status_metrics",  # r11 birth
+    "train_gboost_poisson",  # r11 birth
+    "serve_als_topk",  # r11 birth
+    "ts_kmv_lang_jaccard",  # r11 birth
+    "dedup_incremental_winnowing",  # r11 birth
+    "rel_ppr_parts",  # r11 birth
+    "rel_price_quantiles",  # named spill row
+    "rel_value_outliers",  # named spill row
+    "rel_ntile_price_deciles",  # named spill row
+    "ts_seq_packing",  # named spill row
+    "ts_corpus_shuffle",  # named spill row
+    "train_stratified_sample",  # named spill row
+    "train_diverse_sample",  # named spill row
+    "ts_repetition",  # named spill row
+    "ts_distinct_kmv",  # named spill row
+    "ts_token_dominance",  # named spill row
+    "ts_top_terms",  # named spill row
+    "pipe_corpus_funnel",  # named spill row
+    # -- r12 re-verification: consumers of this round's operator
+    #    refactors (collapse gates, basket cap) — prior green row noted:
+    "dedup_ngram_jaccard",  # was r06; r12 refactor re-proof
+    "dedup_simhash",  # was r06; r12 refactor re-proof
+    "dedup_minhash_recall",  # was r09; r12 refactor re-proof
+    "dedup_canonical_map",  # was r04; r12 refactor re-proof
+    "dedup_canonical_closure",  # was r09; r12 refactor re-proof
+    "dedup_funnel_counts",  # was r10; r12 refactor re-proof
+    "pipe_corpus_clean",  # was r09; r12 refactor re-proof
+    # -- r12 births are inserted here as they land:
+    # -- demoted by the r12 rotation: the entire r11 prefix, all 50
+    #    driver-green in CORRECTNESS_r11.json:
+    "rel_variant_props",  # r11
+    "rel_sql_udf_tiers",  # r11
+    "rel_pipe_syntax_pricing",  # r11
+    "stream_state_inspector",  # r11
+    "stream_ewma_control",  # r11
+    "rel_sql_table_function",  # r11
+    "rel_python_udtf_runs",  # r11
+    "rel_pandas_udaf_median",  # r11
+    "ts_filter_agreement",  # r11
+    "vec_arrow_map_norms",  # r11
+    "train_adaboost_d2_score",  # r11
+    "train_isotonic_calibration",  # r11
+    "train_target_encoding",  # r11
+    "dedup_semantic_keep",  # r11
+    "pipe_length_buckets",  # r11
+    "train_robust_scaler",  # r11
+    "ts_oov_rate",  # r11
+    "dedup_semantic_recall",  # r11
+    "train_embedding_drift",  # r11
+    "ts_doc_quality",  # r11
+    "src_keyed_sample",  # r11
+    "text_bpe_segments",  # r11
+    "train_ols_by_brand",  # r11
+    "rel_basket_rules",  # r11
+    "train_calibration_bins",  # r11
+    "ts_char_entropy",  # r11
+    "ts_chi2_terms",  # r11
+    "train_ndcg",  # r11
+    "train_standard_scaler",  # r11
+    "train_bootstrap_means",  # r11
+    "train_cv_auc",  # r11
+    "train_drift_stats",  # r11
+    "ts_rag_chunks",  # r11
+    "train_learning_curve",  # r11
+    "rel_unpivot_metrics",  # r11
+    "train_source_mixture",  # r11
+    "stream_events_sliding",  # r11
+    "vec_centroid_by_label",  # r11
+    "vec_knn_bruteforce",  # r11
+    "rel_rolling_user_value",  # r11
+    "rel_rows_frame_ma",  # r11
+    "rel_observed_metrics",  # r11
+    "rel_latest_event_per_user",  # r11
+    "rel_audit_referential",  # r11
+    "rel_audit_profile",  # r11
+    "stream_heavy_hitters_bounded",  # r11
+    "train_fit_score_model",  # r11
+    # -- demoted in earlier rounds, each keeping the noted record:
     "train_gboost_hist",  # r10
     "train_gboost_hist_stochastic",  # r10
     "train_gboost_d3_score",  # r10
@@ -253,7 +208,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_histo_quantiles",  # r10
     "rel_event_funnel",  # r10
     "dedup_boundary_overlap",  # r10
-    "dedup_funnel_counts",  # r10
     "pipe_incremental_refresh",  # r10
     "pipe_preference_pairs",  # r10
     "train_hard_negatives",  # r10
@@ -264,10 +218,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_gboost_colsample_node",  # r10
     "serve_end_to_end",  # r10
     "rel_recursive_hierarchy",  # r10
-    # -- demoted by the r10 rotation: the entire r09 prefix, all 50
-    #    driver-green in CORRECTNESS_r09.json:
     "rel_bucketed_range_join",  # r09
-    "pipe_corpus_clean",  # r09
     "sim_bm25_topk",  # r09
     "serve_fs_em_fit",  # r09
     "sim_blocking_eval",  # r09
@@ -291,8 +242,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_logreg_gd",  # r09
     "dedup_golden_record",  # r09
     "stream_stream_join",  # r09
-    "dedup_canonical_closure",  # r09
-    "dedup_minhash_recall",  # r09
     "dedup_cdc_chunks",  # r09
     "serve_match_score",  # r09
     "serve_pipeline_featurize",  # r09
@@ -316,7 +265,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_zipf_fit",  # r09
     "train_label_noise",  # r09
     "stream_dsir_scores",  # r09
-    # -- demoted in earlier rounds, each keeping the noted record:
     "serve_canary_compare",  # r08
     "ts_sketch_compare",  # r08
     "train_quality_score",  # r08
@@ -361,7 +309,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivfpq_recall",  # r07
     "src_time_travel",  # r07
     "ts_hll_distinct",  # r07
-    "dedup_ngram_jaccard",  # r06
     "sim_ann_ivf_topk",  # r06
     "text_bpe_fit",  # r06
     "rel_status_share",  # r06
@@ -376,7 +323,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "stream_events_hourly",  # r06
     "stream_dedup_user_firsts",  # r06
     "dedup_exact_docs",  # r06
-    "dedup_simhash",  # r06
     "sim_ann_pq_topk",  # r06
     "src_csv_roundtrip",  # r06
     "src_archive_ingest",  # r06
@@ -387,7 +333,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_lang_id",  # r04
     "rel_union_distinct_nations",  # r02
     "src_parquet_write_read",  # r04
-    "dedup_canonical_map",  # r04
     "rel_expr_join_scoring",  # r04
     "text_levenshtein_pairs",  # r05
     "sim_ann_lsh_topk",  # r05
@@ -421,10 +366,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_price_clean_cast",  # r04
     "vec_label_pair_stats",  # r04
     "dedup_embedding_exact_pairs",  # r04
-    # -- rows-only (oracle=None) global tail: the r11 rotation pulled
-    #    the never-checked five into the prefix tail above;
-    #    src_seeded_sample keeps its r02 rows-only record here:
-    "src_seeded_sample",
+    # -- global tail: the four rows-only-by-design queries (docs/
+    #    VERIFICATION.md §3) — weaker check at any position, so they
+    #    never displace an oracle-bearing row:
+    "src_seeded_sample",  # rows-only by design; r11 driver row recorded
+    "train_split_sizes",  # rows-only by design; r11 driver row recorded
+    "train_ml_name_pipeline",  # rows-only by design; r11 driver row recorded
+    "train_word2vec_shape",  # rows-only by design; r11 driver row recorded
 )
 
 

@@ -443,8 +443,13 @@ def sim_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUZZY_DOC_ORACLE = f"""
-WITH tf AS (
+# Word-unigram binary TF-IDF CTE chain over documents, ending in
+# wn(id, term, weight) — shared by the fuzzy doc self-join (max_df
+# 0.3) and the MaxScore top-k oracle (max_df 0.9: the synthetic docs
+# share most of their template vocabulary, so 0.3 leaves only 25 docs
+# with any weight — retrieval needs the whole corpus indexed).
+def _doc_wn_ctes(max_df: float) -> str:
+    return f"""tf AS (
   SELECT doc_id AS id, term, 1.0::DOUBLE AS tf
   FROM (SELECT doc_id, unnest({_D_TOKENS.format(c="text")}) AS term FROM documents)
   GROUP BY doc_id, term
@@ -453,7 +458,7 @@ dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 nd AS (SELECT COUNT(DISTINCT id)::DOUBLE AS n FROM tf),
 idf AS (
   SELECT term, ln((n + 1.0) / (df + 1.0)) AS idf
-  FROM dfreq, nd WHERE df <= 0.3 * n
+  FROM dfreq, nd WHERE df <= {max_df} * n
 ),
 w AS (
   SELECT tf.id, tf.term, tf.tf * idf.idf AS weight
@@ -464,7 +469,11 @@ wn AS (
   SELECT w.id, w.term,
          CASE WHEN nrm.nrm = 0 THEN w.weight ELSE w.weight / nrm.nrm END AS weight
   FROM w JOIN nrm USING (id)
-)
+)"""
+
+
+_FUZZY_DOC_ORACLE = f"""
+WITH {_doc_wn_ctes(0.3)}
 SELECT a.id AS id_a, b.id AS id_b, SUM(a.weight * b.weight) AS cosine
 FROM wn a JOIN wn b ON a.term = b.term AND a.id < b.id
 GROUP BY 1, 2
@@ -1473,3 +1482,130 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id long, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxScore-pruned top-k retrieval (WAND-family static pruning)
+# ---------------------------------------------------------------------------
+
+_MAXSCORE_THETA = 0.6
+_MAXSCORE_K = 10
+_MAXSCORE_QMOD = 97
+
+
+def _maxscore_oracle() -> str:
+    return f"""
+    WITH {_doc_wn_ctes(0.9)},
+    ub AS (SELECT term, MAX(weight) AS ub FROM wn GROUP BY term),
+    wq AS (SELECT id AS q, term, weight AS wq FROM wn
+           WHERE id % {_MAXSCORE_QMOD} = 0),
+    qt AS (SELECT q, wq.term, wq.wq, wq.wq * ub.ub AS c
+           FROM wq JOIN ub USING (term)),
+    qc AS (SELECT q, term,
+                  SUM(c) OVER (PARTITION BY q ORDER BY c, term
+                               ROWS UNBOUNDED PRECEDING) AS csum
+           FROM qt),
+    ess AS (SELECT q, term FROM qc WHERE csum >= {_MAXSCORE_THETA}),
+    cand AS (SELECT DISTINCT e.q, wn.id AS d
+             FROM ess e JOIN wn ON wn.term = e.term
+             WHERE wn.id != e.q),
+    sc AS (SELECT c.q, c.d,
+                  ROUND(SUM(wq.wq * wd.weight), 9) AS score
+           FROM cand c
+           JOIN wq ON wq.q = c.q
+           JOIN wn wd ON wd.id = c.d AND wd.term = wq.term
+           GROUP BY 1, 2
+           HAVING ROUND(SUM(wq.wq * wd.weight), 9) >= {_MAXSCORE_THETA})
+    SELECT q, d, score, rnk FROM (
+      SELECT q, d, score,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY score DESC, d) AS rnk
+      FROM sc
+    ) WHERE rnk <= {_MAXSCORE_K}"""
+
+
+@query("sim_maxscore_topk", oracle=_maxscore_oracle())
+def sim_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} retrieval with MaxScore STATIC PRUNING (Turtle &
+    Flood's family; BM25/WAND engines ship the dynamic variant): for
+    each query, terms are split into essential/non-essential by the
+    upper-bound ledger — sort the query's terms by c_t = w_q(t)·ub(t)
+    ascending (ub(t) = the corpus-wide max weight of t) and call
+    NON-essential the maximal prefix whose running sum stays below the
+    score threshold θ={theta}. Any document matching ONLY
+    non-essential terms is bounded by that sum, so it cannot reach θ:
+    candidates are generated from the ESSENTIAL postings alone. On
+    heavy-tailed vocabularies the common terms (large df, small
+    weight) are exactly the non-essential ones, so the candidate join
+    skips the fat posting lists — the same Σ df² shuffle the plain
+    postings join pays — while staying EXACT above θ (not approximate
+    like LSH: every doc with score ≥ θ shares ≥1 essential term, by
+    the bound above).
+
+    Plan: weights build once (persisted, the shared TF-IDF pipeline of
+    sim_fuzzy_doc_pairs); the ub ledger is one term aggregate; the
+    essential split is one bounded window over the query panel
+    (doc_id % {qmod} = 0 — fixed panel, the serve_als_topk
+    discipline); the candidate join touches only essential postings;
+    exact scores re-join the full term lists OF CANDIDATES ONLY.
+    Top-{k} per query is a WindowGroupLimit. At 100 TB: the pruning
+    ratio GROWS with the corpus (df of common terms grows, their
+    weight shrinks), which is why production engines bother.
+
+    Determinism: weights are the proven-bitwise TF-IDF doubles; the
+    essential split orders by (c, term) — a total order; scores are
+    rounded to 9 before the θ-filter and the (score DESC, d) rank, so
+    both engines rank identical values. The oracle replays every stage
+    CTE-for-CTE.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.operators.features import tfidf_features
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    feats = tfidf_features(
+        toks, ["doc_id"], "toks", binary=True, max_df_ratio=0.9
+    ).persist()  # ub ledger + panel + candidate postings + scoring
+    ub = feats.groupBy("term").agg(F.max("weight").alias("ub"))
+    wq = feats.filter(F.col("doc_id") % _MAXSCORE_QMOD == 0).select(
+        F.col("doc_id").alias("q"), "term", F.col("weight").alias("wq")
+    )
+    qt = wq.join(ub, "term").withColumn("c", F.col("wq") * F.col("ub"))
+    cum = Window.partitionBy("q").orderBy("c", "term").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ess = (
+        qt.withColumn("csum", F.sum("c").over(cum))
+        .filter(F.col("csum") >= _MAXSCORE_THETA)
+        .select("q", "term")
+    )
+    cand = (
+        ess.join(feats.select(F.col("doc_id").alias("d"), "term"), "term")
+        .filter(F.col("d") != F.col("q"))
+        .select("q", "d")
+        .distinct()
+    )
+    wd = feats.select(
+        F.col("doc_id").alias("d"), "term", F.col("weight").alias("wd")
+    )
+    sc = (
+        cand.join(wq, "q")
+        .join(wd, ["d", "term"])
+        .groupBy("q", "d")
+        .agg(F.round(F.sum(F.col("wq") * F.col("wd")), 9).alias("score"))
+        .filter(F.col("score") >= _MAXSCORE_THETA)
+    )
+    rnk = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= _MAXSCORE_K)
+        .select("q", "d", "score", "rnk")
+    )
+
+
+sim_maxscore_topk.__doc__ = sim_maxscore_topk.__doc__.format(
+    k=_MAXSCORE_K, theta=_MAXSCORE_THETA, qmod=_MAXSCORE_QMOD
+)

@@ -15,6 +15,8 @@ metrics — are relational aggregations and belong in the engine:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4642,23 +4644,35 @@ def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fit-once memo shared by the ALS fit and its serve twin (the gboost
-# discipline): the fitted factor TRACE is the model table — one row
-# per (half-step, entity), bounded by the entity count. At 100 TB the
-# equivalent is a persisted factor table the serving job reads.
-_ALS_MEMO: dict[tuple[str, int], list] = {}
+# Fit-once MODEL TABLE shared by the ALS fit and its serve twin: the
+# fitted factor TRACE is written to scratch parquet once per
+# (sf_dir, iters, reg) and both consumers SCAN it — the factors never
+# pass through the driver (r11 VERDICT ask #3 replaced the old
+# per-entity ``.collect()`` memo, the last per-entity driver
+# materialization in the repo). This is literally the 100 TB shape: a
+# persisted factor table the serving job reads. The in-process set
+# only remembers which paths were written THIS session so a fresh
+# process re-fits rather than trusting a stale file.
 _ALS_TRACE_SCHEMA = "step int, side string, id long, f1 double, f2 double"
+_ALS_TRACE_WRITTEN: set = set()
 
 
-def _als_rows(spark: SparkSession, sf_dir: str) -> list:
+def _als_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
     from fuzzy_item_matching_spark.operators.als import als_rank2_fit
+    from fuzzy_item_matching_spark.queries.sources import SCRATCH
 
-    key = (sf_dir, _ALS_ITERS)
-    if key not in _ALS_MEMO:
-        _ALS_MEMO[key] = als_rank2_fit(
+    tag = hashlib.md5(
+        f"{sf_dir}|{_ALS_ITERS}|{_ALS_REG}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(SCRATCH, f"als_trace_{tag}")
+    if path not in _ALS_TRACE_WRITTEN:
+        als_rank2_fit(
             _als_ratings(spark, sf_dir), iters=_ALS_ITERS, reg=_ALS_REG
-        ).collect()
-    return _ALS_MEMO[key]
+        ).write.mode("overwrite").parquet(path)
+        _ALS_TRACE_WRITTEN.add(path)
+    return spark.read.schema(_ALS_TRACE_SCHEMA).parquet(path)
 
 
 @query("train_als_implicit", oracle=_als_oracle())
@@ -4680,16 +4694,15 @@ def train_als_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ratings persist once (one scan of lineitem join orders); each
     half-step shuffles once on the solve key; the factor state is a
     per-entity FRAME that distributes — no broadcast-forced state, no
-    collect DURING the fit, no Python in the loop. At 100 TB: 2*iters
-    keyed shuffles over a cached frame, the canonical distributed-ALS
-    schedule. The finished trace is memoized per (sf_dir, iters) — the
-    collect is the MODEL table (one row per half-step × entity), and
-    the serve twin (serve_als_topk) reads it instead of refitting (the
-    gboost fit-memo discipline).
+    collect DURING the fit, no Python in the loop, and no collect
+    AFTER it either: the finished trace is written to a scratch
+    parquet MODEL TABLE once per (sf_dir, iters, reg) and both this
+    query and the serve twin (serve_als_topk) scan it — the factors
+    never pass through the driver. At 100 TB: 2*iters keyed shuffles
+    over a cached frame, then one distributed write; the canonical
+    distributed-ALS schedule with a persisted factor table.
     """
-    return spark.createDataFrame(
-        _als_rows(spark, sf_dir), _ALS_TRACE_SCHEMA
-    )
+    return _als_trace(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -4823,9 +4836,7 @@ def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one fixed IEEE expression tree over them, rounded to 9; the
     rank order (score DESC, i ASC) is total.
     """
-    trace = spark.createDataFrame(
-        _als_rows(spark, sf_dir), _ALS_TRACE_SCHEMA
-    )
+    trace = _als_trace(spark, sf_dir)
     ratings = _als_ratings(spark, sf_dir)
     last_u = 2 * _ALS_ITERS - 1
     last_i = 2 * _ALS_ITERS

@@ -168,28 +168,80 @@ def _copy_sql(table: str, i: int) -> str:
     raise ValueError(table)
 
 
-def gen(ks: list[int]) -> None:
+# --- Zipf-skewed scale (r11 VERDICT ask #2) -------------------------
+# Keyshift-union preserves key UNIFORMITY, so the one 100 TB hazard
+# the x1/x4/x10 curves cannot see is hub skew. The skewed variant
+# keeps the exact same 10-copy union but makes a few keys hot:
+#   - lineitem: for copies i>0, 1/_SKEW_MOD of line rows (hash-gated on
+#     (orderkey, linenumber) — deterministic) point their l_partkey at
+#     one of the 8 copy-0 HUB parts instead of the shifted key. Hub
+#     parts end up on ~1 in 20 of ALL orders: the co-purchase graph
+#     (LPA / PPR), part joins, and part-keyed aggs see true power-law
+#     hubs.
+#   - documents: for copies i>0, 1/_SKEW_MOD of docs carry one of 16
+#     copy-0 HUB TEXTS verbatim (duplicate classes ~150 docs each at
+#     x10) — minhash band buckets, jaccard postings and simhash
+#     fingerprints all develop hub buckets, exactly the duplicate-
+#     heavy shape the collapse gates exist for.
+# Copy 0 stays the identity so per-copy structure is otherwise the
+# x10 construction verbatim; t(xs10)/t(x10) isolates pure skew cost.
+_SKEW_MOD = 20  # 1-in-20 rows → 5% hub mass
+
+
+def _skew_copy_sql(table: str, i: int) -> str:
+    src = f"'{SRC}/{table}.parquet'"
+    s = {k: v * i for k, v in STRIDE.items()}
+    if i > 0 and table == "lineitem":
+        return (
+            f"SELECT l_orderkey + {s['orderkey']} AS l_orderkey,"
+            f" CASE WHEN hash(l_orderkey * 8 + l_linenumber) % {_SKEW_MOD} = 0"
+            f"      THEN l_partkey % 8"
+            f"      ELSE l_partkey + {s['partkey']} END AS l_partkey,"
+            f" l_suppkey + {s['suppkey']} AS l_suppkey, l_linenumber,"
+            f" l_quantity, l_extendedprice, l_discount, l_tax,"
+            f" l_returnflag, l_linestatus, l_shipdate FROM {src}"
+        )
+    if i > 0 and table == "documents":
+        text = _caesar("d.text", i)
+        return (
+            f"SELECT d.doc_id + {s['doc_id']} AS doc_id,"
+            f" CASE WHEN hash(d.doc_id) % {_SKEW_MOD} = 0 THEN h.text"
+            f"      ELSE {text} END AS text,"
+            f" d.lang, d.source,"
+            f" CASE WHEN hash(d.doc_id) % {_SKEW_MOD} = 0 THEN h.n_chars"
+            f"      ELSE d.n_chars END AS n_chars"
+            f" FROM {src} d JOIN {src} h ON h.doc_id = d.doc_id % 16"
+        )
+    return _copy_sql(table, i)
+
+
+def gen(ks: list[int], skew: bool = False) -> None:
     import duckdb
 
     tables = [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]
+    copy_sql = _skew_copy_sql if skew else _copy_sql
     for k in ks:
-        out = os.path.join(ROOT, f"x{k}")
+        out = os.path.join(ROOT, f"x{'s' if skew else ''}{k}")
         os.makedirs(out, exist_ok=True)
         t0 = time.monotonic()
         for t in tables:
-            parts = [q for i in range(k) if (q := _copy_sql(t, i))]
+            parts = [q for i in range(k) if (q := copy_sql(t, i))]
             union = "\nUNION ALL\n".join(parts)
             duckdb.sql(
                 f"COPY ({union}) TO '{out}/{t}.parquet'"
                 " (FORMAT PARQUET, ROW_GROUP_SIZE 131072)"
             )
-        print(f"[gen] x{k} -> {out} in {time.monotonic() - t0:.1f}s")
+        print(
+            f"[gen] {os.path.basename(out)} -> {out}"
+            f" in {time.monotonic() - t0:.1f}s"
+        )
 
 
-def run(k: int, out_path: str | None) -> None:
+def run(k: int | str, out_path: str | None) -> None:
+    # k may be a skew token like 's10' -> dir xs10, scale label 's10'
     os.environ.setdefault(
         "SPARK_GRAFT_SCRATCH", f"{ROOT}/run-x{k}-{os.getpid()}"
     )
@@ -280,8 +332,14 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if cmd == "gen":
         gen([int(a) for a in sys.argv[2:]] or [1, 4, 10])
+    elif cmd == "gen-skew":
+        gen([int(a) for a in sys.argv[2:]] or [10], skew=True)
+    elif cmd == "report-skew":
+        report_skew(sys.argv[2], sys.argv[3])
     elif cmd == "run":
-        run(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
+        tok = sys.argv[2]
+        run(int(tok) if tok.isdigit() else tok,
+            sys.argv[3] if len(sys.argv) > 3 else None)
     elif cmd == "report":
         report(sys.argv[2:])
     else:

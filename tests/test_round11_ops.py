@@ -442,13 +442,13 @@ def _winnow_py(text, k=7, w=4):
     for p in range(1, n - k + 2):  # 1-based, inclusive
         g = text[p - 1 : p - 1 + k]
         h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
-        keys.append((p, h * 1048576 + p))
+        keys.append((p, h * 1073741824 + p))
     sel = set()
     for p, _ in keys:
         if p < w:
             continue
         m = min(key for q, key in keys if p - w + 1 <= q <= p)
-        sel.add(m // 1048576)
+        sel.add(m // 1073741824)
     return sel
 
 

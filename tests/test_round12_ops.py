@@ -1,0 +1,240 @@
+"""Property tests for the round-12 changes — the duplicate-collapse
+generalization (r11 VERDICT ask #7: ngram_jaccard_pairs and
+simhash_pairs get the cosine join's vector-collapse strategy behind
+the same adaptive gate), the co-purchase basket cap (ask #4), the
+ALS scratch-parquet model table (ask #3), and the widened winnowing
+tie-break shift (ADVICE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _pairs_set(df, val_col, nd=6):
+    return {
+        (r["id_a"], r["id_b"], round(float(r[val_col]), nd))
+        for r in df.collect()
+    }
+
+
+def _dup_heavy(spark):
+    """200 docs, 4 distinct texts — the collapse gate MUST fire."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six seven",
+        "totally different words here now ok",
+    ]
+    rows = [(i, texts[i % 4]) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, txt string").select(
+        "doc_id", F.split("txt", " ").alias("toks")
+    )
+
+
+def _diverse(spark):
+    """60 docs, all distinct shingle sets — the gate must NOT fire."""
+    rows = [
+        (i, f"w{i} w{i + 1} w{i + 2} w{i + 3} shared common tail words")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, txt string").select(
+        "doc_id", F.split("txt", " ").alias("toks")
+    )
+
+
+def test_jaccard_collapse_equals_plain_on_duplicates(spark):
+    """Collapsed output == plain postings join output (same pairs,
+    same jaccard values) on a duplicate-heavy corpus where the gate
+    fires — including the intra-group Jaccard-1.0 pairs."""
+    from fuzzy_item_matching_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _dup_heavy(spark)
+    collapsed = ngram_jaccard_pairs(
+        docs, "doc_id", "toks", n=3, min_jaccard=0.3, collapse_ratio=0.5
+    )
+    plain = ngram_jaccard_pairs(
+        docs, "doc_id", "toks", n=3, min_jaccard=0.3, collapse_ratio=0.0
+    )
+    got, want = _pairs_set(collapsed, "jaccard"), _pairs_set(plain, "jaccard")
+    assert got == want
+    # the duplicate classes are real: 200 docs / 4 texts → intra-group
+    # pairs alone are 2*C(50,2) + 2*C(50,2); assert scale not vacuity
+    assert len(got) > 4000
+    assert any(v == 1.0 for _, _, v in got)
+
+
+def test_jaccard_gate_keeps_plain_path_on_diverse_corpus(spark):
+    """On an all-distinct corpus the gate must choose the plain join
+    (n_groups == n_docs > ratio·n_docs) and the output still matches
+    a forced-collapse run — equality on BOTH corpus shapes."""
+    from fuzzy_item_matching_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _diverse(spark)
+    auto = ngram_jaccard_pairs(docs, "doc_id", "toks", n=2, min_jaccard=0.2)
+    forced = ngram_jaccard_pairs(
+        docs, "doc_id", "toks", n=2, min_jaccard=0.2, collapse_ratio=1.0
+    )
+    assert _pairs_set(auto, "jaccard") == _pairs_set(forced, "jaccard")
+
+
+def test_simhash_intra_class_pairs_all_present(spark):
+    """On the duplicate-heavy corpus (gate fires) every intra-class
+    pair must surface at hamming 0 — the collapse's self-group
+    expansion, both hash families."""
+    import itertools
+
+    from fuzzy_item_matching_spark.operators import dedup as D
+
+    docs = _dup_heavy(spark)
+    for portable in (False, True):
+        got = _pairs_set(
+            D.simhash_pairs(docs, "doc_id", "toks", portable=portable),
+            "hamming",
+        )
+        ids = {(a, b): h for a, b, h in got}
+        for k in range(4):  # class k = doc ids ≡ k mod 4, sampled to 40
+            members = [i for i in range(40) if i % 4 == k]
+            for a, b in itertools.combinations(members, 2):
+                assert ids.get((a, b)) == 0, (portable, a, b)
+
+
+def _simhash_brute(spark, docs, max_hamming=3):
+    """First-principles reference: fingerprints via the row-local
+    simhash_bits fold, banding + hamming in plain Python."""
+    from fuzzy_item_matching_spark.operators.dedup import simhash_bits
+
+    fps = {
+        r["doc_id"]: int(r["bits"], 2)
+        for r in docs.select(
+            "doc_id", simhash_bits(F.col("toks")).alias("bits")
+        ).collect()
+    }
+    want = set()
+    for a in sorted(fps):
+        for b in sorted(fps):
+            if a >= b:
+                continue
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            shares = any(
+                (fps[a] >> (16 * i)) & 0xFFFF == (fps[b] >> (16 * i)) & 0xFFFF
+                for i in range(4)
+            )
+            if shares and ham <= max_hamming:
+                want.add((a, b, float(ham)))
+    return want
+
+
+def test_simhash_matches_bruteforce_both_gate_paths(spark):
+    """Exact set equality vs a brute-force reference on BOTH corpus
+    shapes: duplicate-heavy (gate on → collapsed banding) and
+    all-distinct (gate off → plain banding)."""
+    from fuzzy_item_matching_spark.operators.dedup import simhash_pairs
+
+    dup_rows = [(i, ["tok%d" % (i % 3), "x", "y"]) for i in range(30)]
+    distinct_rows = [
+        (100 + i, ["only%d" % i, "u%d" % i, "shared"]) for i in range(12)
+    ]
+    for rows, min_pairs in ((dup_rows, 100), (distinct_rows, 0)):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, toks array<string>"
+        )
+        got = _pairs_set(simhash_pairs(docs, "doc_id", "toks"), "hamming")
+        want = _simhash_brute(spark, docs)
+        assert got == want
+        assert len(want) >= min_pairs
+
+
+def test_basket_cap_binds_on_fat_order(spark):
+    """A synthetic 100-part order must emit at most CAP·(CAP−1)
+    edges, and they must be exactly the pairs over the CAP lowest
+    part ids (the deterministic keep rule)."""
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _BASKET_CAP,
+        _cap_baskets,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, p) for p in range(1000, 1100)] + [(2, 1), (2, 2)],
+        "okey long, pid long",
+    )
+    capped = _cap_baskets(lines)
+    got = {(r.okey, r.pid) for r in capped.collect()}
+    assert {(2, 1), (2, 2)} <= got
+    fat = sorted(p for o, p in got if o == 1)
+    assert len(fat) == _BASKET_CAP
+    assert fat == list(range(1000, 1000 + _BASKET_CAP))
+
+
+def test_als_trace_is_a_parquet_model_table(spark):
+    """The ALS fit writes its factor trace to scratch parquet ONCE
+    and both consumers scan it — no factor rows through the driver
+    (r11 ask #3). Second call must not rewrite."""
+    import os
+
+    from fuzzy_item_matching_spark.queries import training as T
+
+    t1 = T._als_trace(spark, SF_SMOKE)
+    # the path was registered and exists on disk as parquet
+    paths = [p for p in T._ALS_TRACE_WRITTEN if "als_trace_" in p]
+    assert paths
+    path = paths[0]
+    assert os.path.isdir(path)
+    before = os.stat(path).st_mtime_ns
+    t2 = T._als_trace(spark, SF_SMOKE)
+    assert os.stat(path).st_mtime_ns == before  # no refit/rewrite
+    assert t1.schema == t2.schema
+    assert t1.count() == t2.count() > 0
+
+
+def test_winnowing_shift_survives_long_docs():
+    """The widened 2^30 tie-break shift (ADVICE r11): on a document
+    longer than the OLD 2^20 position limit, the encoded-key
+    selection must still extract TRUE hashes (== lexicographic
+    (hash, pos) ground truth), while the old 2^20 encoding provably
+    corrupts (extracts values outside the true hash set). Pure-Python
+    mirror of the operator's arithmetic — the giant doc never touches
+    Spark (the operator itself documents a chunk-upstream contract;
+    Spark-vs-mirror equality is pinned on normal-size docs in
+    test_round11_ops.py)."""
+    import hashlib
+
+    k, w = 7, 4
+    text = ("abcdefg hij klmnop " * 60000)[: (1 << 20) + 200]
+    n = len(text)
+    hashes = [
+        int(
+            hashlib.md5(text[p - 1 : p - 1 + k].encode()).hexdigest()[:8], 16
+        )
+        for p in range(1, n - k + 2)
+    ]
+
+    def select(shift: int) -> set:
+        out = set()
+        win: list[int] = []
+        for p, h in enumerate(hashes, start=1):
+            win.append(h * shift + p)
+            if len(win) > w:
+                win.pop(0)
+            if p >= w:
+                out.add(min(win) // shift)
+        return out
+
+    truth = set()
+    win2: list[tuple] = []
+    for p, h in enumerate(hashes, start=1):
+        win2.append((h, p))
+        if len(win2) > w:
+            win2.pop(0)
+        if p >= w:
+            truth.add(min(win2)[0])
+
+    assert select(1 << 30) == truth  # new shift: exact
+    old = select(1 << 20)
+    assert old != truth  # the old shift corrupts past 2^20
+    assert old - truth  # ...by emitting values that are NOT hashes

@@ -384,3 +384,110 @@ def sparse_logistic_gd_sql(
         for t in range(1, iters + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+def quantile_gd_fit(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "label",
+    tau: float = 0.9,
+    iters: int = 6,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Linear QUANTILE regression by full-batch subgradient descent on
+    the pinball loss L_tau(r) = max(tau*r, (tau-1)*r), r = y - w·x:
+    grad_j = mean((1[y < w·x] - tau) * x_j). Same trace contract as
+    logistic_gd_fit: (iter, coef, weight), w0 = intercept, every
+    iteration replayed by the oracle (quantile_gd_sql).
+
+    Determinism: w·x is a fixed expression tree over round-to-9
+    weights, so the indicator 1[y < w·x] compares bit-identical
+    doubles on both engines; the gradient numerator accumulates as
+    DECIMAL(38,18) and the count denominator is exact.
+    """
+    names = ["w0"] + [f"w{j + 1}" for j in range(len(features))]
+    pw = pairs.select(label, *features).persist()
+    w = pairs.sparkSession.createDataFrame(
+        [tuple(0.0 for _ in names)], ", ".join(f"{n} double" for n in names)
+    )
+    traces = []
+    for t in range(1, iters + 1):
+        joined = pw.crossJoin(F.broadcast(w))
+        z = F.col("w0")
+        for j, feat in enumerate(features):
+            z = z + F.col(f"w{j + 1}") * F.col(feat)
+        ind = F.when(F.col(label) < z, F.lit(1.0)).otherwise(F.lit(0.0))
+        resid = ind - F.lit(tau)
+        den = F.count(F.lit(1)).cast("double")
+        updates = []
+        for j, n in enumerate(names):
+            term = resid if j == 0 else resid * F.col(features[j - 1])
+            num = F.sum(term.cast("decimal(38,18)")).cast("double")
+            updates.append(
+                F.round(
+                    F.min(n) - F.lit(lr) * (num / den), ROUND_DIGITS
+                ).alias(n)
+            )
+        w = joined.agg(*updates).localCheckpoint(eager=True)
+        traces.append(
+            w.select(
+                F.lit(t).alias("iter"),
+                F.expr(
+                    "stack({}, {})".format(
+                        len(names),
+                        ", ".join(f"'{n}', {n}" for n in names),
+                    )
+                ).alias("coef", "weight"),
+            )
+        )
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
+
+
+def quantile_gd_sql(
+    pairs_sql: str,
+    features: list[str],
+    tau: float = 0.9,
+    iters: int = 6,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`quantile_gd_fit` — identical expression
+    trees, DECIMAL(38,18) numerators, per-iteration round-to-9."""
+    names = ["w0"] + [f"w{j + 1}" for j in range(len(features))]
+    z = " + ".join(
+        ["w.w0"] + [f"w.w{j + 1} * {f}" for j, f in enumerate(features)]
+    )
+    resid = f"((CASE WHEN label < ({z}) THEN 1.0 ELSE 0.0 END) - {tau!r})"
+    den = "CAST(COUNT(*) AS DOUBLE)"
+    ctes = [
+        "pw AS (SELECT label, " + ", ".join(features) + " FROM pairs)",
+        "it0 AS (SELECT " + ", ".join(f"0.0 AS {n}" for n in names) + ")",
+    ]
+    for t in range(1, iters + 1):
+        cols = []
+        for j, n in enumerate(names):
+            term = resid if j == 0 else f"{resid} * {features[j - 1]}"
+            num = f"CAST(SUM(CAST({term} AS DECIMAL(38,18))) AS DOUBLE)"
+            cols.append(
+                f"round(w.{n} - {lr!r} * ({num} / {den}), 9) AS {n}"
+            )
+        ctes.append(
+            f"it{t} AS (SELECT "
+            + ", ".join(cols)
+            + f" FROM pw, it{t - 1} w GROUP BY "
+            + ", ".join(f"w.{n}" for n in names)
+            + ")"
+        )
+    arms = [
+        f"SELECT {t} AS iter, '{n}' AS coef, {n} AS weight FROM it{t}"
+        for t in range(1, iters + 1)
+        for n in names
+    ]
+    return (
+        "WITH pairs AS (" + pairs_sql + "),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(arms)
+    )

@@ -131,6 +131,65 @@ def sign_lsh_buckets(
     return F.array(*buckets)
 
 
+def sign_bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    bits_per_table: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(__id, __tbl, __bkt, __v) sign-LSH bucket frame via ONE folded
+    numpy pass over Arrow batches (the column-expression form is an
+    interpreted per-element fold, measured 7-10 s alone at sf0.1).
+    Fold order matches the expression/oracle exactly
+    (_folded_dot_block). Shared by lsh_cosine_topk and the multiprobe
+    variant."""
+    df = valid_vectors(df, vec_col, dim)  # np.stack dies on NULL/ragged
+    planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
+    planes_arr = np.asarray(planes, dtype=np.float64)  # (tables·bits, dim)
+
+    id_type = df.schema[id_col].dataType
+    bucket_schema = T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("__tbl", T.IntegerType()),
+            T.StructField("__bkt", T.StringType()),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(v), planes_arr.shape[0]), dtype=np.float64)
+            for i in range(planes_arr.shape[1]):
+                acc += v[:, i, None] * planes_arr[None, :, i]
+            chars = np.where(acc >= 0, "1", "0")
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = chars[:, t * bits_per_table : (t + 1) * bits_per_table]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__id": ids,
+                            "__tbl": t,
+                            "__bkt": ["".join(r) for r in bits],
+                            "__v": list(v),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=bucket_schema
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -161,51 +220,9 @@ def lsh_cosine_topk(
 
     if dim is None:
         dim = _infer_dim(df, vec_col)
-    df = valid_vectors(df, vec_col, dim)  # np.stack dies on NULL/ragged
-    planes = random_hyperplanes(dim, n_tables * bits_per_table, seed)
-    planes_arr = np.asarray(planes, dtype=np.float64)  # (tables·bits, dim)
-
     id_type = df.schema[id_col].dataType
-    bucket_schema = T.StructType(
-        [
-            T.StructField("__id", id_type),
-            T.StructField("__tbl", T.IntegerType()),
-            T.StructField("__bkt", T.StringType()),
-            T.StructField("__v", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def bucketize(batches):
-        # 80 sign projections per row as ONE folded numpy pass — the
-        # column-expression form (sign_lsh_buckets) is an interpreted
-        # per-element fold, measured 7-10s alone at sf0.1. Fold order
-        # matches the expression/oracle exactly (see _folded_*_block).
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(v), planes_arr.shape[0]), dtype=np.float64)
-            for i in range(planes_arr.shape[1]):
-                acc += v[:, i, None] * planes_arr[None, :, i]
-            chars = np.where(acc >= 0, "1", "0")
-            ids = pdf[id_col].to_numpy()
-            frames = []
-            for t in range(n_tables):
-                bits = chars[:, t * bits_per_table : (t + 1) * bits_per_table]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "__id": ids,
-                            "__tbl": t,
-                            "__bkt": ["".join(r) for r in bits],
-                            "__v": list(v),
-                        }
-                    )
-                )
-            yield pd.concat(frames)
-
-    buckets = df.select(id_col, vec_col).mapInPandas(
-        bucketize, schema=bucket_schema
+    buckets = sign_bucket_frame(
+        df, id_col, vec_col, n_tables, bits_per_table, seed, dim
     )
     out_schema = T.StructType(
         [
@@ -250,6 +267,76 @@ def lsh_cosine_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_tables: int = 4,
+    bits_per_table: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH cosine top-k (Lv et al., VLDB 2007): each
+    query probes its OWN bucket plus every 1-bit-flip neighbor bucket
+    in each table — bits+1 probes per (query, table) — so one table
+    does the recall work of ~bits tables. The index stays n_tables
+    small (here {n_tables} tables vs lsh_cosine_topk's 16 for similar
+    recall): at 100 TB the index frame is the replicated/broadcast
+    state, and multiprobe shifts cost from INDEX SIZE (memory, build
+    shuffle) to QUERY FAN-OUT (cheap map-side row expansion), which is
+    the right trade when queries stream against a resident index.
+
+    Exact same candidate-then-verify contract as lsh_cosine_topk:
+    candidates from (table, bucket) equi-join collisions — probes only
+    widen the probe side — then the exact fold-order cosine and a
+    (cosine DESC, nid) row_number per query. Never n².
+    """
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    buckets = sign_bucket_frame(
+        df, id_col, vec_col, n_tables, bits_per_table, seed, dim
+    ).select("__id", "__tbl", "__bkt").persist()
+    b = bits_per_table
+    flip = (
+        f"transform(sequence(0, {b}), j -> CASE WHEN j = 0 THEN __bkt "
+        f"ELSE concat(substring(__bkt, 1, j - 1), "
+        f"CASE WHEN substring(__bkt, j, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring(__bkt, j + 1, {b} - j)) END)"
+    )
+    probes = buckets.select(
+        "__id", "__tbl", F.explode(F.expr(flip)).alias("__probe")
+    )
+    cand = (
+        probes.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.__tbl") == F.col("y.__tbl"))
+            & (F.col("x.__probe") == F.col("y.__bkt")),
+        )
+        .filter(F.col("x.__id") != F.col("y.__id"))
+        .select(F.col("x.__id").alias("qid"), F.col("y.__id").alias("nid"))
+        .distinct()
+    )
+    q = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"))
+    n = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__nv"))
+    scored = cand.join(q, "qid").join(n, "nid").select(
+        "qid",
+        "nid",
+        cosine_similarity(F.col("__qv"), F.col("__nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cosine", "rnk")
     )

@@ -119,6 +119,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_funnel_counts",  # was r10; r12 refactor re-proof
     "pipe_corpus_clean",  # was r09; r12 refactor re-proof
     # -- r12 births are inserted here as they land:
+    "rel_kcore_parts",  # r12 birth: k-core peeling, capped co-purchase graph
+    "sim_maxscore_topk",  # r12 birth: MaxScore static-pruned top-k retrieval
+    "rel_cm_join_size",  # r12 birth: count-min join-size estimation (AMS)
+    "rel_time_decay_attribution",  # r12 birth: dyadic-decay multi-touch
+    "sim_ann_multiprobe_lsh",  # r12 birth: multi-probe LSH (Lv et al.)
+    "ts_mi_terms",  # r12 birth: mutual-information feature selection
+    "train_quantile_gd",  # r12 birth: pinball-loss quantile regression
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -2619,3 +2619,219 @@ def rel_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
     )
     return m.transpose(indexColumn="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from count-min sketches (AMS-style inner product)
+# ---------------------------------------------------------------------------
+
+_CMJ_D = 4  # sketch rows (independent hash functions)
+_CMJ_W = 64  # buckets per row
+_CMJ_QTY = 45  # build side = high-quantity lines
+
+
+@query(
+    "rel_cm_join_size",
+    oracle=f"""
+    WITH ca AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1),
+    cb AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_quantity > {_CMJ_QTY} GROUP BY 1),
+    ha AS (SELECT k, c, u.r,
+                  CAST('0x' || substr(md5(u.r || ':' || CAST(k AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_CMJ_W} AS bucket
+           FROM ca, unnest(range({_CMJ_D})) AS u(r)),
+    hb AS (SELECT k, c, u.r,
+                  CAST('0x' || substr(md5(u.r || ':' || CAST(k AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {_CMJ_W} AS bucket
+           FROM cb, unnest(range({_CMJ_D})) AS u(r)),
+    cma AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS c
+            FROM ha GROUP BY 1, 2),
+    cmb AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS c
+            FROM hb GROUP BY 1, 2),
+    est AS (SELECT cma.r AS r, CAST(SUM(cma.c * cmb.c) AS BIGINT) AS est_size
+            FROM cma JOIN cmb USING (r, bucket) GROUP BY 1),
+    tru AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS true_size
+            FROM ca JOIN cb USING (k))
+    SELECT CAST(est.r AS INT) AS r, est.est_size, tru.true_size,
+           est.est_size - tru.true_size AS overcount
+    FROM est CROSS JOIN tru
+    """,
+)
+def rel_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches — the AMS
+    inner-product estimator every cost-based planner needs before
+    committing to a join strategy: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k),
+    estimated WITHOUT touching the join as
+    est_r = Σ_bucket cmA[r]·cmB[r] per sketch row, each an upper bound
+    (collisions only add), with min_r est the usable figure. Here A =
+    lineitem keyed by part, B = the high-quantity subset (l_quantity >
+    {qty}) — estimating the self-join a hot-parts analysis would run.
+
+    Why it matters at 100 TB: the sketches are d×w = {d}×{w} cells
+    REGARDLESS of input size, built in one map-side-combined pass per
+    side, and mergeable by + across partitions/days (the count-min
+    monoid, same family as ts_countmin_heavy). The planner's question
+    "will this join explode?" is answered from kilobytes of state —
+    no sampling pass over A or B, no key histogram shuffle. Output is
+    one row per sketch row r with its estimate next to the exact
+    Σ c_A·c_B (computed here only to surface the one-sided error as
+    an explicit overcount column).
+
+    Determinism: counts are exact integers; buckets come from the
+    portable md5-derived family; every product/sum is BIGINT — the
+    oracle replays sketch construction cell-for-cell.
+    """
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cb = (
+        li.filter(F.col("l_quantity") > _CMJ_QTY)
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = F.array([F.lit(r) for r in range(_CMJ_D)])
+
+    def sketch(counts: DataFrame) -> DataFrame:
+        hashed = counts.select(
+            "k", "c", F.explode(rows).alias("r")
+        ).withColumn(
+            "bucket",
+            hex_long_once(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("r").cast("string"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+            )
+            % _CMJ_W,
+        )
+        return hashed.groupBy("r", "bucket").agg(F.sum("c").alias("c"))
+
+    cma, cmb = sketch(ca), sketch(cb)
+    est = (
+        cma.join(cmb.withColumnRenamed("c", "cb"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("est_size"))
+    )
+    tru = (
+        ca.join(cb.withColumnRenamed("c", "cb"), "k")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("true_size"))
+    )
+    return est.crossJoin(F.broadcast(tru)).select(
+        F.col("r").cast("int").alias("r"),
+        "est_size",
+        "true_size",
+        (F.col("est_size") - F.col("true_size")).alias("overcount"),
+    )
+
+
+rel_cm_join_size.__doc__ = rel_cm_join_size.__doc__.format(
+    d=_CMJ_D, w=_CMJ_W, qty=_CMJ_QTY
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (dyadic half-life — exact arithmetic)
+# ---------------------------------------------------------------------------
+
+_TDA_LOOKBACK_S = 604800  # 7 days
+_TDA_HALFLIFE_S = 86400  # 1 day
+
+
+@query(
+    "rel_time_decay_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 1000000 AS sec
+      FROM events
+    ),
+    p AS (SELECT user_id, event_id AS pid, sec AS tp FROM ev
+          WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_id AS tid, event_type AS touch, sec AS te
+          FROM ev WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.pid, t.touch,
+             1.0 / CAST(1 << ((p.tp - t.te) // {_TDA_HALFLIFE_S}) AS DOUBLE)
+               AS w
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.te < p.tp AND p.tp - t.te <= {_TDA_LOOKBACK_S}
+    ),
+    sw AS (SELECT pid, touch, w,
+                  SUM(w) OVER (PARTITION BY pid) AS tot
+           FROM j)
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(w / tot AS DECIMAL(38,18))) AS DOUBLE) AS credit
+    FROM sw GROUP BY touch
+    """,
+)
+def rel_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY MULTI-TOUCH attribution — every purchase splits one
+    unit of credit across ALL the user's prior touches in a 7-day
+    lookback, weighted by a 1-day half-life: w = 2^-floor(Δt/24h),
+    credit share = w / Σw per purchase, then credit sums per channel.
+    The multi-touch generalization of rel_last_touch_attribution
+    (which gives the newest touch everything) — the two bracket the
+    attribution-model family marketing teams actually A/B.
+
+    Exactness by construction: the decay is DYADIC — floor() makes the
+    exponent an integer 0..7, so every weight is exactly 2^-k in
+    binary floating point (1 << k is integer, one exact division), the
+    per-purchase Σw is a sum of small dyadic rationals (exact in
+    double), the share is ONE division of identical operands, and the
+    cross-purchase channel sum accumulates as DECIMAL(38,18) (the PPR
+    discipline). A pow(2.0, -dt/τ) continuous decay would be
+    libm-dependent; the dyadic ladder is the same model, exactly
+    replayable.
+
+    Plan: the purchase-touch pairing is a per-user range join (events
+    per user are bounded; the join key is user_id, one shuffle); the
+    per-purchase normalizer is a window over pid; the channel rollup
+    is a 4-key hash agg. No self-join ever leaves the user key, so
+    the pairing is Σ_u touches(u)·purchases(u), not |events|².
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # NTZ has no direct long cast; session tz is UTC so the hop is
+        # identity and matches DuckDB's epoch_us (rel_rolling_user_value).
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("sec").alias("tp")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("touch"),
+        F.col("sec").alias("te"),
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.te < p.tp)
+        & (p.tp - t.te <= _TDA_LOOKBACK_S),
+    ).select(
+        "pid",
+        "touch",
+        # F.shiftleft needs a literal shift; the SQL form takes a column
+        F.expr(
+            f"1.0 / cast(shiftleft(1, cast((tp - te) div {_TDA_HALFLIFE_S}"
+            " as int)) as double)"
+        ).alias("w"),
+    )
+    sw = j.withColumn("tot", F.sum("w").over(Window.partitionBy("pid")))
+    return sw.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum((F.col("w") / F.col("tot")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("credit"),
+    )

@@ -1609,3 +1609,103 @@ def sim_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_maxscore_topk.__doc__ = sim_maxscore_topk.__doc__.format(
     k=_MAXSCORE_K, theta=_MAXSCORE_THETA, qmod=_MAXSCORE_QMOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH top-k (index-size/probe-fanout trade)
+# ---------------------------------------------------------------------------
+
+_MP_TABLES = 4
+_MP_BITS = 6
+_MP_SEED = 42
+_MP_K = 3
+
+
+def _multiprobe_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+
+    planes = random_hyperplanes(64, _MP_TABLES * _MP_BITS, _MP_SEED)
+    buckets = []
+    for t in range(_MP_TABLES):
+        bits = " || ".join(
+            "(CASE WHEN"
+            f" ({_sql_plane_dot('embedding::DOUBLE[]', planes[t * _MP_BITS + b])})"
+            " >= 0 THEN '1' ELSE '0' END)"
+            for b in range(_MP_BITS)
+        )
+        buckets.append(
+            f"      SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings"
+        )
+    bkt = "\n      UNION ALL\n".join(buckets)
+    norm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
+    pair_dot = (
+        "list_sum(list_transform("
+        "list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), s -> s[1]*s[2]))"
+    )
+    # DuckDB lambdas in a lateral unnest cannot capture row columns;
+    # the probe splice lives in the SELECT over a plain range cross.
+    flip = (
+        "CASE WHEN u.j = 0 THEN bucket ELSE substr(bucket, 1, u.j - 1) ||"
+        " (CASE WHEN substr(bucket, u.j, 1) = '1' THEN '0' ELSE '1' END) ||"
+        f" substr(bucket, u.j + 1, {_MP_BITS} - u.j) END"
+    )
+    return f"""
+    WITH bkt AS (
+{bkt}
+    ),
+    probes AS (
+      SELECT vec_id, tbl, {flip} AS probe
+      FROM bkt, unnest(range(0, {_MP_BITS + 1})) AS u(j)
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+      FROM probes x JOIN bkt y
+        ON x.tbl = y.tbl AND x.probe = y.bucket AND x.vec_id <> y.vec_id
+    ),
+    norms AS (SELECT vec_id, {norm} AS nrm FROM embeddings),
+    scored AS (
+      SELECT c.qid, c.nid,
+             CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+                  ELSE {pair_dot} / (nq.nrm * nn.nrm) END AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings n ON n.vec_id = c.nid
+      JOIN norms nq ON nq.vec_id = c.qid
+      JOIN norms nn ON nn.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine, rnk FROM (
+      SELECT qid, nid, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_MP_K}
+    """
+
+
+@query("sim_ann_multiprobe_lsh", oracle=_multiprobe_oracle())
+def sim_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH cosine top-{k} (Lv et al., VLDB 2007):
+    every query probes its own bucket PLUS each 1-bit-flip neighbor —
+    {bits}+1 probes per table — so {tables} tables deliver the recall
+    a {tables}×{bits}-bit single-probe index needs ~4× the tables for
+    (sim_ann_lsh_topk's 16×5 config is the single-probe sibling). The
+    100 TB reading: index memory and build shuffle scale with TABLE
+    COUNT, probe fan-out is a map-side row expansion on the query
+    side — multiprobe moves cost from the resident index to the cheap
+    streaming side. Candidate generation stays a (table, bucket)
+    equi-join; verification is the exact fold-order cosine; never n².
+    The oracle replays the seeded hyperplanes, the probe expansion and
+    the ranking in one SQL statement."""
+    from fuzzy_item_matching_spark.operators.lsh import lsh_multiprobe_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        e, "vec_id", "embedding",
+        k=_MP_K, n_tables=_MP_TABLES, bits_per_table=_MP_BITS,
+        seed=_MP_SEED, dim=64,
+    )
+
+
+sim_ann_multiprobe_lsh.__doc__ = sim_ann_multiprobe_lsh.__doc__.format(
+    k=_MP_K, bits=_MP_BITS, tables=_MP_TABLES
+)

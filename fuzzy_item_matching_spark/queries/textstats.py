@@ -3767,3 +3767,113 @@ def ts_kmv_lang_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_kmv_lang_jaccard.__doc__ = ts_kmv_lang_jaccard.__doc__.format(k=_KJ_K)
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature selection (information-gain twin of chi2)
+# ---------------------------------------------------------------------------
+
+_MI_MIN_DF = 5
+_MI_K = 50
+
+
+def _mi_cell_sql(k: str, row: str, col: str) -> str:
+    """One MI cell (k/n)·ln(k·n/(row·col)) with the zero-cell guard —
+    every operand an exact integer, one ln per cell."""
+    return (
+        f"CASE WHEN {k} = 0 THEN 0.0 ELSE"
+        f" (CAST({k} AS DOUBLE) / n)"
+        f" * ln(CAST({k} AS DOUBLE) * n / (CAST({row} AS DOUBLE) * ({col})))"
+        " END"
+    )
+
+
+@query(
+    "ts_mi_terms",
+    oracle=f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_distinct({_D_TOKENS.format(c="text")}) AS toks
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM d),
+    td AS (
+      SELECT term,
+             CAST(SUM(y) AS BIGINT) AS a,
+             COUNT(*) - CAST(SUM(y) AS BIGINT) AS b
+      FROM (SELECT y, unnest(toks) AS term FROM d)
+      GROUP BY term
+    )
+    SELECT term, df, mi FROM (
+      SELECT term, a + b AS df,
+             {_mi_cell_sql("a", "a + b", "n_pos")}
+           + {_mi_cell_sql("b", "a + b", "n - n_pos")}
+           + {_mi_cell_sql("(n_pos - a)", "n - a - b", "n_pos")}
+           + {_mi_cell_sql("(n - n_pos - b)", "n - a - b", "n - n_pos")}
+             AS mi
+      FROM td, tot
+      WHERE a + b >= {_MI_MIN_DF} AND a + b < n
+    )
+    ORDER BY mi DESC, term
+    LIMIT {_MI_K}
+    """,
+)
+def ts_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-INFORMATION feature selection — the information-gain
+    twin of ts_chi2_terms over the same presence/label 2×2 table:
+    MI(T;Y) = Σ_cells (n_k/n)·ln(n_k·n / (n_row·n_col)), zero cells
+    contributing zero. Chi-square overweights rare high-skew terms
+    (variance-normalized); MI ranks by the actual bits a term carries
+    about the label — pipelines that prune vocab for a classifier
+    want this ordering. Top {k} terms with df ≥ {mindf}.
+
+    Plan identical to the chi2 pass (the point: selection criteria
+    swap freely over one scan): row-local distinct terms → explode →
+    ONE map-side-combinable hash agg on term → broadcast 1-row totals
+    → expression-only scoring → global top-{k}.
+
+    Determinism: every ln operand is a ratio of exact BIGINTs — both
+    engines evaluate ln on bit-identical doubles (the idf discipline,
+    proven cross-engine by the TF-IDF family); the sum of 4 cells is
+    a fixed expression tree, so ordering and hash stay exact.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.array_distinct(regex_tokenize("text")).alias("toks"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    td = (
+        d.select("y", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum("y").alias("a"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("b"),
+        )
+    )
+    n = F.col("n").cast("double")
+    n_pos = F.col("n_pos").cast("double")
+
+    def cell(k, row, col):
+        kd = k.cast("double")
+        return F.when(k == 0, F.lit(0.0)).otherwise(
+            (kd / n) * F.log(kd * n / (row.cast("double") * col))
+        )
+
+    a, b = F.col("a"), F.col("b")
+    df_tot = a + b
+    mi = (
+        cell(a, df_tot, n_pos)
+        + cell(b, df_tot, n - n_pos)
+        + cell(F.col("n_pos") - a, F.col("n") - df_tot, n_pos)
+        + cell(F.col("n") - F.col("n_pos") - b, F.col("n") - df_tot, n - n_pos)
+    )
+    return (
+        td.crossJoin(F.broadcast(tot))
+        .filter((df_tot >= _MI_MIN_DF) & (df_tot < F.col("n")))
+        .select("term", df_tot.alias("df"), mi.alias("mi"))
+        .orderBy(F.desc("mi"), F.asc("term"))
+        .limit(_MI_K)
+    )
+
+
+ts_mi_terms.__doc__ = ts_mi_terms.__doc__.format(k=_MI_K, mindf=_MI_MIN_DF)

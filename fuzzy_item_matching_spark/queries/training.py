@@ -4874,3 +4874,66 @@ def serve_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 serve_als_topk.__doc__ = serve_als_topk.__doc__.format(
     k=_ALS_TOPK, m=_ALS_QUSER_MOD, p=_ALS_PANEL
 )
+
+
+# ---------------------------------------------------------------------------
+# Quantile regression: pinball-loss GD (P90 order value)
+# ---------------------------------------------------------------------------
+
+_QR_PAIRS_SQL = """
+    SELECT CAST(o.o_totalprice AS DOUBLE) / 100000.0 AS label,
+           CAST(c.c_acctbal AS DOUBLE) / 10000.0 AS x1,
+           CAST(c.c_nationkey AS DOUBLE) / 25.0 AS x2
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+_QR_TAU = 0.9
+_QR_ITERS = 6
+
+
+def _qr_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import quantile_gd_sql
+
+    return quantile_gd_sql(
+        _QR_PAIRS_SQL, ["x1", "x2"], tau=_QR_TAU, iters=_QR_ITERS
+    )
+
+
+@query("train_quantile_gd", oracle=_qr_oracle())
+def train_quantile_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE regression — fit the P{p} of order value given customer
+    features by subgradient descent on the PINBALL loss
+    L_tau(r) = max(tau·r, (tau-1)·r): the asymmetric cousin of OLS
+    that powers SLA / demand-upper-bound / risk models (predicting
+    "how bad can this get" instead of the mean, which
+    train_ols_by_brand covers). grad_j = mean((1[y<w·x]-tau)·x_j) —
+    one fixed expression per feature, full-batch.
+
+    Plan: the (label, x1, x2) frame persists once; each of the
+    {it} iterations is ONE broadcast of the 3-double weight row + ONE
+    hash aggregation (map-side combinable DECIMAL(38,18) numerators,
+    exact COUNT denominator) + a localCheckpoint of the 1-row state —
+    the logistic-GD schedule (operators/logreg.py), which at 100 TB is
+    iters scans of a cached columnar frame with kilobyte state, the
+    canonical distributed-GD shape.
+
+    Determinism: w·x compares bit-identical doubles, so the pinball
+    indicator never straddles engines; weights round to 9 per
+    iteration; the oracle replays all {it} iterations CTE-for-CTE.
+    """
+    from fuzzy_item_matching_spark.operators.logreg import quantile_gd_fit
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = o.join(c, o.o_custkey == c.c_custkey).select(
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("label"),
+        (F.col("c_acctbal").cast("double") / 10000.0).alias("x1"),
+        (F.col("c_nationkey").cast("double") / 25.0).alias("x2"),
+    )
+    return quantile_gd_fit(
+        pairs, ["x1", "x2"], tau=_QR_TAU, iters=_QR_ITERS
+    )
+
+
+train_quantile_gd.__doc__ = train_quantile_gd.__doc__.format(
+    p=int(_QR_TAU * 100), it=_QR_ITERS
+)

@@ -328,6 +328,21 @@ def report(paths: list[str]) -> None:
               + " | ".join(ratios) + " |")
 
 
+def report_skew(uniform_path: str, skew_path: str) -> None:
+    """Skew table: t(xs10)/t(x10) per query — the pure cost of hub
+    keys at identical data volume (same 10-copy union, same row
+    counts; only the key/text distribution differs)."""
+    u = json.load(open(uniform_path))
+    sk = json.load(open(skew_path))
+    print("| query | x10 uniform (s) | xs10 skewed (s) | skew ratio |")
+    print("|---|---|---|---|")
+    for name in u["queries"]:
+        tu = u["queries"].get(name, -1.0)
+        ts = sk["queries"].get(name, -1.0)
+        r = "n/a" if tu <= 0 or ts <= 0 else f"{ts / tu:.2f}"
+        print(f"| {name} | {tu:.2f} | {ts:.2f} | {r} |")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if cmd == "gen":

@@ -238,3 +238,184 @@ def test_winnowing_shift_survives_long_docs():
     old = select(1 << 20)
     assert old != truth  # the old shift corrupts past 2^20
     assert old - truth  # ...by emitting values that are NOT hashes
+
+
+def test_multiprobe_dominates_single_probe_recall(spark):
+    """At the SAME (tables, bits) config, multiprobe's candidate set
+    is a strict superset of single-probe's (probe 0 IS the own
+    bucket), so its top-k recall vs brute force must be >= — the
+    whole point of probing flip neighbors."""
+    from fuzzy_item_matching_spark.operators.lsh import (
+        lsh_cosine_topk,
+        lsh_multiprobe_topk,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cfg = dict(k=3, n_tables=4, bits_per_table=6, seed=42, dim=64)
+    single = {
+        (r.qid, r.nid)
+        for r in lsh_cosine_topk(e, "vec_id", "embedding", **cfg).collect()
+    }
+    multi = {
+        (r.qid, r.nid)
+        for r in lsh_multiprobe_topk(
+            e, "vec_id", "embedding", **cfg
+        ).collect()
+    }
+    # brute-force truth
+    from fuzzy_item_matching_spark.functions.vector import cosine_similarity
+    from pyspark.sql.window import Window as W
+
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    truth = {
+        (r.qid, r.nid)
+        for r in pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    rec_s = len(single & truth) / len(truth)
+    rec_m = len(multi & truth) / len(truth)
+    assert rec_m >= rec_s
+    assert rec_m > 0.5  # 4x6 multiprobe must be a usable index here
+
+
+def test_kcore_peel_is_monotone_and_bounded(spark):
+    """Round-12 k-core contract: every survivor's core degree >= k,
+    survivors are a subset of the full-degree >= k set (peeling only
+    deletes), and re-running one more peel round on the output
+    changes nothing IF the output is already stable OR shrinks it
+    further (monotonicity either way)."""
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _KCORE_K,
+        _copurchase_graph,
+        rel_kcore_parts,
+    )
+
+    out = rel_kcore_parts(spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(r.core_degree >= _KCORE_K for r in rows)
+    # subset of the one-shot degree filter (round 1 of the peel)
+    _, e = _copurchase_graph(spark, SF_SMOKE, wtype="long")
+    deg1 = {
+        r.id: r.deg
+        for r in e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .collect()
+    }
+    for r in rows:
+        assert deg1[r.id] >= _KCORE_K  # first-round degree can only shrink
+        assert r.core_degree <= deg1[r.id]
+
+
+def test_maxscore_equals_unpruned_above_theta(spark):
+    """The MaxScore exactness guarantee: pruned top-k == the top-k a
+    FULL (unpruned) postings scoring produces over the same panel —
+    any doc with score >= theta shares >= 1 essential term."""
+    from fuzzy_item_matching_spark.queries.similarity import (
+        _MAXSCORE_K,
+        _MAXSCORE_QMOD,
+        _MAXSCORE_THETA,
+        sim_maxscore_topk,
+    )
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.operators.features import tfidf_features
+    from fuzzy_item_matching_spark.tables import load_table
+    from pyspark.sql.window import Window as W
+
+    got = {
+        (r.q, r.d, r.rnk): r.score
+        for r in sim_maxscore_topk(spark, SF_SMOKE).collect()
+    }
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = d.select("doc_id", regex_tokenize("text").alias("toks"))
+    feats = tfidf_features(
+        toks, ["doc_id"], "toks", binary=True, max_df_ratio=0.9
+    )
+    wq = feats.filter(F.col("doc_id") % _MAXSCORE_QMOD == 0).select(
+        F.col("doc_id").alias("q"), "term", F.col("weight").alias("wq")
+    )
+    wd = feats.select(
+        F.col("doc_id").alias("dd"), "term", F.col("weight").alias("wd")
+    )
+    full = (
+        wq.join(wd, "term")
+        .filter(F.col("dd") != F.col("q"))
+        .groupBy("q", F.col("dd").alias("d"))
+        .agg(F.round(F.sum(F.col("wq") * F.col("wd")), 9).alias("score"))
+        .filter(F.col("score") >= _MAXSCORE_THETA)
+    )
+    w = W.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    want = {
+        (r.q, r.d, r.rnk): r.score
+        for r in full.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MAXSCORE_K)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_quantile_gd_reduces_pinball_loss(spark):
+    """The subgradient steps must reduce the empirical pinball loss
+    from the zero-weight start to the final iterate (full-batch,
+    convex objective, modest lr — descent should be visible)."""
+    from fuzzy_item_matching_spark.operators.logreg import quantile_gd_fit
+
+    rows = [(float(y) / 10.0, float(y % 7) / 7.0, float(y % 3) / 3.0)
+            for y in range(200)]
+    pairs = spark.createDataFrame(rows, "label double, x1 double, x2 double")
+    tau, iters = 0.9, 6
+    trace = quantile_gd_fit(pairs, ["x1", "x2"], tau=tau, iters=iters)
+    w = {
+        (r["iter"], r.coef): r.weight for r in trace.collect()
+    }
+
+    def pinball(w0, w1, w2):
+        tot = 0.0
+        for y, x1, x2 in rows:
+            r = y - (w0 + w1 * x1 + w2 * x2)
+            tot += max(tau * r, (tau - 1.0) * r)
+        return tot / len(rows)
+
+    loss0 = pinball(0.0, 0.0, 0.0)
+    lossK = pinball(
+        w[(iters, "w0")], w[(iters, "w1")], w[(iters, "w2")]
+    )
+    assert lossK < loss0
+
+
+def test_mi_terms_nonnegative_and_df_bounded(spark):
+    """Mutual information of any 2x2 distribution is >= 0 (Jensen);
+    every returned term must respect the df window."""
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _MI_MIN_DF,
+        ts_mi_terms,
+    )
+
+    rows = ts_mi_terms(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.mi >= 0.0
+        assert r.df >= _MI_MIN_DF
+
+
+def test_cm_join_size_one_sided(spark):
+    """Count-min inner products only ever OVERcount (collisions add
+    non-negative mass): est >= true for every sketch row."""
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_cm_join_size,
+    )
+
+    rows = rel_cm_join_size(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.est_size >= r.true_size
+        assert r.overcount == r.est_size - r.true_size

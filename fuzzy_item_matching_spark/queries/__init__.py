@@ -126,6 +126,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "sim_ann_multiprobe_lsh",  # r12 birth: multi-probe LSH (Lv et al.)
     "ts_mi_terms",  # r12 birth: mutual-information feature selection
     "train_quantile_gd",  # r12 birth: pinball-loss quantile regression
+    "dedup_containment_pairs",  # r12 birth: subset/excerpt containment
+    "train_conformal_ols",  # r12 birth: split-conformal intervals
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

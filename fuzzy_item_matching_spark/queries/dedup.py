@@ -1722,3 +1722,97 @@ def dedup_incremental_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("delta_doc", "corpus_doc", "n_shared", containment.alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: subset detection the symmetric Jaccard misses
+# ---------------------------------------------------------------------------
+
+_CONT_T = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS g FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i,
+           CAST(i AS DOUBLE) / least(x.n, y.n) AS containment,
+           CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard,
+           CASE WHEN x.n <= y.n THEN id_a ELSE id_b END AS contained_id
+    FROM inter
+    JOIN sizes x ON inter.id_a = x.doc_id
+    JOIN sizes y ON inter.id_b = y.doc_id
+    WHERE CAST(i AS DOUBLE) / least(x.n, y.n) >= {_CONT_T}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup — C(A,B) = |A∩B| / min(|A|,|B|) over word-
+    3-gram shingle sets: a short document fully embedded in a longer
+    one scores containment ≈ 1 while its JACCARD collapses toward
+    |A|/|B| (a 1-page excerpt of a 100-page doc has jaccard ≈ 0.01 —
+    the symmetric threshold in dedup_ngram_jaccard can never see it).
+    Containment is the measure excerpt/quote/boilerplate-inclusion
+    dedup actually needs; winnowing (dedup_winnowing_pairs) finds the
+    SPAN, containment scores the SET relation, and the output names
+    which side is the contained one (the deletion candidate in a
+    keep-longest policy). Jaccard is emitted alongside so the
+    asymmetry is visible per pair.
+
+    Plan: identical inverted-index shape to dedup_ngram_jaccard — one
+    shingle explode, one postings equi-join (only pairs sharing ≥1
+    shingle), one pair count, a broadcast-friendly size join; the
+    threshold prunes before output. Same Σ df² exposure, same remedy
+    available (the collapse gate groups identical shingle sets first;
+    containment of identical sets is 1.0).
+
+    Determinism: intersection and sizes are exact integers; the two
+    ratios are single divisions; contained_id ties break to id_a
+    (<= on sizes), a total rule replayed in the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", regex_tokenize("text").alias("__toks")
+    )
+    from fuzzy_item_matching_spark.operators.dedup import word_shingles
+
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("__toks"), 3)).alias("g")
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "g")
+    b = sh.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    nx = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    ny = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(nx, "id_a")
+        .join(ny, "id_b")
+        .filter(cont >= _CONT_T)
+        .select(
+            "id_a",
+            "id_b",
+            "i",
+            cont.alias("containment"),
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )

@@ -4937,3 +4937,170 @@ def train_quantile_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_quantile_gd.__doc__ = train_quantile_gd.__doc__.format(
     p=int(_QR_TAU * 100), it=_QR_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_CP_ALPHA = 0.1  # target 90% coverage
+_CP_CAL_FRAC = 0.3
+_CP_SEED = 7
+
+
+@query(
+    "train_conformal_ols",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT p_partkey AS id,
+             CAST(p_retailprice AS DOUBLE) AS y,
+             CAST(p_size AS DOUBLE) AS x,
+             (CAST(CAST('0x' || substr(md5('{_CP_SEED}:' || CAST(p_partkey AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0) AS u
+      FROM part
+    ),
+    tr AS (SELECT * FROM pairs WHERE u >= {_CP_CAL_FRAC}),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM tr
+    ),
+    coef AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+      FROM fit
+    ),
+    cal AS (
+      SELECT abs(p.y - (coef.intercept + coef.slope * p.x)) AS r
+      FROM pairs p CROSS JOIN coef WHERE p.u < {_CP_CAL_FRAC}
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, r) AS rk FROM cal
+    ),
+    q AS (
+      SELECT ranked.r AS q_hat, nc.n_cal
+      FROM ranked, nc
+      WHERE ranked.rk = CAST(ceil((nc.n_cal + 1) * {1.0 - _CP_ALPHA}) AS BIGINT)
+    ),
+    cov AS (
+      SELECT CAST(SUM(CASE WHEN abs(p.y - (coef.intercept + coef.slope * p.x))
+                           <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+             CAST(COUNT(*) AS BIGINT) AS n_test
+      FROM pairs p CROSS JOIN coef CROSS JOIN q
+      WHERE p.u >= {_CP_CAL_FRAC}
+    )
+    SELECT q.n_cal, q.q_hat,
+           coef.slope, coef.intercept,
+           cov.n_in, cov.n_test,
+           CAST(cov.n_in AS DOUBLE) / cov.n_test AS coverage
+    FROM q CROSS JOIN coef CROSS JOIN cov
+    """,
+)
+def train_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals — the distribution-free
+    guarantee every served regression should ship with: fit any point
+    model on a train split, take the ceil((n+1)(1-α))-th smallest
+    absolute residual on a held-out CALIBRATION split as q̂, and
+    [ŷ − q̂, ŷ + q̂] covers fresh points with probability ≥ 1−α = {cov}
+    under exchangeability, no matter how wrong the model is. Model
+    here: global OLS of part price on size (the closed-form
+    sums-only fit of train_ols_by_brand); split: the content-keyed
+    md5 gate (survives repartitioning and engine swaps —
+    src_keyed_sample's construction), calibration fraction {frac}.
+
+    Plan: the fit is one 5-sum aggregate over the train split; q̂ is
+    one rank pick (row_number over |residual| — an order statistic,
+    not a float quantile interpolation, so it is EXACT); coverage is
+    one more aggregate over the non-calibration rows. Three passes
+    over a cached frame, kilobyte state — at 100 TB the calibration
+    rank would swap to the same computation over a keyed sample.
+
+    Determinism: sums accumulate as DECIMAL; slope/intercept/residuals
+    are fixed IEEE trees over identical doubles; the rank index is an
+    exact integer; ties in |residual| break by value (equal values —
+    any pick yields the same q̂).
+    """
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").cast("double").alias("y"),
+        F.col("p_size").cast("double").alias("x"),
+        keyed_uniform(F.col("p_partkey"), seed=_CP_SEED).alias("u"),
+    ).persist()
+    tr = p.filter(F.col("u") >= _CP_CAL_FRAC)
+    fit = tr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    coef = fit.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    resid = F.abs(
+        F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+    )
+    cal = (
+        p.filter(F.col("u") < _CP_CAL_FRAC)
+        .crossJoin(F.broadcast(coef))
+        .select(resid.alias("r"))
+    )
+    nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    ranked = cal.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "r")).alias("rk"),
+    )
+    q = ranked.crossJoin(F.broadcast(nc)).filter(
+        F.col("rk")
+        == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - _CP_ALPHA)).cast(
+            "long"
+        )
+    ).select(F.col("r").alias("q_hat"), "n_cal")
+    cov = (
+        p.filter(F.col("u") >= _CP_CAL_FRAC)
+        .crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(q.select("q_hat")))
+        .agg(
+            F.sum(
+                F.when(resid <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_in"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+    )
+    return (
+        q.crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal",
+            "q_hat",
+            "slope",
+            "intercept",
+            "n_in",
+            "n_test",
+            (F.col("n_in").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+train_conformal_ols.__doc__ = train_conformal_ols.__doc__.format(
+    cov=1.0 - _CP_ALPHA, frac=_CP_CAL_FRAC
+)

@@ -353,9 +353,23 @@ def lsh_sqdist_join(
     seed: int = 42,
     dim: int | None = None,
     dist_col: str = "sqdist",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate squared-distance join (J4). ``right=None`` → self-join
     dedup mode (unordered pairs, id_a < id_b).
+
+    ``bucket_cap`` (pair mode only): keep at most this many RIGHT-side
+    rows per (table, bucket) — the bucket_cap lowest ids, a
+    deterministic index truncation. On a densifying corpus the bucket
+    join's candidate volume grows with Σ |left_b|·|right_b| — per
+    ARRIVING item it grows linearly with corpus density, with no upper
+    bound (the ×25 scaling run measured the uncapped serving flow
+    going quadratic). A capped index bounds comparisons per arrival at
+    n_tables·bucket_cap regardless of corpus size — the posting-list
+    truncation every production vector index applies; recall beyond
+    the cap requires finer bucket geometry (smaller bucket_length /
+    more tables), which is an index-tuning decision, not a join-shape
+    one.
 
     Plan: bucket arrays (narrow) → posexplode by (table_idx, bucket) →
     cogrouped ``applyInPandas`` scoring each bucket block with ONE
@@ -437,6 +451,15 @@ def lsh_sqdist_join(
             ),
             "id_b",
         )
+        if bucket_cap is not None:
+            from pyspark.sql.window import Window as _W
+
+            wb = _W.partitionBy("__tbl", "__bkt").orderBy("id_b")
+            rb = (
+                rb.withColumn("__brn", F.row_number().over(wb))
+                .filter(F.col("__brn") <= bucket_cap)
+                .drop("__brn")
+            )
 
         def score_pair(
             _key: tuple, apdf: pd.DataFrame, bpdf: pd.DataFrame

@@ -28,6 +28,34 @@ from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.tables import load_table
 
 
+_E2E_CAND_CAP = 32  # LSH candidates kept per arriving item
+_E2E_BUCKET_CAP = 256  # stored rows indexed per (table, bucket)
+
+
+def _cap_candidates(lsh: "DataFrame") -> "DataFrame":
+    """Keep the _E2E_CAND_CAP nearest LSH candidates per NEW item
+    (sqdist ASC, id_b tie-break — a total order on bit-identical
+    doubles, replayed verbatim in the oracles' crn window).
+
+    Why: "all pairs within threshold t" is an answer that grows
+    QUADRATICALLY on a densifying corpus — the ×25 scaling run
+    measured serve_end_to_end at 64× cost for 25× data purely because
+    the threshold-1.5 pair count grew ~k² (per-pair throughput
+    actually improved; see docs/SCALING.md round-12). A production
+    matcher bounds work per ARRIVING item: the labeled-pair frame,
+    booster fit and scoring downstream are then linear in the arrival
+    batch regardless of how dense the stored corpus gets — the same
+    fixed-size-panel discipline that fixed serve_als_topk in r11."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("id_a").orderBy("sqdist", "id_b")
+    return (
+        lsh.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= _E2E_CAND_CAP)
+        .select("id_a", "id_b")
+    )
+
+
 def _match_score(d1: pd.Series, d2: pd.Series, d3: pd.Series) -> pd.Series:
     """Vectorized pair scorer: rational decay of summed distances.
 
@@ -216,17 +244,30 @@ def _incremental_scoring_oracle(
 {bkt('newitems')}
     ),
     sb AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY vec_id) AS brn
+        FROM (
 {bkt('stored')}
+        )
+      ) WHERE brn <= {_E2E_BUCKET_CAP}
     ),
     lsh_cand AS (
       SELECT DISTINCT n.vec_id AS id_a, s.vec_id AS id_b
       FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bucket = s.bucket
     ),
     lsh_pairs AS (
-      SELECT c.id_a, c.id_b FROM lsh_cand c
-      JOIN newitems a ON a.vec_id = c.id_a
-      JOIN stored b ON b.vec_id = c.id_b
-      WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               row_number() OVER (
+                 PARTITION BY c.id_a
+                 ORDER BY {sqd.format(lo=1, hi=dim)}, c.id_b) AS crn
+        FROM lsh_cand c
+        JOIN newitems a ON a.vec_id = c.id_a
+        JOIN stored b ON b.vec_id = c.id_b
+        WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+      ) WHERE crn <= {_E2E_CAND_CAP}
     ),
     golden AS (
       SELECT vec_id + 1000000 AS id_a, vec_id AS id_b
@@ -296,10 +337,13 @@ def serve_incremental_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_items = merged.filter(F.col("vec_id") >= 1000000)
     stored = merged.filter(F.col("vec_id") < 1000000)
 
-    lsh_pairs = lsh_sqdist_join(
-        new_items, stored, "vec_id", "emb", threshold=1.5,
-        n_tables=10, bucket_length=1.0, seed=42, dim=64,
-    ).select("id_a", "id_b")
+    lsh_pairs = _cap_candidates(
+        lsh_sqdist_join(
+            new_items, stored, "vec_id", "emb", threshold=1.5,
+            n_tables=10, bucket_length=1.0, seed=42, dim=64,
+            bucket_cap=_E2E_BUCKET_CAP,
+        )
+    )
     golden = base.filter(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + 1000000).alias("id_a"),
         F.col("vec_id").alias("id_b"),
@@ -376,17 +420,30 @@ def _e2e_pairs_sql(
 {bkt('newitems')}
     ),
     sb AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY vec_id) AS brn
+        FROM (
 {bkt('stored')}
+        )
+      ) WHERE brn <= {_E2E_BUCKET_CAP}
     ),
     lsh_cand AS (
       SELECT DISTINCT n.vec_id AS id_a, s.vec_id AS id_b
       FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bucket = s.bucket
     ),
     lsh_pairs AS (
-      SELECT c.id_a, c.id_b FROM lsh_cand c
-      JOIN newitems a ON a.vec_id = c.id_a
-      JOIN stored b ON b.vec_id = c.id_b
-      WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               row_number() OVER (
+                 PARTITION BY c.id_a
+                 ORDER BY {sqd.format(lo=1, hi=dim)}, c.id_b) AS crn
+        FROM lsh_cand c
+        JOIN newitems a ON a.vec_id = c.id_a
+        JOIN stored b ON b.vec_id = c.id_b
+        WHERE {sqd.format(lo=1, hi=dim)} <= {threshold}
+      ) WHERE crn <= {_E2E_CAND_CAP}
     ),
     golden AS (
       SELECT vec_id + 1000000 AS id_a, vec_id AS id_b
@@ -519,10 +576,13 @@ def serve_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_items = merged.filter(F.col("vec_id") >= 1000000)
     stored = merged.filter(F.col("vec_id") < 1000000)
 
-    lsh_pairs = lsh_sqdist_join(
-        new_items, stored, "vec_id", "emb", threshold=1.5,
-        n_tables=10, bucket_length=1.0, seed=42, dim=64,
-    ).select("id_a", "id_b")
+    lsh_pairs = _cap_candidates(
+        lsh_sqdist_join(
+            new_items, stored, "vec_id", "emb", threshold=1.5,
+            n_tables=10, bucket_length=1.0, seed=42, dim=64,
+            bucket_cap=_E2E_BUCKET_CAP,
+        )
+    )
     golden = base.filter(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + 1000000).alias("id_a"),
         F.col("vec_id").alias("id_b"),

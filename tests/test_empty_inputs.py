@@ -108,6 +108,18 @@ EMPTY_SAFE = [
     "rel_transpose_status_metrics",
     "dedup_incremental_winnowing",
     "rel_ppr_parts",
+    # r12 additions: empty edges/postings/panels/events flow through
+    # the k-core peel, the MaxScore split, the probe expansion, the
+    # sketch joins, the attribution range join, MI scoring, the
+    # containment join and the conformal rank pick as empty results
+    "rel_kcore_parts",
+    "sim_maxscore_topk",
+    "sim_ann_multiprobe_lsh",
+    "rel_cm_join_size",
+    "rel_time_decay_attribution",
+    "ts_mi_terms",
+    "dedup_containment_pairs",
+    "train_conformal_ols",
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.

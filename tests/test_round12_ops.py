@@ -419,3 +419,30 @@ def test_cm_join_size_one_sided(spark):
     for r in rows:
         assert r.est_size >= r.true_size
         assert r.overcount == r.est_size - r.true_size
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """lsh_sqdist_join(bucket_cap=N) must consider at most N stored
+    rows per (table, bucket): with M identical stored vectors in one
+    bucket and one query hitting it, pairs <= tables*N (and equal the
+    N lowest stored ids per table-dedup)."""
+    from fuzzy_item_matching_spark.operators.lsh import lsh_sqdist_join
+
+    vec = [1.0] + [0.0] * 63
+    stored = spark.createDataFrame(
+        [(i, vec) for i in range(40)], "vec_id long, emb array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1000, vec)], "vec_id long, emb array<double>"
+    )
+    out = lsh_sqdist_join(
+        new, stored, "vec_id", "emb", threshold=1.5,
+        n_tables=10, bucket_length=1.0, seed=42, dim=64, bucket_cap=8,
+    ).collect()
+    ids = sorted({r.id_b for r in out})
+    assert ids == list(range(8))  # the 8 lowest ids, nothing beyond
+    uncapped = lsh_sqdist_join(
+        new, stored, "vec_id", "emb", threshold=1.5,
+        n_tables=10, bucket_length=1.0, seed=42, dim=64,
+    ).collect()
+    assert len({r.id_b for r in uncapped}) == 40

@@ -128,6 +128,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_quantile_gd",  # r12 birth: pinball-loss quantile regression
     "dedup_containment_pairs",  # r12 birth: subset/excerpt containment
     "train_conformal_ols",  # r12 birth: split-conformal intervals
+    "serve_als_foldin",  # r12 birth: cold-start fold-in vs frozen factors
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

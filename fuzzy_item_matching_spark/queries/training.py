@@ -5104,3 +5104,123 @@ def train_conformal_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_conformal_ols.__doc__ = train_conformal_ols.__doc__.format(
     cov=1.0 - _CP_ALPHA, frac=_CP_CAL_FRAC
 )
+
+
+# ---------------------------------------------------------------------------
+# ALS fold-in: factor a user against the frozen item factors (no refit)
+# ---------------------------------------------------------------------------
+
+_FOLD_MOD = 16
+_FOLD_PANEL = 64
+_FOLD_TOPK = 5
+
+
+def _als_foldin_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.als import als_rank2_sql
+
+    it = _ALS_ITERS
+    r = _ALS_REG
+    dsum = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+    sums = ", ".join(
+        dsum.format(e=e) + f" AS {a}"
+        for a, e in [
+            ("a11", "f.f1 * f.f1"),
+            ("a12", "f.f1 * f.f2"),
+            ("a22", "f.f2 * f.f2"),
+            ("b1", "f.f1 * r.r"),
+            ("b2", "f.f2 * r.r"),
+        ]
+    )
+    det = f"((a11 + {r!r}) * (a22 + {r!r}) - a12 * a12)"
+    final = f"""
+    , panel AS (SELECT DISTINCT u FROM ratings WHERE u % {_FOLD_MOD} = 1
+                ORDER BY u LIMIT {_FOLD_PANEL}),
+    foldsums AS (
+      SELECT r.u, {sums}
+      FROM ratings r
+      JOIN v{it} f USING (i)
+      JOIN panel p ON p.u = r.u
+      GROUP BY r.u
+    ),
+    foldf AS (
+      SELECT u,
+             round(((a22 + {r!r}) * b1 - a12 * b2) / {det}, 9) AS f1,
+             round(((a11 + {r!r}) * b2 - a12 * b1) / {det}, 9) AS f2
+      FROM foldsums
+    )
+    SELECT u, i, score, rnk FROM (
+      SELECT q.u, v.i, round(q.f1 * v.f1 + q.f2 * v.f2, 9) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.u
+               ORDER BY round(q.f1 * v.f1 + q.f2 * v.f2, 9) DESC, v.i
+             ) AS rnk
+      FROM foldf q
+      CROSS JOIN v{it} v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r WHERE r.u = q.u AND r.i = v.i
+      )
+    ) WHERE rnk <= {_FOLD_TOPK}"""
+    return als_rank2_sql(
+        _ALS_RATINGS_SQL, iters=_ALS_ITERS, reg=_ALS_REG, final_select=final
+    )
+
+
+@query("serve_als_foldin", oracle=_als_foldin_oracle())
+def serve_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS FOLD-IN — the cold-start/update serving primitive: a user's
+    factor is recomputed from their CURRENT ratings against the FROZEN
+    item factors (one closed-form 2×2 ridge solve — exactly one ALS
+    user half-step), no refit, no touch of anyone else's state. This
+    is how production recommenders serve users who arrived (or
+    changed) after the nightly fit: the factor table stays read-only
+    and the fold-in is a per-user computation over their own rating
+    rows. Panel: the {p} lowest users with u % {m} = 1 (the fixed-size
+    serving-panel discipline), then the same unseen-item top-{k}
+    scoring as serve_als_topk.
+
+    Plan: item factors come from the persisted scratch-parquet model
+    table (_als_trace — the fit runs at most once per session); the
+    fold-in is ONE keyed join (panel ratings × item factors) + ONE
+    DECIMAL(38,18) aggregation + a fixed-tree solve; scoring
+    broadcasts the {p}-row folded panel against the item frame. The
+    oracle replays the whole fit AND the fold-in in one statement.
+    """
+    from fuzzy_item_matching_spark.operators.als import _solve_side
+
+    trace = _als_trace(spark, sf_dir)
+    ratings = _als_ratings(spark, sf_dir).persist()
+    last_i = 2 * _ALS_ITERS
+    v = trace.filter(F.col("step") == last_i).select(
+        F.col("id").alias("i"), "f1", "f2"
+    )
+    panel = (
+        ratings.select("u")
+        .filter(F.col("u") % _FOLD_MOD == 1)
+        .distinct()
+        .orderBy("u")
+        .limit(_FOLD_PANEL)
+    )
+    pr = ratings.join(F.broadcast(panel), "u")
+    folded = _solve_side(pr, v, "u", "i", _ALS_REG)
+    q = folded.select(
+        "u", F.col("f1").alias("uf1"), F.col("f2").alias("uf2")
+    )
+    score = F.round(
+        F.col("uf1") * F.col("f1") + F.col("uf2") * F.col("f2"), 9
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .join(ratings.select("u", "i"), ["u", "i"], "left_anti")
+        .select("u", "i", score.alias("score"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("i"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _FOLD_TOPK)
+        .select("u", "i", "score", "rnk")
+    )
+
+
+serve_als_foldin.__doc__ = serve_als_foldin.__doc__.format(
+    p=_FOLD_PANEL, m=_FOLD_MOD, k=_FOLD_TOPK
+)

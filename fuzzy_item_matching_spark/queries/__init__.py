@@ -129,6 +129,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",  # r12 birth: subset/excerpt containment
     "train_conformal_ols",  # r12 birth: split-conformal intervals
     "serve_als_foldin",  # r12 birth: cold-start fold-in vs frozen factors
+    "rel_cusum_changepoints",  # r12 birth: Page's CUSUM via prefix-min windows
+    "rel_hits_scores",  # r12 birth: HITS authority ranking, integer-exact
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

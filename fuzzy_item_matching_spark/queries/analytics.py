@@ -902,3 +902,90 @@ def rel_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 rel_kcore_parts.__doc__ = rel_kcore_parts.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS, cap=_BASKET_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the customer–part graph
+# ---------------------------------------------------------------------------
+
+_HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY p),
+    h1 AS (SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM e JOIN a1 USING (p) GROUP BY e.c),
+    a2 AS (SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a,
+                  CAST(COUNT(*) AS BIGINT) AS degree
+           FROM e JOIN h1 USING (c) GROUP BY e.p)
+    SELECT p AS p_partkey, a AS authority, degree
+    FROM a2
+    ORDER BY a DESC, p
+    LIMIT {_HITS_TOPK}
+    """
+
+
+@query("rel_hits_scores", oracle=_hits_oracle())
+def rel_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    customer→part purchase graph: two unrolled mutual-reinforcement
+    steps a₁ = Aᵀ·1, h₁ = A·a₁, a₂ = Aᵀ·h₁, reporting the top-{k}
+    authority parts. Iterates are left UNNORMALIZED on purpose: the
+    per-step L2 normalization in the textbook formulation is a
+    positive scalar, so it cannot change the authority ORDER — and
+    dropping it keeps every iterate an exact BIGINT sum of edge
+    counts, which is what makes the oracle replay bit-exact (the
+    PageRank/PPR queries pay DECIMAL(38,18) for their damping; HITS
+    gets exactness for free).
+
+    Scale shape: the edge list is one distinct over the
+    orders⋈lineitem join (shuffled on the join key the tables
+    already share); each half-step is one keyed equi-join plus one
+    map-side-combinable SUM — never a matrix materialization. Three
+    shuffles total, all on graph-node keys; top-k is
+    TakeOrderedAndProject (no global sort). Growth headroom: at
+    ~10⁹-customer scale a₂ peaks near Σdeg² ≈ 10¹⁴–10¹⁵, inside
+    BIGINT; one extra unrolled step would move the sums to
+    DECIMAL(38,0) — documented, not needed at any tested SF.
+
+    Reference scope: the reference ranks items by learned similarity
+    only (NB2); HITS adds the query-independent structural importance
+    signal retrieval stacks blend in.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a"), F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        a2.orderBy(F.col("a").desc(), "p")
+        .limit(_HITS_TOPK)
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("a").alias("authority"),
+            "degree",
+        )
+    )
+
+
+rel_hits_scores.__doc__ = rel_hits_scores.__doc__.format(k=_HITS_TOPK)

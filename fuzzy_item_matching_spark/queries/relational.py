@@ -2835,3 +2835,113 @@ def rel_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954) over per-user event streams
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = "60.00"  # allowance (reference level the page test drifts above)
+_CUSUM_H = "500.00"  # decision threshold
+
+
+@query(
+    "rel_cusum_changepoints",
+    oracle=f"""
+    WITH y AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DECIMAL(18,2)) - CAST({_CUSUM_K} AS DECIMAL(18,2))
+               AS dev
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,2)) AS pre
+      FROM y
+    ),
+    m AS (
+      SELECT user_id, ts, pre,
+             MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS runmin
+      FROM p
+    ),
+    c AS (
+      SELECT user_id, ts,
+             pre - LEAST(CAST(0.00 AS DECIMAL(38,2)), runmin) AS cusum
+      FROM m
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_alarms,
+           CAST(MAX(cusum) AS DOUBLE) AS max_cusum,
+           MIN(ts) AS first_alarm_ts
+    FROM c
+    WHERE cusum > CAST({_CUSUM_H} AS DECIMAL(38,2))
+    GROUP BY user_id
+    """,
+)
+def rel_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint/drift detection (Page's one-sided test) per
+    user over the event stream — the sequential monitor a data-quality
+    pipeline runs on every upstream feed: S_t = max(0, S_{{t-1}} +
+    (x_t − k)), alarm when S_t > h. The recurrence is NOT computed as
+    a sequential loop: S_t = P_t − min(0, min_{{m≤t}} P_m) where P is
+    the prefix sum of (x−k), so the whole test is two ordered window
+    passes (running SUM, then running MIN of it) — the prefix-min
+    factorization that turns a stateful scan into a relational plan.
+
+    Why it matters at 100 TB: one shuffle on user_id, then both window
+    passes are streaming single-pass per user partition (no buffering
+    beyond the frame head) inside WholeStageCodegen; the alarm
+    aggregate is map-side combinable. A per-row Python loop (the
+    naive form of Page's test) would pin the whole stream through one
+    process; this plan is embarrassingly parallel across users. Skewed
+    users cost O(their rows), never O(global).
+
+    Determinism: values are DECIMAL(18,2)-exact, so prefix sums are
+    exact integers-in-decimal regardless of platform; ordering ties
+    break on event_id; MAX/MIN/COUNT are order-insensitive. The one
+    double cast happens after all arithmetic.
+
+    Reference scope: extends the reference's batch QC aggregations
+    (NB1's profiling cells) with the sequential-drift test it lacks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dev = F.col("value").cast("decimal(18,2)") - F.lit(_CUSUM_K).cast(
+        "decimal(18,2)"
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(dev).over(wsum).cast("decimal(38,2)").alias("pre"),
+    )
+    wmin = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = p.withColumn("runmin", F.min("pre").over(wmin))
+    c = m.select(
+        "user_id",
+        "ts",
+        (
+            F.col("pre")
+            - F.least(F.lit("0.00").cast("decimal(38,2)"), F.col("runmin"))
+        ).alias("cusum"),
+    )
+    return (
+        c.filter(F.col("cusum") > F.lit(_CUSUM_H).cast("decimal(38,2)"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alarms"),
+            F.max("cusum").cast("double").alias("max_cusum"),
+            F.min("ts").alias("first_alarm_ts"),
+        )
+    )

@@ -446,3 +446,99 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
         n_tables=10, bucket_length=1.0, seed=42, dim=64,
     ).collect()
     assert len({r.id_b for r in uncapped}) == 40
+
+
+# ---------------------------------------------------------------------------
+# round-12 session-2 births: CUSUM changepoints, HITS authorities
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_prefix_min_equals_sequential_recurrence(spark):
+    """The relational factorization S_t = P_t - min(0, min P) must
+    equal Page's sequential recurrence S_t = max(0, S_{t-1} + x - k)
+    replayed row-by-row in Python over the real event stream."""
+    from decimal import Decimal
+
+    from fuzzy_item_matching_spark.queries.relational import (
+        _CUSUM_H,
+        _CUSUM_K,
+        rel_cusum_changepoints,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    k, h = Decimal(_CUSUM_K), Decimal(_CUSUM_H)
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    state, expect = {}, {}
+    for r in ev:
+        u = r["user_id"]
+        s = state.get(u, Decimal(0)) + (
+            Decimal(str(r["value"])).quantize(Decimal("0.01")) - k
+        )
+        s = max(Decimal(0), s)
+        state[u] = s
+        if s > h:
+            n, mx, first = expect.get(u, (0, Decimal(0), None))
+            expect[u] = (n + 1, max(mx, s), first or r["ts"])
+    got = {
+        r["user_id"]: (
+            r["n_alarms"],
+            Decimal(str(r["max_cusum"])).quantize(Decimal("0.01")),
+            r["first_alarm_ts"],
+        )
+        for r in rel_cusum_changepoints(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        u: (n, mx, first) for u, (n, mx, first) in expect.items()
+    }
+
+
+def test_hits_unnormalized_ranking_matches_normalized(spark):
+    """Dropping the per-step normalization must not change the
+    authority ORDER: replay the same unrolled steps WITH per-step
+    normalization in exact rational arithmetic (normalizing by the
+    sum — any positive scalar gives the same order, and Fraction
+    keeps the replay exact) and compare the top-k part ranking."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _HITS_TOPK,
+        rel_hits_scores,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    }
+    # a1 = A^T . 1  (normalized), h1 = A . a1 (normalized), a2 = A^T . h1
+    a1 = defaultdict(lambda: Fraction(0))
+    for c, p in edges:
+        a1[p] += 1
+    norm = sum(a1.values())
+    a1 = {p: v / norm for p, v in a1.items()}
+    h1 = defaultdict(lambda: Fraction(0))
+    for c, p in edges:
+        h1[c] += a1[p]
+    norm = sum(h1.values())
+    h1 = {c: v / norm for c, v in h1.items()}
+    a2 = defaultdict(lambda: Fraction(0))
+    for c, p in edges:
+        a2[p] += h1[c]
+    want = sorted(a2, key=lambda p: (-a2[p], p))[:_HITS_TOPK]
+    got = [
+        r["p_partkey"]
+        for r in rel_hits_scores(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

@@ -808,8 +808,11 @@ def gboost_fit(
     - "logistic" (0/1 label): p = sigmoid(f), g = p − y, h = p·(1−p).
     - "poisson" (count label, log link): μ = exp(f), g = μ − y,
       h = μ — count regression (orders per customer, events per
-      session); prediction is μ = exp(f)."""
-    if loss not in ("logistic", "poisson"):
+      session); prediction is μ = exp(f).
+    - "squared" (regression): g = f − y, h = 1 — with rounds=1 and
+      α=γ=0 this is a plain variance-reduction CART stump with
+      ridge-shrunk mean leaves, the bagging base learner."""
+    if loss not in ("logistic", "poisson", "squared"):
         raise ValueError(f"gboost_fit: unknown loss {loss!r}")
     spark = pairs.sparkSession
 
@@ -854,6 +857,9 @@ def gboost_fit(
             mu = F.exp(F.col("__f"))
             g = mu - F.col("__y")
             h = mu
+        elif loss == "squared":
+            g = F.col("__f") - F.col("__y")
+            h = F.lit(1.0)
         else:
             p = 1.0 / (1.0 + F.exp(-F.col("__f")))
             g = p - F.col("__y")
@@ -926,7 +932,7 @@ def gboost_ctes(
     tail) — shared by the model query and the scoring query (the
     adaboost_ctes convention). ``loss`` swaps only the gh{t} CTE's
     (g, h) expressions, mirroring :func:`gboost_fit`."""
-    if loss not in ("logistic", "poisson"):
+    if loss not in ("logistic", "poisson", "squared"):
         raise ValueError(f"gboost_ctes: unknown loss {loss!r}")
     mn_mx = ", ".join(
         f"MIN({f_}) AS mn_{f_}, MAX({f_}) AS mx_{f_}" for f_ in features
@@ -970,6 +976,8 @@ def gboost_ctes(
     ]
     if loss == "poisson":
         g_expr, h_expr = "exp(f) - y AS g", "exp(f) AS h"
+    elif loss == "squared":
+        g_expr, h_expr = "f - y AS g", "1.0 AS h"
     else:
         g_expr, h_expr = f"{sig} - y AS g", f"({sig}) * (1.0 - {sig}) AS h"
     arms = []

@@ -131,6 +131,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "serve_als_foldin",  # r12 birth: cold-start fold-in vs frozen factors
     "rel_cusum_changepoints",  # r12 birth: Page's CUSUM via prefix-min windows
     "rel_hits_scores",  # r12 birth: HITS authority ranking, integer-exact
+    "train_rf_stumps",  # r12 birth: bagged CART stumps (squared-loss plug-in)
+    "train_rf_oob_eval",  # r12 birth: out-of-bag forest evaluation
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

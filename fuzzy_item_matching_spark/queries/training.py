@@ -5224,3 +5224,243 @@ def serve_als_foldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 serve_als_foldin.__doc__ = serve_als_foldin.__doc__.format(
     p=_FOLD_PANEL, m=_FOLD_MOD, k=_FOLD_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Random forest (Breiman 2001): bagged variance-reduction stumps + OOB eval
+# ---------------------------------------------------------------------------
+
+_RF_TREES = 5
+_RF_FRAC = 0.632  # keyed subsample rate per tree (subagging)
+_RF_SEED0 = 100  # tree b draws with seed _RF_SEED0 + b
+_RF_COMBOS = (("x1", "x2"), ("x2", "x3"), ("x1", "x3"))  # mtry=2 rotation
+
+# fit-once memo shared by the model and OOB-eval queries (the _GB_MEMO
+# discipline: the model table is tiny — one stump row per tree)
+_RF_MEMO: dict[str, list] = {}
+
+_RF_U_SQL = (
+    "(CAST(CAST('0x' || substr(md5('{seed}:' || CAST(id_a AS VARCHAR)),"
+    " 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+
+def _rf_rows(spark: SparkSession, sf_dir: str) -> list:
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+
+    if sf_dir not in _RF_MEMO:
+        rows = []
+        pairs = _lr_pairs(spark, sf_dir)
+        for b in range(_RF_TREES):
+            sub = pairs.filter(
+                keyed_uniform(F.col("id_a"), seed=_RF_SEED0 + b)
+                < F.lit(_RF_FRAC)
+            )
+            [m] = gboost_fit(
+                sub,
+                list(_RF_COMBOS[b % len(_RF_COMBOS)]),
+                rounds=1,
+                lam=1.0,
+                alpha=0.0,
+                gamma=0.0,
+                loss="squared",
+            ).collect()
+            rows.append(
+                (b, m["feature"], m["thr"], m["gain"], m["w_le"], m["w_gt"])
+            )
+        _RF_MEMO[sf_dir] = rows
+    return _RF_MEMO[sf_dir]
+
+
+def _rf_tree_sql(b: int) -> str:
+    """Tree b's fit, replayed as a self-contained derived table (the
+    gboost CTE program over tree b's keyed subsample, wrapped so five
+    trees can sit in one oracle without CTE-name collisions)."""
+    from fuzzy_item_matching_spark.operators.boosting import gboost_ctes
+
+    sub_sql = (
+        f"SELECT * FROM ({_LR_PAIRS_SQL}) s "
+        f"WHERE {_RF_U_SQL.format(seed=_RF_SEED0 + b)} < {_RF_FRAC!r}"
+    )
+    ctes, _ = gboost_ctes(
+        sub_sql,
+        list(_RF_COMBOS[b % len(_RF_COMBOS)]),
+        rounds=1,
+        lam=1.0,
+        alpha=0.0,
+        gamma=0.0,
+        loss="squared",
+    )
+    return (
+        f"({ctes}\nSELECT {b} AS tree, feature, thr, gain, w_le, w_gt"
+        " FROM best1)"
+    )
+
+
+def _rf_model_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM {_rf_tree_sql(b)} t{b}" for b in range(_RF_TREES)
+    )
+    return arms
+
+
+@query("train_rf_stumps", oracle=_rf_model_oracle())
+def train_rf_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM FOREST fit (Breiman 2001) — {B} independent
+    variance-reduction stumps, each on a content-keyed {frac}
+    subsample (seed {s0}+b) with a rotating mtry=2 feature subset:
+    the bagging counterpart to the repo's boosting family. The base
+    learner is the shared second-order tree machinery with the
+    squared loss plugged in (g = f−y, h = 1, α=γ=0), so a 1-round
+    fit IS a CART stump with ridge-shrunk mean leaves — one code
+    path, two ensemble methods, exactly XGBoost's objective-plug-in
+    design. The oracle replays all {B} fits CTE-program-for-program
+    (grid, DECIMAL region sums, gain argmax, leaf closed form).
+
+    Scale shape: trees are INDEPENDENT — the {B} fits share one scan
+    each (a keyed-hash filter pushes to parquet row groups), and on a
+    cluster they submit as concurrent jobs; each fit is one
+    broadcast-grid crossJoin + one map-side-combined aggregation +
+    a 1-row argmax collect (the model-table budget). No sequential
+    dependency between trees — unlike boosting, wall-clock at 100 TB
+    is one tree's time, not {B}×.
+
+    Determinism: subsamples are content-keyed (S7's md5 uniform, not
+    partition-seeded RNG); every region sum is DECIMAL(38,18); leaves
+    quantize at 9 decimals — both engines fit bit-identical forests.
+    """
+    rows = _rf_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "tree int, feature string, thr double, gain double,"
+        " w_le double, w_gt double",
+    )
+
+
+def _rf_oob_oracle() -> str:
+    u = _RF_U_SQL.replace("{seed}", "' || CAST(100 + tree AS VARCHAR) || '")
+    stump = (
+        "CASE m.feature WHEN 'x1' THEN x1 WHEN 'x2' THEN x2 "
+        "WHEN 'x3' THEN x3 END"
+    )
+    return f"""
+    WITH m AS ({_rf_model_oracle()}),
+    p AS (SELECT * FROM ({_LR_PAIRS_SQL}) s),
+    pt AS (
+      SELECT p.id_a, p.label,
+             CASE WHEN {u} >= {_RF_FRAC!r}
+                  THEN CASE WHEN {stump} <= m.thr
+                       THEN m.w_le ELSE m.w_gt END END AS oob_vote
+      FROM p CROSS JOIN m
+    ),
+    agg AS (
+      SELECT id_a, label,
+             CAST(SUM(CAST(oob_vote AS DECIMAL(38,18))) AS DOUBLE)
+               AS num,
+             CAST(COUNT(oob_vote) AS BIGINT) AS den
+      FROM pt GROUP BY id_a, label
+    ),
+    pred AS (
+      SELECT label, num / den AS yhat FROM agg WHERE den > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_oob_rows,
+           CAST(SUM(CAST((yhat - label) * (yhat - label)
+                         AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+             AS mse_oob,
+           CAST(SUM(CASE WHEN (yhat > 0.5) = (label = 1) THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS acc_oob
+    FROM pred
+    """
+
+
+@query("train_rf_oob_eval", oracle=_rf_oob_oracle())
+def train_rf_oob_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-BAG forest evaluation — the estimator bagging gives away
+    free: each row is scored ONLY by the trees whose subsample it
+    missed (u_b ≥ {frac}), so the reported MSE/accuracy is a
+    held-out-style generalization estimate with NO extra split (Breiman
+    1996). P(in-bag all {B} trees) ≈ {frac}^{B} ≈ 10%, so ~90% of rows
+    carry an OOB vote.
+
+    Plan: the {B}-row model table broadcasts into a crossJoin (the
+    bounded-small-side convention); per-row votes aggregate by the
+    pair key (map-side combinable, one shuffle); the final metric agg
+    is one row. Vote sums go through DECIMAL(38,18) so the per-row
+    average is order-insensitive; the division and the 0.5 threshold
+    are single IEEE ops on identical operands in both engines.
+
+    Reference scope: the reference holds out a validation split for
+    its XGBoost fit (NB3); OOB replaces the split when training data
+    is the scarce resource — and doubles as M6-family metric coverage
+    for the bagged ensemble.
+    """
+    rows = _rf_rows(spark, sf_dir)
+    m = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            "tree int, feature string, thr double, gain double,"
+            " w_le double, w_gt double",
+        )
+    )
+    pairs = _lr_pairs(spark, sf_dir)
+    feat = (
+        F.when(F.col("feature") == "x1", F.col("x1"))
+        .when(F.col("feature") == "x2", F.col("x2"))
+        .otherwise(F.col("x3"))
+    )
+    from fuzzy_item_matching_spark.functions.text import hex_long_once
+
+    # seed = _RF_SEED0 + tree, replayed with tree as a COLUMN (the
+    # fixed-seed keyed_uniform can't express a per-tree seed)
+    u_tree = hex_long_once(
+        F.md5(
+            F.concat_ws(
+                ":",
+                (F.lit(_RF_SEED0) + F.col("tree")).cast("string"),
+                F.col("id_a").cast("string"),
+            ).cast("binary")
+        ),
+        1,
+    ).cast("double") / F.lit(float(2**32))
+    pt = pairs.crossJoin(m).select(
+        "id_a",
+        "label",
+        F.when(
+            u_tree >= F.lit(_RF_FRAC),
+            F.when(feat <= F.col("thr"), F.col("w_le")).otherwise(
+                F.col("w_gt")
+            ),
+        ).alias("oob_vote"),
+    )
+    agg = pt.groupBy("id_a", "label").agg(
+        F.sum(F.col("oob_vote").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("num"),
+        F.count("oob_vote").alias("den"),
+    )
+    pred = agg.filter(F.col("den") > 0).select(
+        "label", (F.col("num") / F.col("den")).alias("yhat")
+    )
+    err2 = (F.col("yhat") - F.col("label")) * (
+        F.col("yhat") - F.col("label")
+    )
+    hit = F.when(
+        (F.col("yhat") > 0.5) == (F.col("label") == 1), 1
+    ).otherwise(0)
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_oob_rows"),
+        (
+            F.sum(err2.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mse_oob"),
+        (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("acc_oob"),
+    )
+
+
+train_rf_stumps.__doc__ = train_rf_stumps.__doc__.format(
+    B=_RF_TREES, frac=_RF_FRAC, s0=_RF_SEED0
+)
+train_rf_oob_eval.__doc__ = train_rf_oob_eval.__doc__.format(
+    B=_RF_TREES, frac=_RF_FRAC
+)

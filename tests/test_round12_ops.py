@@ -542,3 +542,79 @@ def test_hits_unnormalized_ranking_matches_normalized(spark):
         for r in rel_hits_scores(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_rf_squared_stump_is_ridge_shrunk_mean_leaf(spark):
+    """The squared-loss plug-in must make a 1-round gboost fit a plain
+    variance-reduction CART stump: brute-force the same grid in Python
+    (g = −y, h = 1 at f = 0) and compare split AND leaves for tree 0."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.operators.boosting import GRID
+    from fuzzy_item_matching_spark.queries.training import (
+        _RF_COMBOS,
+        _RF_FRAC,
+        _RF_SEED0,
+        _lr_pairs,
+    )
+    from fuzzy_item_matching_spark.operators.boosting import gboost_fit
+    import pyspark.sql.functions as SF
+
+    feats = list(_RF_COMBOS[0])
+    sub = (
+        _lr_pairs(spark, SF_SMOKE)
+        .filter(keyed_uniform(SF.col("id_a"), seed=_RF_SEED0) < _RF_FRAC)
+        .select("label", *feats)
+        .collect()
+    )
+    [m] = gboost_fit(
+        spark.createDataFrame(sub),
+        feats,
+        rounds=1,
+        lam=1.0,
+        alpha=0.0,
+        gamma=0.0,
+        loss="squared",
+    ).collect()
+    best = None
+    for f_ in feats:
+        vals = [r[f_] for r in sub]
+        mn, mx = min(vals), max(vals)
+        for k in range(1, GRID):
+            thr = mn + k * (mx - mn) / float(GRID)
+            gl = sum(-r["label"] for r in sub if r[f_] <= thr)
+            hl = sum(1.0 for r in sub if r[f_] <= thr)
+            gr = sum(-r["label"] for r in sub if r[f_] > thr)
+            hr = len(sub) - hl
+            gain = 0.5 * (
+                gl * gl / (hl + 1.0)
+                + gr * gr / (hr + 1.0)
+                - (gl + gr) ** 2 / (hl + hr + 1.0)
+            )
+            cand = (round(gain, 6), f_, thr, gl, hl, gr, hr)
+            if best is None or cand[0] > best[0]:
+                best = cand
+    _, f_, thr, gl, hl, gr, hr = best
+    assert m["feature"] == f_
+    assert abs(m["thr"] - thr) < 1e-9
+    # ridge-shrunk region means: w = -G/(H + lambda) = sum(y)/(n + 1)
+    assert abs(m["w_le"] - (-gl) / (hl + 1.0)) < 1e-8
+    assert abs(m["w_gt"] - (-gr) / (hr + 1.0)) < 1e-8
+
+
+def test_rf_oob_coverage_matches_bagging_math(spark):
+    """~frac^B of rows are in-bag for every tree; the OOB row count
+    must equal the pair count minus exactly those."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _RF_FRAC,
+        _RF_TREES,
+        _lr_pairs,
+        train_rf_oob_eval,
+    )
+
+    n_pairs = _lr_pairs(spark, SF_SMOKE).count()
+    [row] = train_rf_oob_eval(spark, SF_SMOKE).collect()
+    frac = row["n_oob_rows"] / n_pairs
+    expect = 1.0 - _RF_FRAC**_RF_TREES
+    assert abs(frac - expect) < 0.12  # 899 pairs at sf0.001
+    assert 0.0 <= row["mse_oob"] <= 1.0
+    assert 0.0 <= row["acc_oob"] <= 1.0

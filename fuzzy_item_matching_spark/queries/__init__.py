@@ -133,6 +133,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_hits_scores",  # r12 birth: HITS authority ranking, integer-exact
     "train_rf_stumps",  # r12 birth: bagged CART stumps (squared-loss plug-in)
     "train_rf_oob_eval",  # r12 birth: out-of-bag forest evaluation
+    "sim_maxsim_topk",  # r12 birth: ColBERT MaxSim late interaction
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -1709,3 +1709,166 @@ def sim_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_ann_multiprobe_lsh.__doc__ = sim_ann_multiprobe_lsh.__doc__.format(
     k=_MP_K, bits=_MP_BITS, tables=_MP_TABLES
 )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia 2020)
+# ---------------------------------------------------------------------------
+
+_MS_DIMS = 8
+_MS_TOPK = 5
+_MS_QUERIES = (
+    ("q_join", ("fast", "hash", "join")),
+    ("q_scan", ("slow", "query", "scan", "table")),
+    ("q_sort", ("sort", "merge", "window", "batch")),
+)
+
+
+def _ms_sql_dim(d: int) -> str:
+    """DuckDB: dim d of the md5 token embedding, from hex chars
+    [1+4d, 4] — (v + 0.5)/65536 − 0.5 ∈ (−0.5, 0.5)."""
+    return (
+        f"((CAST(CAST('0x' || substr(h, {1 + 4 * d}, 4) AS BIGINT)"
+        " AS DOUBLE) + 0.5) / 65536.0 - 0.5)"
+    )
+
+
+def _ms_norm_sql() -> str:
+    return "sqrt(" + " + ".join(f"e{d}*e{d}" for d in range(_MS_DIMS)) + ")"
+
+
+def _ms_oracle() -> str:
+    qrows = ", ".join(
+        f"('{qid}', '{t}')" for qid, toks in _MS_QUERIES for t in toks
+    )
+    dims = ", ".join(f"{_ms_sql_dim(d)} AS e{d}" for d in range(_MS_DIMS))
+    dot = " + ".join(f"d.e{i} * q.e{i}" for i in range(_MS_DIMS))
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest({_D_TOKENS.format(c="text")}) AS tok
+            FROM documents)
+    ),
+    dh AS (SELECT doc_id, tok, md5(tok) AS h FROM dt),
+    de0 AS (SELECT doc_id, tok, {dims} FROM dh),
+    de AS (SELECT *, {_ms_norm_sql()} AS nrm FROM de0),
+    qt AS (SELECT * FROM (VALUES {qrows}) AS t(query_id, tok)),
+    qh AS (SELECT query_id, tok, md5(tok) AS h FROM qt),
+    qe0 AS (SELECT query_id, tok, {dims} FROM qh),
+    qe AS (SELECT *, {_ms_norm_sql()} AS nrm FROM qe0),
+    mx AS (
+      SELECT q.query_id, d.doc_id, q.tok,
+             MAX(({dot}) / (d.nrm * q.nrm)) AS ms
+      FROM de d CROSS JOIN qe q
+      GROUP BY q.query_id, d.doc_id, q.tok
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(ms AS DECIMAL(38,18))) AS DOUBLE) AS score
+      FROM mx GROUP BY query_id, doc_id
+    ),
+    rk AS (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= {_MS_TOPK}
+    """
+
+
+@query("sim_maxsim_topk", oracle=_ms_oracle())
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT's MaxSim, Khattab & Zaharia
+    2020): score(q, d) = Σ_{{t∈q}} max_{{u∈d}} cos(e_t, e_u) — each
+    query token finds its best-matching document token, so partial
+    matches accumulate instead of requiring one global vector to carry
+    the whole document (the single-vector bottleneck bi-encoders hit).
+    Token embeddings here are the md5-derived {dims}-dim pseudo-
+    encoder (deterministic stand-in for a learned token encoder; the
+    container has no model weights — the PLUMBING is the product:
+    tokenize → per-token embed → (q-token × d-token) max → per-pair
+    sum → per-query top-{k}).
+
+    Scale shape: document tokens explode ONCE (distinct per doc); the
+    query-token frame is a broadcast literal (|Q|·|q| ≈ 11 rows), so
+    the interaction 'join' is a broadcast nested loop over a linear
+    scan — no shuffle grows with the corpus. The two aggregations
+    (MAX per q-token, SUM per pair) are map-side combinable and keyed
+    on doc_id; top-k is one WindowGroupLimit. At 100 TB with a real
+    encoder the same plan holds — the embed step becomes a Pandas-UDF
+    batch instead of md5 arithmetic (the multimodal decode pattern).
+
+    Determinism: every embedding dim is integer-derived; norm/dot are
+    fixed left-associated expression trees (identical IEEE both
+    engines); per-token maxima are order-insensitive; the cross-token
+    SUM goes through DECIMAL(38,18).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(regex_tokenize("text")).alias("tok")
+    ).distinct()
+
+    def embed(df: DataFrame, keep: list[str]) -> DataFrame:
+        h = df.withColumn("h", F.md5(F.col("tok")))
+        dims = [
+            (
+                (
+                    F.conv(F.substring("h", 1 + 4 * d, 4), 16, 10).cast(
+                        "double"
+                    )
+                    + F.lit(0.5)
+                )
+                / F.lit(65536.0)
+                - F.lit(0.5)
+            ).alias(f"e{d}")
+            for d in range(_MS_DIMS)
+        ]
+        e = h.select(*keep, *dims)
+        # left-associated chain — the same IEEE tree the oracle writes
+        acc = F.col("e0") * F.col("e0")
+        for d in range(1, _MS_DIMS):
+            acc = acc + F.col(f"e{d}") * F.col(f"e{d}")
+        return e.withColumn("nrm", F.sqrt(acc))
+
+    de = embed(dt, ["doc_id", "tok"])
+    qrows = [(qid, t) for qid, toks in _MS_QUERIES for t in toks]
+    qt = spark.createDataFrame(qrows, "query_id string, tok string")
+    qe = F.broadcast(
+        embed(qt, ["query_id", "tok"]).withColumnRenamed("tok", "qtok")
+    )
+    dot = F.col("d.e0") * F.col("q.e0")
+    for d in range(1, _MS_DIMS):
+        dot = dot + F.col(f"d.e{d}") * F.col(f"q.e{d}")
+    cos = dot / (F.col("d.nrm") * F.col("q.nrm"))
+    mx = (
+        de.alias("d")
+        .crossJoin(qe.alias("q"))
+        .groupBy("q.query_id", "d.doc_id", "q.qtok")
+        .agg(F.max(cos).alias("ms"))
+    )
+    sc = mx.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("ms").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _MS_TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+sim_maxsim_topk.__doc__ = sim_maxsim_topk.__doc__.format(
+    dims=_MS_DIMS, k=_MS_TOPK
+)

@@ -618,3 +618,68 @@ def test_rf_oob_coverage_matches_bagging_math(spark):
     assert abs(frac - expect) < 0.12  # 899 pairs at sf0.001
     assert 0.0 <= row["mse_oob"] <= 1.0
     assert 0.0 <= row["acc_oob"] <= 1.0
+
+
+def test_maxsim_matches_numpy_bruteforce(spark):
+    """Independent numpy replay of the late-interaction scorer at
+    sf0.001: md5 embeddings, cosine, per-q-token max, sum, top-k."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.similarity import (
+        _MS_DIMS,
+        _MS_QUERIES,
+        _MS_TOPK,
+        sim_maxsim_topk,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    def emb(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        v = np.array(
+            [
+                (int(h[4 * d : 4 * d + 4], 16) + 0.5) / 65536.0 - 0.5
+                for d in range(_MS_DIMS)
+            ]
+        )
+        return v / np.linalg.norm(v)
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.explode(regex_tokenize("text")).alias("tok"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_doc = defaultdict(list)
+    for r in toks:
+        by_doc[r["doc_id"]].append(emb(r["tok"]))
+    want = {}
+    for qid, qtoks in _MS_QUERIES:
+        scores = []
+        for d, vecs in by_doc.items():
+            M = np.stack(vecs)
+            s = sum(float(np.max(M @ emb(t))) for t in qtoks)
+            scores.append((d, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        want[qid] = scores[:_MS_TOPK]
+    got = defaultdict(list)
+    for r in sim_maxsim_topk(spark, SF_SMOKE).orderBy(
+        "query_id", "rnk"
+    ).collect():
+        got[r["query_id"]].append((r["doc_id"], r["score"]))
+    assert set(got) == set(want)
+    for qid in want:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]]
+        for (_, a), (_, b) in zip(got[qid], want[qid]):
+            assert abs(a - b) < 1e-9
+        # each cos <= 1 so score <= |q|; docs containing an exact
+        # query token hit cos = 1 on that term
+        assert all(
+            s <= len(dict(_MS_QUERIES)[qid]) + 1e-9 for _, s in got[qid]
+        )

@@ -989,3 +989,144 @@ def rel_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rel_hits_scores.__doc__ = rel_hits_scores.__doc__.format(k=_HITS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for A/B experiments (Deng et al., WSDM 2013)
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-15 00:00:00"  # pre-period / experiment boundary
+_CUPED_SEED = 7  # deterministic arm assignment key
+
+# One shared SQL text per derived statistic — evaluated verbatim by
+# BOTH engines (Spark selectExpr / DuckDB), so the IEEE expression
+# trees are identical by construction. Inputs are exact DECIMAL
+# moments cast to DOUBLE.
+_CUPED_THETA = "(gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)"
+_CUPED_STATS = (
+    "sy / n AS mean_y",
+    "(sy - theta * (sx - n * meanx)) / n AS mean_y_adj",
+    "(syy - sy * sy / n) / (n - 1) AS var_y",
+    "(syy - sy * sy / n) / (n - 1)"
+    " - 2 * theta * ((sxy - sx * sy / n) / (n - 1))"
+    " + theta * theta * ((sxx - sx * sx / n) / (n - 1)) AS var_y_adj",
+)
+
+
+def _cuped_oracle() -> str:
+    u = (
+        f"(CAST(CAST('0x' || substr(md5('{_CUPED_SEED}:'"
+        " || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+        " / 4294967296.0)"
+    )
+    stats = ", ".join(_CUPED_STATS)
+    return f"""
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN {u} < 0.5 THEN 'treat' ELSE 'control' END AS arm,
+             SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                 THEN CAST(value AS DECIMAL(18,2)) ELSE 0.00 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                 THEN CAST(value AS DECIMAL(18,2)) ELSE 0.00 END) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS gn,
+             CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS gsx,
+             CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS gsy,
+             CAST(SUM(CAST(x AS DECIMAL(38,4)) * CAST(x AS DECIMAL(38,4)))
+                  AS DOUBLE) AS gsxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                  AS DOUBLE) AS gsxy
+      FROM pu
+    ),
+    gt AS (SELECT {_CUPED_THETA} AS theta, gsx / gn AS meanx FROM g),
+    a AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(38,4)) * CAST(x AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxy
+      FROM pu GROUP BY arm
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n_users, {stats}
+    FROM a CROSS JOIN gt
+    """
+
+
+@query("rel_cuped_adjustment", oracle=_cuped_oracle())
+def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    — the standard trick for making online experiments decisive with
+    weeks less data: regress the experiment-period metric Y on the
+    PRE-period covariate X (θ = cov/var from pooled exact moments) and
+    report per-arm means/variances of Y_adj = Y − θ(X − E[X]). The
+    pre-period is causally unaffected by treatment, so the adjustment
+    shifts nothing in expectation while removing the user-level
+    variance X explains — var_y_adj/var_y directly reads off the
+    sample-size saving.
+
+    Scale shape: one shuffle (per-user x/y sums, map-side combined);
+    the pooled-moment frame is ONE row (broadcast cross join); arm
+    stats are a 2-group aggregation. At 100 TB this is two passes of
+    sums — no per-user state leaves the executors beyond the moment
+    tuple. Arm assignment is content-keyed (md5), the S7 discipline:
+    re-running the analysis on any cluster reproduces the same arms.
+
+    Determinism: x/y are DECIMAL(18,2)-exact; all five moments are
+    DECIMAL(38,4)-exact sums (order-insensitive); θ and every derived
+    statistic is a SHARED SQL string evaluated on identical DOUBLE
+    operands by both engines — one expression tree, one IEEE answer.
+    """
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    pu = (
+        ev.withColumn(
+            "arm",
+            F.when(
+                keyed_uniform(F.col("user_id"), seed=_CUPED_SEED) < 0.5,
+                F.lit("treat"),
+            ).otherwise(F.lit("control")),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, dec).otherwise(
+                    F.lit("0.00").cast("decimal(18,2)")
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, dec).otherwise(
+                    F.lit("0.00").cast("decimal(18,2)")
+                )
+            ).alias("y"),
+        )
+    )
+    x4 = F.col("x").cast("decimal(38,4)")
+    y4 = F.col("y").cast("decimal(38,4)")
+    g = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("gn"),
+        F.sum(x4).cast("double").alias("gsx"),
+        F.sum(y4).cast("double").alias("gsy"),
+        F.sum(x4 * x4).cast("double").alias("gsxx"),
+        F.sum(x4 * y4).cast("double").alias("gsxy"),
+    ).selectExpr(f"{_CUPED_THETA} AS theta", "gsx / gn AS meanx")
+    a = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x4).cast("double").alias("sx"),
+        F.sum(y4).cast("double").alias("sy"),
+        F.sum(y4 * y4).cast("double").alias("syy"),
+        F.sum(x4 * x4).cast("double").alias("sxx"),
+        F.sum(x4 * y4).cast("double").alias("sxy"),
+    )
+    return a.crossJoin(F.broadcast(g)).selectExpr(
+        "arm", "CAST(n AS BIGINT) AS n_users", *_CUPED_STATS
+    )

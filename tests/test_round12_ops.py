@@ -744,3 +744,36 @@ def test_cuped_matches_numpy_and_preserves_global_mean(spark):
         tot_adj += r["n_users"] * r["mean_y_adj"]
         tot_n += r["n_users"]
     assert abs(tot_y - tot_adj) / tot_n < 1e-6
+
+
+def test_holt_recursion_equals_sequential_replay(spark):
+    """The engine-owned recursion must walk exactly the textbook
+    sequential recurrence — replayed in Python over the same daily
+    counts, compared bit-for-bit (alpha/beta are exact binary
+    fractions, so no tolerance is needed)."""
+    from collections import Counter
+
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_holt_forecast,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    days = Counter(
+        r["ts"].date()
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("ts")
+        .collect()
+    )
+    xs = [float(days[d]) for d in sorted(days)]
+    lvl, tr = xs[0], xs[1] - xs[0]
+    want = {0: (xs[0], tr, xs[0] + tr)}
+    for i in range(1, len(xs)):
+        nl = 0.5 * xs[i] + 0.5 * (lvl + tr)
+        tr = 0.25 * (nl - lvl) + 0.75 * tr
+        lvl = nl
+        want[i] = (lvl, tr, lvl + tr)
+    got = {
+        r["day_idx"]: (r["lvl"], r["trend"], r["fc_next"])
+        for r in rel_holt_forecast(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -3877,3 +3877,162 @@ def ts_mi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_mi_terms.__doc__ = ts_mi_terms.__doc__.format(k=_MI_K, mindf=_MI_MIN_DF)
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch A-not-B: new-vocabulary estimation between sources
+# ---------------------------------------------------------------------------
+
+_ANB_K = 128
+
+
+def _kmv_anb_oracle() -> str:
+    u = _D_U42.format(key="t")
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT source, t FROM (
+        SELECT source, unnest({_D_TOKENS.format(c="text")}) AS t
+        FROM documents
+      )
+    ),
+    hs AS (SELECT DISTINCT source, {u} AS u FROM toks),
+    kmv AS (
+      SELECT source, u FROM (
+        SELECT source, u,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+        FROM hs
+      ) WHERE rn <= {_ANB_K}
+    ),
+    theta AS (
+      SELECT source,
+             CASE WHEN COUNT(*) >= {_ANB_K} THEN MAX(u) ELSE 1.0 END
+               AS th
+      FROM kmv GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, LEAST(ta.th, tb.th) AS th
+      FROM (SELECT DISTINCT source FROM kmv) a
+      JOIN (SELECT DISTINCT source FROM kmv) b ON a.source <> b.source
+      JOIN theta ta ON ta.source = a.source
+      JOIN theta tb ON tb.source = b.source
+    ),
+    kept AS (
+      SELECT p.sa, p.sb, p.th, COUNT(*) AS n_kept
+      FROM pairs p
+      JOIN kmv ka ON ka.source = p.sa AND ka.u < p.th
+      LEFT JOIN kmv kb ON kb.source = p.sb AND kb.u = ka.u
+      WHERE kb.u IS NULL
+      GROUP BY p.sa, p.sb, p.th
+    ),
+    exact AS (
+      SELECT x.source AS sa, y.sb,
+             CAST(COUNT(*) AS BIGINT) AS exact_anb
+      FROM toks x
+      CROSS JOIN (SELECT DISTINCT source AS sb FROM toks) y
+      WHERE x.source <> y.sb
+        AND NOT EXISTS (SELECT 1 FROM toks z
+                        WHERE z.source = y.sb AND z.t = x.t)
+      GROUP BY 1, 2
+    )
+    SELECT p.sa, p.sb,
+           COALESCE(k.n_kept, 0) / p.th AS est_anb,
+           COALESCE(e.exact_anb, 0) AS exact_anb,
+           abs(COALESCE(k.n_kept, 0) / p.th
+               - COALESCE(e.exact_anb, 0)) AS abs_err
+    FROM pairs p
+    LEFT JOIN kept k ON k.sa = p.sa AND k.sb = p.sb
+    LEFT JOIN exact e ON e.sa = p.sa AND e.sb = p.sb
+    """
+
+
+@query("ts_kmv_anb", oracle=_kmv_anb_oracle())
+def ts_kmv_anb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH A-NOT-B (Dasgupta et al., DataSketches): estimate
+    each source's NEW vocabulary — |vocab(A) \\ vocab(B)| for every
+    ordered source pair — from the {k}-minimum-value sketches alone.
+    Below θ = min(θ_A, θ_B) both sketches retain EVERY hash of their
+    set, so membership tests are exact there and
+    est = |{{u ∈ A: u < θ, u ∉ B}}| / θ is unbiased. This is the
+    question every incremental crawl asks at 100 TB ("what does this
+    source add that the corpus lacks?"), answered from S·K sketch
+    rows instead of a cross-source token anti-join — the set-DIFFERENCE
+    member of the mergeable-sketch family (ts_distinct_kmv estimates
+    sizes, ts_kmv_lang_jaccard intersections; difference completes
+    the algebra). The exact anti-join twin rides along so estimator
+    error is a visible column (abs_err, the house convention).
+
+    Plan: sketches build once per source (bottom-K windows over the
+    distinct vocab); everything after operates on ≤ S·K rows — the
+    pair frame, the θ join, and the membership anti-join are all
+    sketch-sized. The exact twin is the verification rider, not the
+    scale path. Determinism: u is the exact dyadic md5 uniform; θ is
+    one of the u values (exact double); the estimate is one IEEE
+    division of an exact count by an exact dyadic double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .distinct()
+        .persist()
+    )
+    hs = toks.select(
+        "source", keyed_uniform(F.col("t")).alias("u")
+    ).distinct()
+    ws = Window.partitionBy("source").orderBy("u")
+    kmv = (
+        hs.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _ANB_K)
+        .select("source", "u")
+        .persist()
+    )
+    theta = kmv.groupBy("source").agg(
+        F.when(F.count(F.lit(1)) >= _ANB_K, F.max("u"))
+        .otherwise(F.lit(1.0))
+        .alias("th")
+    )
+    srcs = kmv.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") != F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .join(theta.select(F.col("source").alias("sa"), F.col("th").alias("tha")), "sa")
+        .join(theta.select(F.col("source").alias("sb"), F.col("th").alias("thb")), "sb")
+        .select("sa", "sb", F.least("tha", "thb").alias("th"))
+    )
+    ka = kmv.select(F.col("source").alias("sa"), "u")
+    kb = kmv.select(F.col("source").alias("sb"), "u", F.lit(1).alias("inb"))
+    kept = (
+        pairs.join(ka, "sa")
+        .filter(F.col("u") < F.col("th"))
+        .join(kb, ["sb", "u"], "left")
+        .filter(F.col("inb").isNull())
+        .groupBy("sa", "sb", "th")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    exact = (
+        toks.select(F.col("source").alias("sa"), "t")
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") != F.col("sb"))
+        .join(
+            toks.select(F.col("source").alias("sb"), "t"),
+            ["sb", "t"],
+            "left_anti",
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("exact_anb"))
+    )
+    n0 = F.coalesce(F.col("n_kept"), F.lit(0))
+    e0 = F.coalesce(F.col("exact_anb"), F.lit(0))
+    return (
+        pairs.join(kept.select("sa", "sb", "n_kept"), ["sa", "sb"], "left")
+        .join(exact, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            (n0 / F.col("th")).alias("est_anb"),
+            e0.alias("exact_anb"),
+            F.abs(n0 / F.col("th") - e0).alias("abs_err"),
+        )
+    )
+
+
+ts_kmv_anb.__doc__ = ts_kmv_anb.__doc__.format(k=_ANB_K)

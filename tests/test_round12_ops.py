@@ -777,3 +777,42 @@ def test_holt_recursion_equals_sequential_replay(spark):
         for r in rel_holt_forecast(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_kmv_anb_exact_below_theta(spark):
+    """Theta-sketch difference invariants: estimates are nonnegative;
+    whenever both sketches retained their full sets (θ = 1.0) the
+    'estimate' must EQUAL the exact anti-join count — below θ the
+    sketch sees everything, the unbiasedness argument in miniature."""
+    from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _ANB_K,
+        ts_kmv_anb,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = ts_kmv_anb(spark, SF_SMOKE).collect()
+    assert rows
+    # recompute per-source sketch sizes to find full-retention pairs
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .distinct()
+    )
+    vocab = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full = {s for s, n in vocab.items() if n < _ANB_K}
+    saw_exact = 0
+    for r in rows:
+        assert r["est_anb"] >= 0.0
+        assert r["abs_err"] == abs(r["est_anb"] - r["exact_anb"])
+        if r["sa"] in full and r["sb"] in full:
+            assert r["est_anb"] == float(r["exact_anb"]), r
+            saw_exact += 1
+    # sf0.001 sources are small: the exact branch must actually fire
+    assert saw_exact > 0 or not full

@@ -137,6 +137,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_cuped_adjustment",  # r12 birth: CUPED variance-reduced A/B stats
     "rel_holt_forecast",  # r12 birth: Holt trend smoothing, shared recursion
     "ts_kmv_anb",  # r12 birth: theta-sketch set difference (new vocab)
+    "sim_ann_graph_expand",  # r12 birth: navigable-graph ANN (2-hop frontier)
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -816,3 +816,57 @@ def test_kmv_anb_exact_below_theta(spark):
             saw_exact += 1
     # sf0.001 sources are small: the exact branch must actually fire
     assert saw_exact > 0 or not full
+
+
+def test_graph_expand_bounded_frontier_and_recall(spark):
+    """Structural promise: each query's scored frontier is ≤ G + G²
+    candidates regardless of corpus size; and 2-hop expansion must
+    recall a nontrivial share of the exact top-k (navigability)."""
+    from collections import defaultdict
+
+    from fuzzy_item_matching_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from fuzzy_item_matching_spark.queries.similarity import (
+        _GX_G,
+        _GX_K,
+        _GX_PANEL,
+        sim_ann_graph_expand,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    got = sim_ann_graph_expand(spark, SF_SMOKE).collect()
+    assert got
+    per_q = defaultdict(set)
+    for r in got:
+        per_q[r["qid"]].add(r["nid"])
+    assert all(len(v) <= _GX_K for v in per_q.values())
+    assert all(q % _GX_PANEL == 0 for q in per_q)
+    # exact truth for the panel
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % _GX_PANEL == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    n = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    truth_rows = (
+        q.join(n, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            cosine_similarity(F.col("qv"), F.col("nv")).alias("c"),
+        )
+        .collect()
+    )
+    truth = defaultdict(list)
+    for r in truth_rows:
+        truth[r["qid"]].append((-r["c"], r["nid"]))
+    hits = total = 0
+    for qid, lst in truth.items():
+        lst.sort()
+        top = {nid for _, nid in lst[:_GX_K]}
+        hits += len(top & per_q.get(qid, set()))
+        total += len(top)
+    assert total > 0
+    assert hits / total >= 0.25, f"recall@{_GX_K} = {hits}/{total}"

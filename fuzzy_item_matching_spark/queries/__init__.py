@@ -138,6 +138,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_holt_forecast",  # r12 birth: Holt trend smoothing, shared recursion
     "ts_kmv_anb",  # r12 birth: theta-sketch set difference (new vocab)
     "sim_ann_graph_expand",  # r12 birth: navigable-graph ANN (2-hop frontier)
+    "rel_skyline_parts",  # r12 birth: 2-D Pareto frontier via one sweep
+    "text_phonetic_blocking",  # r12 birth: consonant-skeleton ER blocking
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -3036,3 +3036,75 @@ def rel_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     idx.createOrReplaceTempView("__holt_idx")
     return spark.sql(_HOLT_REC_SQL.format(series="", idx="__holt_idx"))
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) — Börzsönyi et al., ICDE 2001
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_skyline_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS price, p_size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT price, p_size, n_parts, min_partkey,
+             MAX(p_size) OVER (ORDER BY price ASC, p_size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS best_prev
+      FROM pts
+    )
+    SELECT CAST(price AS DOUBLE) AS price, p_size, n_parts, min_partkey
+    FROM d WHERE best_prev IS NULL OR best_prev < p_size
+    """,
+)
+def rel_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE / Pareto frontier (Börzsönyi et al., ICDE 2001):
+    the parts no other part beats on BOTH axes (cheaper AND bigger) —
+    the multi-criteria shortlist every "best value" query wants. The
+    classic O(n²) dominance anti-join collapses to ONE ordered window
+    pass via the 2-D sweep: after sorting by (price ASC, size DESC),
+    a point is dominated iff the running MAX of size over its strict
+    predecessors ≥ its size (any predecessor is strictly cheaper, or
+    same-priced with strictly larger size — exactly the dominators;
+    grouping to DISTINCT (price, size) first makes the tie logic
+    airtight and carries multiplicity as n_parts).
+
+    Scale shape: the distinct-pair projection is one map-side-combined
+    aggregation; the sweep orders the DISTINCT VALUE GRID (bounded by
+    price-tick × size cardinality — ~10⁴·50 rows at ANY corpus size),
+    not the parts — so the single-partition window is a deliberate,
+    bounded choice, same as the model-table collects. For a
+    high-cardinality 2-D space the merge property skyline(S) =
+    skyline(∪ local skylines) turns this into per-partition sweeps +
+    one tiny merge — documented, not needed at the grid's size.
+
+    Determinism: price is DECIMAL(18,2)-exact; the sweep's order and
+    the dominance comparison are integer/decimal only; MIN/COUNT are
+    order-insensitive.
+    """
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        "p_size",
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    w = Window.orderBy(F.asc("price"), F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = pts.withColumn("best_prev", F.max("p_size").over(w))
+    return d.filter(
+        F.col("best_prev").isNull() | (F.col("best_prev") < F.col("p_size"))
+    ).select(
+        F.col("price").cast("double").alias("price"),
+        "p_size",
+        "n_parts",
+        "min_partkey",
+    )

@@ -804,3 +804,77 @@ def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_unigram_prune.__doc__ = text_unigram_prune.__doc__.format(
     tau=_UNI_PRUNE_TAU
 )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (consonant-skeleton key) for entity resolution
+# ---------------------------------------------------------------------------
+
+
+def _skeleton_sql(col: str) -> str:
+    """DuckDB consonant skeleton of a multi-word string: per word,
+    first letter + vowel-class-stripped remainder, '_'-joined."""
+    return (
+        f"array_to_string(list_transform(string_split(lower({col}), ' '),"
+        " w -> substr(w, 1, 1)"
+        " || regexp_replace(substr(w, 2), '[aeiouhwy]', '', 'g')), '_')"
+    )
+
+
+@query(
+    "text_phonetic_blocking",
+    oracle=f"""
+    WITH k AS (
+      SELECT p_partkey, p_name, {_skeleton_sql("p_name")} AS block_key
+      FROM part
+    ),
+    b AS (
+      SELECT block_key,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+             CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_cand_pairs
+      FROM k GROUP BY block_key
+    )
+    SELECT block_key, n_parts, n_names, n_cand_pairs
+    FROM b WHERE n_parts > 1
+    """,
+)
+def text_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING for entity resolution: a consonant-skeleton
+    key (per word: first letter + vowel/h/w/y-stripped remainder,
+    '_'-joined) groups names that survive the misspellings vowels
+    absorb — 'gear'/'gere'→'gr', 'widget'/'wydgit'→'wdgt'. The
+    soundex FAMILY without the adjacent-duplicate collapse (RE2-safe:
+    no backreferences, so ONE regex semantics replays in both
+    engines); blocks with >1 member are the candidate-pair budget a
+    phonetic blocker would hand the fuzzy scorer (J4) — the third
+    blocking key family next to char-n-gram LSH (sim_*) and
+    Fellegi-Sunter's exact-field blocks (serve_fs_*).
+
+    Scale shape: the key is a row-local codegen expression (lower +
+    split + per-word regex — no UDF); blocking is ONE
+    map-side-combinable aggregation on the key. At 100 TB this is the
+    cheapest candidate generator in the repo — a scan and a hash agg;
+    n_cand_pairs makes each block's downstream join cost visible
+    before anyone pays it (the sim_blocking_eval discipline).
+
+    Determinism: pure string algebra, integer outputs.
+    """
+    p = load_table(spark, sf_dir, "part")
+    word_skel = lambda w: F.concat(  # noqa: E731
+        F.substring(w, 1, 1),
+        F.regexp_replace(F.substring(w, 2, 2_000_000), "[aeiouhwy]", ""),
+    )
+    key = F.array_join(
+        F.transform(F.split(F.lower(F.col("p_name")), " "), word_skel),
+        "_",
+    )
+    k = p.select("p_partkey", "p_name", key.alias("block_key"))
+    b = k.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_name").alias("n_names"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n_cand_pairs"),
+    )
+    return b.filter(F.col("n_parts") > 1)

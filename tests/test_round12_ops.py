@@ -870,3 +870,66 @@ def test_graph_expand_bounded_frontier_and_recall(spark):
         total += len(top)
     assert total > 0
     assert hits / total >= 0.25, f"recall@{_GX_K} = {hits}/{total}"
+
+
+def test_skyline_bruteforce_dominance(spark):
+    """Every returned (price, size) is non-dominated and every
+    excluded distinct pair is dominated — checked against the O(n²)
+    definition in plain Python."""
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_skyline_parts,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    parts = load_table(spark, SF_SMOKE, "part").select(
+        "p_retailprice", "p_size"
+    ).collect()
+    pts = {(round(r["p_retailprice"], 2), r["p_size"]) for r in parts}
+
+    def dominated(p, s):
+        return any(
+            (p2 <= p and s2 >= s and (p2, s2) != (p, s)) for p2, s2 in pts
+        )
+
+    got = {
+        (round(r["price"], 2), r["p_size"])
+        for r in rel_skyline_parts(spark, SF_SMOKE).collect()
+    }
+    want = {(p, s) for p, s in pts if not dominated(p, s)}
+    assert got == want
+    assert got  # frontier is never empty on nonempty input
+
+
+def test_phonetic_skeleton_groups_vowel_variants(spark):
+    """The consonant skeleton must collapse vowel-level misspellings
+    and keep consonant-distinct names apart — checked via the query
+    over a synthetic part table written to a temp dir."""
+    import tempfile
+
+    import pandas as pd
+
+    from fuzzy_item_matching_spark.queries.text import (
+        text_phonetic_blocking,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {
+                "p_partkey": [1, 2, 3, 4],
+                "p_name": [
+                    "red gear",
+                    "red gere",  # vowel variant → same skeleton
+                    "rod gear",  # same skeleton (vowel swap)
+                    "red sprocket",  # consonant-distinct
+                ],
+                "p_brand": ["B"] * 4,
+                "p_type": ["t"] * 4,
+                "p_size": [1] * 4,
+                "p_retailprice": [1.0] * 4,
+            }
+        ).to_parquet(f"{td}/part.parquet")
+        got = {
+            r["block_key"]: (r["n_parts"], r["n_names"], r["n_cand_pairs"])
+            for r in text_phonetic_blocking(spark, td).collect()
+        }
+    assert got == {"rd_gr": (3, 3, 3)}  # sprocket block has n=1 → filtered

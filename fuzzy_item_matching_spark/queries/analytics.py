@@ -1130,3 +1130,119 @@ def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(g)).selectExpr(
         "arm", "CAST(n AS BIGINT) AS n_users", *_CUPED_STATS
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov chain over event-type transitions: stationary distribution
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 3
+
+
+def _markov_oracle() -> str:
+    parts = [
+        """bg AS (
+      SELECT prev, event_type AS nxt FROM (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL
+    )""",
+        """tc AS (
+      SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY prev, nxt
+    )""",
+        """tp AS (
+      SELECT prev, nxt,
+             CAST(c AS DOUBLE)
+               / CAST(SUM(c) OVER (PARTITION BY prev) AS DOUBLE) AS p
+      FROM tc
+    )""",
+        """states AS (SELECT DISTINCT event_type AS s FROM events)""",
+        """v0 AS (
+      SELECT s, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM states) AS p
+      FROM states
+    )""",
+    ]
+    for t in range(1, _MK_ITERS + 1):
+        parts.append(f"""v{t} AS (
+      SELECT tp.nxt AS s,
+             CAST(SUM(CAST(v{t - 1}.p * tp.p AS DECIMAL(38,18)))
+                  AS DOUBLE) AS p
+      FROM v{t - 1} JOIN tp ON tp.prev = v{t - 1}.s
+      GROUP BY tp.nxt
+    )""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT s.s AS event_type, COALESCE(v.p, 0.0) AS stationary_prob
+    FROM states s LEFT JOIN v{_MK_ITERS} v ON v.s = s.s
+    """
+    )
+
+
+@query("rel_markov_stationary", oracle=_markov_oracle())
+def rel_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN journey model over per-user event streams: the
+    empirical transition matrix P(prev → next) from lag-1 bigrams,
+    then {t} unrolled power-iteration steps v ← vᵀP from the uniform
+    start — the stationary mix of a user's next action, the model
+    under Markov attribution / journey simulation (and the behavioral
+    twin of rel_pagerank_brands, which runs the same iteration on a
+    GRAPH instead of a process).
+
+    Scale shape: bigrams are one lag window per user partition (the
+    CUSUM shuffle reused); the transition matrix is |types|² ≤ 36
+    rows — every iteration is a broadcast join of a ≤6-row vector
+    against a ≤36-row matrix, driver-free and independent of corpus
+    size. At 100 TB: one shuffle for the counts, then noise.
+
+    Determinism: counts exact; each row of P is one IEEE division of
+    exact BIGINTs; each iteration quantizes the v·P products to
+    DECIMAL(38,18) before the order-insensitive sum, so the vector
+    stays bit-identical across engines; dangling states (never a
+    `prev`) leak mass by design — COALESCE pins them to 0 rather
+    than hiding the leak with a silent renormalization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bg = (
+        ev.select(
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(wlag).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    tc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("prev")
+    tp = tc.select(
+        "prev",
+        "nxt",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(wp).cast("double")
+        ).alias("tpp"),
+    ).persist()
+    states = ev.select(F.col("event_type").alias("s")).distinct().persist()
+    k = states.count()
+    v = states.select("s", (F.lit(1.0) / F.lit(float(k))).alias("vp"))
+    for _ in range(_MK_ITERS):
+        v = (
+            v.join(tp, v.s == tp.prev)
+            .groupBy(F.col("nxt").alias("s2"))
+            .agg(
+                F.sum((F.col("vp") * F.col("tpp")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("p2")
+            )
+            .select(F.col("s2").alias("s"), F.col("p2").alias("vp"))
+        )
+    return states.join(v, "s", "left").select(
+        F.col("s").alias("event_type"),
+        F.coalesce(F.col("vp"), F.lit(0.0)).alias("stationary_prob"),
+    )
+
+
+rel_markov_stationary.__doc__ = rel_markov_stationary.__doc__.format(
+    t=_MK_ITERS
+)

@@ -933,3 +933,49 @@ def test_phonetic_skeleton_groups_vowel_variants(spark):
             for r in text_phonetic_blocking(spark, td).collect()
         }
     assert got == {"rd_gr": (3, 3, 3)}  # sprocket block has n=1 → filtered
+
+
+def test_markov_power_iteration_matches_numpy(spark):
+    """Numpy replay: bigram transition matrix, 3 power-iteration steps
+    from uniform, dangling mass allowed to leak (no renormalization)."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _MK_ITERS,
+        rel_markov_stationary,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    trans = Counter()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r["event_type"])
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    states = sorted({r["event_type"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    out = Counter()
+    for (a, b), c in trans.items():
+        out[a] += c
+    for (a, b), c in trans.items():
+        P[idx[a], idx[b]] = c / out[a]
+    v = np.full(len(states), 1.0 / len(states))
+    for _ in range(_MK_ITERS):
+        v = v @ P
+    got = {
+        r["event_type"]: r["stationary_prob"]
+        for r in rel_markov_stationary(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(states)
+    for s in states:
+        assert abs(got[s] - v[idx[s]]) < 1e-12, s
+    # probability mass can only leak (dangling states), never grow
+    assert sum(got.values()) <= 1.0 + 1e-12

@@ -141,6 +141,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_skyline_parts",  # r12 birth: 2-D Pareto frontier via one sweep
     "text_phonetic_blocking",  # r12 birth: consonant-skeleton ER blocking
     "rel_markov_stationary",  # r12 birth: event-journey Markov chain
+    "rel_markov_removal_attribution",  # r12 birth: counterfactual credit
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

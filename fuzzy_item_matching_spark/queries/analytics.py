@@ -1246,3 +1246,252 @@ def rel_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 rel_markov_stationary.__doc__ = rel_markov_stationary.__doc__.format(
     t=_MK_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2016)
+# ---------------------------------------------------------------------------
+
+_RE_T = 6  # absorption horizon (matrix-power steps)
+_RE_CHANNELS = ("click", "error", "signup", "view")  # removable states
+_RE_CONV = "purchase"
+
+
+def _removal_oracle() -> str:
+    scen = ", ".join(f"('{c}')" for c in ("full", *_RE_CHANNELS))
+    parts = [
+        """seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )""",
+        f"""cut AS (
+      SELECT user_id, event_type, rn,
+             MIN(CASE WHEN event_type = '{_RE_CONV}' THEN rn END)
+               OVER (PARTITION BY user_id) AS prn
+      FROM seq
+    )""",
+        """jny AS (
+      SELECT user_id, event_type, rn FROM cut
+      WHERE prn IS NULL OR rn <= prn
+    )""",
+        """bg AS (
+      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY rn), '__start')
+               AS prev,
+             event_type AS nxt
+      FROM jny
+    )""",
+        """tc AS (
+      SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY prev, nxt
+    )""",
+        f"""tp AS (
+      SELECT prev, nxt,
+             CAST(c AS DOUBLE)
+               / CAST(SUM(c) OVER (PARTITION BY prev) AS DOUBLE) AS tpp
+      FROM tc
+      UNION ALL
+      SELECT '{_RE_CONV}', '{_RE_CONV}', 1.0
+    )""",
+        f"""scen AS (SELECT * FROM (VALUES {scen}) AS t(scenario))""",
+        """sp AS (
+      SELECT s.scenario, tp.prev, tp.nxt, tp.tpp
+      FROM scen s JOIN tp
+        ON s.scenario = 'full'
+        OR (tp.prev <> s.scenario AND tp.nxt <> s.scenario)
+    )""",
+        """v0 AS (SELECT scenario, '__start' AS st, 1.0 AS vp FROM scen)""",
+    ]
+    for t in range(1, _RE_T + 1):
+        parts.append(f"""v{t} AS (
+      SELECT v.scenario, sp.nxt AS st,
+             CAST(SUM(CAST(v.vp * sp.tpp AS DECIMAL(38,18)))
+                  AS DOUBLE) AS vp
+      FROM v{t - 1} v JOIN sp
+        ON sp.scenario = v.scenario AND sp.prev = v.st
+      GROUP BY v.scenario, sp.nxt
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    pconv AS (
+      SELECT s.scenario, COALESCE(v.vp, 0.0) AS p
+      FROM scen s LEFT JOIN v{_RE_T} v
+        ON v.scenario = s.scenario AND v.st = '{_RE_CONV}'
+    ),
+    eff AS (
+      SELECT c.scenario AS channel, f.p AS p_full, c.p AS p_removed,
+             CASE WHEN f.p > 0 THEN (f.p - c.p) / f.p ELSE 0.0 END
+               AS removal_effect
+      FROM pconv c CROSS JOIN (SELECT p FROM pconv
+                               WHERE scenario = 'full') f
+      WHERE c.scenario <> 'full'
+    )
+    SELECT channel, p_full, p_removed, removal_effect,
+           CASE WHEN CAST(SUM(CAST(removal_effect AS DECIMAL(38,18)))
+                          OVER () AS DOUBLE) > 0
+                THEN removal_effect
+                     / CAST(SUM(CAST(removal_effect AS DECIMAL(38,18)))
+                            OVER () AS DOUBLE)
+                ELSE 0.0 END AS share
+    FROM eff
+    """
+    )
+
+
+@query("rel_markov_removal_attribution", oracle=_removal_oracle())
+def rel_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT attribution (Anderl et al. 2016) — the
+    principled alternative to last-touch/time-decay heuristics: model
+    user journeys (truncated at first conversion, '__start' prefixed,
+    '{conv}' absorbing) as a Markov chain, compute the {t}-step
+    conversion probability, then RE-COMPUTE it with each channel
+    removed (its in/out transitions deleted — journeys through it
+    die). A channel's credit is the conversion mass that disappears
+    without it: removal_effect = 1 − p_removed/p_full, normalized to
+    shares. Counterfactual credit from observational paths — the
+    operator marketing stacks actually fight over.
+
+    Scale shape: journeys need two window passes per user partition
+    (the CUSUM shuffle again) and one bigram count; EVERYTHING after
+    operates on the |states|² ≤ 36-row transition matrix × 5
+    scenarios — the {t} absorption steps are broadcast joins of
+    ≤ 30-row frames, independent of corpus size. One scan, one
+    shuffle, then noise: the aggregate-then-iterate discipline.
+
+    Determinism: transition probs are single IEEE divisions of exact
+    BIGINT counts; every absorption step quantizes products to
+    DECIMAL(38,18) before the order-insensitive sum; removal can only
+    DELETE paths, so p_removed ≤ p_full structurally (pinned in
+    tests); the share normalization runs through one exact windowed
+    decimal sum. Channel domain is pinned statically (the transpose
+    convention: a missing channel breaks the row set loudly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(wseq).alias("rn")
+    )
+    wu = Window.partitionBy("user_id")
+    cut = seq.withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == _RE_CONV, F.col("rn"))
+        ).over(wu),
+    )
+    jny = cut.filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    bg = jny.select(
+        F.coalesce(
+            F.lag("event_type").over(wj), F.lit("__start")
+        ).alias("prev"),
+        F.col("event_type").alias("nxt"),
+    )
+    tc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.partitionBy("prev")
+    tp = tc.select(
+        "prev",
+        "nxt",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(wp).cast("double")
+        ).alias("tpp"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(_RE_CONV, _RE_CONV, 1.0)], "prev string, nxt string, tpp double"
+        )
+    )
+    scen = spark.createDataFrame(
+        [(s,) for s in ("full", *_RE_CHANNELS)], "scenario string"
+    )
+    spx = F.broadcast(scen).join(
+        tp,
+        (F.col("scenario") == "full")
+        | (
+            (F.col("prev") != F.col("scenario"))
+            & (F.col("nxt") != F.col("scenario"))
+        ),
+    )
+    # ONE bounded collect — ≤ |scenarios|·(|states|²+1) ≈ 180 rows,
+    # the model-table budget (same discipline as the gboost fits).
+    # Everything after iterates over this LocalRelation: plan-cost
+    # experiments showed localCheckpoint alone burned 6.6 s per job
+    # re-materializing the journey-window subtree, vs milliseconds
+    # for local joins; at 100 TB the matrix is STILL ≤ 180 rows.
+    sp = F.broadcast(
+        spark.createDataFrame(
+            spx.collect(),
+            "scenario string, prev string, nxt string, tpp double",
+        )
+    )
+    v = scen.select(
+        "scenario", F.lit("__start").alias("st"), F.lit(1.0).alias("vp")
+    )
+    for it in range(_RE_T):
+        v = (
+            v.join(
+                sp.withColumnRenamed("scenario", "sc2"),
+                (F.col("sc2") == F.col("scenario"))
+                & (F.col("prev") == F.col("st")),
+            )
+            .groupBy(F.col("scenario").alias("s2"), F.col("nxt").alias("st2"))
+            .agg(
+                F.sum((F.col("vp") * F.col("tpp")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("vp2")
+            )
+            .select(
+                F.col("s2").alias("scenario"),
+                F.col("st2").alias("st"),
+                F.col("vp2").alias("vp"),
+            )
+        )
+
+    pconv = scen.join(
+        v.filter(F.col("st") == _RE_CONV).select("scenario", "vp"),
+        "scenario",
+        "left",
+    ).select("scenario", F.coalesce("vp", F.lit(0.0)).alias("p"))
+    full = pconv.filter(F.col("scenario") == "full").select(
+        F.col("p").alias("p_full")
+    )
+    eff = (
+        pconv.filter(F.col("scenario") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("scenario").alias("channel"),
+            "p_full",
+            F.col("p").alias("p_removed"),
+            F.when(
+                F.col("p_full") > 0,
+                (F.col("p_full") - F.col("p")) / F.col("p_full"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("removal_effect"),
+        )
+    )
+    wall = Window.partitionBy()
+    tot = (
+        F.sum(F.col("removal_effect").cast("decimal(38,18)"))
+        .over(wall)
+        .cast("double")
+    )
+    return eff.select(
+        "channel",
+        "p_full",
+        "p_removed",
+        "removal_effect",
+        F.when(tot > 0, F.col("removal_effect") / tot)
+        .otherwise(F.lit(0.0))
+        .alias("share"),
+    )
+
+
+rel_markov_removal_attribution.__doc__ = (
+    rel_markov_removal_attribution.__doc__.format(t=_RE_T, conv=_RE_CONV)
+)

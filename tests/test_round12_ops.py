@@ -979,3 +979,70 @@ def test_markov_power_iteration_matches_numpy(spark):
         assert abs(got[s] - v[idx[s]]) < 1e-12, s
     # probability mass can only leak (dangling states), never grow
     assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def test_removal_attribution_counterfactual_invariants(spark):
+    """Structural guarantees of removal-effect attribution: removing
+    a channel can only DELETE conversion paths (p_removed ≤ p_full),
+    effects are in [0,1], shares are a distribution, and a numpy
+    replay of the absorption walk agrees."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _RE_CHANNELS,
+        _RE_CONV,
+        _RE_T,
+        rel_markov_removal_attribution,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r["event_type"])
+    trans = Counter()
+    for seq in by_user.values():
+        if _RE_CONV in seq:
+            seq = seq[: seq.index(_RE_CONV) + 1]
+        prev = "__start"
+        for e in seq:
+            trans[(prev, e)] += 1
+            prev = e
+    out = Counter()
+    for (a, _), c in trans.items():
+        out[a] += c
+    P = {(a, b): c / out[a] for (a, b), c in trans.items()}
+    P[(_RE_CONV, _RE_CONV)] = 1.0
+
+    def absorb(removed=None):
+        v = {"__start": 1.0}
+        for _ in range(_RE_T):
+            nv = defaultdict(float)
+            for (a, b), p in P.items():
+                if removed and removed in (a, b):
+                    continue
+                if a in v:
+                    nv[b] += v[a] * p
+            v = dict(nv)
+        return v.get(_RE_CONV, 0.0)
+
+    p_full = absorb()
+    got = {
+        r["channel"]: r
+        for r in rel_markov_removal_attribution(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(_RE_CHANNELS)
+    share_sum = 0.0
+    for c in _RE_CHANNELS:
+        r = got[c]
+        assert abs(r["p_full"] - p_full) < 1e-9
+        assert abs(r["p_removed"] - absorb(c)) < 1e-9
+        assert r["p_removed"] <= r["p_full"] + 1e-12  # deletion only
+        assert -1e-12 <= r["removal_effect"] <= 1.0 + 1e-12
+        share_sum += r["share"]
+    assert abs(share_sum - 1.0) < 1e-9

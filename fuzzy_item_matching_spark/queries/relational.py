@@ -3031,6 +3031,10 @@ def rel_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     w = Window.orderBy("d")
+    # localCheckpoint, NOT a collected LocalRelation: the recursive
+    # CTE re-scans its anchor every step, and a checkpointed RDD scan
+    # is millisecond-cheap while a LocalRelation goes back through
+    # driver serialization per step (measured 50 s vs 4.6 s warm)
     idx = daily.select(
         "d", "n", (F.row_number().over(w).cast("long") - 1).alias("i")
     ).localCheckpoint(eager=True)

@@ -142,6 +142,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "text_phonetic_blocking",  # r12 birth: consonant-skeleton ER blocking
     "rel_markov_stationary",  # r12 birth: event-journey Markov chain
     "rel_markov_removal_attribution",  # r12 birth: counterfactual credit
+    "vec_kcenter_init",  # r12 birth: greedy farthest-point seeding
+    "train_km_survival",  # r12 birth: product-limit estimator w/ censoring
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

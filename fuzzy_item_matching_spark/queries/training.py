@@ -5464,3 +5464,126 @@ train_rf_stumps.__doc__ = train_rf_stumps.__doc__.format(
 train_rf_oob_eval.__doc__ = train_rf_oob_eval.__doc__.format(
     B=_RF_TREES, frac=_RF_FRAC
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (product-limit estimator, 1958)
+# ---------------------------------------------------------------------------
+
+# Shared between engines: the km day table (one row per distinct
+# duration, i ordered) is built by each engine's own relational
+# prefix; the recursion text is IDENTICAL, so the sequential product
+# S_i = S_{i-1} · (1 − h_i) walks the same doubles in the same order.
+_KM_DAYS_SQL = """
+    pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             MAX(ts) AS last_ts
+      FROM {events} GROUP BY user_id
+    ),
+    pconv AS (
+      SELECT p.user_id, p.s_ts,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts >= p.s_ts THEN e.ts END) AS p_ts
+      FROM pu p JOIN {events} e ON e.user_id = p.user_id
+      WHERE p.s_ts IS NOT NULL
+      GROUP BY p.user_id, p.s_ts
+    ),
+    bounds AS (SELECT MAX(ts) AS end_ts FROM {events}),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN p_ts IS NOT NULL
+                  THEN {dd_p}
+                  ELSE {dd_c}
+             END AS t_day,
+             CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM pconv CROSS JOIN bounds
+    ),
+    days AS (SELECT DISTINCT t_day FROM dur),
+    km0 AS (
+      SELECT d.t_day,
+             CAST(COUNT(CASE WHEN u.t_day >= d.t_day THEN 1 END)
+                  AS BIGINT) AS n_at_risk,
+             CAST(COUNT(CASE WHEN u.t_day = d.t_day AND u.ev = 1
+                        THEN 1 END) AS BIGINT) AS d_events
+      FROM days d CROSS JOIN dur u
+      GROUP BY d.t_day
+    ),
+    km AS (
+      SELECT t_day, n_at_risk, d_events,
+             CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS hazard,
+             CAST(ROW_NUMBER() OVER (ORDER BY t_day) AS BIGINT) - 1 AS i
+      FROM km0
+    )
+"""
+
+# engine-specific day difference (arg ORDER differs between engines)
+_KM_DD_SPARK = "datediff(CAST({b} AS DATE), CAST({a} AS DATE))"
+_KM_DD_DUCK = "datediff('day', CAST({a} AS DATE), CAST({b} AS DATE))"
+
+_KM_REC_SQL = """
+    WITH RECURSIVE
+    {prefix}
+    surv(i, s) AS (
+      SELECT k.i, 1.0 - k.hazard AS s FROM {km} k WHERE k.i = 0
+      UNION ALL
+      SELECT r.i + 1, r.s * (1.0 - k.hazard)
+      FROM surv r JOIN {km} k ON k.i = r.i + 1
+      WHERE r.i < 95
+    )
+    SELECT k.t_day, k.n_at_risk, k.d_events, k.hazard, surv.s AS survival
+    FROM {km} k JOIN surv ON surv.i = k.i
+"""
+
+
+@query(
+    "train_km_survival",
+    oracle=_KM_REC_SQL.format(
+        prefix=_KM_DAYS_SQL.format(
+            events="events",
+            dd_p=_KM_DD_DUCK.format(a="s_ts", b="p_ts"),
+            dd_c=_KM_DD_DUCK.format(a="s_ts", b="end_ts"),
+        )
+        + ",",
+        km="km",
+    ),
+)
+def train_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER product-limit survival (1958) for
+    signup→first-purchase conversion: per user, duration in days from
+    first signup to first purchase (censored at the end of
+    observation if none), then the estimator S(t) = Π_{{u≤t}}
+    (1 − d_u/n_u) over the day-indexed risk table — time-to-event
+    analysis with CENSORING handled correctly, which naive
+    conversion-rate-by-day silently gets wrong (censored users leave
+    the risk set instead of polluting the denominator). The survival
+    recursion runs as the shared-text sequential WITH RECURSIVE (the
+    Holt discipline — identical recursion SQL in both engines).
+
+    Scale shape: per-user durations are one grouped pass (the
+    conversion join keys on user_id, the shuffle every query here
+    shares); the risk table is ≤ observation-window-days rows built
+    by one broadcast day-list cross (bounded ≤31 × users, map-side);
+    the recursion walks a ≤31-row localCheckpointed table. The
+    aggregate-then-iterate discipline again: censoring math never
+    touches more than the day table.
+
+    Determinism: n/d are exact BIGINTs; each hazard is ONE IEEE
+    division; the product recursion multiplies identical doubles in
+    identical order — bit-identical survival curves, no log/exp
+    (libm-dependent) anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__km_events")
+    km = spark.sql(
+        "SELECT * FROM (WITH "
+        + _KM_DAYS_SQL.format(
+            events="__km_events",
+            dd_p=_KM_DD_SPARK.format(a="s_ts", b="p_ts"),
+            dd_c=_KM_DD_SPARK.format(a="s_ts", b="end_ts"),
+        )
+        + " SELECT * FROM km) t"
+    ).localCheckpoint(eager=True)
+    km.createOrReplaceTempView("__km_table")
+    return spark.sql(_KM_REC_SQL.format(prefix="", km="__km_table"))

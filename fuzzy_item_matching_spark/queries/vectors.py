@@ -20,6 +20,7 @@ from fuzzy_item_matching_spark.functions.vector import (
     cosine_similarity,
     l2_norm,
     l2_normalize,
+    squared_dist,
 )
 from fuzzy_item_matching_spark.queries import query
 from fuzzy_item_matching_spark.tables import load_table
@@ -780,3 +781,105 @@ def vec_arrow_map_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(kernel, "vec_id long, dim int, norm double")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point) seeding — Gonzalez 1985, 2-approximation
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+_D_SQD = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> (s[1]-s[2])*(s[1]-s[2])))"
+)
+
+
+def _kcenter_oracle() -> str:
+    sqd = _D_SQD.format(a="e.v", b="c.v")
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """c0 AS (
+      SELECT 0 AS center_idx, vec_id, v, 0.0 AS d2_at_selection
+      FROM emb ORDER BY vec_id LIMIT 1
+    )""",
+        "cs0 AS (SELECT * FROM c0)",
+    ]
+    for j in range(1, _KC_K):
+        p = j - 1
+        parts += [
+            f"""m{j} AS (
+      SELECT e.vec_id, e.v, MIN({sqd}) AS dmin
+      FROM emb e CROSS JOIN cs{p} c GROUP BY e.vec_id, e.v
+    )""",
+            f"""pick{j} AS (
+      SELECT {j} AS center_idx, vec_id, v, dmin AS d2_at_selection
+      FROM m{j} ORDER BY dmin DESC, vec_id ASC LIMIT 1
+    )""",
+            f"cs{j} AS (SELECT * FROM cs{p} UNION ALL"
+            f" SELECT * FROM pick{j})",
+        ]
+    last = _KC_K - 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT center_idx, vec_id, d2_at_selection FROM cs{last}
+    """
+    )
+
+
+@query("vec_kcenter_init", oracle=_kcenter_oracle())
+def vec_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER seeding (Gonzalez 1985, farthest-point
+    traversal): start from the lowest-id vector, then {k}−1 times add
+    the point FARTHEST from the current center set (max of min
+    squared distance, ties to the smaller id). The classic
+    2-approximation for the k-center radius, and the deterministic
+    cousin of k-means++ (which samples ∝ D² where this takes the
+    argmax) — it seeds coverage-style clustering and diverse-subset
+    selection (coresets, annotation budgets) where the kmeans
+    operator's lowest-id init favors density instead. Each center's
+    d2_at_selection is the coverage radius BEFORE it was added, so
+    the output doubles as the radius-vs-k elbow curve.
+
+    Scale shape: each of the {k}−1 rounds is one broadcast of the
+    ≤{k}-row center set, one codegen min-over-centers projection over
+    a LINEAR scan, and a 1-row TakeOrderedAndProject argmax (the
+    BPE-argmax collect budget). No pairwise materialization, no
+    shuffle that grows with n — farthest-point is embarrassingly
+    scan-parallel; at 100 TB each round is one pass.
+
+    Determinism: squared distances are the proven zip_with fold
+    (bitwise equal to the oracle's list fold); MIN over ≤{k} doubles
+    is order-insensitive; the argmax breaks ties on vec_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "v")
+        .collect()[0]
+    )
+    centers = [(0, first["vec_id"], first["v"], 0.0)]
+    for j in range(1, _KC_K):
+        dmin = None
+        for _, _, cv, _ in centers:
+            d = squared_dist(F.col("v"), F.array([F.lit(x) for x in cv]))
+            dmin = d if dmin is None else F.least(dmin, d)
+        [best] = (
+            e.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        centers.append((j, best["vec_id"], best["v"], best["dmin"]))
+    return spark.createDataFrame(
+        [(i, vid, d) for i, vid, _, d in centers],
+        "center_idx int, vec_id long, d2_at_selection double",
+    )
+
+
+vec_kcenter_init.__doc__ = vec_kcenter_init.__doc__.format(k=_KC_K)

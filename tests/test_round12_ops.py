@@ -1046,3 +1046,93 @@ def test_removal_attribution_counterfactual_invariants(spark):
         assert -1e-12 <= r["removal_effect"] <= 1.0 + 1e-12
         share_sum += r["share"]
     assert abs(share_sum - 1.0) < 1e-9
+
+
+def test_kcenter_greedy_matches_numpy_and_2approx(spark):
+    """Numpy replay of farthest-point traversal (same start, same
+    tie-break) must pick the same centers in the same order, with
+    monotonically non-increasing selection radii."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.vectors import (
+        _KC_K,
+        vec_kcenter_init,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    centers = [0]
+    sel_d = [0.0]
+    dmin = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, _KC_K):
+        best = int(np.lexsort((ids, -dmin))[0])
+        centers.append(best)
+        sel_d.append(float(dmin[best]))
+        dmin = np.minimum(dmin, ((X - X[best]) ** 2).sum(axis=1))
+    got = sorted(
+        vec_kcenter_init(spark, SF_SMOKE).collect(),
+        key=lambda r: r["center_idx"],
+    )
+    assert [r["vec_id"] for r in got] == [int(ids[c]) for c in centers]
+    for r, d in zip(got, sel_d):
+        assert abs(r["d2_at_selection"] - d) < 1e-9
+    # radii shrink (or tie) as coverage improves — the greedy invariant
+    picks = [r["d2_at_selection"] for r in got][1:]
+    assert all(a >= b - 1e-12 for a, b in zip(picks, picks[1:]))
+
+
+def test_km_survival_matches_pure_python_product_limit(spark):
+    """Python replay of the product-limit estimator over per-user
+    durations (censoring at end of observation), exact equality on
+    risk counts and survival within 1e-12."""
+    from collections import defaultdict
+
+    from fuzzy_item_matching_spark.queries.training import (
+        train_km_survival,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    end = max(r["ts"] for r in rows).date()
+    signup, purch = {}, defaultdict(list)
+    for r in rows:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in signup or r["ts"] < signup[r["user_id"]]:
+                signup[r["user_id"]] = r["ts"]
+        elif r["event_type"] == "purchase":
+            purch[r["user_id"]].append(r["ts"])
+    durs = []
+    for u, s in signup.items():
+        ps = [p for p in purch.get(u, []) if p >= s]
+        if ps:
+            durs.append(((min(ps).date() - s.date()).days, 1))
+        else:
+            durs.append(((end - s.date()).days, 0))
+    days = sorted({t for t, _ in durs})
+    surv, want = 1.0, {}
+    for t in days:
+        n = sum(1 for d, _ in durs if d >= t)
+        d = sum(1 for dd, e in durs if dd == t and e == 1)
+        h = d / n
+        surv = surv * (1.0 - h)
+        want[t] = (n, d, surv)
+    got = {
+        r["t_day"]: (r["n_at_risk"], r["d_events"], r["survival"])
+        for r in train_km_survival(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:2] == want[t][:2], t
+        assert abs(got[t][2] - want[t][2]) < 1e-12, t
+    # survival is a non-increasing probability curve
+    curve = [got[t][2] for t in sorted(got)]
+    assert all(0.0 <= s <= 1.0 for s in curve)
+    assert all(a >= b - 1e-15 for a, b in zip(curve, curve[1:]))

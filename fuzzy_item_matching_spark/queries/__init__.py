@@ -144,6 +144,10 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_markov_removal_attribution",  # r12 birth: counterfactual credit
     "vec_kcenter_init",  # r12 birth: greedy farthest-point seeding
     "train_km_survival",  # r12 birth: product-limit estimator w/ censoring
+    "train_fm_gd",  # r12 birth: rank-2 factorization machine GD
+    "ts_good_turing",  # r12 birth: count-of-counts smoothing + unseen mass
+    "train_pit_features",  # r12 birth: leakage-free PIT training rows
+    "ts_js_divergence",  # r12 birth: source-pair distribution drift
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

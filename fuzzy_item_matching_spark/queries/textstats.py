@@ -4036,3 +4036,218 @@ def ts_kmv_anb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_kmv_anb.__doc__ = ts_kmv_anb.__doc__.format(k=_ANB_K)
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing frequency smoothing (Good 1953)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_good_turing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_D_TOKENS.format(c="text")}) AS t FROM documents
+    ),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+    fof AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+            FROM tc GROUP BY c),
+    gt AS (
+      SELECT a.r, a.n_r,
+             CASE WHEN b.n_r IS NOT NULL
+                  THEN (CAST(a.r AS DOUBLE) + 1.0)
+                       * CAST(b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+                  ELSE 0.0 END AS r_star
+      FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+    )
+    SELECT gt.r, gt.n_r, gt.r_star,
+           CAST(COALESCE((SELECT n_r FROM fof WHERE r = 1), 0) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE) AS p_unseen
+    FROM gt CROSS JOIN tot
+    """,
+)
+def ts_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD–TURING frequency smoothing (Good 1953): the
+    frequency-of-frequencies table N_r and the Turing-adjusted count
+    r* = (r+1)·N_{{r+1}}/N_r, plus the unseen-mass estimate
+    p₀ = N₁/N — the discounting foundation under Katz backoff and the
+    empirical sibling of the Kneser–Ney query (ts_kneser_ney uses a
+    FIXED discount; Good–Turing derives the discount from the
+    count-of-counts themselves). In a data pipeline p₀ is the
+    standing answer to "how much of the token stream is vocabulary we
+    have not seen yet" — the coverage dial for vocab sizing and
+    crawl-more decisions.
+
+    Scale shape: one token explode + two map-side-combinable
+    aggregations (term counts → count-of-counts); the N_r table is
+    bounded by the number of DISTINCT count values (≲ thousands at
+    any corpus size, Zipf guarantees the tail merges), so the r+1
+    self-join and the p₀ scalar are sketch-sized. Exactly two passes
+    over the corpus at 100 TB.
+
+    Determinism: counts exact; r* and p₀ are single fixed-tree IEEE
+    expressions over exact integers; zero-N_{{r+1}} rows pin r* = 0.0
+    rather than NULL (loud, comparable).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(regex_tokenize("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    ).persist()
+    tot = tc.agg(F.sum("c").alias("n"))
+    # ALWAYS a 1-row frame — a filter().select() would go EMPTY on a
+    # corpus with no hapaxes (the synthetic vocab has none) and the
+    # crossJoin would wipe the output; p0 = 0.0 is the loud answer
+    n1 = fof.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("n_one")
+    )
+    b = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    gt = fof.join(b, "r", "left").select(
+        "r",
+        "n_r",
+        F.when(
+            F.col("n_r1").isNotNull(),
+            (F.col("r").cast("double") + 1.0)
+            * F.col("n_r1").cast("double")
+            / F.col("n_r").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r_star"),
+    )
+    return gt.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(n1)
+    ).select(
+        "r",
+        "n_r",
+        "r_star",
+        (F.col("n_one").cast("double") / F.col("n").cast("double")).alias(
+            "p_unseen"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_D_TOKENS.format(c="text")}) AS t
+      FROM documents
+    ),
+    tc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, t),
+    tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+             FROM tc GROUP BY source),
+    shared AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(a.c AS DOUBLE) / na.n AS p,
+             CAST(b.c AS DOUBLE) / nb.n AS q
+      FROM tc a
+      JOIN tc b ON b.t = a.t AND a.source < b.source
+      JOIN tots na ON na.source = a.source
+      JOIN tots nb ON nb.source = b.source
+    ),
+    core AS (
+      SELECT sa, sb,
+             CAST(SUM(CAST(p * ln(2.0 * p / (p + q))
+                           + q * ln(2.0 * q / (p + q))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS shared_term,
+             CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS p_shared,
+             CAST(SUM(CAST(q AS DECIMAL(38,18))) AS DOUBLE) AS q_shared,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+      FROM shared GROUP BY sa, sb
+    )
+    SELECT sa, sb,
+           0.5 * (shared_term
+                  + ln(2.0) * ((1.0 - p_shared) + (1.0 - q_shared)))
+             AS jsd,
+           n_shared_terms
+    FROM core
+    """,
+)
+def ts_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN–SHANNON divergence between every source pair's unigram
+    distribution — the bounded, symmetric drift metric (0 ≤ JSD ≤
+    ln 2) corpus curation uses to answer "did this crawl change?" and
+    "which sources are interchangeable for mixing?" (the DoReMi /
+    source-mixture queries upstream of this decide WEIGHTS; JSD
+    decides WHETHER two sources even differ). Identity used: tokens
+    one side lacks have q=0, where the pair term degenerates to
+    p·ln 2 — so JSD = ½·[Σ_shared (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    + ln 2·((1−Σp_shared) + (1−Σq_shared))], and the computation
+    needs only the INNER join on shared vocabulary plus per-source
+    totals — never a full outer vocab union.
+
+    Scale shape: per-source counts are one explode + one hash agg;
+    the pair join is keyed on token (the postings-join shape, bounded
+    by shared-vocab postings); per-pair sums are map-side
+    combinable. S sources cost one token-keyed self-join, not S
+    corpus scans.
+
+    Determinism: p, q are single divisions of exact counts; ln is
+    evaluated on identical doubles (the idf/PMI precedent); every
+    accumulated term quantizes to DECIMAL(38,18) before the
+    order-insensitive sum; the final combination is one fixed tree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tots = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tc.select(
+        F.col("source").alias("sa"), "t", F.col("c").alias("ca")
+    )
+    b = tc.select(
+        F.col("source").alias("sb"), "t", F.col("c").alias("cb")
+    )
+    na = tots.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = tots.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            (F.col("ca").cast("double") / F.col("na")).alias("p"),
+            (F.col("cb").cast("double") / F.col("nb")).alias("q"),
+        )
+    )
+    term = F.col("p") * F.log(
+        2.0 * F.col("p") / (F.col("p") + F.col("q"))
+    ) + F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+    core = shared.groupBy("sa", "sb").agg(
+        F.sum(term.cast("decimal(38,18)")).cast("double").alias("shared_term"),
+        F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("p_shared"),
+        F.sum(F.col("q").cast("decimal(38,18)")).cast("double").alias("q_shared"),
+        F.count(F.lit(1)).alias("n_shared_terms"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    return core.select(
+        "sa",
+        "sb",
+        (
+            0.5
+            * (
+                F.col("shared_term")
+                + ln2
+                * ((1.0 - F.col("p_shared")) + (1.0 - F.col("q_shared")))
+            )
+        ).alias("jsd"),
+        "n_shared_terms",
+    )

@@ -5587,3 +5587,157 @@ def train_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     km.createOrReplaceTempView("__km_table")
     return spark.sql(_KM_REC_SQL.format(prefix="", km="__km_table"))
+
+
+# ---------------------------------------------------------------------------
+# Factorization machine (Rendle 2010): rank-2 GD fit on the pair features
+# ---------------------------------------------------------------------------
+
+_FM_ITERS = 6
+_FM_LR = 0.01
+_FM_K = 2
+
+
+def _fm_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.fm import fm_gd_sql
+
+    return fm_gd_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], iters=_FM_ITERS, lr=_FM_LR,
+        k=_FM_K,
+    )
+
+
+@query("train_fm_gd", oracle=_fm_oracle())
+def train_fm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACTORIZATION MACHINE (Rendle 2010), rank-{k}, fit by
+    deterministic full-batch GD on the reference's three
+    squared-distance features — the feature-INTERACTION model family
+    the repo's fits don't cover: linear (logreg) has no crossings,
+    trees cross implicitly but can't extrapolate, ALS factorizes ids
+    without side features; the FM factorizes pairwise interactions as
+    inner products of {k}-dim feature embeddings with the O(nk)
+    sum-of-squares trick — never a pairwise expansion. Output is the
+    full fit trace (iter, coef, weight), replayed iteration-for-
+    iteration by the oracle (operators/fm.py builds ONE set of
+    expression strings both engines evaluate verbatim).
+
+    Scale shape: each iteration is one map-side-combinable
+    DECIMAL(38,18) aggregate over the cached pair frame with the
+    10-value weight state broadcast back — K scans total, no driver
+    loop over data (the logreg/gboost discipline; same plan at
+    100 TB).
+
+    Determinism: deterministic literal factor init (v ≡ 0 is a
+    saddle); fixed generated expression trees; exact gradient sums;
+    round-to-9 at every iteration boundary.
+    """
+    from fuzzy_item_matching_spark.operators.fm import fm_gd_fit
+
+    return fm_gd_fit(
+        _lr_pairs(spark, sf_dir),
+        ["x1", "x2", "x3"],
+        iters=_FM_ITERS,
+        lr=_FM_LR,
+        k=_FM_K,
+    )
+
+
+train_fm_gd.__doc__ = train_fm_gd.__doc__.format(k=_FM_K)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time training-set assembly (leakage-free feature windows)
+# ---------------------------------------------------------------------------
+
+_PIT_LABEL_THR = "100.00"
+
+
+@query(
+    "train_pit_features",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id, event_id, event_type, v,
+             COUNT(*) OVER w AS n_prior_events,
+             CAST(COALESCE(SUM(v) OVER w, 0.00) AS DECIMAL(38,2))
+               AS prior_value_sum,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w
+               AS n_prior_purchases
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n_prior_events AS BIGINT) AS n_prior_events,
+           CAST(prior_value_sum AS DOUBLE) AS prior_value_sum,
+           CAST(n_prior_purchases AS BIGINT) AS n_prior_purchases,
+           CASE WHEN v > CAST({_PIT_LABEL_THR} AS DECIMAL(18,2))
+                THEN 1 ELSE 0 END AS label
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def train_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME training-set assembly — the feature-store join
+    done right: for every purchase (the label event), features are
+    computed over the user's STRICTLY-PRIOR history (ROWS … AND 1
+    PRECEDING), so no information from the label instant or later
+    can leak into the features — the correctness property feature
+    stores exist to guarantee, here as a pure window construction
+    (no point-in-time snapshot table needed when features are
+    aggregations of the same stream). Emits one leakage-free
+    training row per purchase: prior event count, prior value sum,
+    prior purchase count, and the high-value label (> {thr}).
+
+    Scale shape: ONE shuffle on user_id, then every feature is the
+    same streaming window frame (single pass per user partition,
+    WholeStageCodegen); the label filter prunes after. At 100 TB
+    this replaces the usual as-of join against a snapshotted feature
+    table — and when features DO live in a separate table, the same
+    strictly-prior discipline runs through rel_asof_join_events.
+
+    Determinism: prior sums are DECIMAL(18,2)-exact; ordering ties
+    break on event_id; the label threshold compares decimals. The
+    empty-history edge (first event per user) pins to 0/0.00/0 via
+    COALESCE, not NULL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.count(F.lit(1)).over(w).alias("n_prior_events"),
+        F.coalesce(F.sum(v).over(w), F.lit("0.00").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("prior_value_sum"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(w)
+        .alias("n_prior_purchases"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "n_prior_events",
+        F.col("prior_value_sum").cast("double").alias("prior_value_sum"),
+        "n_prior_purchases",
+        F.when(
+            F.col("v") > F.lit(_PIT_LABEL_THR).cast("decimal(18,2)"), 1
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+
+
+train_pit_features.__doc__ = train_pit_features.__doc__.format(
+    thr=_PIT_LABEL_THR
+)

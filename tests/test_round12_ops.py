@@ -1136,3 +1136,178 @@ def test_km_survival_matches_pure_python_product_limit(spark):
     curve = [got[t][2] for t in sorted(got)]
     assert all(0.0 <= s <= 1.0 for s in curve)
     assert all(a >= b - 1e-15 for a, b in zip(curve, curve[1:]))
+
+
+def test_fm_gd_matches_numpy_and_reduces_loss(spark):
+    """Numpy replay of the rank-2 FM GD (same init, same O(nk)
+    forward/backward, same round-to-9 schedule) must reproduce the
+    trace; and the fit must actually reduce squared loss."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.operators.fm import fm_init
+    from fuzzy_item_matching_spark.queries.training import (
+        _FM_ITERS,
+        _FM_K,
+        _FM_LR,
+        _lr_pairs,
+        train_fm_gd,
+    )
+
+    feats = ["x1", "x2", "x3"]
+    rows = _lr_pairs(spark, SF_SMOKE).select("label", *feats).collect()
+    X = np.array([[r[f] for f in feats] for r in rows])
+    y = np.array([float(r["label"]) for r in rows])
+    init = fm_init(3, _FM_K)
+    w0 = init["w0"]
+    w = np.array([init[f"w{j}"] for j in (1, 2, 3)])
+    V = np.array(
+        [[init[f"v{j}{f}"] for f in range(1, _FM_K + 1)] for j in (1, 2, 3)]
+    )
+
+    def predict():
+        S = X @ V  # (n, k)
+        Q = (X**2) @ (V**2)
+        return w0 + X @ w + 0.5 * ((S**2) - Q).sum(axis=1)
+
+    losses = [float(((predict() - y) ** 2).mean())]
+    want = {}
+    for t in range(1, _FM_ITERS + 1):
+        g = predict() - y
+        n = len(y)
+        w0 = round(w0 - _FM_LR * g.sum() / n, 9)
+        S = X @ V
+        gw = (g[:, None] * X).sum(axis=0) / n
+        gV = (
+            g[:, None, None]
+            * (X[:, :, None] * S[:, None, :] - V[None] * (X**2)[:, :, None])
+        ).sum(axis=0) / n
+        w = np.round(w - _FM_LR * gw, 9)
+        V = np.round(V - _FM_LR * gV, 9)
+        want[(t, "w0")] = w0
+        for j in (1, 2, 3):
+            want[(t, f"w{j}")] = w[j - 1]
+            for f in range(1, _FM_K + 1):
+                want[(t, f"v{j}{f}")] = V[j - 1, f - 1]
+        losses.append(float(((predict() - y) ** 2).mean()))
+    got = {
+        (r["iter"], r["coef"]): r["weight"]
+        for r in train_fm_gd(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for kk in want:
+        assert abs(got[kk] - want[kk]) < 1e-7, (kk, got[kk], want[kk])
+    assert losses[-1] < losses[0]  # the fit moves downhill
+
+
+def test_good_turing_matches_counter_replay(spark):
+    """Counter replay of the frequency-of-frequencies table, the
+    Turing estimate, and the unseen mass."""
+    from collections import Counter
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.textstats import ts_good_turing
+    from fuzzy_item_matching_spark.tables import load_table
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(regex_tokenize("text")).alias("t"))
+        .collect()
+    )
+    tc = Counter(r["t"] for r in toks)
+    fof = Counter(tc.values())
+    n = sum(tc.values())
+    got = {r["r"]: r for r in ts_good_turing(spark, SF_SMOKE).collect()}
+    assert set(got) == set(fof)
+    for r, n_r in fof.items():
+        row = got[r]
+        assert row["n_r"] == n_r
+        want_star = (r + 1.0) * fof.get(r + 1, 0) / n_r if (r + 1) in fof else 0.0
+        assert abs(row["r_star"] - want_star) < 1e-12
+        assert abs(row["p_unseen"] - fof.get(1, 0) / n) < 1e-15
+
+
+def test_pit_features_are_strictly_prior(spark):
+    """Leakage check by construction: replay per-user cumulative
+    state in Python and verify every training row's features count
+    only STRICTLY earlier events."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _PIT_LABEL_THR,
+        train_pit_features,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "events").collect()
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    state = defaultdict(lambda: [0, Decimal(0), 0])  # n, sum, n_purch
+    want = {}
+    for r in rows:
+        st = state[r["user_id"]]
+        if r["event_type"] == "purchase":
+            v = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+            want[r["event_id"]] = (
+                r["user_id"],
+                st[0],
+                float(st[1]),
+                st[2],
+                1 if v > Decimal(_PIT_LABEL_THR) else 0,
+            )
+        st[0] += 1
+        st[1] += Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        if r["event_type"] == "purchase":
+            st[2] += 1
+    got = {
+        r["event_id"]: (
+            r["user_id"],
+            r["n_prior_events"],
+            r["prior_value_sum"],
+            r["n_prior_purchases"],
+            r["label"],
+        )
+        for r in train_pit_features(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_js_divergence_matches_scipy_style_replay(spark):
+    """Full-vocab numpy replay (union vocabulary, no shared-only
+    shortcut) must agree with the shared-join identity; JSD bounded
+    by ln 2 and symmetric by construction."""
+    import math
+    from collections import Counter, defaultdict
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.textstats import (
+        ts_js_divergence,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(Counter)
+    for r in toks:
+        cnt[r["source"]][r["t"]] += 1
+    got = {
+        (r["sa"], r["sb"]): r["jsd"]
+        for r in ts_js_divergence(spark, SF_SMOKE).collect()
+    }
+    assert got
+    for (sa, sb), jsd in got.items():
+        pa, pb = cnt[sa], cnt[sb]
+        na, nb = sum(pa.values()), sum(pb.values())
+        want = 0.0
+        for t in set(pa) | set(pb):
+            p = pa.get(t, 0) / na
+            q = pb.get(t, 0) / nb
+            m = (p + q) / 2.0
+            if p:
+                want += 0.5 * p * math.log(p / m)
+            if q:
+                want += 0.5 * q * math.log(q / m)
+        assert abs(jsd - want) < 1e-9, (sa, sb)
+        assert -1e-12 <= jsd <= math.log(2.0) + 1e-12

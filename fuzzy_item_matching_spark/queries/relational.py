@@ -3112,3 +3112,125 @@ def rel_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "min_partkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index segment overlap (bit_or / bit_count words)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_bitmap_overlap",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT p.p_brand AS brand, o.o_custkey AS ck
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    w AS (
+      SELECT brand, ck // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(ck % 63 AS INT)) AS word
+      FROM m GROUP BY brand, ck // 63
+    ),
+    sizes AS (
+      SELECT brand, CAST(SUM(bit_count(word)) AS BIGINT) AS n
+      FROM w GROUP BY brand
+    ),
+    inter AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_common
+      FROM w a JOIN w b
+        ON b.word_idx = a.word_idx AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT i.brand_a, i.brand_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.brand = i.brand_a
+    JOIN sizes sb ON sb.brand = i.brand_b
+    WHERE i.n_common > 0
+    """,
+)
+def rel_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX set algebra — the OLAP classic: per-brand customer
+    membership packed into 63-bit WORDS (word = custkey div 63, bit =
+    custkey mod 63 — the sign bit stays clear because DuckDB range-
+    checks 1<<63 on signed BIGINT; one bit_or aggregation), then every pairwise
+    audience overlap computed as Σ bit_count(word_a AND word_b) — the
+    roaring-bitmap query pattern expressed with Spark's native
+    bit_or/bit_count/& (all inside WholeStageCodegen, no UDF). The
+    EXACT counterpart of the KMV sketch family: sketches estimate at
+    fixed size, bitmaps answer exactly at |universe|/8 bits — the
+    right tool when the id universe is dense and bounded.
+
+    Scale shape: membership distinct is one shuffle; the bitmap build
+    compresses n memberships to ≤ |brands|·|universe|/64 words
+    (64× row reduction before ANY pairwise work); the overlap join is
+    keyed on word_idx so only co-occupied words pair, and popcounts
+    are single instructions. At 100 TB: build once, reuse across
+    every segment-combination query — the bitmap-index contract.
+
+    Determinism: pure integer/bit algebra end to end; the one
+    division is IEEE on exact BIGINTs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("p_brand").alias("brand"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    w = m.groupBy(
+        # integer `div`, NOT double `/`+cast: a double quotient of a
+        # >2^52 key could round across the word boundary
+        "brand", F.expr("ck div 63").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(ck % 63 AS INT)))"
+        ).alias("word")
+    ).persist()
+    sizes = w.groupBy("brand").agg(
+        F.sum(F.bit_count("word")).alias("n")
+    )
+    a = w.select(
+        F.col("brand").alias("brand_a"), "word_idx", F.col("word").alias("wa")
+    )
+    b = w.select(
+        F.col("brand").alias("brand_b"), "word_idx", F.col("word").alias("wb")
+    )
+    inter = (
+        a.join(b, "word_idx")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))
+            ).alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .filter(F.col("n_common") > 0)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

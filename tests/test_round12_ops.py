@@ -1311,3 +1311,52 @@ def test_js_divergence_matches_scipy_style_replay(spark):
                 want += 0.5 * q * math.log(q / m)
         assert abs(jsd - want) < 1e-9, (sa, sb)
         assert -1e-12 <= jsd <= math.log(2.0) + 1e-12
+
+
+def test_bitmap_overlap_equals_set_intersections(spark):
+    """Set replay: per-brand customer sets from the raw join, pairwise
+    intersections and Jaccard must match the bitmap algebra exactly."""
+    from collections import defaultdict
+
+    from fuzzy_item_matching_spark.queries.relational import (
+        rel_bitmap_overlap,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    p = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", "o_custkey")
+        .collect()
+    )
+    sets = defaultdict(set)
+    for r in rows:
+        sets[r["p_brand"]].add(r["o_custkey"])
+    got = {
+        (r["brand_a"], r["brand_b"]): r
+        for r in rel_bitmap_overlap(spark, SF_SMOKE).collect()
+    }
+    brands = sorted(sets)
+    n_checked = 0
+    for i, a in enumerate(brands):
+        for b in brands[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_a"] == len(sets[a])
+            assert r["n_b"] == len(sets[b])
+            assert r["n_common"] == inter
+            assert abs(
+                r["jaccard"] - inter / len(sets[a] | sets[b])
+            ) < 1e-12
+            n_checked += 1
+    assert n_checked > 0

@@ -149,6 +149,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_pit_features",  # r12 birth: leakage-free PIT training rows
     "ts_js_divergence",  # r12 birth: source-pair distribution drift
     "rel_bitmap_overlap",  # r12 birth: bitmap-index audience algebra
+    "train_dp_noisy_counts",  # r12 birth: Laplace-mechanism calibration
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

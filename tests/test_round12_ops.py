@@ -1360,3 +1360,30 @@ def test_bitmap_overlap_equals_set_intersections(spark):
             ) < 1e-12
             n_checked += 1
     assert n_checked > 0
+
+
+def test_dp_noise_is_calibrated_laplace_replay(spark):
+    """Python replay of the inverse-CDF Laplace draw (same md5
+    uniform, same scale b = 1/eps); noisy − true must equal the
+    replayed noise exactly, and the mechanism must actually perturb."""
+    import hashlib
+    import math
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _DP_EPS,
+        _DP_SEED,
+        train_dp_noisy_counts,
+    )
+
+    rows = train_dp_noisy_counts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        h = hashlib.md5(f"{_DP_SEED}:{r['p_brand']}".encode()).hexdigest()
+        x = (int(h[:8], 16) + 0.5) / 2**32 - 0.5
+        want = -(1.0 / _DP_EPS) * (1.0 if x >= 0 else -1.0) * math.log(
+            1.0 - 2.0 * abs(x)
+        )
+        assert abs((r["noisy_count"] - r["true_count"]) - want) < 1e-9
+        # (true + noise) - true reassociates, so compare with tolerance
+        assert abs(r["abs_noise"] - abs(want)) < 1e-9
+    assert any(r["abs_noise"] > 1e-6 for r in rows)

@@ -883,3 +883,171 @@ def vec_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 vec_kcenter_init.__doc__ = vec_kcenter_init.__doc__.format(k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 PCA via Hotelling deflation (PC2 = top eigenvector of C − λ₁v₁v₁ᵀ)
+# ---------------------------------------------------------------------------
+
+_D_PCA2_STEP = """
+    {w} AS (
+      SELECT c.i, CAST(SUM(CAST(c.c * {vp}.v AS DECIMAL(38,18)))
+                       AS DOUBLE) AS w
+      FROM {cov} c JOIN {vp} ON {vp}.i = c.j GROUP BY c.i
+    ),
+    {n} AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+               AS nrm
+      FROM {w}
+    ),
+    {v} AS (SELECT i, w / nrm AS v FROM {w}, {n})
+"""
+
+
+def _pca2_oracle() -> str:
+    steps1 = ",".join(
+        _D_PCA2_STEP.format(
+            cov="cov", w=f"w{t}", n=f"n{t}", v=f"v{t}", vp=f"v{t - 1}"
+        )
+        for t in range(1, _PCA_ITERS + 1)
+    )
+    steps2 = ",".join(
+        _D_PCA2_STEP.format(
+            cov="cov2", w=f"u{t}", n=f"m{t}", v=f"y{t}", vp=f"y{t - 1}"
+        )
+        for t in range(1, _PCA_ITERS + 1)
+    )
+    T = _PCA_ITERS
+    return f"""
+    WITH xs AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    cov AS (
+      SELECT a.i, b.i AS j,
+             CAST(SUM(CAST(floor(a.x * b.x * {_PCA_Q!r}) AS BIGINT)) AS DOUBLE)
+               / {_PCA_Q!r} / nn.n AS c
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id, nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    v0 AS (SELECT DISTINCT i, 1.0 AS v FROM xs),
+    {steps1},
+    cov2 AS (
+      SELECT c.i, c.j, c.c - n{T}.nrm * va.v * vb.v AS c
+      FROM cov c
+      JOIN v{T} va ON va.i = c.i
+      JOIN v{T} vb ON vb.i = c.j, n{T}
+    ),
+    y0 AS (SELECT DISTINCT i, 1.0 AS v FROM xs),
+    {steps2}
+    SELECT 1 AS component, v{T}.i - 1 AS dim_idx, v{T}.v AS loading,
+           n{T}.nrm AS eigenvalue
+    FROM v{T}, n{T}
+    UNION ALL
+    SELECT 2 AS component, y{T}.i - 1 AS dim_idx, y{T}.v AS loading,
+           m{T}.nrm AS eigenvalue
+    FROM y{T}, m{T}
+    """
+
+
+@query("vec_pca_deflation", oracle=_pca2_oracle())
+def vec_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-2 PCA by HOTELLING DEFLATION: run the proven power
+    iteration for the top direction v₁ (λ₁ = ‖C·v₁‖), subtract the
+    captured component — C₂ = C − λ₁·v₁v₁ᵀ, a row-local update of the
+    dim²-cell Gram frame with v₁ broadcast twice — and power-iterate
+    C₂ for the SECOND principal direction. Deflation is how
+    sequential eigensolvers extract components one at a time without
+    re-touching the data: rank-r PCA costs ONE n·dim² Gram pass plus
+    r·iters dim²-row matvecs, so going from 1 to 2 components adds
+    zero input-sized work (the vec_pca_power plan audit carries over
+    verbatim).
+
+    Determinism: the Gram is the fixed-point BIGINT accumulation
+    vec_pca_power pinned; each deflation cell is one fixed IEEE tree
+    over identical doubles (λ₁ is the same collected scalar both
+    engines derive); matvec/norm sums stay DECIMAL(38,18); both
+    all-ones starts are generic for the synthetic spectrum (pinned
+    orthogonality + numpy agreement in tests).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    pairs = e.select(
+        F.size("embedding").alias("d"),
+        F.posexplode(
+            F.expr(
+                "flatten(transform(cast(embedding as array<double>),"
+                " x -> transform(cast(embedding as array<double>),"
+                " y -> x * y)))"
+            )
+        ).alias("pos", "p"),
+    ).select(
+        F.expr("(pos div d) + 1").alias("i"),
+        F.expr("(pos % d) + 1").alias("j"),
+        "p",
+    )
+    cov = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.floor(F.col("p") * _PCA_Q)).cast("double").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", (F.col("s") / _PCA_Q / F.col("n")).alias("c"))
+        .persist()
+    )
+
+    def power(cmat):
+        v = cmat.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+        eig = None
+        for _ in range(_PCA_ITERS):
+            w = (
+                cmat.join(v.select(F.col("i").alias("j"), "v"), "j")
+                .groupBy("i")
+                .agg(
+                    F.sum(
+                        (F.col("c") * F.col("v")).cast("decimal(38,18)")
+                    )
+                    .cast("double")
+                    .alias("w")
+                )
+            ).localCheckpoint(eager=True)
+            [nr] = w.agg(
+                F.sqrt(
+                    F.sum(
+                        (F.col("w") * F.col("w")).cast("decimal(38,18)")
+                    ).cast("double")
+                ).alias("nrm")
+            ).collect()
+            eig = nr["nrm"]
+            v = w.select("i", (F.col("w") / F.lit(eig)).alias("v"))
+        return v, eig
+
+    v1, eig1 = power(cov)
+    va = v1.select(F.col("i"), F.col("v").alias("va"))
+    vb = v1.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+    cov2 = (
+        cov.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("c") - F.lit(eig1) * F.col("va") * F.col("vb")
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v2, eig2 = power(cov2)
+    out1 = v1.select(
+        F.lit(1).alias("component"),
+        (F.col("i") - 1).alias("dim_idx"),
+        F.col("v").alias("loading"),
+        F.lit(eig1).alias("eigenvalue"),
+    )
+    out2 = v2.select(
+        F.lit(2).alias("component"),
+        (F.col("i") - 1).alias("dim_idx"),
+        F.col("v").alias("loading"),
+        F.lit(eig2).alias("eigenvalue"),
+    )
+    return out1.unionByName(out2)

@@ -1387,3 +1387,47 @@ def test_dp_noise_is_calibrated_laplace_replay(spark):
         # (true + noise) - true reassociates, so compare with tolerance
         assert abs(r["abs_noise"] - abs(want)) < 1e-9
     assert any(r["abs_noise"] > 1e-6 for r in rows)
+
+
+def test_pca_deflation_components_orthogonal_and_match_numpy(spark):
+    """v1 must equal vec_pca_power's direction; v2 must be ~orthogonal
+    to v1 and agree with numpy power iteration over the deflated
+    quantized Gram (same fixed-point quantum, same iteration count)."""
+    import numpy as np
+
+    from fuzzy_item_matching_spark.queries.vectors import (
+        _PCA_ITERS,
+        _PCA_Q,
+        vec_pca_deflation,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").select(
+        "embedding"
+    ).collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    n, d = X.shape
+    C = np.floor(np.einsum("ni,nj->nij", X, X) * _PCA_Q).sum(0) / _PCA_Q / n
+
+    def power(C):
+        v = np.ones(d)
+        for _ in range(_PCA_ITERS):
+            w = C @ v
+            nrm = float(np.sqrt((w * w).sum()))
+            v = w / nrm
+        return v, nrm
+
+    v1, e1 = power(C)
+    v2, e2 = power(C - e1 * np.outer(v1, v1))
+    got = vec_pca_deflation(spark, SF_SMOKE).collect()
+    g1 = np.zeros(d)
+    g2 = np.zeros(d)
+    for r in got:
+        (g1 if r["component"] == 1 else g2)[r["dim_idx"]] = r["loading"]
+    assert np.allclose(g1, v1, atol=1e-6)
+    assert np.allclose(g2, v2, atol=1e-4)
+    # 3 power iterations leave residual overlap on this flat spectrum;
+    # correctness is the numpy agreement above — this pins the trend
+    assert abs(float(g1 @ g2)) < 0.3
+    eigs = {r["component"]: r["eigenvalue"] for r in got}
+    assert eigs[1] >= eigs[2] > 0

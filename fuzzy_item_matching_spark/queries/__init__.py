@@ -151,6 +151,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_bitmap_overlap",  # r12 birth: bitmap-index audience algebra
     "train_dp_noisy_counts",  # r12 birth: Laplace-mechanism calibration
     "vec_pca_deflation",  # r12 birth: rank-2 PCA (Hotelling deflation)
+    "ts_textrank_terms",  # r12 birth: co-occurrence-graph keywords
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -4251,3 +4251,163 @@ def ts_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jsd"),
         "n_shared_terms",
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+_TR_TOPK = 20
+_TR_MINLEN = 3
+
+
+def _textrank_oracle() -> str:
+    toks = (
+        f"list_filter({_D_TOKENS.format(c='text')},"
+        f" x -> length(x) >= {_TR_MINLEN}"
+        f" AND NOT list_contains({_D_STOPWORDS}, x))"
+    )
+    head = f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, {toks} AS t FROM documents)
+    ),
+    adj AS (
+      SELECT a.term AS ta, b.term AS tb
+      FROM tk a JOIN tk b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term <> b.term
+    ),
+    e AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+        SELECT ta AS src, tb AS dst FROM adj
+        UNION ALL
+        SELECT tb AS src, ta AS dst FROM adj
+      ) GROUP BY src, dst
+    ),
+    outd AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e),
+    r0 AS (SELECT src AS node, 1.0 / nn.n AS r
+           FROM (SELECT DISTINCT src FROM e), nn)"""
+    levels = []
+    for k in range(1, _TR_ITERS + 1):
+        levels.append(f"""
+    r{k} AS (
+      SELECT e.dst AS node,
+             {1.0 - _TR_DAMP} / MAX(nn.n)
+               + {_TR_DAMP} * CAST(SUM(CAST(
+                   r{k - 1}.r * e.w / outd.outw AS DECIMAL(38,18)))
+                 AS DOUBLE) AS r
+      FROM e
+      JOIN r{k - 1} ON r{k - 1}.node = e.src
+      JOIN outd ON outd.src = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(levels)
+        + f"""
+    SELECT node AS term, r AS score, rnk FROM (
+      SELECT node, r,
+             CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS INT)
+               AS rnk
+      FROM r{_TR_ITERS}
+    ) WHERE rnk <= {_TR_TOPK}"""
+    )
+
+
+@query("ts_textrank_terms", oracle=_textrank_oracle())
+def ts_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank
+    ({t} damped iterations, d={d}) on the word CO-OCCURRENCE graph —
+    stopword-stripped terms (length ≥ {ml}) linked when adjacent,
+    edge weight = adjacency count, undirected via symmetric
+    duplication. Where tf-idf ranks terms by counting, TextRank ranks
+    them by RECOMMENDATION: a term matters when it neighbors terms
+    that matter — the graph-centrality keyword extractor, and the
+    third reuse of the repo's damped-power-iteration discipline
+    (brand graph → purchase process → now language).
+
+    Scale shape: the token stream explodes once; adjacency is a
+    (doc_id, pos+1) self-join — postings-shaped, never all-pairs; the
+    graph is vocabulary²-bounded (far smaller in practice: only
+    ADJACENT terms link). Each iteration is one edge join + one
+    map-side-combinable agg keyed on terms, the rel_pagerank_brands
+    plan verbatim; hub words would take the salted path.
+
+    Determinism: weights are exact counts; per-edge contributions are
+    fixed IEEE trees; per-node sums accumulate DECIMAL(38,18); the
+    top-{k} breaks ties on the term.
+    """
+    from fuzzy_item_matching_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        regex_tokenize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    toks = F.filter(
+        regex_tokenize("text"),
+        lambda t: (F.length(t) >= _TR_MINLEN) & ~F.array_contains(stop, t),
+    )
+    tk = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = tk.select("doc_id", "pos", F.col("term").alias("ta"))
+    b = tk.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("tb")
+    )
+    adj = a.join(b, ["doc_id", "pos"]).filter(F.col("ta") != F.col("tb"))
+    e = (
+        adj.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        .unionAll(
+            adj.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .persist()
+    )
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    nn = e.agg(F.countDistinct("src").cast("double").alias("n"))
+    r = (
+        e.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(_TR_ITERS):
+        r = (
+            e.join(r, e.src == F.col("node"))
+            .join(outd, "src")
+            .crossJoin(F.broadcast(nn))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (
+                    F.lit(1.0 - _TR_DAMP) / F.max("n")
+                    + F.lit(_TR_DAMP)
+                    * F.sum(
+                        (F.col("r") * F.col("w") / F.col("outw")).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                ).alias("r")
+            )
+            .select(F.col("node2").alias("node"), "r")
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        r.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TR_TOPK)
+        .select(
+            F.col("node").alias("term"), F.col("r").alias("score"), "rnk"
+        )
+    )
+
+
+ts_textrank_terms.__doc__ = ts_textrank_terms.__doc__.format(
+    t=_TR_ITERS, d=_TR_DAMP, ml=_TR_MINLEN, k=_TR_TOPK
+)

@@ -1431,3 +1431,56 @@ def test_pca_deflation_components_orthogonal_and_match_numpy(spark):
     assert abs(float(g1 @ g2)) < 0.3
     eigs = {r["component"]: r["eigenvalue"] for r in got}
     assert eigs[1] >= eigs[2] > 0
+
+
+def test_textrank_matches_networkx_style_replay(spark):
+    """Pure-python PageRank over the same co-occurrence graph (same
+    damping, same iteration count, same start) must reproduce the
+    top-k ranking and scores."""
+    from collections import Counter, defaultdict
+
+    from fuzzy_item_matching_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        regex_tokenize,
+    )
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _TR_DAMP,
+        _TR_ITERS,
+        _TR_MINLEN,
+        _TR_TOPK,
+        ts_textrank_terms,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    stop = set(ENGLISH_STOPWORDS)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", regex_tokenize("text").alias("t"))
+        .collect()
+    )
+    w = Counter()
+    for r in docs:
+        seq = [t for t in r["t"] if len(t) >= _TR_MINLEN and t not in stop]
+        for a, b in zip(seq, seq[1:]):
+            if a != b:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    outw = defaultdict(float)
+    for (a, _), c in w.items():
+        outw[a] += c
+    nodes = sorted(outw)
+    n = float(len(nodes))
+    r = {t: 1.0 / n for t in nodes}
+    for _ in range(_TR_ITERS):
+        nr = defaultdict(float)
+        for (a, b), c in w.items():
+            nr[b] += r[a] * c / outw[a]
+        r = {t: (1.0 - _TR_DAMP) / n + _TR_DAMP * nr[t] for t in nodes}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_TOPK]
+    got = sorted(
+        ts_textrank_terms(spark, SF_SMOKE).collect(),
+        key=lambda row: row["rnk"],
+    )
+    assert [g["term"] for g in got] == [t for t, _ in want]
+    for g, (_, s) in zip(got, want):
+        assert abs(g["score"] - s) < 1e-9

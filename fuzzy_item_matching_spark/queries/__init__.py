@@ -152,6 +152,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_dp_noisy_counts",  # r12 birth: Laplace-mechanism calibration
     "vec_pca_deflation",  # r12 birth: rank-2 PCA (Hotelling deflation)
     "ts_textrank_terms",  # r12 birth: co-occurrence-graph keywords
+    "train_uncertainty_batch",  # r12 birth: active-learning selection
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

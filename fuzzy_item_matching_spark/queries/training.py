@@ -5833,3 +5833,91 @@ def train_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_count") + F.col("noise")).alias("noisy_count"),
         F.abs("noise").alias("abs_noise"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Active learning: uncertainty-sampling batch selection (Lewis & Gale 1994)
+# ---------------------------------------------------------------------------
+
+_AL_BATCH = 20
+
+
+def _uncertainty_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    final = f"""
+    SELECT id_a, id_b, score, uncertainty, rnk FROM (
+      SELECT id_a, id_b, score,
+             abs(score - 0.5) AS uncertainty,
+             CAST(row_number() OVER (
+               ORDER BY abs(score - 0.5) ASC, id_a ASC, id_b ASC)
+               AS INT) AS rnk
+      FROM (
+        SELECT id_a, id_b,
+               round(1.0 / (1.0 + exp(-({z}))), 9) AS score
+        FROM pairs, it{_LR_ITERS} w
+      )
+    ) WHERE rnk <= {_AL_BATCH}
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_uncertainty_batch", oracle=_uncertainty_oracle())
+def train_uncertainty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING batch selection by uncertainty sampling (Lewis
+    & Gale 1994): score every candidate pair through the memoized GD
+    match classifier and pick the {k} pairs CLOSEST to the decision
+    boundary (min |p − ½|) — the labels a human annotator should
+    produce next, because boundary examples move a classifier most
+    per label. The missing loop-closer between the repo's fit queries
+    and its labeling flows: fit → score → SELECT WHAT TO LABEL →
+    refit (train_hard_negatives picks confident mistakes for
+    contrastive weighting; this picks maximal ignorance for labeling
+    budget).
+
+    Scale shape: one broadcast of the 4-weight state into a codegen
+    scoring projection over the pair frame, then a
+    TakeOrderedAndProject for the batch — no shuffle grows with the
+    corpus; the fit itself is the memoized train_logreg_gd trace (at
+    100 TB, a persisted model table). The oracle replays fit +
+    scoring + selection in one statement (logistic_gd_sql's
+    final_select hook).
+
+    Determinism: scores round to 9 BEFORE the uncertainty order (the
+    train_fit_score_model lesson), so rank ties resolve identically;
+    ties break on (id_a, id_b).
+    """
+    w = _lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("x1")
+        + F.lit(w["w2"]) * F.col("x2")
+        + F.lit(w["w3"]) * F.col("x3")
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 9)
+    scored = _lr_pairs(spark, sf_dir).select(
+        "id_a", "id_b", p.alias("score")
+    )
+    wn = Window.orderBy(
+        F.abs(F.col("score") - 0.5).asc(), F.asc("id_a"), F.asc("id_b")
+    )
+    return (
+        scored.withColumn(
+            "uncertainty", F.abs(F.col("score") - 0.5)
+        )
+        .withColumn("rnk", F.row_number().over(wn).cast("int"))
+        .filter(F.col("rnk") <= _AL_BATCH)
+        .select("id_a", "id_b", "score", "uncertainty", "rnk")
+    )
+
+
+train_uncertainty_batch.__doc__ = train_uncertainty_batch.__doc__.format(
+    k=_AL_BATCH
+)

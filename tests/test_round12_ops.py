@@ -1484,3 +1484,40 @@ def test_textrank_matches_networkx_style_replay(spark):
     assert [g["term"] for g in got] == [t for t, _ in want]
     for g, (_, s) in zip(got, want):
         assert abs(g["score"] - s) < 1e-9
+
+
+def test_uncertainty_batch_is_the_boundary_set(spark):
+    """The selected batch must be exactly the k pairs with minimal
+    |score − 0.5| under the documented tie order, scored through the
+    same memoized weights."""
+    from fuzzy_item_matching_spark.queries.training import (
+        _AL_BATCH,
+        _lr_pairs,
+        _lr_weights,
+        train_uncertainty_batch,
+    )
+    import math
+
+    w = _lr_weights(spark, SF_SMOKE)
+    rows = _lr_pairs(spark, SF_SMOKE).select(
+        "id_a", "id_b", "x1", "x2", "x3"
+    ).collect()
+    scored = []
+    for r in rows:
+        z = (
+            w["w0"]
+            + w["w1"] * r["x1"]
+            + w["w2"] * r["x2"]
+            + w["w3"] * r["x3"]
+        )
+        p = round(1.0 / (1.0 + math.exp(-z)), 9)
+        scored.append((abs(p - 0.5), r["id_a"], r["id_b"], p))
+    scored.sort()
+    want = [(a, b) for _, a, b, _ in scored[:_AL_BATCH]]
+    got = sorted(
+        train_uncertainty_batch(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [(r["id_a"], r["id_b"]) for r in got] == want
+    uncs = [r["uncertainty"] for r in got]
+    assert uncs == sorted(uncs)

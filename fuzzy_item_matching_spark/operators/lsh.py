@@ -199,6 +199,7 @@ def lsh_cosine_topk(
     bits_per_table: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k per vector — the ANN scale path
     (brute-force twin: queries/vectors.vec_knn_bruteforce).
@@ -215,6 +216,20 @@ def lsh_cosine_topk(
     query) finishes. Work scales with collision counts (tunable via
     bits_per_table), never n². Recall < 1 by construction; graded in
     tests/ vs brute force.
+
+    ``bucket_cap``: with a FIXED bucket geometry (2^bits buckets per
+    table) occupancy grows linearly with the corpus and the per-bucket
+    self-score goes quadratic — the ×25 harness measured the
+    graph-ANN build at 35.8× for 25× data. The cap is the
+    lsh_sqdist_join posting-list truncation applied to self-join
+    mode: ONLY the bucket_cap lowest-id rows per (table, bucket) are
+    indexable as NEIGHBORS, while every row still queries — per-query
+    work bounds at n_tables·bucket_cap regardless of density. The
+    returned k best among indexable mates; rows past the cap in an
+    overfull bucket are simply not returnable from that bucket (they
+    still earn their own out-edges). Compute bounds at occupancy·cap
+    per bucket; pair the cap with MORE BITS when group memory, not
+    compute, is the binding constraint.
     """
     from pyspark.sql.window import Window
 
@@ -239,23 +254,29 @@ def lsh_cosine_topk(
             )
         v = np.stack(pdf["__v"].to_numpy())
         ids = pdf["__id"].to_numpy()
+        if bucket_cap is not None and len(ids) > bucket_cap:
+            # index side = the bucket_cap lowest ids (deterministic
+            # posting-list truncation); query side = every row
+            keep = np.sort(np.argsort(ids, kind="stable")[:bucket_cap])
+        else:
+            keep = np.arange(len(ids))
+        vi, idx_ids = v[keep], ids[keep]
         # per-row norm: same fold order as l2_norm (Σ x² then sqrt)
         norms = np.sqrt(_folded_dot_block_diag(v))
-        dots = _folded_dot_block(v, v)
-        denom = np.outer(norms, norms)
+        dots = _folded_dot_block(v, vi)
+        denom = np.outer(norms, norms[keep])
         cos = np.divide(
             dots, denom, out=np.zeros_like(dots), where=denom != 0.0
         )
-        np.fill_diagonal(cos, -np.inf)
-        same = ids[:, None] == ids[None, :]
-        cos[same] = -np.inf  # self-pairs (dup ids defensively)
-        kk = min(k, len(ids) - 1)
+        same = ids[:, None] == idx_ids[None, :]
+        cos[same] = -np.inf  # self (and dup-id) pairs
+        kk = min(k, len(idx_ids))
         rows_q, rows_n, rows_c = [], [], []
         for i in range(len(ids)):
-            order = np.lexsort((ids, -cos[i]))[:kk]
+            order = np.lexsort((idx_ids, -cos[i]))[:kk]
             order = order[np.isfinite(cos[i][order])]
             rows_q.extend([ids[i]] * len(order))
-            rows_n.extend(ids[order])
+            rows_n.extend(idx_ids[order])
             rows_c.extend(cos[i][order])
         return pd.DataFrame({"qid": rows_q, "nid": rows_n, "cosine": rows_c})
 

@@ -1881,6 +1881,7 @@ sim_maxsim_topk.__doc__ = sim_maxsim_topk.__doc__.format(
 _GX_TABLES = 8
 _GX_BITS = 4
 _GX_SEED = 43
+_GX_CAP = 64  # per-(table,bucket) indexable rows (posting truncation)
 _GX_G = 4  # graph out-degree (top-G approximate neighbors per node)
 _GX_PANEL = 101  # query panel: vec_id % _GX_PANEL == 0
 _GX_K = 5
@@ -1923,9 +1924,17 @@ def _graph_expand_oracle() -> str:
     WITH bkt AS (
 {bkt}
     ),
+    idx AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY vec_id) AS brn
+        FROM bkt
+      ) WHERE brn <= {_GX_CAP}
+    ),
     cand0 AS (
       SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
-      FROM bkt x JOIN bkt y
+      FROM bkt x JOIN idx y
         ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
     ),
     norms AS (SELECT vec_id, {norm} AS nrm FROM embeddings),
@@ -1973,11 +1982,16 @@ def sim_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the graph is an (n·{g})-row table partitioned on the
     source node; each hop is one equi-join on node id (shuffle keyed
     on graph nodes, AQE-skew-safe); the exact scorer touches only the
-    expanded frontier. At 100 TB the graph build amortizes across
-    every downstream query workload — the search itself never scans
-    the corpus. A beam-search variant (iterate: expand best-so-far,
-    re-rank, repeat) is the same join template looped with
-    localCheckpoint, the PPR discipline.
+    expanded frontier. The BUILD is density-bounded by the per-bucket
+    posting truncation (bucket_cap={cap}, the lsh_sqdist_join r11
+    discipline): with fixed 2^{bits}-bucket tables, occupancy grows
+    with the corpus and the uncapped self-score went quadratic — the
+    ×25 harness measured 35.8× for 25× data; capped, per-query build
+    work bounds at tables·cap (re-measured ≤ data ratio). At 100 TB
+    the graph build amortizes across every downstream query workload
+    — the search itself never scans the corpus. A beam-search variant
+    (iterate: expand best-so-far, re-rank, repeat) is the same join
+    template looped with localCheckpoint, the PPR discipline.
 
     Determinism: graph edges come from seeded hyperplanes (replayed
     literally in the oracle) with the numpy-vs-fold bitwise-equal
@@ -1998,6 +2012,7 @@ def sim_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits_per_table=_GX_BITS,
             seed=_GX_SEED,
             dim=64,
+            bucket_cap=_GX_CAP,
         )
         .select("qid", "nid")
         .persist()
@@ -2039,5 +2054,5 @@ def sim_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ann_graph_expand.__doc__ = sim_ann_graph_expand.__doc__.format(
-    g=_GX_G, k=_GX_K
+    g=_GX_G, k=_GX_K, cap=_GX_CAP, bits=_GX_BITS
 )

@@ -129,30 +129,39 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",  # r12 birth: subset/excerpt containment
     "train_conformal_ols",  # r12 birth: split-conformal intervals
     "serve_als_foldin",  # r12 birth: cold-start fold-in vs frozen factors
+    # -- session-2 births, positions 41-50 (the 50-slot budget ends
+    #    here): the ten with the most intricate fit/replay oracles get
+    #    the driver-durable rows this round.
     "rel_cusum_changepoints",  # r12 birth: Page's CUSUM via prefix-min windows
     "rel_hits_scores",  # r12 birth: HITS authority ranking, integer-exact
-    "train_rf_stumps",  # r12 birth: bagged CART stumps (squared-loss plug-in)
-    "train_rf_oob_eval",  # r12 birth: out-of-bag forest evaluation
+    "train_rf_oob_eval",  # r12 birth: OOB forest eval (replays all 5 fits)
     "sim_maxsim_topk",  # r12 birth: ColBERT MaxSim late interaction
     "rel_cuped_adjustment",  # r12 birth: CUPED variance-reduced A/B stats
     "rel_holt_forecast",  # r12 birth: Holt trend smoothing, shared recursion
     "ts_kmv_anb",  # r12 birth: theta-sketch set difference (new vocab)
-    "sim_ann_graph_expand",  # r12 birth: navigable-graph ANN (2-hop frontier)
-    "rel_skyline_parts",  # r12 birth: 2-D Pareto frontier via one sweep
-    "text_phonetic_blocking",  # r12 birth: consonant-skeleton ER blocking
-    "rel_markov_stationary",  # r12 birth: event-journey Markov chain
+    "sim_ann_graph_expand",  # r12 birth: graph ANN (post-bucket-cap fix)
     "rel_markov_removal_attribution",  # r12 birth: counterfactual credit
-    "vec_kcenter_init",  # r12 birth: greedy farthest-point seeding
-    "train_km_survival",  # r12 birth: product-limit estimator w/ censoring
     "train_fm_gd",  # r12 birth: rank-2 factorization machine GD
-    "ts_good_turing",  # r12 birth: count-of-counts smoothing + unseen mass
-    "train_pit_features",  # r12 birth: leakage-free PIT training rows
-    "ts_js_divergence",  # r12 birth: source-pair distribution drift
-    "rel_bitmap_overlap",  # r12 birth: bitmap-index audience algebra
-    "train_dp_noisy_counts",  # r12 birth: Laplace-mechanism calibration
-    "vec_pca_deflation",  # r12 birth: rank-2 PCA (Hotelling deflation)
-    "ts_textrank_terms",  # r12 birth: co-occurrence-graph keywords
-    "train_uncertainty_batch",  # r12 birth: active-learning selection
+    # -- NAMED SPILL ROWS (positions 51-64; the driver's budget is the
+    #    first 50, so these 14 session-2 births carry no driver row
+    #    this round — every one passed the full driver_sim sweep
+    #    (308 exact + 4 rows-only, 0 failures, this session) AND has a
+    #    first-principles replay test in tests/test_round12_ops.py.
+    #    They head the r13 prefix; justification per row:
+    "train_rf_stumps",  # model-table twin of rf_oob_eval (same fits replayed)
+    "train_km_survival",  # shared-recursion product (Holt machinery proven)
+    "ts_textrank_terms",  # PageRank discipline (brands/PPR/LPA rows exist)
+    "rel_markov_stationary",  # subsumed by removal-attribution's walk
+    "vec_kcenter_init",  # argmax-loop budget (BPE/kmeans rows exist)
+    "vec_pca_deflation",  # extends driver-green vec_pca_power machinery
+    "rel_bitmap_overlap",  # pure integer algebra; set replay pinned in tests
+    "rel_skyline_parts",  # one-window sweep; brute-force dominance test
+    "text_phonetic_blocking",  # row-local key + hash agg; synthetic test
+    "ts_good_turing",  # two-agg count table; Counter replay test
+    "train_pit_features",  # strictly-prior windows; leakage replay test
+    "ts_js_divergence",  # postings join + ln (idf/PMI precedent); numpy test
+    "train_dp_noisy_counts",  # groups-sized release; Laplace replay test
+    "train_uncertainty_batch",  # scoring projection over driver-green GD fit
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

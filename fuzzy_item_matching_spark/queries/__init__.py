@@ -162,6 +162,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_js_divergence",  # postings join + ln (idf/PMI precedent); numpy test
     "train_dp_noisy_counts",  # groups-sized release; Laplace replay test
     "train_uncertainty_batch",  # scoring projection over driver-green GD fit
+    "train_cost_threshold",  # ROC-window argmin over the same GD scores
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -5921,3 +5921,128 @@ def train_uncertainty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_uncertainty_batch.__doc__ = train_uncertainty_batch.__doc__.format(
     k=_AL_BATCH
 )
+
+
+# ---------------------------------------------------------------------------
+# Cost-sensitive decision threshold (the deployment step after calibration)
+# ---------------------------------------------------------------------------
+
+_CT_C_FP = 1  # cost of a false positive (bad merge in item matching)
+_CT_C_FN = 5  # cost of a false negative (missed match)
+
+
+def _cost_threshold_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    final = f"""
+    , scored AS (
+      SELECT label, round(1.0 / (1.0 + exp(-({z}))), 9) AS score
+      FROM pairs, it{_LR_ITERS} w
+    ),
+    tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos FROM scored),
+    sweep AS (
+      SELECT score AS thr,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                  OVER (ORDER BY score DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_fp,
+             CAST(SUM(label)
+                  OVER (ORDER BY score DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp
+      FROM scored
+    ),
+    c AS (
+      SELECT DISTINCT thr, n_fp, tot.n_pos - tp AS n_fn,
+             {_CT_C_FP} * n_fp + {_CT_C_FN} * (tot.n_pos - tp)
+               AS expected_cost
+      FROM sweep, tot
+    )
+    SELECT thr AS threshold, n_fp, n_fn,
+           CAST(expected_cost AS BIGINT) AS expected_cost
+    FROM c ORDER BY expected_cost ASC, thr ASC LIMIT 1
+    """
+    # final begins with "," so it extends the WITH list before its
+    # SELECT — the final_select hook splices it verbatim after it{K}
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_cost_threshold", oracle=_cost_threshold_oracle())
+def train_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-SENSITIVE decision threshold — the deployment step the
+    calibration family (Platt/isotonic/ECE) feeds: sweep every
+    distinct score as a candidate cutoff and pick the one minimizing
+    expected cost {cfp}·FP + {cfn}·FN (asymmetric by design: a missed
+    match costs {cfn}× a bad merge in entity resolution). The sweep is
+    NOT a per-threshold rescan: sorting by score makes FP(t) and TP(t)
+    running sums (RANGE frame so tied scores share one cutoff), so the
+    whole curve costs one window pass — the ROC construction
+    (train_roc_auc) reused for decisions instead of evaluation.
+
+    Scale shape: scores are a broadcast-weights codegen projection;
+    the sweep is one global-order window over distinct scores
+    (value-bounded after round-to-9) and the argmin is a 1-row
+    TakeOrderedAndProject. The fit is the memoized driver-green GD
+    trace (a persisted model table at 100 TB).
+
+    Determinism: scores round to 9; FP/FN/cost are exact BIGINTs; the
+    argmin breaks ties on the smaller threshold.
+    """
+    w = _lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("x1")
+        + F.lit(w["w2"]) * F.col("x2")
+        + F.lit(w["w3"]) * F.col("x3")
+    )
+    scored = _lr_pairs(spark, sf_dir).select(
+        "label", F.round(1.0 / (1.0 + F.exp(-z)), 9).alias("score")
+    )
+    tot = scored.agg(F.sum("label").alias("n_pos"))
+    wr = Window.orderBy(F.desc("score")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = scored.select(
+        F.col("score").alias("thr"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .over(wr)
+        .alias("n_fp"),
+        F.sum("label").over(wr).alias("tp"),
+    )
+    c = (
+        sweep.distinct()
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "thr",
+            "n_fp",
+            (F.col("n_pos") - F.col("tp")).alias("n_fn"),
+            (
+                F.lit(_CT_C_FP) * F.col("n_fp")
+                + F.lit(_CT_C_FN) * (F.col("n_pos") - F.col("tp"))
+            )
+            .cast("long")
+            .alias("expected_cost"),
+        )
+    )
+    return (
+        c.orderBy(F.asc("expected_cost"), F.asc("thr"))
+        .limit(1)
+        .select(
+            F.col("thr").alias("threshold"),
+            "n_fp",
+            "n_fn",
+            "expected_cost",
+        )
+    )
+
+
+train_cost_threshold.__doc__ = train_cost_threshold.__doc__.format(
+    cfp=_CT_C_FP, cfn=_CT_C_FN
+)

@@ -1521,3 +1521,43 @@ def test_uncertainty_batch_is_the_boundary_set(spark):
     assert [(r["id_a"], r["id_b"]) for r in got] == want
     uncs = [r["uncertainty"] for r in got]
     assert uncs == sorted(uncs)
+
+
+def test_cost_threshold_is_the_sweep_argmin(spark):
+    """Brute-force the cost over every candidate threshold in Python
+    and confirm the query returns the argmin under the tie order."""
+    import math
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _CT_C_FN,
+        _CT_C_FP,
+        _lr_pairs,
+        _lr_weights,
+        train_cost_threshold,
+    )
+
+    w = _lr_weights(spark, SF_SMOKE)
+    rows = _lr_pairs(spark, SF_SMOKE).select(
+        "label", "x1", "x2", "x3"
+    ).collect()
+    scored = []
+    for r in rows:
+        z = (
+            w["w0"]
+            + w["w1"] * r["x1"]
+            + w["w2"] * r["x2"]
+            + w["w3"] * r["x3"]
+        )
+        scored.append((round(1.0 / (1.0 + math.exp(-z)), 9), r["label"]))
+    best = None
+    for thr in sorted({s for s, _ in scored}):
+        fp = sum(1 for s, y in scored if s >= thr and y == 0)
+        fn = sum(1 for s, y in scored if s < thr and y == 1)
+        cost = _CT_C_FP * fp + _CT_C_FN * fn
+        cand = (cost, thr, fp, fn)
+        if best is None or cand < best:
+            best = cand
+    [got] = train_cost_threshold(spark, SF_SMOKE).collect()
+    cost, thr, fp, fn = best
+    assert got["threshold"] == thr
+    assert (got["n_fp"], got["n_fn"], got["expected_cost"]) == (fp, fn, cost)

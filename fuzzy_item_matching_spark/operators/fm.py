@@ -109,6 +109,12 @@ def fm_gd_fit(
     pw = pairs.select(
         F.col(label).cast("double").alias("label"), *features
     ).persist()
+    if not pw.take(1):
+        # the gboost guard's convention: an all-NULL weight trace from
+        # empty-sum gradients would be a silent degenerate
+        raise ValueError(
+            "fm fit: empty training frame — no gradient exists"
+        )
     init = fm_init(len(features), k)
     w = pairs.sparkSession.createDataFrame(
         [tuple(init[n] for n in names)],

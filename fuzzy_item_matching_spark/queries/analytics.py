@@ -1225,6 +1225,12 @@ def rel_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     states = ev.select(F.col("event_type").alias("s")).distinct().persist()
     k = states.count()
+    if k == 0:
+        # schema-stable empty result (ANSI division would raise on 1/0)
+        return states.select(
+            F.col("s").alias("event_type"),
+            F.lit(0.0).alias("stationary_prob"),
+        )
     v = states.select("s", (F.lit(1.0) / F.lit(float(k))).alias("vp"))
     for _ in range(_MK_ITERS):
         v = (

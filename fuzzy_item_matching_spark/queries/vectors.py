@@ -857,12 +857,12 @@ def vec_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    first = (
-        e.orderBy("vec_id")
-        .limit(1)
-        .select("vec_id", "v")
-        .collect()[0]
-    )
+    seed_rows = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()
+    if not seed_rows:
+        raise ValueError(
+            "k-center init: empty input frame — no seed point exists"
+        )
+    first = seed_rows[0]
     centers = [(0, first["vec_id"], first["v"], 0.0)]
     for j in range(1, _KC_K):
         dmin = None

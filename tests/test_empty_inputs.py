@@ -123,6 +123,33 @@ EMPTY_SAFE = [
 ]
 
 # Index builds sample data driver-side: empty corpus -> loud error.
+# r12 session-2 births: all return schema-stable empty (or all-zero /
+# init-trace) results on an empty dataset — probed explicitly; the
+# Markov walk short-circuits at k=0 (ANSI 1/0 would raise otherwise)
+EMPTY_SAFE += [
+    "rel_cusum_changepoints",
+    "rel_hits_scores",
+    "sim_maxsim_topk",
+    "rel_cuped_adjustment",
+    "rel_holt_forecast",
+    "ts_kmv_anb",
+    "sim_ann_graph_expand",
+    "rel_skyline_parts",
+    "text_phonetic_blocking",
+    "rel_markov_stationary",
+    "rel_markov_removal_attribution",
+    "train_km_survival",
+    "ts_good_turing",
+    "train_pit_features",
+    "ts_js_divergence",
+    "rel_bitmap_overlap",
+    "train_dp_noisy_counts",
+    "vec_pca_deflation",
+    "ts_textrank_terms",
+    "train_uncertainty_batch",
+    "train_cost_threshold",
+]
+
 NEEDS_DATA = [
     "sim_ann_ivf_topk",
     "sim_ann_pq_topk",
@@ -161,6 +188,12 @@ NEEDS_DATA = [
     # r11: the Poisson fit reaches the same guard — no threshold grid
     # can exist on an empty per-customer frame
     "train_gboost_poisson",
+    # r12: bagged stumps reach the boosting empty-frame guard; the
+    # k-center seed collect raises its own clear ValueError
+    "train_rf_stumps",
+    "train_rf_oob_eval",
+    "vec_kcenter_init",
+    "train_fm_gd",
 ]
 
 
@@ -197,6 +230,13 @@ def test_query_survives_empty_dataset(spark, empty_sf, name):
         [r] = rows
         assert r["n_truth"] == r["n_cand"] == r["n_hit"] == 0
         assert r["pairs_completeness"] == r["reduction_ratio"] == 1.0
+    elif name == "rel_markov_removal_attribution":
+        # the scenario domain is literal: four channels, zero effect
+        assert len(rows) == 4
+        assert all(
+            r["p_full"] == r["p_removed"] == r["removal_effect"] == 0.0
+            for r in rows
+        )
     elif name == "ts_filter_agreement":
         # the 1-row integer summary of an empty corpus: zero everywhere
         [r] = rows
@@ -223,6 +263,7 @@ def test_index_build_fails_loudly_on_empty(spark, empty_sf, name):
     reg = load_all()
     with pytest.raises(
         ValueError,
-        match="empty corpus|no non-null|empty training frame|empty input frame|zero blocked",
+        match="empty corpus|no non-null|empty training frame"
+        "|empty input frame|zero blocked",
     ):
         reg[name].fn(spark, empty_sf).collect()

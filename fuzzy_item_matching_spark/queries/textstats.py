@@ -4411,3 +4411,152 @@ def ts_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_textrank_terms.__doc__ = ts_textrank_terms.__doc__.format(
     t=_TR_ITERS, d=_TR_DAMP, ml=_TR_MINLEN, k=_TR_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta (2002) — stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+_BD_TOP = 30  # most-frequent terms (the classic Delta feature set)
+
+
+def _burrows_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({_D_TOKENS.format(c="text")}) AS t
+      FROM documents
+    ),
+    tc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY source, t),
+    tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+             FROM tc GROUP BY source),
+    top AS (
+      SELECT t FROM (
+        SELECT t, SUM(c) AS tot,
+               row_number() OVER (ORDER BY SUM(c) DESC, t ASC) AS rn
+        FROM tc GROUP BY t
+      ) WHERE rn <= {_BD_TOP}
+    ),
+    f AS (
+      SELECT s.source, top.t,
+             CAST(COALESCE(tc.c, 0) AS DOUBLE) / s.n AS fr
+      FROM tots s CROSS JOIN top
+      LEFT JOIN tc ON tc.source = s.source AND tc.t = top.t
+    ),
+    stats AS (
+      SELECT t,
+             CAST(COUNT(*) AS DOUBLE) AS ns,
+             CAST(SUM(CAST(fr AS DECIMAL(38,18))) AS DOUBLE) AS sf,
+             CAST(SUM(CAST(fr * fr AS DECIMAL(38,18))) AS DOUBLE) AS sff
+      FROM f GROUP BY t
+    ),
+    z AS (
+      SELECT f.source, f.t,
+             CASE WHEN (stats.sff - stats.sf * stats.sf / stats.ns)
+                       / (stats.ns - 1) <= 0 THEN 0.0
+                  ELSE (f.fr - stats.sf / stats.ns)
+                       / sqrt((stats.sff - stats.sf * stats.sf / stats.ns)
+                              / (stats.ns - 1)) END AS z
+      FROM f JOIN stats ON stats.t = f.t
+    ),
+    d AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,18)))
+                  AS DOUBLE) / {float(_BD_TOP)!r} AS delta
+      FROM z a JOIN z b ON b.t = a.t AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sa, sb, delta FROM d
+    """
+
+
+@query("ts_burrows_delta", oracle=_burrows_oracle())
+def ts_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA (2002) — the standard stylometric distance:
+    z-score each source's relative frequency of the {m} most-common
+    terms against the cross-source distribution, then
+    Δ(a,b) = mean |z_a − z_b|. Function-word frequencies are the
+    classic authorship fingerprint (they're topic-independent), and
+    the same statistic flags style drift between crawls, scraped
+    mirrors vs originals, and machine-vs-human registers — the
+    STYLOMETRIC member of the source-comparison family (JSD compares
+    content distributions; Delta compares normalized STYLE profiles).
+
+    Scale shape: one token pass (map-side-combined counts); the
+    top-{m} list is one aggregation + broadcast; everything after is
+    |sources|·{m} rows — frequencies, per-term moments, z-scores, and
+    the pairwise reduction are all metric-sized. Corpus is touched
+    once at any SF.
+
+    Determinism: frequencies are single divisions of exact counts;
+    per-term moments accumulate DECIMAL(38,18); the z expression is
+    one shared-form tree with a σ²≤0 guard (constant term → z = 0
+    loud, both engines); pairwise sums quantize before the
+    order-insensitive add; one final division by the literal {m}.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tots = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    wtop = Window.orderBy(F.desc("tot"), F.asc("t"))
+    top = (
+        tc.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _BD_TOP)
+        .select("t")
+    )
+    f = (
+        tots.crossJoin(F.broadcast(top))
+        .join(tc, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n")
+            ).alias("fr"),
+        )
+        .persist()
+    )
+    stats = f.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.sum(F.col("fr").cast("decimal(38,18)")).cast("double").alias("sf"),
+        F.sum((F.col("fr") * F.col("fr")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sff"),
+    )
+    var = (F.col("sff") - F.col("sf") * F.col("sf") / F.col("ns")) / (
+        F.col("ns") - 1
+    )
+    z = f.join(F.broadcast(stats), "t").select(
+        "source",
+        "t",
+        F.when(var <= 0, F.lit(0.0))
+        .otherwise(
+            (F.col("fr") - F.col("sf") / F.col("ns")) / F.sqrt(var)
+        )
+        .alias("z"),
+    )
+    a = z.select(F.col("source").alias("sa"), "t", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("sb"), "t", F.col("z").alias("zb"))
+    return (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            (
+                F.sum(
+                    F.abs(F.col("za") - F.col("zb")).cast("decimal(38,18)")
+                ).cast("double")
+                / F.lit(float(_BD_TOP))
+            ).alias("delta")
+        )
+    )
+
+
+ts_burrows_delta.__doc__ = ts_burrows_delta.__doc__.format(m=_BD_TOP)

@@ -1561,3 +1561,53 @@ def test_cost_threshold_is_the_sweep_argmin(spark):
     cost, thr, fp, fn = best
     assert got["threshold"] == thr
     assert (got["n_fp"], got["n_fn"], got["expected_cost"]) == (fp, fn, cost)
+
+
+def test_burrows_delta_matches_numpy_replay(spark):
+    """Numpy replay: top-M terms, per-source relative freqs, sample
+    z-scores, mean absolute z-difference — plus symmetry/nonnegativity
+    and the triangle-ish sanity that identical profiles give 0."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _BD_TOP,
+        ts_burrows_delta,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(regex_tokenize("text")).alias("t"))
+        .collect()
+    )
+    cnt = defaultdict(Counter)
+    for r in toks:
+        cnt[r["source"]][r["t"]] += 1
+    glob = Counter()
+    for c in cnt.values():
+        glob.update(c)
+    top = sorted(glob, key=lambda t: (-glob[t], t))[:_BD_TOP]
+    sources = sorted(cnt)
+    F_ = np.array(
+        [
+            [cnt[s].get(t, 0) / sum(cnt[s].values()) for t in top]
+            for s in sources
+        ]
+    )
+    mu = F_.mean(axis=0)
+    sd = F_.std(axis=0, ddof=1)
+    Z = np.where(sd > 0, (F_ - mu) / np.where(sd == 0, 1, sd), 0.0)
+    got = {
+        (r["sa"], r["sb"]): r["delta"]
+        for r in ts_burrows_delta(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    for i, sa in enumerate(sources):
+        for j in range(i + 1, len(sources)):
+            sb = sources[j]
+            want = float(np.abs(Z[i] - Z[j]).mean())
+            assert abs(got[(sa, sb)] - want) < 1e-9, (sa, sb)
+            assert got[(sa, sb)] >= 0.0

@@ -6046,3 +6046,133 @@ def train_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_cost_threshold.__doc__ = train_cost_threshold.__doc__.format(
     cfp=_CT_C_FP, cfn=_CT_C_FN
 )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains chart — the model-eval report deciders read
+# ---------------------------------------------------------------------------
+
+_LIFT_BUCKETS = 10
+
+
+def _lift_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    final = f"""
+    , scored AS (
+      SELECT label, round(1.0 / (1.0 + exp(-({z}))), 9) AS score,
+             id_a, id_b
+      FROM pairs, it{_LR_ITERS} w
+    ),
+    bucketed AS (
+      SELECT label,
+             ntile({_LIFT_BUCKETS}) OVER (
+               ORDER BY score DESC, id_a ASC, id_b ASC) AS decile
+      FROM scored
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(label) AS BIGINT) AS pos_all
+      FROM bucketed
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM bucketed GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n, n_pos,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n
+      FROM per
+    )
+    SELECT decile, n, n_pos,
+           CAST(cum_pos AS DOUBLE) / pos_all AS cum_capture,
+           (CAST(cum_pos AS DOUBLE) / cum_n)
+             / (CAST(pos_all AS DOUBLE) / n_all) AS cum_lift
+    FROM cum CROSS JOIN base
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL,
+        ["x1", "x2", "x3"],
+        iters=_LR_ITERS,
+        lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_decile_lift", oracle=_lift_oracle())
+def train_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / cumulative-gains chart — the model-eval report
+    the business side actually reads: rank everything by the match
+    score, cut into {b} equal buckets, and report each bucket's
+    positives plus the CUMULATIVE capture rate and lift (top-decile
+    lift ≈ "how much better than random is acting on the model's top
+    10%"). Completes the eval family around ROC/PR/NDCG with the
+    targeting view; a useless model reads lift ≈ 1 everywhere, a
+    perfect one front-loads capture.
+
+    Scale shape: scoring is the broadcast-weights projection; the
+    decile cut is ONE global ntile window (value-bounded input after
+    round-to-9; at 100 TB you'd pre-aggregate to (score, n, n_pos)
+    value cells first — the quantile-sketch shape — and the chart
+    itself is {b} rows). Cumulatives run over {b}-row frames.
+
+    Determinism: the ntile order is total (score DESC, id_a, id_b);
+    all counts exact BIGINTs; the two ratios are fixed IEEE trees on
+    exact operands.
+    """
+    w = _lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("x1")
+        + F.lit(w["w2"]) * F.col("x2")
+        + F.lit(w["w3"]) * F.col("x3")
+    )
+    scored = _lr_pairs(spark, sf_dir).select(
+        "label",
+        "id_a",
+        "id_b",
+        F.round(1.0 / (1.0 + F.exp(-z)), 9).alias("score"),
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("id_a"), F.asc("id_b"))
+    bucketed = scored.select(
+        "label", F.ntile(_LIFT_BUCKETS).over(wd).alias("decile")
+    )
+    base = bucketed.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("label").alias("pos_all")
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wc).alias("cum_n"),
+    )
+    return cum.crossJoin(F.broadcast(base)).select(
+        "decile",
+        "n",
+        "n_pos",
+        (F.col("cum_pos").cast("double") / F.col("pos_all")).alias(
+            "cum_capture"
+        ),
+        (
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("pos_all").cast("double") / F.col("n_all"))
+        ).alias("cum_lift"),
+    )
+
+
+train_decile_lift.__doc__ = train_decile_lift.__doc__.format(
+    b=_LIFT_BUCKETS
+)

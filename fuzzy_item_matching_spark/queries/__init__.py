@@ -166,6 +166,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_burrows_delta",  # stylometric z-profile distance; numpy replay test
     "train_decile_lift",  # gains chart over the driver-green GD scores
     "rel_abc_classes",  # Pareto revenue classes; Decimal replay test
+    "src_file_metadata",  # _metadata lineage audit; layout contract test
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

@@ -1012,3 +1012,66 @@ def src_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hidden _metadata columns: file-level lineage from the reader itself
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_file_metadata",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN `_metadata` FILE COLUMNS — the Spark reader's built-in
+    lineage surface: write orders partitioned by status (one file per
+    partition via a key repartition), read back, and derive per-
+    partition row counts AND file counts purely from
+    `_metadata.file_path` — no directory listing, no external
+    catalog. This is how production pipelines attribute bad rows to
+    source files, audit small-file explosions, and build incremental
+    manifests; here it also PINS the write layout (n_files = 1 per
+    partition) so a compaction regression fails loudly.
+
+    Scale shape: `_metadata` is populated by the scan itself (zero
+    extra I/O — constant per split); the audit is one
+    map-side-combinable aggregation keyed on the partition value
+    extracted from the path. At 100 TB this replaces a driver-side
+    file listing with a distributed scan the engine was doing anyway.
+
+    Determinism: the oracle states the SEMANTIC layout contract (the
+    src_csv_roundtrip convention — the roundtrip is the Spark side's
+    job): per-status row counts must survive the write/read cycle and
+    each partition must land in exactly one file (guaranteed by the
+    pre-write repartition on the partition key).
+    """
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(SCRATCH, "meta_orders")
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(root)
+    )
+    back = spark.read.parquet(root).select(
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return (
+        back.groupBy(
+            F.regexp_extract(
+                F.col("fp"), "o_orderstatus=([A-Z])", 1
+            ).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fp").alias("n_files"),
+        )
+    )

@@ -1713,3 +1713,25 @@ def test_abc_classes_partition_the_revenue(spark):
         per_a = got["A"]["revenue"] / got["A"]["n_parts"]
         per_c = got["C"]["revenue"] / got["C"]["n_parts"]
         assert per_a > per_c
+
+
+def test_file_metadata_counts_and_layout(spark):
+    """The _metadata audit must reproduce the per-status counts from
+    the source table and certify the one-file-per-partition layout."""
+    from fuzzy_item_matching_spark.queries.sources import (
+        src_file_metadata,
+    )
+    from fuzzy_item_matching_spark.tables import load_table
+
+    want = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["status"]: r for r in src_file_metadata(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for s, n in want.items():
+        assert got[s]["n_rows"] == n
+        assert got[s]["n_files"] == 1

@@ -63,110 +63,105 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_registry_order.py asserts the invariants.
 CHECK_PRIORITY: tuple[str, ...] = (
     # =================================================================
-    # r12 rotation — executes the committed r12 prefix verbatim (r11
-    # VERDICT ask #1): the ELEVEN round-11 births followed by the
-    # TWELVE named spill rows (per-row justifications in the r11
-    # ledger, git: queries/__init__.py @ 4a17023 lines 83-120) head
-    # the prefix — this zeroes the never-driver-checked backlog for
-    # the first time in the repo's history. They are followed by the
-    # SEVEN queries whose operators round 12 refactored (the
-    # duplicate-collapse gate in ngram_jaccard_pairs / simhash_pairs,
-    # the co-purchase basket cap, the ALS scratch-parquet model
-    # table): each was judge-simmed exact after the refactor, and the
-    # slot here makes the re-proof driver-durable. Round-12 births are
-    # inserted directly after the re-verification block as they land.
-    # The entire r11 prefix (50/50 green in CORRECTNESS_r11.json,
-    # 47 exact + 3 rows-only-by-design) demotes below.
+    # r13 rotation — executes the committed r13 prefix (r12 VERDICT
+    # ask #1): the NINETEEN named spill rows of the r12 ledger (the
+    # session-2 births past r12's 50-slot budget; the r12 ledger
+    # comment undercounted them as 14 — five late births were appended
+    # after it was written, and this rotation restates the arithmetic
+    # correctly: 19 spill rows, not 14) head the prefix verbatim in
+    # ledger order — this re-zeroes the never-driver-checked backlog.
+    # They are followed by the queries whose operators round 13
+    # refactors (query-directed multi-probe in operators/lsh.py, the
+    # shared-corpus bench attribution work): each re-proof slot makes
+    # the post-refactor result driver-durable. Round-13 births are
+    # inserted after the re-verification block as they land. Budget
+    # math: 19 spill + re-proofs + births = 50. The entire r12 prefix
+    # (50/50 exact in CORRECTNESS_r12.json — the first perfect
+    # prefix) demotes below.
     #
     # Every demoted name is annotated with the round of its newest
     # driver-green CORRECTNESS row (never demoted to failure since).
-    # Per-slot prose history for rounds 2-11 lives in git:
-    # queries/__init__.py @ 4a17023 (r11), 5c59726 (r10), 8f43f14
-    # and earlier.
+    # Per-slot prose history for rounds 2-12 lives in git:
+    # queries/__init__.py @ ef80752 (r12), 4a17023 (r11), 5c59726
+    # (r10), 8f43f14 and earlier.
     # =================================================================
-    # -- the 23 backlog rows (11 r11 births + 12 named spill rows,
-    #    ledger order preserved verbatim):
-    "rel_recursive_closure",  # r11 birth
-    "train_als_implicit",  # r11 birth
-    "rel_label_propagation",  # r11 birth
-    "dedup_winnowing_pairs",  # r11 birth
-    "rel_lateral_topk_per_cust",  # r11 birth
-    "rel_transpose_status_metrics",  # r11 birth
-    "train_gboost_poisson",  # r11 birth
-    "serve_als_topk",  # r11 birth
-    "ts_kmv_lang_jaccard",  # r11 birth
-    "dedup_incremental_winnowing",  # r11 birth
-    "rel_ppr_parts",  # r11 birth
-    "rel_price_quantiles",  # named spill row
-    "rel_value_outliers",  # named spill row
-    "rel_ntile_price_deciles",  # named spill row
-    "ts_seq_packing",  # named spill row
-    "ts_corpus_shuffle",  # named spill row
-    "train_stratified_sample",  # named spill row
-    "train_diverse_sample",  # named spill row
-    "ts_repetition",  # named spill row
-    "ts_distinct_kmv",  # named spill row
-    "ts_token_dominance",  # named spill row
-    "ts_top_terms",  # named spill row
-    "pipe_corpus_funnel",  # named spill row
-    # -- r12 re-verification: consumers of this round's operator
-    #    refactors (collapse gates, basket cap) — prior green row noted:
-    "dedup_ngram_jaccard",  # was r06; r12 refactor re-proof
-    "dedup_simhash",  # was r06; r12 refactor re-proof
-    "dedup_minhash_recall",  # was r09; r12 refactor re-proof
-    "dedup_canonical_map",  # was r04; r12 refactor re-proof
-    "dedup_canonical_closure",  # was r09; r12 refactor re-proof
-    "dedup_funnel_counts",  # was r10; r12 refactor re-proof
-    "pipe_corpus_clean",  # was r09; r12 refactor re-proof
-    # -- r12 births are inserted here as they land:
-    "rel_kcore_parts",  # r12 birth: k-core peeling, capped co-purchase graph
-    "sim_maxscore_topk",  # r12 birth: MaxScore static-pruned top-k retrieval
-    "rel_cm_join_size",  # r12 birth: count-min join-size estimation (AMS)
-    "rel_time_decay_attribution",  # r12 birth: dyadic-decay multi-touch
-    "sim_ann_multiprobe_lsh",  # r12 birth: multi-probe LSH (Lv et al.)
-    "ts_mi_terms",  # r12 birth: mutual-information feature selection
-    "train_quantile_gd",  # r12 birth: pinball-loss quantile regression
-    "dedup_containment_pairs",  # r12 birth: subset/excerpt containment
-    "train_conformal_ols",  # r12 birth: split-conformal intervals
-    "serve_als_foldin",  # r12 birth: cold-start fold-in vs frozen factors
-    # -- session-2 births, positions 41-50 (the 50-slot budget ends
-    #    here): the ten with the most intricate fit/replay oracles get
-    #    the driver-durable rows this round.
-    "rel_cusum_changepoints",  # r12 birth: Page's CUSUM via prefix-min windows
-    "rel_hits_scores",  # r12 birth: HITS authority ranking, integer-exact
-    "train_rf_oob_eval",  # r12 birth: OOB forest eval (replays all 5 fits)
-    "sim_maxsim_topk",  # r12 birth: ColBERT MaxSim late interaction
-    "rel_cuped_adjustment",  # r12 birth: CUPED variance-reduced A/B stats
-    "rel_holt_forecast",  # r12 birth: Holt trend smoothing, shared recursion
-    "ts_kmv_anb",  # r12 birth: theta-sketch set difference (new vocab)
-    "sim_ann_graph_expand",  # r12 birth: graph ANN (post-bucket-cap fix)
-    "rel_markov_removal_attribution",  # r12 birth: counterfactual credit
-    "train_fm_gd",  # r12 birth: rank-2 factorization machine GD
-    # -- NAMED SPILL ROWS (positions 51-64; the driver's budget is the
-    #    first 50, so these 14 session-2 births carry no driver row
-    #    this round — every one passed the full driver_sim sweep
-    #    (308 exact + 4 rows-only, 0 failures, this session) AND has a
-    #    first-principles replay test in tests/test_round12_ops.py.
-    #    They head the r13 prefix; justification per row:
-    "train_rf_stumps",  # model-table twin of rf_oob_eval (same fits replayed)
-    "train_km_survival",  # shared-recursion product (Holt machinery proven)
-    "ts_textrank_terms",  # PageRank discipline (brands/PPR/LPA rows exist)
-    "rel_markov_stationary",  # subsumed by removal-attribution's walk
-    "vec_kcenter_init",  # argmax-loop budget (BPE/kmeans rows exist)
-    "vec_pca_deflation",  # extends driver-green vec_pca_power machinery
-    "rel_bitmap_overlap",  # pure integer algebra; set replay pinned in tests
-    "rel_skyline_parts",  # one-window sweep; brute-force dominance test
-    "text_phonetic_blocking",  # row-local key + hash agg; synthetic test
-    "ts_good_turing",  # two-agg count table; Counter replay test
-    "train_pit_features",  # strictly-prior windows; leakage replay test
-    "ts_js_divergence",  # postings join + ln (idf/PMI precedent); numpy test
-    "train_dp_noisy_counts",  # groups-sized release; Laplace replay test
-    "train_uncertainty_batch",  # scoring projection over driver-green GD fit
-    "train_cost_threshold",  # ROC-window argmin over the same GD scores
-    "ts_burrows_delta",  # stylometric z-profile distance; numpy replay test
-    "train_decile_lift",  # gains chart over the driver-green GD scores
-    "rel_abc_classes",  # Pareto revenue classes; Decimal replay test
-    "src_file_metadata",  # _metadata lineage audit; layout contract test
+    # -- the 19 spill rows (r12 ledger order preserved verbatim; every
+    #    one judge-simmed exact in the r12 session AND carrying a
+    #    first-principles replay test in tests/test_round12_ops.py):
+    "train_rf_stumps",  # r12 spill: model-table twin of rf_oob_eval
+    "train_km_survival",  # r12 spill: Kaplan-Meier shared recursion
+    "ts_textrank_terms",  # r12 spill: TextRank (PageRank discipline)
+    "rel_markov_stationary",  # r12 spill: stationary journey distribution
+    "vec_kcenter_init",  # r12 spill: greedy k-center seeding
+    "vec_pca_deflation",  # r12 spill: rank-2 PCA, Hotelling deflation
+    "rel_bitmap_overlap",  # r12 spill: bitmap-index audience overlap
+    "rel_skyline_parts",  # r12 spill: 2-D skyline frontier sweep
+    "text_phonetic_blocking",  # r12 spill: consonant-skeleton blocking
+    "ts_good_turing",  # r12 spill: Good-Turing smoothing
+    "train_pit_features",  # r12 spill: leakage-free point-in-time features
+    "ts_js_divergence",  # r12 spill: Jensen-Shannon source divergence
+    "train_dp_noisy_counts",  # r12 spill: Laplace noisy count release
+    "train_uncertainty_batch",  # r12 spill: uncertainty-sampling batch
+    "train_cost_threshold",  # r12 spill: cost-sensitive ROC threshold
+    "ts_burrows_delta",  # r12 spill: Burrows' Delta stylometry
+    "train_decile_lift",  # r12 spill: decile lift/gains chart
+    "rel_abc_classes",  # r12 spill: ABC/Pareto revenue classes
+    "src_file_metadata",  # r12 spill: hidden _metadata lineage audit
+    # -- r13 re-verification: consumers of this round's operator
+    #    refactors — prior green row noted:
+    "sim_ann_multiprobe_lsh",  # was r12; r13 query-directed-probe re-proof
+    # -- r13 births are inserted here as they land:
+    # -- demoted by the r13 rotation: the entire r12 prefix, all 50
+    #    exact in CORRECTNESS_r12.json (first zero-rows-only prefix):
+    "rel_recursive_closure",  # r12
+    "train_als_implicit",  # r12
+    "rel_label_propagation",  # r12
+    "dedup_winnowing_pairs",  # r12
+    "rel_lateral_topk_per_cust",  # r12
+    "rel_transpose_status_metrics",  # r12
+    "train_gboost_poisson",  # r12
+    "serve_als_topk",  # r12
+    "ts_kmv_lang_jaccard",  # r12
+    "dedup_incremental_winnowing",  # r12
+    "rel_ppr_parts",  # r12
+    "rel_price_quantiles",  # r12
+    "rel_value_outliers",  # r12
+    "rel_ntile_price_deciles",  # r12
+    "ts_seq_packing",  # r12
+    "ts_corpus_shuffle",  # r12
+    "train_stratified_sample",  # r12
+    "train_diverse_sample",  # r12
+    "ts_repetition",  # r12
+    "ts_distinct_kmv",  # r12
+    "ts_token_dominance",  # r12
+    "ts_top_terms",  # r12
+    "pipe_corpus_funnel",  # r12
+    "dedup_ngram_jaccard",  # r12
+    "dedup_simhash",  # r12
+    "dedup_minhash_recall",  # r12
+    "dedup_canonical_map",  # r12
+    "dedup_canonical_closure",  # r12
+    "dedup_funnel_counts",  # r12
+    "pipe_corpus_clean",  # r12
+    "rel_kcore_parts",  # r12
+    "sim_maxscore_topk",  # r12
+    "rel_cm_join_size",  # r12
+    "rel_time_decay_attribution",  # r12
+    "ts_mi_terms",  # r12
+    "train_quantile_gd",  # r12
+    "dedup_containment_pairs",  # r12
+    "train_conformal_ols",  # r12
+    "serve_als_foldin",  # r12
+    "rel_cusum_changepoints",  # r12
+    "rel_hits_scores",  # r12
+    "train_rf_oob_eval",  # r12
+    "sim_maxsim_topk",  # r12
+    "rel_cuped_adjustment",  # r12
+    "rel_holt_forecast",  # r12
+    "ts_kmv_anb",  # r12
+    "sim_ann_graph_expand",  # r12
+    "rel_markov_removal_attribution",  # r12
+    "train_fm_gd",  # r12
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
     #    driver-green in CORRECTNESS_r11.json:
     "rel_variant_props",  # r11

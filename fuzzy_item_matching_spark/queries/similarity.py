@@ -1615,10 +1615,16 @@ sim_maxscore_topk.__doc__ = sim_maxscore_topk.__doc__.format(
 # Multi-probe LSH top-k (index-size/probe-fanout trade)
 # ---------------------------------------------------------------------------
 
-_MP_TABLES = 4
+_MP_TABLES = 2
 _MP_BITS = 6
 _MP_SEED = 42
 _MP_K = 3
+# Query-directed probing budget: the 13 perturbation sets (1..3 bit
+# flips) with the smallest total margin. Measured at sf0.01: recall
+# 0.713 vs 0.679 for the 4-table exhaustive-1-flip config this
+# replaced, at HALF the index (2 tables) and equal probe rows.
+_MP_PROBES = 13
+_MP_MAXFLIP = 3
 
 
 def _multiprobe_oracle() -> str:
@@ -1626,6 +1632,7 @@ def _multiprobe_oracle() -> str:
 
     planes = random_hyperplanes(64, _MP_TABLES * _MP_BITS, _MP_SEED)
     buckets = []
+    margins = []
     for t in range(_MP_TABLES):
         bits = " || ".join(
             "(CASE WHEN"
@@ -1636,26 +1643,68 @@ def _multiprobe_oracle() -> str:
         buckets.append(
             f"      SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings"
         )
+        margins.extend(
+            f"      SELECT vec_id, {t} AS tbl, {b + 1} AS j,"
+            f" abs({_sql_plane_dot('embedding::DOUBLE[]', planes[t * _MP_BITS + b])})"
+            " AS m FROM embeddings"
+            for b in range(_MP_BITS)
+        )
     bkt = "\n      UNION ALL\n".join(buckets)
+    mgn = "\n      UNION ALL\n".join(margins)
     norm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
     pair_dot = (
         "list_sum(list_transform("
         "list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), s -> s[1]*s[2]))"
     )
-    # DuckDB lambdas in a lateral unnest cannot capture row columns;
-    # the probe splice lives in the SELECT over a plain range cross.
-    flip = (
-        "CASE WHEN u.j = 0 THEN bucket ELSE substr(bucket, 1, u.j - 1) ||"
-        " (CASE WHEN substr(bucket, u.j, 1) = '1' THEN '0' ELSE '1' END) ||"
-        f" substr(bucket, u.j + 1, {_MP_BITS} - u.j) END"
-    )
+    # Query-directed probe sets (Lv et al.): every 1/2/3-bit subset
+    # scored by left-to-right margin sum, ranked by (score, j1, j2
+    # NULLS FIRST, j3 NULLS FIRST) — the identical (score, subset
+    # tuple) stable ranking the engine's argsort applies over the
+    # identical fold-order dots — and the best _MP_PROBES spliced
+    # into probe buckets by nested single-bit flips.
+    def _flip(expr: str, j: str) -> str:
+        return (
+            f"(CASE WHEN {j} IS NULL THEN {expr}"
+            f" ELSE substr({expr}, 1, {j} - 1) ||"
+            f" (CASE WHEN substr({expr}, {j}, 1) = '1' THEN '0' ELSE '1' END) ||"
+            f" substr({expr}, {j} + 1, {_MP_BITS} - {j}) END)"
+        )
+
+    splice = _flip(_flip(_flip("b.bucket", "f.j1"), "f.j2"), "f.j3")
     return f"""
     WITH bkt AS (
 {bkt}
     ),
+    mgn AS (
+{mgn}
+    ),
+    sets AS (
+      SELECT vec_id, tbl, j AS j1, NULL::INT AS j2, NULL::INT AS j3,
+             m AS s FROM mgn
+      UNION ALL
+      SELECT a.vec_id, a.tbl, a.j, b.j, NULL::INT, a.m + b.m
+      FROM mgn a JOIN mgn b
+        ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.j < b.j
+      UNION ALL
+      SELECT a.vec_id, a.tbl, a.j, b.j, c.j, a.m + b.m + c.m
+      FROM mgn a
+      JOIN mgn b ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.j < b.j
+      JOIN mgn c ON b.vec_id = c.vec_id AND b.tbl = c.tbl AND b.j < c.j
+    ),
+    flips AS (
+      SELECT vec_id, tbl, j1, j2, j3 FROM (
+        SELECT vec_id, tbl, j1, j2, j3,
+               row_number() OVER (
+                 PARTITION BY vec_id, tbl
+                 ORDER BY s, j1, j2 NULLS FIRST, j3 NULLS FIRST) AS r
+        FROM sets
+      ) WHERE r <= {_MP_PROBES}
+    ),
     probes AS (
-      SELECT vec_id, tbl, {flip} AS probe
-      FROM bkt, unnest(range(0, {_MP_BITS + 1})) AS u(j)
+      SELECT vec_id, tbl, bucket AS probe FROM bkt
+      UNION ALL
+      SELECT b.vec_id, b.tbl, {splice} AS probe
+      FROM bkt b JOIN flips f ON b.vec_id = f.vec_id AND b.tbl = f.tbl
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
@@ -1684,30 +1733,39 @@ def _multiprobe_oracle() -> str:
 
 @query("sim_ann_multiprobe_lsh", oracle=_multiprobe_oracle())
 def sim_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH cosine top-{k} (Lv et al., VLDB 2007):
-    every query probes its own bucket PLUS each 1-bit-flip neighbor —
-    {bits}+1 probes per table — so {tables} tables deliver the recall
-    a {tables}×{bits}-bit single-probe index needs ~4× the tables for
-    (sim_ann_lsh_topk's 16×5 config is the single-probe sibling). The
-    100 TB reading: index memory and build shuffle scale with TABLE
-    COUNT, probe fan-out is a map-side row expansion on the query
-    side — multiprobe moves cost from the resident index to the cheap
-    streaming side. Candidate generation stays a (table, bucket)
-    equi-join; verification is the exact fold-order cosine; never n².
-    The oracle replays the seeded hyperplanes, the probe expansion and
-    the ranking in one SQL statement."""
+    """QUERY-DIRECTED multi-probe sign-LSH cosine top-{k} (Lv et al.,
+    VLDB 2007): every query probes its own bucket PLUS the {probes}
+    perturbation sets (1..{maxflip} bit flips) with the smallest
+    total hyperplane margin Σ|dot(v, plane)| — the bit sets a true
+    near neighbor is most likely to disagree on — so {tables} tables
+    deliver MORE recall than the 4-table exhaustive-1-flip config
+    this replaced (measured 0.713 vs 0.679 at sf0.01) with HALF the
+    index. The 100 TB reading: index memory and build shuffle scale
+    with TABLE COUNT, probe fan-out is a map-side row expansion on
+    the query side — multiprobe moves cost from the resident index
+    to the cheap streaming side, and directing the probes by margin
+    keeps only the expansions that carry recall. Candidate
+    generation stays a (table, bucket) collision; verification is
+    BLOCKWISE folded numpy per bucket (the lsh_cosine_topk
+    discipline — the per-pair interpreted cosine fold dominated the
+    exhaustive path's runtime), pruned losslessly to k in-block;
+    never n². The oracle replays the seeded hyperplanes, the
+    (margin-sum, subset) probe ranking and the final ranking in one
+    SQL statement."""
     from fuzzy_item_matching_spark.operators.lsh import lsh_multiprobe_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_multiprobe_topk(
         e, "vec_id", "embedding",
         k=_MP_K, n_tables=_MP_TABLES, bits_per_table=_MP_BITS,
-        seed=_MP_SEED, dim=64,
+        seed=_MP_SEED, dim=64, probe_budget=_MP_PROBES,
+        max_flip=_MP_MAXFLIP,
     )
 
 
 sim_ann_multiprobe_lsh.__doc__ = sim_ann_multiprobe_lsh.__doc__.format(
-    k=_MP_K, bits=_MP_BITS, tables=_MP_TABLES
+    k=_MP_K, bits=_MP_BITS, tables=_MP_TABLES, probes=_MP_PROBES,
+    maxflip=_MP_MAXFLIP,
 )
 
 

@@ -1501,3 +1501,199 @@ def rel_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 rel_markov_removal_attribution.__doc__ = (
     rel_markov_removal_attribution.__doc__.format(t=_RE_T, conv=_RE_CONV)
 )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction on the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 50
+
+
+def _adamic_adar_oracle() -> str:
+    edges = _COPURCHASE_EDGES_SQL.format(wtype="BIGINT", cap=_BASKET_CAP)
+    return f"""
+    WITH {edges},
+    g AS (SELECT DISTINCT src, dst FROM e),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM g GROUP BY src),
+    paths AS (
+      SELECT a.src AS u, a.dst AS v, b.dst AS w
+      FROM g a JOIN g b ON a.dst = b.src AND a.src < b.dst
+    ),
+    open_pairs AS (
+      SELECT p.u, p.w,
+             SUM(CAST(ROUND(1.0 / ln(deg.d), 12) AS DECIMAL(38,18))) AS aa_dec,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM paths p
+      JOIN deg ON deg.v = p.v
+      LEFT JOIN g ON g.src = p.u AND g.dst = p.w
+      WHERE g.src IS NULL
+      GROUP BY p.u, p.w
+    )
+    SELECT u AS part_a, w AS part_b, common_neighbors,
+           CAST(aa_dec AS DOUBLE) AS adamic_adar
+    FROM open_pairs
+    ORDER BY aa_dec DESC, u, w
+    LIMIT {_AA_TOPK}
+    """
+
+
+@query("rel_adamic_adar", oracle=_adamic_adar_oracle())
+def rel_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) over the part
+    co-purchase graph: for every NON-adjacent pair (u, w) with at
+    least one common neighbor, AA(u, w) = Σ_v 1/ln(deg(v)) over
+    common neighbors v — the classic "which items will be bought
+    together next" / recommendation-candidate score, down-weighting
+    promiscuous hub neighbors exactly where common-neighbor counting
+    over-credits them. Completes the graph family's predictive side
+    (LPA/PPR/k-core/HITS describe the present; AA scores future
+    edges).
+
+    Plan: the shared capped co-purchase edge list (basket <= {cap},
+    persisted) -> one length-2 path self-join on the center vertex
+    (bounded by Σ deg(v)² over DISTINCT edges — the cap bounds deg
+    per order contribution), an anti-join against existing edges, and
+    one keyed aggregation; top-{k} under a total order
+    (TakeOrdered). At 100 TB the path join is the candidate
+    generator every link-prediction system runs (never all-pairs);
+    hub centers are exactly the vertices AA down-weights, and the
+    xs10 skew table shows the shared edge list absorbs 1000x hubs.
+
+    Determinism: each term rounds to 12 digits BEFORE the
+    DECIMAL(38,18) sum (order-insensitive exact addition); deg >= 2
+    for any common neighbor, so ln(deg) >= ln 2 > 0. Ranking breaks
+    ties on (u, w). Cited vs reference: the reference has no graph
+    analytics; this is scale-extension surface.
+    """
+    lines, e = _copurchase_graph(spark, sf_dir, wtype="long")
+    g = e.select("src", "dst").distinct().persist()
+    deg = g.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    paths = a.join(
+        b,
+        (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("u"),
+        F.col("a.dst").alias("v"),
+        F.col("b.dst").alias("w"),
+    )
+    closed = g.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    pairs = (
+        paths.join(deg, "v")
+        .join(closed, ["u", "w"], "left_anti")
+        .groupBy("u", "w")
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("d")), 12).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("aa_dec"),
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        )
+    )
+    return (
+        pairs.orderBy(F.desc("aa_dec"), "u", "w")
+        .limit(_AA_TOPK)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("w").alias("part_b"),
+            "common_neighbors",
+            F.col("aa_dec").cast("double").alias("adamic_adar"),
+        )
+    )
+
+
+rel_adamic_adar.__doc__ = rel_adamic_adar.__doc__.format(
+    cap=_BASKET_CAP, k=_AA_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS distance labeling from a hub seed set
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = 997  # parts with pid % 997 == 0 seed the search
+
+
+def _bfs_oracle() -> str:
+    edges = _COPURCHASE_EDGES_SQL.format(wtype="BIGINT", cap=_BASKET_CAP)
+    levels = [
+        f"d0 AS (SELECT DISTINCT pid AS id, 0 AS dist FROM lines"
+        f" WHERE pid % {_BFS_SEED_MOD} = 0)"
+    ]
+    for t in range(1, _BFS_ROUNDS + 1):
+        levels.append(f"""
+    d{t} AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + 1 AS dist
+        FROM e JOIN d{t - 1} d ON d.id = e.src
+      ) GROUP BY id
+    )"""
+        )
+    return f"""
+    WITH {edges},
+    {",".join(levels)}
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(id) AS BIGINT) AS min_part,
+           CAST(MAX(id) AS BIGINT) AS max_part
+    FROM d{_BFS_ROUNDS}
+    GROUP BY dist
+    """
+
+
+@query("rel_bfs_distances", oracle=_bfs_oracle())
+def rel_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first distance labeling: hop distance from a
+    deterministic hub seed set (pid % {mod} == 0) over the part
+    co-purchase graph, {r} synchronous rounds — the reachability /
+    blast-radius primitive (recall campaigns, contamination spread,
+    affected-SKU audits) that complements rel_recursive_closure's
+    edge-transitive closure with per-NODE minimum distances.
+
+    Plan: per round, one keyed join frontier-expand + MIN-combine —
+    the Bellman-Ford relaxation specialized to unit weights; the
+    frame carries every reached node (monotone: dist only decreases,
+    reached set only grows) so each round is one shuffle keyed on
+    node id with map-side MIN partial aggregation. {r} rounds bounds
+    the lineage exactly like LPA/k-core; the output aggregates to
+    one row per distance ring (counts + id extrema) so the check
+    pins every ring's membership without emitting the full frame.
+
+    Determinism: distances are integers from a fixed unroll; MIN is
+    order-insensitive. The oracle replays the rounds CTE-for-CTE.
+    """
+    lines, e = _copurchase_graph(spark, sf_dir, wtype="long")
+    d = (
+        lines.select(F.col("pid").alias("id"))
+        .distinct()
+        .filter(F.col("id") % _BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    edges = e.select("src", "dst")
+    for _ in range(_BFS_ROUNDS):
+        nxt = (
+            edges.join(d.select(F.col("id").alias("src"), "dist"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionAll(nxt)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return d.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("id").cast("long").alias("min_part"),
+        F.max("id").cast("long").alias("max_part"),
+    )
+
+
+rel_bfs_distances.__doc__ = rel_bfs_distances.__doc__.format(
+    mod=_BFS_SEED_MOD, r=_BFS_ROUNDS
+)

@@ -3321,3 +3321,338 @@ def rel_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").cast("double").alias("revenue"),
         (F.sum("r").cast("double") / F.col("t")).alias("revenue_share"),
     ).select("abc", "n_parts", "revenue", "revenue_share")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT o.d AS digit, o.n AS observed,
+           ROUND(CAST(o.n AS DOUBLE) / t.t, 9) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / o.d), 9) AS benford_share,
+           ROUND(
+             CAST(t.t AS DOUBLE)
+             * (CAST(o.n AS DOUBLE) / t.t - log10(1.0 + 1.0 / o.d))
+             * (CAST(o.n AS DOUBLE) / t.t - log10(1.0 + 1.0 / o.d))
+             / log10(1.0 + 1.0 / o.d), 9) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def rel_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    standard forensic/data-quality screen for fabricated or
+    unit-mangled monetary columns (synthetic uniform prices FAIL
+    Benford loudly, which is exactly what this surfaces on TPC-H-ish
+    data; a conforming ledger tracks log10(1+1/d)). Emits per-digit
+    observed counts, shares, the Benford expectation, and the
+    chi-square contribution.
+
+    Plan: one projection (first digit of the DECIMAL rendering — both
+    engines print DECIMAL(18,2) canonically, no scientific notation)
+    + one 9-key aggregation + a broadcast 1-row total. At 100 TB this
+    is a single map-side-combined scan; the audit family's cheapest
+    member. Counts exact; each derived share/term is one fixed IEEE
+    expression tree rounded to 9 on both sides."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    share = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").alias("observed"),
+        F.round(share, 9).alias("observed_share"),
+        F.round(benford, 9).alias("benford_share"),
+        F.round(
+            F.col("t").cast("double")
+            * (share - benford)
+            * (share - benford)
+            / benford,
+            9,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of part revenue (inequality audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pid,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, pid) AS i FROM rev
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r) AS s,
+             SUM(CAST(i AS DECIMAL(38,2)) * r) AS si
+      FROM ranked
+    )
+    SELECT n AS n_parts, CAST(s AS DOUBLE) AS total_revenue,
+           ROUND(2.0 * CAST(si AS DOUBLE) / (n * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 9) AS gini
+    FROM agg
+    """,
+)
+def rel_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-part revenue concentration — the
+    assortment-inequality audit (how much of the catalog carries the
+    business) that complements rel_abc_classes' discrete Pareto
+    bands with the standard continuous index:
+    G = 2·Σ i·x_(i) / (n·Σ x) − (n+1)/n over revenues sorted
+    ascending.
+
+    Plan: one keyed revenue aggregation (map-side combined), ONE
+    global rank window over the PART domain — already aggregated, the
+    same honest bound as rel_abc_classes' Pareto walk, range-
+    bucketable when the part domain outgrows a partition — and a
+    1-row reduction. Revenue sums and the rank-weighted sum are exact
+    DECIMAL (rank · DECIMAL stays DECIMAL); the final index is one
+    fixed expression tree rounded to 9. Ties in revenue break on part
+    id, making the rank (and thus the index) fully deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pid")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy("r", "pid")
+    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,2)") * F.col("r")).alias("si"),
+    )
+    return agg.select(
+        F.col("n").alias("n_parts"),
+        F.col("s").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("si").cast("double")
+            / (F.col("n") * F.col("s").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO budget allocation (cumulative interval matching)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_fifo_allocation",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS cust, o_orderkey AS okey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM orders
+    ),
+    budget AS (
+      SELECT c_custkey AS cust,
+             CAST(GREATEST(c_acctbal, 0) AS DECIMAL(18,2)) AS bal
+      FROM customer
+    ),
+    alloc AS (
+      SELECT s.cust, s.okey, s.price,
+             CASE WHEN s.cum <= b.bal THEN s.price
+                  WHEN s.cum - s.price >= b.bal THEN CAST(0 AS DECIMAL(18,2))
+                  ELSE CAST(b.bal - (s.cum - s.price) AS DECIMAL(18,2))
+             END AS funded
+      FROM seq s JOIN budget b ON b.cust = s.cust
+    )
+    SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN funded = price AND price > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fully_funded,
+           CAST(SUM(funded) AS DOUBLE) AS funded_total,
+           CAST(SUM(price - funded) AS DOUBLE) AS unfunded_total
+    FROM alloc
+    GROUP BY cust
+    HAVING SUM(price - funded) > 0
+    """,
+)
+def rel_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation by cumulative interval matching: each
+    customer's account balance funds their orders OLDEST-FIRST, the
+    marginal order splitting into a funded and an unfunded slice —
+    the inventory/payment-application primitive (allocate supply lots
+    to demand, payments to invoices, budget to campaigns) that looks
+    iterative but is ONE window: an order's funded amount is a pure
+    function of (its cumulative prefix, the budget), so no loop, no
+    UDF, no recursion.
+
+    Plan: one cumulative-sum window keyed on customer (ordered by
+    date with the order key as total tie-break) + one broadcast-sized
+    join against the budget frame + one keyed aggregation. At 100 TB:
+    a single shuffle on the customer key; the window frame is
+    ROWS-bounded so state is O(1) per key. All money stays
+    DECIMAL(18,2) end-to-end (cumulative sums, splits, totals —
+    NO floating point anywhere), so every slice is exact.
+    Output keeps only customers with an unfunded remainder (the
+    actionable rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("cust")
+        .orderBy("o_orderdate", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).withColumn("cum", F.sum("price").over(w))
+    budget = c.select(
+        F.col("c_custkey").alias("cust"),
+        F.greatest(F.col("c_acctbal"), F.lit(0))
+        .cast("decimal(18,2)")
+        .alias("bal"),
+    )
+    alloc = seq.join(budget, "cust").select(
+        "cust",
+        "okey",
+        "price",
+        F.when(F.col("cum") <= F.col("bal"), F.col("price"))
+        .when(
+            F.col("cum") - F.col("price") >= F.col("bal"),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .otherwise(
+            (F.col("bal") - (F.col("cum") - F.col("price"))).cast(
+                "decimal(18,2)"
+            )
+        )
+        .alias("funded"),
+    )
+    return (
+        alloc.groupBy("cust")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(
+                    (F.col("funded") == F.col("price")) & (F.col("price") > 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fully_funded"),
+            F.sum("funded").alias("f_dec"),
+            F.sum(F.col("price") - F.col("funded")).alias("u_dec"),
+        )
+        .filter(F.col("u_dec") > 0)
+        .select(
+            "cust",
+            "n_orders",
+            "fully_funded",
+            F.col("f_dec").cast("double").alias("funded_total"),
+            F.col("u_dec").cast("double").alias("unfunded_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (A happens-before B across user timelines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_seq_patterns",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS t0, MIN(event_id) AS eid
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS ante, b.event_type AS conseq
+      FROM firsts a JOIN firsts b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND (a.t0 < b.t0 OR (a.t0 = b.t0 AND a.eid < b.eid))
+    ),
+    users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u FROM events)
+    SELECT p.ante, p.conseq, CAST(COUNT(*) AS BIGINT) AS support_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / users.u, 9) AS support
+    FROM pairs p CROSS JOIN users
+    GROUP BY p.ante, p.conseq, users.u
+    """,
+)
+def rel_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (the PrefixSpan/GSP length-2 core):
+    for every ordered event-type pair (A → B), the number and share
+    of users whose FIRST A strictly precedes their FIRST B — the
+    happens-before statistic behind onboarding-funnel design and
+    next-action models, distinct from rel_markov_*'s CONSECUTIVE
+    transitions (here A→B counts even with arbitrary events between).
+
+    Plan: first-occurrence collapse per (user, type) — one keyed agg
+    that shrinks each timeline to <= |event types| rows — then the
+    per-user type-pair self-join is bounded by |types|² per user
+    REGARDLESS of timeline length (the same structural cap discipline
+    as the co-purchase basket cap: collapse BEFORE you pair). One
+    more keyed agg gives global support. At 100 TB the only
+    input-sized pass is the first collapse; everything after lives in
+    the types² × users domain. Ties (same first timestamp) break on
+    event id, so the precedence relation — and every count — is
+    exact."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t0"), F.min("event_id").alias("eid")
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") != F.col("b.event_type"))
+        & (
+            (F.col("a.t0") < F.col("b.t0"))
+            | ((F.col("a.t0") == F.col("b.t0")) & (F.col("a.eid") < F.col("b.eid")))
+        ),
+    ).select(
+        F.col("a.event_type").alias("ante"),
+        F.col("b.event_type").alias("conseq"),
+    )
+    users = e.agg(F.countDistinct("user_id").cast("long").alias("u"))
+    return (
+        pairs.crossJoin(F.broadcast(users))
+        .groupBy("ante", "conseq", "u")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_users"))
+        .select(
+            "ante",
+            "conseq",
+            "support_users",
+            F.round(
+                F.col("support_users").cast("double") / F.col("u"), 9
+            ).alias("support"),
+        )
+    )

@@ -6176,3 +6176,630 @@ def train_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_decile_lift.__doc__ = train_decile_lift.__doc__.format(
     b=_LIFT_BUCKETS
 )
+
+
+# ---------------------------------------------------------------------------
+# Linear-SHAP attribution of the GD match classifier (r13)
+# ---------------------------------------------------------------------------
+
+
+def _linear_shap_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    feats = ["x1", "x2", "x3"]
+    means = ", ".join(
+        f"CAST(SUM(CAST(round({f}, 12) AS DECIMAL(38,18))) AS DOUBLE)"
+        f" / COUNT(*) AS m{j + 1}"
+        for j, f in enumerate(feats)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""
+      SELECT 'w{j + 1}' AS coef, round(w.w{j + 1}, 9) AS weight,
+             round(m.m{j + 1}, 9) AS mean_x,
+             round(CAST(SUM(CAST(round(abs(w.w{j + 1} * ({f} - m.m{j + 1})), 12)
+                        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9)
+               AS mean_abs_shap
+      FROM pairs, it{_LR_ITERS} w, means m
+      GROUP BY w.w{j + 1}, m.m{j + 1}"""
+        for j, f in enumerate(feats)
+    )
+    final = f"""
+    , means AS (SELECT {means} FROM pairs)
+    {arms}
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL, feats, iters=_LR_ITERS, lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_linear_shap", oracle=_linear_shap_oracle())
+def train_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attribution for the memoized GD match classifier:
+    for a LINEAR model the Shapley value of feature j on row i is
+    phi_ij = w_j * (x_ij - mean(x_j)) in logit space (Lundberg & Lee
+    2017, corollary 1 — no sampling, no surrogate), so global feature
+    importance mean|phi_j| = |w_j| * mean|x_j - mean_j| is two exact
+    aggregation passes. The explainability surface every production
+    match classifier owes its reviewers, computed without a single
+    approximation.
+
+    Scale shape: pass 1 = feature means (map-side-combined DECIMAL
+    sums of per-row rounded terms); pass 2 = mean absolute deviations
+    against the broadcast 1-row means frame. Both are plain scans of
+    the pair frame; the fit itself is the memoized train_logreg_gd
+    trace. The oracle replays fit + means + attribution in ONE
+    statement via logistic_gd_sql's final_select hook.
+
+    Determinism: per-row terms round to 12 before DECIMAL(38,18)
+    accumulation (order-insensitive); published numbers round to 9.
+    """
+    w = _lr_weights(spark, sf_dir)
+    pairs = _lr_pairs(spark, sf_dir).persist()
+    feats = ["x1", "x2", "x3"]
+    means_row = pairs.agg(
+        *[
+            (
+                F.sum(F.round(F.col(f), 12).cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"m{j + 1}")
+            for j, f in enumerate(feats)
+        ]
+    )
+    joined = pairs.crossJoin(F.broadcast(means_row))
+    outs = []
+    for j, f in enumerate(feats):
+        wj = float(w[f"w{j + 1}"])
+        outs.append(
+            joined.agg(
+                F.lit(f"w{j + 1}").alias("coef"),
+                F.round(F.lit(wj), 9).alias("weight"),
+                F.round(F.min(F.col(f"m{j + 1}")), 9).alias("mean_x"),
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.abs(
+                                F.lit(wj) * (F.col(f) - F.col(f"m{j + 1}"))
+                            ),
+                            12,
+                        ).cast("decimal(38,18)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mean_abs_shap"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: is the full GD fit actually better than 1 iter?
+# ---------------------------------------------------------------------------
+
+_LR_TRACE_MEMO: dict[str, dict[int, dict[str, float]]] = {}
+
+
+def _lr_weights_at(spark: SparkSession, sf_dir: str, t: int) -> dict[str, float]:
+    """Weights after iteration ``t`` of the SAME GD schedule as
+    _lr_weights, memoized per sf_dir with the full trace (one fit,
+    every iteration's 4-row state — at 100 TB, the persisted
+    model-table-with-history)."""
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_fit
+
+    if sf_dir not in _LR_TRACE_MEMO:
+        rows = logistic_gd_fit(
+            _lr_pairs(spark, sf_dir), ["x1", "x2", "x3"],
+            iters=_LR_ITERS, lr=_LR_RATE,
+        ).collect()
+        trace: dict[int, dict[str, float]] = {}
+        for r in rows:
+            trace.setdefault(r["iter"], {})[r["coef"]] = r["weight"]
+        _LR_TRACE_MEMO[sf_dir] = trace
+    return _LR_TRACE_MEMO[sf_dir][t]
+
+
+def _mcnemar_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z_full = "wf.w0 + wf.w1 * x1 + wf.w2 * x2 + wf.w3 * x3"
+    z_one = "w1_.w0 + w1_.w1 * x1 + w1_.w2 * x2 + w1_.w3 * x3"
+    final = f"""
+    , preds AS (
+      SELECT label,
+             CASE WHEN round(1.0 / (1.0 + exp(-({z_full}))), 9) >= 0.5
+                  THEN 1 ELSE 0 END AS pf,
+             CASE WHEN round(1.0 / (1.0 + exp(-({z_one}))), 9) >= 0.5
+                  THEN 1 ELSE 0 END AS p1
+      FROM pairs, it{_LR_ITERS} wf, it1 w1_
+    ),
+    cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN pf = label AND p1 <> label THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN p1 = label AND pf <> label THEN 1 ELSE 0 END)
+             AS BIGINT) AS c
+      FROM preds
+    )
+    SELECT b AS full_only_correct, c AS early_only_correct,
+           b + c AS n_discordant,
+           CASE WHEN b + c = 0 THEN 0.0
+                ELSE round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 9)
+           END AS mcnemar_chi2
+    FROM cells
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], iters=_LR_ITERS, lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_mcnemar", oracle=_mcnemar_oracle())
+def train_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two classifiers scored on the
+    SAME examples — here the full {k}-iteration GD match model vs its
+    1-iteration ancestor: the discordant-pair counts (b = only the
+    full model correct, c = only the early model correct) and the
+    chi-square statistic (b−c)²/(b+c). THE correct significance test
+    for "did more training help" on a shared eval set (paired, not
+    two-proportion — the standard model-comparison gate a registry
+    promotion should run before swapping champions).
+
+    Scale shape: both weight states are broadcast 1-row frames into
+    one codegen scoring projection; the whole test is a single scan
+    with a 2-cell aggregate. The oracle replays the ENTIRE fit and
+    references two iterations of the same trace (it1 and it{k}) in
+    one statement — possible precisely because the GD oracle keeps
+    every iteration as a CTE.
+
+    Determinism: scores round to 9 before thresholding; counts are
+    exact integers; the statistic is one fixed IEEE tree rounded 9.
+    """
+    wf = _lr_weights_at(spark, sf_dir, _LR_ITERS)
+    w1 = _lr_weights_at(spark, sf_dir, 1)
+
+    def zed(w):
+        return (
+            F.lit(w["w0"])
+            + F.lit(w["w1"]) * F.col("x1")
+            + F.lit(w["w2"]) * F.col("x2")
+            + F.lit(w["w3"]) * F.col("x3")
+        )
+
+    pf = F.when(
+        F.round(1.0 / (1.0 + F.exp(-zed(wf))), 9) >= 0.5, 1
+    ).otherwise(0)
+    p1 = F.when(
+        F.round(1.0 / (1.0 + F.exp(-zed(w1))), 9) >= 0.5, 1
+    ).otherwise(0)
+    preds = _lr_pairs(spark, sf_dir).select(
+        "label", pf.alias("pf"), p1.alias("p1")
+    )
+    cells = preds.agg(
+        F.sum(
+            F.when(
+                (F.col("pf") == F.col("label"))
+                & (F.col("p1") != F.col("label")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("p1") == F.col("label"))
+                & (F.col("pf") != F.col("label")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    return cells.select(
+        F.col("b").alias("full_only_correct"),
+        F.col("c").alias("early_only_correct"),
+        (F.col("b") + F.col("c")).alias("n_discordant"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+                    "double"
+                )
+                / (F.col("b") + F.col("c")),
+                9,
+            )
+        )
+        .alias("mcnemar_chi2"),
+    )
+
+
+train_mcnemar.__doc__ = train_mcnemar.__doc__.format(k=_LR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Brier-score decomposition (Murphy 1973) of the GD match classifier
+# ---------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+
+def _brier_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    final = f"""
+    , scored AS (
+      SELECT label, round(1.0 / (1.0 + exp(-({z}))), 9) AS s
+      FROM pairs, it{_LR_ITERS} w
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             CAST(SUM(CAST(round((s - label) * (s - label), 12)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS sq
+      FROM scored
+    ),
+    bins AS (
+      SELECT LEAST(CAST(floor(s * {_BRIER_BINS}) AS INT),
+                   {_BRIER_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(label) AS BIGINT) AS posk,
+             CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE) AS ssum
+      FROM scored GROUP BY 1
+    ),
+    parts AS (
+      SELECT
+        CAST(SUM(CAST(round(
+          nk * (ssum / nk - CAST(posk AS DOUBLE) / nk)
+             * (ssum / nk - CAST(posk AS DOUBLE) / nk), 12)
+          AS DECIMAL(38,18))) AS DOUBLE) AS rel_num,
+        CAST(SUM(CAST(round(
+          nk * (CAST(posk AS DOUBLE) / nk - CAST(t.pos AS DOUBLE) / t.n)
+             * (CAST(posk AS DOUBLE) / nk - CAST(t.pos AS DOUBLE) / t.n), 12)
+          AS DECIMAL(38,18))) AS DOUBLE) AS res_num
+      FROM bins, tot t GROUP BY t.pos, t.n
+    )
+    SELECT t.n, round(t.sq / t.n, 9) AS brier,
+           round(p.rel_num / t.n, 9) AS reliability,
+           round(p.res_num / t.n, 9) AS resolution,
+           round(CAST(t.pos AS DOUBLE) / t.n
+                 * (1.0 - CAST(t.pos AS DOUBLE) / t.n), 9) AS uncertainty
+    FROM tot t, parts p
+    """
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], iters=_LR_ITERS, lr=_LR_RATE,
+        final_select=final,
+    )
+
+
+@query("train_brier_decomposition", oracle=_brier_oracle())
+def train_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score of the memoized
+    GD match classifier over {b} probability bins:
+    brier ≈ reliability − resolution + uncertainty, where reliability
+    penalizes bins whose mean forecast drifts from their observed
+    rate (what Platt/isotonic fix), resolution rewards bins that
+    separate outcomes (what calibration CANNOT create), and
+    uncertainty is the outcome base rate's own variance. The one
+    diagnostic that says WHETHER to recalibrate or to retrain — the
+    companion train_ece/train_calibration_bins don't answer.
+
+    Scale shape: one scoring scan (broadcast 4-weight state) feeding
+    one global 3-cell aggregate + one {b}-key binned aggregate; the
+    decomposition itself is arithmetic over {b} rows. The oracle
+    replays fit + scoring + both aggregates in one statement.
+
+    Determinism: scores round to 9 (fit contract); per-row squared
+    errors and per-bin terms round to 12 before DECIMAL(38,18)
+    accumulation; published metrics round to 9. Bin edges use
+    floor(s·{b}) with the top edge folded into bin {b}−1 — identical
+    CASE in both engines."""
+    w = _lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("x1")
+        + F.lit(w["w2"]) * F.col("x2")
+        + F.lit(w["w3"]) * F.col("x3")
+    )
+    scored = _lr_pairs(spark, sf_dir).select(
+        "label", F.round(1.0 / (1.0 + F.exp(-z)), 9).alias("s")
+    ).persist()
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(
+            F.round(
+                (F.col("s") - F.col("label"))
+                * (F.col("s") - F.col("label")),
+                12,
+            ).cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    bins = scored.groupBy(
+        F.least(
+            F.floor(F.col("s") * _BRIER_BINS).cast("int"),
+            F.lit(_BRIER_BINS - 1),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("label").cast("long").alias("posk"),
+        F.sum(F.col("s").cast("decimal(38,18)")).cast("double").alias("ssum"),
+    )
+    pk = F.col("ssum") / F.col("nk")
+    ok = F.col("posk").cast("double") / F.col("nk")
+    obar = F.col("pos").cast("double") / F.col("n")
+    parts = (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("pos", "n")
+        .agg(
+            F.sum(
+                F.round(F.col("nk") * (pk - ok) * (pk - ok), 12).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("rel_num"),
+            F.sum(
+                F.round(F.col("nk") * (ok - obar) * (ok - obar), 12).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("res_num"),
+        )
+        .select("rel_num", "res_num")
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        "n",
+        F.round(F.col("sq") / F.col("n"), 9).alias("brier"),
+        F.round(F.col("rel_num") / F.col("n"), 9).alias("reliability"),
+        F.round(F.col("res_num") / F.col("n"), 9).alias("resolution"),
+        F.round(obar * (F.lit(1.0) - obar), 9).alias("uncertainty"),
+    )
+
+
+train_brier_decomposition.__doc__ = train_brier_decomposition.__doc__.format(
+    b=_BRIER_BINS
+)
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence encoding + information value (credit-scoring staple)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_woe_encoding",
+    oracle="""
+    WITH labeled AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM labeled
+    ),
+    g AS (
+      SELECT p_brand, CAST(SUM(y) AS BIGINT) AS posk,
+             CAST(SUM(1 - y) AS BIGINT) AS negk
+      FROM labeled GROUP BY p_brand
+    )
+    SELECT g.p_brand, g.posk, g.negk,
+           round(ln(((g.posk + 0.5) / (tot.pos + 0.5))
+                    / ((g.negk + 0.5) / (tot.neg + 0.5))), 9) AS woe,
+           round(((g.posk + 0.5) / (tot.pos + 0.5)
+                  - (g.negk + 0.5) / (tot.neg + 0.5))
+                 * ln(((g.posk + 0.5) / (tot.pos + 0.5))
+                      / ((g.negk + 0.5) / (tot.neg + 0.5))), 9) AS iv_term
+    FROM g CROSS JOIN tot
+    """,
+)
+def train_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding with per-category
+    information-value terms — the credit-scoring/risk staple that
+    complements train_target_encoding: WOE(k) = ln((P(k|pos))/
+    (P(k|neg))) with 0.5-count additive smoothing (finite on empty
+    cells, exactly reproducible), IV(k) = (p_k − q_k)·WOE(k). Event =
+    a returned line (l_returnflag = 'R'), category = part brand: "how
+    predictive of returns is each brand, in evidence units".
+
+    Scale shape: one fact-to-dim equi-join (part is the broadcast
+    side), one keyed count aggregation, one broadcast 1-row total —
+    the encoder TABLE is |brands| rows, applied downstream as a map
+    join exactly like the target encoder. Counts exact; WOE/IV are
+    fixed ln expression trees on count ratios (the idf/PMI
+    precedent), rounded to 9."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    labeled = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    tot = labeled.agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    g = labeled.groupBy("p_brand").agg(
+        F.sum("y").cast("long").alias("posk"),
+        F.sum(1 - F.col("y")).cast("long").alias("negk"),
+    )
+    pk = (F.col("posk") + 0.5) / (F.col("pos") + 0.5)
+    qk = (F.col("negk") + 0.5) / (F.col("neg") + 0.5)
+    woe = F.log(pk / qk)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "posk",
+        "negk",
+        F.round(woe, 9).alias("woe"),
+        F.round((pk - qk) * woe, 9).alias("iv_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression by distributed normal equations + Cramer solve (r13)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 10.0
+
+
+def _ridge_oracle() -> str:
+    lam = repr(_RIDGE_LAMBDA)
+    return f"""
+    WITH feat AS (
+      SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS y,
+             CAST(COUNT(*) AS BIGINT) AS x1,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS x2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    gram AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             SUM(x2) AS sx2,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             SUM(x1 * x2) AS s12,
+             SUM(x2 * x2) AS s22,
+             SUM(y) AS sy,
+             SUM(x1 * y) AS s1y,
+             SUM(x2 * y) AS s2y
+      FROM feat
+    ),
+    m AS (
+      SELECT CAST(n AS DOUBLE) + {lam} AS a11,
+             CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
+             CAST(sx1 AS DOUBLE) AS a21,
+             CAST(s11 AS DOUBLE) + {lam} AS a22, CAST(s12 AS DOUBLE) AS a23,
+             CAST(sx2 AS DOUBLE) AS a31, CAST(s12 AS DOUBLE) AS a32,
+             CAST(s22 AS DOUBLE) + {lam} AS a33,
+             CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+             CAST(s2y AS DOUBLE) AS b3, n
+      FROM gram
+    ),
+    solved AS (
+      SELECT n,
+             a11 * (a22 * a33 - a23 * a32)
+             - a12 * (a21 * a33 - a23 * a31)
+             + a13 * (a21 * a32 - a22 * a31) AS det,
+             b1 * (a22 * a33 - a23 * a32)
+             - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a32 - a22 * b3) AS det0,
+             a11 * (b2 * a33 - b3 * a23)
+             - b1 * (a21 * a33 - a23 * a31)
+             + a13 * (a21 * b3 - b2 * a31) AS det1,
+             a11 * (a22 * b3 - a32 * b2)
+             - a12 * (a21 * b3 - b2 * a31)
+             + b1 * (a21 * a32 - a22 * a31) AS det2
+      FROM m
+    )
+    SELECT n, round(det0 / det, 9) AS w0, round(det1 / det, 9) AS w1,
+           round(det2 / det, 9) AS w2
+    FROM solved
+    """
+
+
+@query("train_ridge_normal_eq", oracle=_ridge_oracle())
+def train_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression fit in CLOSED FORM by distributed normal
+    equations: predict an order's total from (line count, total
+    quantity) via w = (XᵀX + λI)⁻¹ Xᵀy with λ = {lam} on every
+    diagonal cell (intercept included — stated, not hidden). The
+    anti-GD fit family member: ONE pass builds the exact Gram matrix
+    as map-side-combinable sums — integer and DECIMAL products, so
+    XᵀX is EXACT, not floating — and the dim³ solve is Cramer's rule
+    on a 3×3, a fixed IEEE expression tree identical in both engines.
+    At 100 TB this is the textbook pattern for low-dimensional
+    regression: the shuffle carries 9 cells, never rows, and adding
+    features costs dim² aggregate columns, not passes.
+
+    Contrast: train_ols_by_brand solves per-group 1-feature OLS;
+    train_logreg_gd/train_quantile_gd iterate. This is the
+    one-pass multi-feature exact solve with the conditioning guard
+    (λ) that production normal-equation fits require.
+
+    Determinism: y, x2 are DECIMAL(18,2), x1 integer — all Gram sums
+    exact; the solve is one expression tree; weights round to 9."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x1"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("x2"),
+        )
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+            "x1",
+            "x2",
+        )
+    )
+    g = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    lam = F.lit(_RIDGE_LAMBDA)
+    m = g.select(
+        "n",
+        (F.col("n").cast("double") + lam).alias("a11"),
+        F.col("sx1").cast("double").alias("a12"),
+        F.col("sx2").cast("double").alias("a13"),
+        F.col("sx1").cast("double").alias("a21"),
+        (F.col("s11").cast("double") + lam).alias("a22"),
+        F.col("s12").cast("double").alias("a23"),
+        F.col("sx2").cast("double").alias("a31"),
+        F.col("s12").cast("double").alias("a32"),
+        (F.col("s22").cast("double") + lam).alias("a33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("s1y").cast("double").alias("b2"),
+        F.col("s2y").cast("double").alias("b3"),
+    )
+    c = F.col
+    det = (
+        c("a11") * (c("a22") * c("a33") - c("a23") * c("a32"))
+        - c("a12") * (c("a21") * c("a33") - c("a23") * c("a31"))
+        + c("a13") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    )
+    det0 = (
+        c("b1") * (c("a22") * c("a33") - c("a23") * c("a32"))
+        - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        + c("a13") * (c("b2") * c("a32") - c("a22") * c("b3"))
+    )
+    det1 = (
+        c("a11") * (c("b2") * c("a33") - c("b3") * c("a23"))
+        - c("b1") * (c("a21") * c("a33") - c("a23") * c("a31"))
+        + c("a13") * (c("a21") * c("b3") - c("b2") * c("a31"))
+    )
+    det2 = (
+        c("a11") * (c("a22") * c("b3") - c("a32") * c("b2"))
+        - c("a12") * (c("a21") * c("b3") - c("b2") * c("a31"))
+        + c("b1") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    )
+    return m.select(
+        "n",
+        F.round(det0 / det, 9).alias("w0"),
+        F.round(det1 / det, 9).alias("w1"),
+        F.round(det2 / det, 9).alias("w2"),
+    )
+
+
+train_ridge_normal_eq.__doc__ = train_ridge_normal_eq.__doc__.format(
+    lam=_RIDGE_LAMBDA
+)

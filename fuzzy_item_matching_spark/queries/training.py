@@ -6803,3 +6803,434 @@ def train_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_ridge_normal_eq.__doc__ = train_ridge_normal_eq.__doc__.format(
     lam=_RIDGE_LAMBDA
 )
+
+
+# ---------------------------------------------------------------------------
+# Huber-loss robust regression GD (outlier-resistant fit family member)
+# ---------------------------------------------------------------------------
+
+_HUBER_DELTA = 2000.0
+_HUBER_LR = 0.2
+_HUBER_ITERS = 3
+
+
+def _huber_oracle() -> str:
+    d, lr = repr(_HUBER_DELTA), repr(_HUBER_LR)
+    ctes = [
+        """t AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS y
+      FROM lineitem
+    )""",
+        "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1)",
+    ]
+    for t in range(1, _HUBER_ITERS + 1):
+        resid = "(w.w0 + w.w1 * x - y)"
+        g = (
+            f"CASE WHEN {resid} > {d} THEN {d}"
+            f" WHEN {resid} < -{d} THEN -{d} ELSE {resid} END"
+        )
+        ctes.append(f"""it{t} AS (
+      SELECT round(w.w0 - {lr} * (CAST(SUM(CAST(round({g}, 9)
+                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)), 9) AS w0,
+             round(w.w1 - {lr} * (CAST(SUM(CAST(round(({g}) * (x / 50.0), 9)
+                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)) / 50.0, 9) AS w1
+      FROM t, it{t - 1} w GROUP BY w.w0, w.w1
+    )""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, round(w0, 9) AS w0, round(w1, 9) AS w1"
+        f" FROM it{t}"
+        for t in range(1, _HUBER_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + arms
+
+
+@query("train_huber_gd", oracle=_huber_oracle())
+def train_huber_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-loss robust linear regression (price ~ quantity) by
+    {k} full-batch GD iterations: the gradient clips each residual to
+    ±δ={d}, so an outlier contributes a BOUNDED pull — the robust-fit
+    family member between squared loss (train_ols_by_brand, outliers
+    dominate) and pinball loss (train_quantile_gd, a single
+    quantile). The x-gradient is scale-normalized by x/50 (quantity's
+    range) with the update un-scaled — plain feature scaling made
+    explicit so the two coordinates converge at compatible rates.
+
+    Scale shape: identical to the GD family — each iteration is one
+    map-side-combinable aggregate over the cached frame with the
+    2-value weight state broadcast back; the trace (not just the
+    final state) is the verification surface.
+
+    Determinism: per-row clipped-gradient terms round to 9 before
+    DECIMAL(38,18) accumulation; weights round to 9 per iteration
+    (the logistic_gd discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y"),
+    ).persist()
+    w = spark.createDataFrame([(0.0, 0.0)], "w0 double, w1 double")
+    traces = []
+    for it in range(1, _HUBER_ITERS + 1):
+        joined = t.crossJoin(F.broadcast(w))
+        resid = F.col("w0") + F.col("w1") * F.col("x") - F.col("y")
+        g = (
+            F.when(resid > _HUBER_DELTA, F.lit(_HUBER_DELTA))
+            .when(resid < -_HUBER_DELTA, F.lit(-_HUBER_DELTA))
+            .otherwise(resid)
+        )
+        w = joined.agg(
+            F.round(
+                F.min("w0")
+                - _HUBER_LR
+                * (
+                    F.sum(F.round(g, 9).cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("w0"),
+            F.round(
+                F.min("w1")
+                - _HUBER_LR
+                * (
+                    F.sum(
+                        F.round(g * (F.col("x") / 50.0), 9).cast(
+                            "decimal(38,18)"
+                        )
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / 50.0,
+                9,
+            ).alias("w1"),
+        ).localCheckpoint(eager=True)
+        traces.append(
+            w.select(F.lit(it).alias("iter"), "w0", "w1")
+        )
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
+
+
+train_huber_gd.__doc__ = train_huber_gd.__doc__.format(
+    k=_HUBER_ITERS, d=_HUBER_DELTA
+)
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry preference model by GD (the RLHF reward-model core)
+# ---------------------------------------------------------------------------
+
+_BT_LR = 0.5
+_BT_ITERS = 2
+
+_BT_PAIRS_SQL = """
+      SELECT w.p_brand AS winner, l.p_brand AS loser
+      FROM (
+        SELECT l_orderkey,
+               MIN(CASE WHEN rw = 1 THEN l_partkey END) AS wp,
+               MIN(CASE WHEN rl = 1 THEN l_partkey END) AS lp
+        FROM (
+          SELECT l_orderkey, l_partkey,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_partkey) AS rw,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_quantity, l_partkey DESC) AS rl
+          FROM lineitem
+        ) GROUP BY l_orderkey
+      ) o
+      JOIN part w ON w.p_partkey = o.wp
+      JOIN part l ON l.p_partkey = o.lp
+      WHERE w.p_brand <> l.p_brand
+"""
+
+
+def _bt_oracle() -> str:
+    lr = repr(_BT_LR)
+    ctes = [
+        f"pairs AS ({_BT_PAIRS_SQL})",
+        "players AS (SELECT DISTINCT p_brand AS b FROM part)",
+        "it0 AS (SELECT b, 0.0 AS th FROM players)",
+    ]
+    for t in range(1, _BT_ITERS + 1):
+        # per-pair pull = 1 - sigmoid(th_w - th_l), rounded to 12;
+        # winner gains +pull, loser gains -pull; theta rounds to 9
+        ctes.append(f"""g{t} AS (
+      SELECT b, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS g FROM (
+        SELECT p.winner AS b,
+               round(1.0 - 1.0 / (1.0 + exp(-(tw.th - tl.th))), 12) AS v
+        FROM pairs p
+        JOIN it{t - 1} tw ON tw.b = p.winner
+        JOIN it{t - 1} tl ON tl.b = p.loser
+        UNION ALL
+        SELECT p.loser AS b,
+               -round(1.0 - 1.0 / (1.0 + exp(-(tw.th - tl.th))), 12) AS v
+        FROM pairs p
+        JOIN it{t - 1} tw ON tw.b = p.winner
+        JOIN it{t - 1} tl ON tl.b = p.loser
+      ) GROUP BY b
+    ),
+    it{t} AS (
+      SELECT i.b, round(i.th + {lr} * COALESCE(g.g, 0.0), 9) AS th
+      FROM it{t - 1} i LEFT JOIN g{t} g ON g.b = i.b
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    , wins AS (SELECT winner AS b, CAST(COUNT(*) AS BIGINT) AS w
+               FROM pairs GROUP BY winner),
+    losses AS (SELECT loser AS b, CAST(COUNT(*) AS BIGINT) AS l
+               FROM pairs GROUP BY loser)
+    SELECT i.b AS p_brand, round(i.th, 9) AS theta,
+           COALESCE(w.w, 0) AS wins, COALESCE(l.l, 0) AS losses
+    FROM it{_BT_ITERS} i
+    LEFT JOIN wins w ON w.b = i.b
+    LEFT JOIN losses l ON l.b = i.b
+    """
+    )
+
+
+@query("train_bradley_terry_gd", oracle=_bt_oracle())
+def train_bradley_terry_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference model fit by {k} synchronous GD
+    rounds — the pairwise-comparison core of RLHF reward models and
+    ranking-from-preferences: P(i beats j) = σ(θᵢ − θⱼ), gradient
+    ascent on the log-likelihood pulls every winner up and loser down
+    by (1 − p̂) per observed comparison. Preferences derive
+    deterministically from order baskets (the max-quantity part
+    "beats" the min-quantity part, quantity ties broken by part id
+    through two deterministic rank windows), brands
+    are the players — a bounded |players|-sized parameter state over
+    an unbounded comparison stream, exactly the reward-model shape.
+
+    Scale shape: each round joins the pair frame against the
+    ~|brands|-row θ state TWICE (winner, loser) — both joins
+    broadcast — then one keyed DECIMAL aggregation of per-pair
+    rounded pulls; θ updates round to 9 (the logistic_gd
+    discipline). At 100 TB: K scans of a cached comparison frame,
+    state never leaves the executors.
+
+    Determinism: pair extraction is exact (MAX_BY/MIN_BY with total
+    tie-break); per-pair pulls round to 12 before order-insensitive
+    DECIMAL sums; LEFT JOIN keeps never-compared brands at θ = 0.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ww = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), F.asc("l_partkey")
+    )
+    wl = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_quantity"), F.desc("l_partkey")
+    )
+    o = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            F.row_number().over(ww).alias("rw"),
+            F.row_number().over(wl).alias("rl"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.when(F.col("rw") == 1, F.col("l_partkey"))).alias("wp"),
+            F.min(F.when(F.col("rl") == 1, F.col("l_partkey"))).alias("lp"),
+        )
+    )
+    pw, pl = p.alias("w"), p.alias("l")
+    pairs = (
+        o.join(F.broadcast(pw), F.col("w.p_partkey") == F.col("wp"))
+        .join(F.broadcast(pl), F.col("l.p_partkey") == F.col("lp"))
+        .filter(F.col("w.p_brand") != F.col("l.p_brand"))
+        .select(
+            F.col("w.p_brand").alias("winner"),
+            F.col("l.p_brand").alias("loser"),
+        )
+        .persist()
+    )
+    th = (
+        p.select(F.col("p_brand").alias("b"))
+        .distinct()
+        .withColumn("th", F.lit(0.0))
+    )
+    for _ in range(_BT_ITERS):
+        tw = th.select(F.col("b").alias("winner"), F.col("th").alias("thw"))
+        tl = th.select(F.col("b").alias("loser"), F.col("th").alias("thl"))
+        scored = (
+            pairs.join(F.broadcast(tw), "winner")
+            .join(F.broadcast(tl), "loser")
+            .withColumn(
+                "pull",
+                F.round(
+                    1.0
+                    - 1.0 / (1.0 + F.exp(-(F.col("thw") - F.col("thl")))),
+                    12,
+                ),
+            )
+        )
+        g = (
+            scored.select(
+                F.col("winner").alias("b"), F.col("pull").alias("v")
+            )
+            .unionAll(
+                scored.select(
+                    F.col("loser").alias("b"), (-F.col("pull")).alias("v")
+                )
+            )
+            .groupBy("b")
+            .agg(F.sum(F.col("v").cast("decimal(38,18)")).cast("double").alias("g"))
+        )
+        th = (
+            th.join(g, "b", "left")
+            .select(
+                "b",
+                F.round(
+                    F.col("th") + _BT_LR * F.coalesce(F.col("g"), F.lit(0.0)),
+                    9,
+                ).alias("th"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wins = pairs.groupBy(F.col("winner").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    losses = pairs.groupBy(F.col("loser").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("l")
+    )
+    return (
+        th.join(wins, "b", "left")
+        .join(losses, "b", "left")
+        .select(
+            F.col("b").alias("p_brand"),
+            F.round("th", 9).alias("theta"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("wins"),
+            F.coalesce(F.col("l"), F.lit(0)).cast("long").alias("losses"),
+        )
+    )
+
+
+train_bradley_terry_gd.__doc__ = train_bradley_terry_gd.__doc__.format(
+    k=_BT_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# Stratified IPW average-treatment-effect estimate (causal inference)
+# ---------------------------------------------------------------------------
+
+_IPW_SEGMENT = "BUILDING"
+
+
+@query(
+    "train_ipw_ate",
+    oracle=f"""
+    WITH pop AS (
+      SELECT c.c_custkey, c.c_nationkey AS s,
+             CASE WHEN c.c_mktsegment = '{_IPW_SEGMENT}' THEN 1 ELSE 0 END AS t,
+             COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey, c.c_mktsegment
+    ),
+    strata AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(t) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE) AS y1,
+             CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE) AS y0
+      FROM pop GROUP BY s
+    ),
+    kept AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n1) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             CAST(SUM(CAST(round(y1 / n1 * n - y0 / n0 * n, 9)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS num,
+             CAST(SUM(CAST(round(y1 / n1 - y0 / n0, 9)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS strat_sum
+      FROM kept
+    )
+    SELECT n_strata, nn AS n_customers, nt AS n_treated,
+           round(num / nn, 9) AS ate_ipw,
+           round(strat_sum / n_strata, 9) AS ate_unweighted_strata
+    FROM agg
+    """,
+)
+def train_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified inverse-propensity-weighted average treatment
+    effect: "does being a {seg} customer cause higher spend, nation
+    held fixed?" Propensity within stratum s is the OBSERVED
+    treatment share e_s = n1_s/n_s, so the Horvitz–Thompson estimate
+    collapses to Σ_s n_s·(ȳ₁ₛ − ȳ₀ₛ) / N — the exact-matching
+    special case of IPW, the causal-inference counterpart of
+    rel_cuped_adjustment's variance reduction (CUPED adjusts a
+    RANDOMIZED metric; this deconfounds an OBSERVATIONAL one). Also
+    emits the unweighted per-stratum mean difference — the contrast
+    that shows how much the stratum-size weighting matters. Strata
+    with no treated or no control are excluded (positivity violation,
+    the standard trimming) and reported via n_strata.
+
+    Scale shape: one LEFT-JOIN spend rollup per customer (keyed,
+    map-side combined), one |nations|-key stratum aggregation,
+    arithmetic on the |nations|-row result. Determinism: spend is
+    DECIMAL-exact; per-stratum effect terms round to 9 before
+    DECIMAL accumulation; published effects round to 9."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pop = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey", "c_mktsegment")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("y")
+        )
+        .select(
+            F.col("c_nationkey").alias("s"),
+            F.when(F.col("c_mktsegment") == _IPW_SEGMENT, 1)
+            .otherwise(0)
+            .alias("t"),
+            "y",
+        )
+    )
+    strata = pop.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("double").alias("y1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("double").alias("y0"),
+    )
+    kept = strata.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    eff = (
+        F.col("y1") / F.col("n1") * F.col("n")
+        - F.col("y0") / F.col("n0") * F.col("n")
+    )
+    diff = F.col("y1") / F.col("n1") - F.col("y0") / F.col("n0")
+    agg = kept.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n1").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.round(eff, 9).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("num"),
+        F.sum(F.round(diff, 9).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("strat_sum"),
+    )
+    return agg.select(
+        "n_strata",
+        F.col("nn").alias("n_customers"),
+        F.col("nt").alias("n_treated"),
+        F.round(F.col("num") / F.col("nn"), 9).alias("ate_ipw"),
+        F.round(F.col("strat_sum") / F.col("n_strata"), 9).alias(
+            "ate_unweighted_strata"
+        ),
+    )
+
+
+train_ipw_ate.__doc__ = train_ipw_ate.__doc__.format(seg=_IPW_SEGMENT)

@@ -4560,3 +4560,524 @@ def ts_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_burrows_delta.__doc__ = ts_burrows_delta.__doc__.format(m=_BD_TOP)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010) — r13
+# ---------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+_RAKE_MAXLEN = 4
+
+
+def _rake_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos,
+             CASE WHEN list_contains({_D_STOPWORDS}, unnest(t))
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM (SELECT doc_id, {toks} AS t FROM documents)
+    ),
+    runs AS (
+      SELECT doc_id, pos, term,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tk WHERE is_stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(term, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS len
+      FROM runs GROUP BY doc_id, grp
+      HAVING COUNT(*) <= {_RAKE_MAXLEN}
+    ),
+    words AS (
+      SELECT doc_id, grp, term, len FROM runs
+      JOIN (SELECT doc_id AS d2, grp AS g2, len FROM phrases)
+        ON d2 = doc_id AND g2 = grp
+    ),
+    wstat AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(len - 1) AS BIGINT) AS degree
+      FROM words GROUP BY term
+    ),
+    pscore AS (
+      SELECT p.phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             round(CAST(SUM(CAST(round(
+               CAST(w.degree AS DOUBLE) / w.freq, 9)
+               AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS score
+      FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS t
+            FROM phrases) p
+      JOIN wstat w ON w.term = p.t
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score, rnk FROM (
+      SELECT phrase, n_occurrences, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase)
+                  AS INT) AS rnk
+      FROM (SELECT phrase,
+                   CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences,
+                   score
+            FROM pscore GROUP BY phrase, score)
+    ) WHERE rnk <= {_RAKE_TOPK}
+    """
+
+
+@query("ts_rake_keyphrases", oracle=_rake_oracle())
+def ts_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (the gaps-and-
+    islands window trick: pos − row_number is constant within a run —
+    no UDF, no iteration), each word scores degree/freq over the
+    phrase corpus (degree = Σ (phrase_len − 1) co-occurrence), and a
+    phrase scores the SUM of its words' scores — the multi-word
+    counterpart of ts_textrank_terms' single-word centrality, and the
+    standard cheap keyphrase baseline a curation pipeline runs before
+    anything neural. Phrases cap at {ml} words (RAKE's own guard
+    against run-on candidates).
+
+    Scale shape: tokenize-and-explode once; runs come from ONE window
+    keyed on doc; word stats are a vocabulary-keyed aggregation;
+    phrase scoring re-joins the |phrases|-domain against the
+    vocabulary-sized stat table (both map-side-combinable). Nothing
+    is ever pairwise.
+
+    Determinism: counts exact; per-word scores are single IEEE
+    divisions rounded to 9 then DECIMAL-summed per phrase; the final
+    mean-per-occurrence rounds to 9 and ties break on the phrase
+    string."""
+    from fuzzy_item_matching_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        regex_tokenize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    tk = d.select(
+        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos0", "term")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "term",
+        F.array_contains(stop, F.col("term")).alias("is_stop"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        tk.filter(~F.col("is_stop"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .persist()
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "term"))
+                ).getField("term"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("len"),
+        )
+        .filter(F.col("len") <= _RAKE_MAXLEN)
+        .persist()
+    )
+    words = runs.join(
+        phrases.select("doc_id", "grp", "len"), ["doc_id", "grp"]
+    ).select("term", "len")
+    wstat = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("len") - 1).cast("long").alias("degree"),
+    )
+    pwords = phrases.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("term")
+    )
+    pscore = (
+        pwords.join(wstat, "term")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("degree").cast("double") / F.col("freq"), 9
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("score"),
+        )
+    )
+    collapsed = pscore.groupBy("phrase", "score").agg(
+        F.sum("n_occurrences").cast("long").alias("n_occurrences")
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        collapsed.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _RAKE_TOPK)
+        .select("phrase", "n_occurrences", "score", "rnk")
+    )
+
+
+ts_rake_keyphrases.__doc__ = ts_rake_keyphrases.__doc__.format(
+    ml=_RAKE_MAXLEN
+)
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage document selection (facility-location lite) — r13
+# ---------------------------------------------------------------------------
+
+_COV_ROUNDS = 5
+
+
+def _coverage_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    ctes = [
+        f"""tkc AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, {toks} AS t FROM documents)
+    ),
+    post AS (
+      SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS term
+      FROM tkc a JOIN tkc b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    )""",
+        "c0 AS (SELECT NULL AS term WHERE 1 = 0)",
+    ]
+    picks = []
+    for r in range(1, _COV_ROUNDS + 1):
+        ctes.append(f"""gain{r} AS (
+      SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM post p LEFT JOIN c{r - 1} c ON c.term = p.term
+      WHERE c.term IS NULL
+      GROUP BY p.doc_id
+    ),
+    pick{r} AS (
+      SELECT doc_id, gain FROM gain{r}
+      ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c{r} AS (
+      SELECT term FROM c{r - 1}
+      UNION
+      SELECT p.term FROM post p JOIN pick{r} k ON k.doc_id = p.doc_id
+    )""")
+        picks.append(
+            f"SELECT {r} AS round, k.doc_id, k.gain,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_terms"
+            f" FROM pick{r} k"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(picks)
+    )
+
+
+@query("ts_coverage_greedy", oracle=_coverage_oracle())
+def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY MAX-COVERAGE data selection ({r} rounds): repeatedly
+    pick the document adding the most NOT-YET-COVERED vocabulary —
+    the classic (1−1/e)-approximate submodular selection behind
+    "which K documents should we annotate/keep to cover the domain"
+    (facility location / exemplar selection on set coverage, the
+    discrete sibling of vec_kcenter_init's metric coverage). Emits
+    each round's pick, its marginal gain, and the covered-vocabulary
+    running total — the diminishing-returns curve IS the data-value
+    signal.
+
+    Scale shape: the postings frame (doc, term) builds once
+    (distinct, persisted); each round is one anti-join against the
+    covered-term set (vocabulary-bounded, NOT corpus-bounded) + one
+    keyed gain count + a 1-row argmax (TakeOrdered — the k-center
+    loop discipline); the covered set grows by one doc's vocabulary
+    per round with localCheckpoint truncating lineage. At 100 TB the
+    per-round cost is one shuffle over the postings frame; K is
+    small by construction.
+
+    Determinism: gains are exact counts; ties break on doc_id; the
+    oracle unrolls all {r} rounds CTE-for-CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    tkc = d.select(
+        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "t")
+    )
+    a = tkc.select("doc_id", "pos", F.col("t").alias("ta"))
+    b = tkc.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("tb")
+    )
+    post = (
+        a.join(b, ["doc_id", "pos"])
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("ta"), F.col("tb")).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+    covered = post.select("term").limit(0).localCheckpoint(eager=True)
+    rows = []
+    for r in range(1, _COV_ROUNDS + 1):
+        gain = (
+            post.join(covered, "term", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        pick = gain.orderBy(F.desc("gain"), "doc_id").limit(1).localCheckpoint(
+            eager=True
+        )
+        covered = (
+            covered.unionAll(
+                post.join(
+                    pick.select("doc_id"), "doc_id", "left_semi"
+                ).select("term")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ntot = covered.agg(
+            F.count(F.lit(1)).cast("long").alias("covered_terms")
+        )
+        rows.append(
+            pick.select(
+                F.lit(r).alias("round"), "doc_id", "gain"
+            ).crossJoin(F.broadcast(ntot))
+        )
+    out = rows[0]
+    for rr in rows[1:]:
+        out = out.unionByName(rr)
+    return out
+
+
+ts_coverage_greedy.__doc__ = ts_coverage_greedy.__doc__.format(
+    r=_COV_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage curve — r13
+# ---------------------------------------------------------------------------
+
+_VC_SIZES = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _vocab_coverage_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    sizes = ", ".join(str(v) for v in _VC_SIZES)
+    return f"""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest({toks}) AS term FROM documents
+      ) GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk,
+             SUM(f) OVER (ORDER BY f DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tf
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS vocab FROM tf)
+    SELECT v.v AS vocab_size,
+           LEAST(v.v, tot.vocab) AS n_terms,
+           CAST(MAX(CASE WHEN r.rnk <= v.v THEN r.cum END) AS BIGINT)
+             AS covered_tokens,
+           round(CAST(MAX(CASE WHEN r.rnk <= v.v THEN r.cum END) AS DOUBLE)
+                 / tot.t, 9) AS coverage
+    FROM (SELECT unnest([{sizes}]) AS v) v, ranked r, tot
+    GROUP BY v.v, tot.vocab, tot.t
+    """
+
+
+@query("ts_vocab_coverage_curve", oracle=_vocab_coverage_oracle())
+def ts_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCABULARY COVERAGE curve: the share of all corpus
+    token OCCURRENCES covered by the top-V most frequent types, at
+    V ∈ {sizes} — the budget curve a tokenizer/vocab design reads
+    before fixing its size (ts_vocab_growth answers "how fast does
+    NEW vocabulary arrive over the corpus"; this answers "how much
+    of the corpus does a FIXED vocabulary explain"), and the OOV
+    budget complement of ts_oov_rate. Frequency ties rank by term so
+    the curve is exactly reproducible.
+
+    Scale shape: one vocabulary-keyed count (map-side combined), one
+    rank+cumulative window over the VOCABULARY domain (already
+    aggregated — the rel_gini_concentration bound), then a
+    |sizes|-row readout. The curve costs one corpus scan regardless
+    of corpus size.
+
+    Determinism: counts exact; coverage is a single division rounded
+    to 9."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(regex_tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), "term")
+    ranked = tf.select(
+        "f",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    ).persist()
+    tot = ranked.agg(
+        F.sum("f").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in _VC_SIZES], "v int"
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("rnk") <= F.col("v"))
+        .groupBy("v", "vocab", "t")
+        .agg(F.max("cum").cast("long").alias("covered_tokens"))
+        .select(
+            F.col("v").alias("vocab_size"),
+            F.least(F.col("v").cast("long"), F.col("vocab")).alias("n_terms"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("t"), 9
+            ).alias("coverage"),
+        )
+    )
+
+
+ts_vocab_coverage_curve.__doc__ = ts_vocab_coverage_curve.__doc__.format(
+    sizes=_VC_SIZES
+)
+
+
+# ---------------------------------------------------------------------------
+# Entropy-based bigram LM pruning (Stolcke 1998, MLE form) — r13
+# ---------------------------------------------------------------------------
+
+_SP_THETA = 1e-4
+_SP_TOPK = 20
+
+
+def _stolcke_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    return f"""
+    WITH tkp AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id, {toks} AS t FROM documents)
+    ),
+    bg AS (
+      SELECT a.term AS h, b.term AS w, CAST(COUNT(*) AS BIGINT) AS c_hw
+      FROM tkp a JOIN tkp b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.term, b.term
+    ),
+    hist AS (SELECT h, CAST(SUM(c_hw) AS BIGINT) AS c_h FROM bg GROUP BY h),
+    uni AS (SELECT w, CAST(SUM(c_hw) AS BIGINT) AS c_w FROM bg GROUP BY w),
+    tot AS (SELECT CAST(SUM(c_hw) AS BIGINT) AS nb FROM bg),
+    scored AS (
+      SELECT bg.h, bg.w, bg.c_hw,
+             round((CAST(bg.c_hw AS DOUBLE) / tot.nb)
+                   * ln((CAST(bg.c_hw AS DOUBLE) / hist.c_h)
+                        / (CAST(uni.c_w AS DOUBLE) / tot.nb)), 12) AS score
+      FROM bg JOIN hist ON hist.h = bg.h
+              JOIN uni ON uni.w = bg.w
+              CROSS JOIN tot
+    ),
+    flagged AS (
+      SELECT h, w, c_hw, round(score, 9) AS score,
+             CASE WHEN score >= {_SP_THETA!r} THEN 1 ELSE 0 END AS kept
+      FROM scored
+    ),
+    summary AS (
+      SELECT CAST(SUM(kept) AS BIGINT) AS n_kept,
+             CAST(SUM(1 - kept) AS BIGINT) AS n_pruned
+      FROM flagged
+    )
+    SELECT f.h, f.w, f.c_hw, f.score, f.kept, s.n_kept, s.n_pruned, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, h, w) AS INT)
+                  AS rnk
+      FROM flagged
+    ) f CROSS JOIN summary s
+    WHERE rnk <= {_SP_TOPK}
+    """
+
+
+@query("ts_stolcke_prune", oracle=_stolcke_oracle())
+def ts_stolcke_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based n-gram LM pruning (the Stolcke 1998 criterion in
+    its MLE form): a bigram (h, w) is worth storing only if it moves
+    probability mass relative to the unigram backoff — weighted KL
+    contribution p(h,w)·ln(p(w|h)/p(w)) ≥ θ={theta} — the size/
+    perplexity trade every production n-gram LM (and every KenLM
+    artifact a data pipeline ships) is built on. Emits the top-{k}
+    highest-contribution bigrams with the global kept/pruned census —
+    the compressed-model card. Completes the LM family:
+    ts_kneser_ney SMOOTHS the table, this PRUNES it.
+
+    Scale shape: positions explode once; the bigram table is one
+    (doc, pos+1) postings self-join (the textrank adjacency shape) +
+    one keyed count; history/unigram margins re-aggregate the
+    BIGRAM table (vocabulary-bounded, corpus-independent); scoring
+    is row-local arithmetic over vocab² rows max. Census + top-k are
+    window/aggregate over the same bounded frame.
+
+    Determinism: counts exact; the contribution is one fixed
+    ln-expression tree rounded to 12 (threshold compare) and 9
+    (published); ties break on (h, w)."""
+    d = load_table(spark, sf_dir, "documents")
+    tkp = d.select(
+        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "t")
+    )
+    a = tkp.select("doc_id", "pos", F.col("t").alias("h"))
+    b = tkp.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("w")
+    )
+    bg = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("h", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_hw"))
+        .persist()
+    )
+    hist = bg.groupBy("h").agg(F.sum("c_hw").cast("long").alias("c_h"))
+    uni = bg.groupBy("w").agg(F.sum("c_hw").cast("long").alias("c_w"))
+    tot = bg.agg(F.sum("c_hw").cast("long").alias("nb"))
+    score = F.round(
+        (F.col("c_hw").cast("double") / F.col("nb"))
+        * F.log(
+            (F.col("c_hw").cast("double") / F.col("c_h"))
+            / (F.col("c_w").cast("double") / F.col("nb"))
+        ),
+        12,
+    )
+    flagged = (
+        bg.join(hist, "h")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "h",
+            "w",
+            "c_hw",
+            F.round(score, 9).alias("score"),
+            F.when(score >= _SP_THETA, 1).otherwise(0).alias("kept"),
+        )
+        .persist()
+    )
+    summary = flagged.agg(
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("long").alias("n_pruned"),
+    )
+    wr = Window.orderBy(F.desc("score"), "h", "w")
+    return (
+        flagged.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _SP_TOPK)
+        .crossJoin(F.broadcast(summary))
+        .select("h", "w", "c_hw", "score", "kept", "n_kept", "n_pruned", "rnk")
+    )
+
+
+ts_stolcke_prune.__doc__ = ts_stolcke_prune.__doc__.format(
+    theta=_SP_THETA, k=_SP_TOPK
+)

@@ -1051,3 +1051,381 @@ def vec_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(eig2).alias("eigenvalue"),
     )
     return out1.unionByName(out2)
+
+
+# ---------------------------------------------------------------------------
+# Random Fourier features (Rahimi & Recht 2007) + kernel-approx audit — r13
+# ---------------------------------------------------------------------------
+
+_RFF_D = 8
+_RFF_GAMMA = 0.5
+_RFF_SEED = 71
+_RFF_QMOD = 10
+
+
+def _rff_params() -> tuple[list[list[float]], list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(_RFF_SEED)
+    w = rng.standard_normal((_RFF_D, 64)) * float((2.0 * _RFF_GAMMA) ** 0.5)
+    b = rng.uniform(0.0, 2.0 * float(np.pi), _RFF_D)
+    return (
+        [[float(x) for x in row] for row in w],
+        [float(x) for x in b],
+    )
+
+
+def _rff_oracle() -> str:
+    w, b = _rff_params()
+
+    def sqld(av: str, bv: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({av}, {bv}),"
+            " s -> (s[1]-s[2])*(s[1]-s[2])))"
+        )
+
+    def plane(vec: str, j: int) -> str:
+        lits = "[" + ",".join(repr(x) for x in w[j]) + "]"
+        return (
+            f"cos(list_sum(list_transform(list_zip({vec}, {lits}),"
+            f" s -> s[1]*s[2])) + {b[j]!r})"
+        )
+
+    scale = repr(2.0 / _RFF_D)
+    zdot = " + ".join(
+        f"({plane('a.embedding::DOUBLE[]', j)})"
+        f" * ({plane('b.embedding::DOUBLE[]', j)})"
+        for j in range(_RFF_D)
+    )
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(exp(-{_RFF_GAMMA!r}
+                 * ({sqld('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')})),
+                 9) AS k_exact,
+           round({scale} * ({zdot}), 9) AS k_rff,
+           round(abs(round(exp(-{_RFF_GAMMA!r}
+                 * ({sqld('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')})),
+                 9)
+               - round({scale} * ({zdot}), 9)), 9) AS abs_err
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % {_RFF_QMOD} = 0
+    """
+
+
+@query("vec_rff_features", oracle=_rff_oracle())
+def vec_rff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random Fourier features (Rahimi & Recht 2007): {d} seeded
+    cosine projections z_j(x) = cos(w_j·x + b_j), w ~ N(0, 2γI),
+    approximate the RBF kernel as k(x,y) ≈ (2/D)·Σ z_j(x)z_j(y) —
+    the kernel-method scale trick that turns an n×n kernel matrix
+    into a D-dim linear feature map (then any linear fit in this
+    repo's GD family becomes an approximate KERNEL machine). The
+    query audits the approximation on the deterministic
+    (vec, vec+1) pair panel (every {q}th vector): exact RBF vs RFF
+    estimate vs absolute error, per pair.
+
+    Scale shape: the {d}×64 projection matrix is a plan literal
+    (the LSH hyperplane discipline); featurization is row-local
+    fold-order dots — at 100 TB, a map-only projection feeding any
+    downstream fit; the audit join is the id+1 equi-join panel, not
+    a pair explosion.
+
+    Determinism: dots fold in array order (bitwise-equal in DuckDB's
+    list_sum); cos/exp on identical doubles is the GD-family libm
+    precedent; published values round to 9."""
+    from fuzzy_item_matching_spark.functions.vector import dot, squared_dist
+
+    w, b = _rff_params()
+    e = load_table(spark, sf_dir, "embeddings")
+    a, bb = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        bb, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).filter(F.col("a.vec_id") % _RFF_QMOD == 0)
+
+    def z(side: str, j: int):
+        plane = F.array(*[F.lit(x) for x in w[j]])
+        return F.cos(
+            dot(F.col(f"{side}.embedding"), plane) + F.lit(b[j])
+        )
+
+    zdot = None
+    for j in range(_RFF_D):
+        term = z("a", j) * z("b", j)
+        zdot = term if zdot is None else zdot + term
+    k_exact = F.round(
+        F.exp(
+            -F.lit(_RFF_GAMMA)
+            * squared_dist(F.col("a.embedding"), F.col("b.embedding"))
+        ),
+        9,
+    )
+    k_rff = F.round(F.lit(2.0 / _RFF_D) * zdot, 9)
+    return pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        k_exact.alias("k_exact"),
+        k_rff.alias("k_rff"),
+        F.round(F.abs(k_exact - k_rff), 9).alias("abs_err"),
+    )
+
+
+vec_rff_features.__doc__ = vec_rff_features.__doc__.format(
+    d=_RFF_D, q=_RFF_QMOD
+)
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite over quantized cells) — r13
+# ---------------------------------------------------------------------------
+
+_GD_H = 0.1
+_GD_MINPTS = 4
+_GD_ROUNDS = 3
+_GD_OFF = 100  # offset making cell coordinates non-negative for keys
+
+
+def _grid_density_oracle() -> str:
+    cx = f"CAST(floor((embedding::DOUBLE[])[1] / {_GD_H!r}) AS BIGINT)"
+    cy = f"CAST(floor((embedding::DOUBLE[])[2] / {_GD_H!r}) AS BIGINT)"
+    levels = [
+        f"""cells AS (
+      SELECT {cx} AS cx, {cy} AS cy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+      GROUP BY 1, 2
+    ),
+    core AS (
+      SELECT cx, cy, n, (cx + {_GD_OFF}) * 1000 + cy + {_GD_OFF} AS key
+      FROM cells WHERE n >= {_GD_MINPTS}
+    ),
+    adj AS (
+      SELECT a.key AS ka, b.key AS kb
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    l0 AS (SELECT key, key AS lbl FROM core)"""
+    ]
+    for t in range(1, _GD_ROUNDS + 1):
+        levels.append(f"""l{t} AS (
+      SELECT a.ka AS key, MIN(l.lbl) AS lbl
+      FROM adj a JOIN l{t - 1} l ON l.key = a.kb
+      GROUP BY a.ka
+    )""")
+    return f"""
+    WITH {",".join(levels)},
+    clusters AS (
+      SELECT l.lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c.n) AS BIGINT) AS n_points
+      FROM l{_GD_ROUNDS} l JOIN core c ON c.key = l.key
+      GROUP BY l.lbl
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      FROM cells WHERE n < {_GD_MINPTS}
+    )
+    SELECT * FROM clusters UNION ALL SELECT * FROM noise
+    """
+
+
+@query("vec_grid_density_clusters", oracle=_grid_density_oracle())
+def vec_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the DBSCAN intuition made
+    shuffle-friendly): quantize the first two embedding coordinates
+    to h={h} cells, call a cell CORE when it holds ≥ {m} points, and
+    merge 8-adjacent core cells into clusters by {r} rounds of
+    synchronous min-label propagation over the CELL graph —
+    density-connected components without a single point-to-point
+    distance join (the cell histogram IS the density estimate).
+    Sub-core cells report as noise (cluster −1), DBSCAN's third
+    class. The geometry family's density member next to k-means
+    (centroid), k-center (covering), PCA (subspace).
+
+    Scale shape: one map-side-combinable cell count (the only
+    input-sized pass); everything after lives in the CELL domain —
+    the adjacency join is bounded by occupied cells (≤ n/{m} core
+    cells), min-label rounds are keyed joins over that bounded
+    frame. This is how density clustering survives 100 TB: points
+    never pair, cells do.
+
+    Determinism: cell ids are exact floor arithmetic on DOUBLE-cast
+    floats (identical both engines); labels are integer MINs from a
+    fixed unroll; dirty rows (null/ragged vectors) are excluded by
+    the same guard in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    emb = F.col("embedding").cast("array<double>")
+    cells = (
+        e.select(
+            F.floor(emb[0] / _GD_H).cast("long").alias("cx"),
+            F.floor(emb[1] / _GD_H).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    core = cells.filter(F.col("n") >= _GD_MINPTS).select(
+        "cx",
+        "cy",
+        "n",
+        ((F.col("cx") + _GD_OFF) * 1000 + F.col("cy") + _GD_OFF).alias("key"),
+    ).persist()
+    a, b = core.alias("a"), core.alias("b")
+    adj = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1),
+    ).select(F.col("a.key").alias("ka"), F.col("b.key").alias("kb"))
+    lbl = core.select("key", F.col("key").alias("lbl"))
+    for _ in range(_GD_ROUNDS):
+        lbl = (
+            adj.join(
+                lbl.select(F.col("key").alias("kb"), "lbl"), "kb"
+            )
+            .groupBy(F.col("ka").alias("key"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    clusters = (
+        lbl.join(core.select("key", "n"), "key")
+        .groupBy(F.col("lbl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+    )
+    noise = cells.filter(F.col("n") < _GD_MINPTS).agg(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+    )
+    return clusters.unionByName(noise)
+
+
+vec_grid_density_clusters.__doc__ = vec_grid_density_clusters.__doc__.format(
+    h=_GD_H, m=_GD_MINPTS, r=_GD_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis outlier scores — r13
+# ---------------------------------------------------------------------------
+
+_MAH_TOPK = 20
+
+
+def _mahalanobis_oracle() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding::DOUBLE[], 1) AS d
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    stats AS (
+      SELECT d,
+             CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS ex2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY d
+    ),
+    var_ AS (
+      SELECT d, mu, ex2 - mu * mu AS v FROM stats
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round((e.x - s.mu) * (e.x - s.mu) / s.v, 9)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS score
+      FROM ex e JOIN var_ s ON s.d = e.d AND s.v > 0
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(score, 9) AS mahalanobis_sq, rnk FROM (
+      SELECT vec_id, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, vec_id)
+                  AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_MAH_TOPK}
+    """
+
+
+@query("vec_mahalanobis_outliers", oracle=_mahalanobis_oracle())
+def vec_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier scoring: standardize
+    every embedding dimension by its own corpus (μ_d, σ²_d) and rank
+    vectors by Σ_d (x_d−μ_d)²/σ²_d — the covariance-aware
+    counterpart of rel_value_outliers' univariate z-scores, and the
+    embedding-space anomaly audit (corrupt encodes, wrong-modality
+    rows, adversarial inputs) a vector pipeline runs before
+    indexing. Diagonal Σ is the production choice at high dim: full
+    Σ⁻¹ is a dim² broadcast, diagonal is a 64-row frame.
+
+    Scale shape: one posexplode pass builds per-dimension moments
+    (64-key aggregation, map-side combined); scoring joins the
+    64-row broadcast stats back and reduces per vector — two scans
+    total, no pairwise anything. Top-{k} under a total order.
+
+    Determinism: per-row moment terms round to 12 before
+    DECIMAL(38,18) accumulation; per-dimension score terms round to
+    9 before their own exact sum (order-insensitive across the
+    order-dependent 64-dim reduce); zero-variance dimensions drop
+    on both sides; the published score rounds to 9 with vec_id as
+    tie-break ON THE ROUNDED VALUE (so rank and value can't disagree
+    at the last ulp)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "x"
+        ),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x").persist()
+    stats = ex.groupBy("d").agg(
+        (
+            F.sum(F.round(F.col("x"), 12).cast("decimal(38,18)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,18)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ex2"),
+    )
+    var_ = stats.select(
+        "d", "mu", (F.col("ex2") - F.col("mu") * F.col("mu")).alias("v")
+    ).filter(F.col("v") > 0)
+    scored = (
+        ex.join(F.broadcast(var_), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("mu"))
+                    * (F.col("x") - F.col("mu"))
+                    / F.col("v"),
+                    9,
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("score")
+        )
+    )
+    wr = Window.orderBy(F.desc(F.round(F.col("score"), 9)), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _MAH_TOPK)
+        .select(
+            "vec_id", F.round("score", 9).alias("mahalanobis_sq"), "rnk"
+        )
+    )
+
+
+vec_mahalanobis_outliers.__doc__ = vec_mahalanobis_outliers.__doc__.format(
+    k=_MAH_TOPK
+)

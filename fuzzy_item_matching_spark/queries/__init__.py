@@ -110,7 +110,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # -- r13 re-verification: consumers of this round's operator
     #    refactors — prior green row noted:
     "sim_ann_multiprobe_lsh",  # was r12; r13 query-directed-probe re-proof
+    "sim_ann_lsh_topk",  # was r7; consumes refactored sign_bucket_frame
+    "sim_ann_graph_expand",  # was r12; consumes refactored sign_bucket_frame
     # -- r13 births are inserted here as they land:
+    "rel_adamic_adar",  # r13 birth: Adamic-Adar link prediction
+    "rel_bfs_distances",  # r13 birth: bounded BFS hub distance rings
+    "rel_benford_audit",  # r13 birth: first-digit forensic audit
+    "rel_gini_concentration",  # r13 birth: revenue Gini index
+    "rel_fifo_allocation",  # r13 birth: FIFO budget allocation windows
+    "rel_seq_patterns",  # r13 birth: happens-before pattern support
+    "train_linear_shap",  # r13 birth: exact linear SHAP attribution
+    "train_mcnemar",  # r13 birth: paired model-comparison test
+    "train_brier_decomposition",  # r13 birth: Murphy calibration split
+    "train_woe_encoding",  # r13 birth: weight-of-evidence + IV
+    "train_ridge_normal_eq",  # r13 birth: closed-form ridge, exact Gram
+    "train_huber_gd",  # r13 birth: robust Huber-loss GD
+    "train_bradley_terry_gd",  # r13 birth: preference-model GD (RLHF core)
+    "train_ipw_ate",  # r13 birth: stratified IPW treatment effect
+    "ts_rake_keyphrases",  # r13 birth: RAKE phrase extraction
+    "ts_coverage_greedy",  # r13 birth: greedy max-coverage selection
+    "ts_vocab_coverage_curve",  # r13 birth: vocab budget coverage
+    "ts_stolcke_prune",  # r13 birth: entropy LM pruning
+    "vec_rff_features",  # r13 birth: random Fourier kernel features
+    "vec_grid_density_clusters",  # r13 birth: DBSCAN-lite cell density
+    "vec_mahalanobis_outliers",  # r13 birth: diagonal Mahalanobis audit
     # -- demoted by the r13 rotation: the entire r12 prefix, all 50
     #    exact in CORRECTNESS_r12.json (first zero-rows-only prefix):
     "rel_recursive_closure",  # r12
@@ -159,7 +182,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_cuped_adjustment",  # r12
     "rel_holt_forecast",  # r12
     "ts_kmv_anb",  # r12
-    "sim_ann_graph_expand",  # r12
     "rel_markov_removal_attribution",  # r12
     "train_fm_gd",  # r12
     # -- demoted by the r12 rotation: the entire r11 prefix, all 50
@@ -378,7 +400,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "src_parquet_write_read",  # r04
     "rel_expr_join_scoring",  # r04
     "text_levenshtein_pairs",  # r05
-    "sim_ann_lsh_topk",  # r05
     "vec_int8_topk",  # r05
     "text_stop_filtered",  # r04
     "vec_l2_norm",  # r04

@@ -180,3 +180,135 @@ def test_directed_probes_are_margin_ranked_and_distinct(spark):
             for j in s:
                 want[j] = "1" if want[j] == "0" else "0"
             assert probe == "".join(want)
+
+
+def test_serve_caps_bind_and_stay_oracle_exact(spark):
+    """r12 VERDICT ask #7: the two serve-path caps (per-bucket index
+    truncation, per-arrival candidate cap) deliberately do NOT bind
+    at sf0.01, so no driver row exercises the binding branch. Here a
+    synthetic DENSE corpus makes BOTH bind — every bucket holds more
+    stored rows than bucket_cap, every arrival has more
+    under-threshold candidates than the candidate cap — and the
+    DuckDB replay (same two windows) must still match row-for-row.
+    """
+    import duckdb
+    import pandas as pd
+
+    from fuzzy_item_matching_spark.operators.lsh import (
+        lsh_sqdist_join,
+        random_hyperplanes,
+    )
+
+    DIM, TABLES, BL, SEED = 8, 3, 1.0, 7
+    BUCKET_CAP, CAND_CAP, THRESH = 8, 5, 4.0
+    rng = np.random.RandomState(11)
+    # one tight cluster: everything collides, everything is near
+    stored = rng.standard_normal((120, DIM)) * 0.05
+    arrivals = rng.standard_normal((15, DIM)) * 0.05
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(stored)],
+        "id long, v array<double>",
+    )
+    ndf = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in enumerate(arrivals)],
+        "id long, v array<double>",
+    )
+    pairs = lsh_sqdist_join(
+        ndf, sdf, "id", "v", threshold=THRESH, n_tables=TABLES,
+        bucket_length=BL, seed=SEED, dim=DIM, bucket_cap=BUCKET_CAP,
+    )
+    w = W.partitionBy("id_a").orderBy("sqdist", "id_b")
+    got = {
+        (r.id_a, r.id_b, round(r.sqdist, 9))
+        for r in pairs.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= CAND_CAP)
+        .collect()
+    }
+
+    planes = random_hyperplanes(DIM, TABLES, SEED)
+
+    def dot_sql(vec, plane):
+        lits = "[" + ",".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lits}),"
+            " s -> s[1]*s[2]))"
+        )
+
+    def bkt(src):
+        return "\nUNION ALL\n".join(
+            f"SELECT id, {t} AS tbl,"
+            f" CAST(floor(({dot_sql('v', p)}) / {BL!r}) AS BIGINT) AS bucket"
+            f" FROM {src}"
+            for t, p in enumerate(planes)
+        )
+
+    con = duckdb.connect()
+    con.register(
+        "stored_pd",
+        pd.DataFrame({"id": range(len(stored)), "v": list(stored)}),
+    )
+    con.register(
+        "new_pd",
+        pd.DataFrame(
+            {"id": [1000 + i for i in range(len(arrivals))],
+             "v": list(arrivals)}
+        ),
+    )
+    con.sql("CREATE VIEW stored AS SELECT id, v::DOUBLE[] AS v FROM stored_pd")
+    con.sql("CREATE VIEW newt AS SELECT id, v::DOUBLE[] AS v FROM new_pd")
+    sq = (
+        "list_sum(list_transform(list_zip(a.v, b.v),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    rows = con.sql(f"""
+      WITH sb_all AS ({bkt('stored')}),
+      nb AS ({bkt('newt')}),
+      sb AS (
+        SELECT id, tbl, bucket FROM (
+          SELECT id, tbl, bucket,
+                 row_number() OVER (PARTITION BY tbl, bucket
+                                    ORDER BY id) AS brn
+          FROM sb_all
+        ) WHERE brn <= {BUCKET_CAP}
+      ),
+      cand AS (
+        SELECT DISTINCT n.id AS id_a, s.id AS id_b
+        FROM nb n JOIN sb s ON n.tbl = s.tbl AND n.bucket = s.bucket
+      ),
+      scored AS (
+        SELECT c.id_a, c.id_b, {sq} AS sqdist
+        FROM cand c JOIN newt a ON a.id = c.id_a
+                    JOIN stored b ON b.id = c.id_b
+        WHERE {sq} <= {THRESH}
+      )
+      SELECT id_a, id_b, round(sqdist, 9) AS sqdist FROM (
+        SELECT id_a, id_b, sqdist,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY sqdist, id_b) AS crn
+        FROM scored
+      ) WHERE crn <= {CAND_CAP}
+    """).fetchall()
+    want = {(a, b, s) for a, b, s in rows}
+
+    # preconditions: both caps actually BIND on this corpus
+    over = con.sql(f"""
+      SELECT MAX(n) FROM (
+        SELECT tbl, bucket, COUNT(*) AS n FROM ({bkt('stored')})
+        GROUP BY tbl, bucket)
+    """).fetchone()[0]
+    assert over > BUCKET_CAP  # index truncation binding
+    uncapped = con.sql(f"""
+      WITH sb_all AS ({bkt('stored')}), nb AS ({bkt('newt')}),
+      cand AS (SELECT DISTINCT n.id AS id_a, s.id AS id_b
+               FROM nb n JOIN sb_all s
+                 ON n.tbl = s.tbl AND n.bucket = s.bucket),
+      scored AS (SELECT c.id_a, {sq} AS sqdist
+                 FROM cand c JOIN newt a ON a.id = c.id_a
+                             JOIN stored b ON b.id = c.id_b
+                 WHERE {sq} <= {THRESH})
+      SELECT MAX(n) FROM (
+        SELECT id_a, COUNT(*) AS n FROM scored GROUP BY id_a)
+    """).fetchone()[0]
+    assert uncapped > CAND_CAP  # candidate cap binding
+
+    assert got == want

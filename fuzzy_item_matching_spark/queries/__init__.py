@@ -134,6 +134,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "vec_rff_features",  # r13 birth: random Fourier kernel features
     "vec_grid_density_clusters",  # r13 birth: DBSCAN-lite cell density
     "vec_mahalanobis_outliers",  # r13 birth: diagonal Mahalanobis audit
+    "train_xicor",  # r13 birth: Chatterjee xi dependence
+    "train_spearman_corr",  # r13 birth: Spearman rank correlation
+    "train_temperature_scaling",  # r13 birth: 1-param calibration GD
+    "train_cohen_kappa",  # r13 birth: chance-corrected filter agreement
+    "vec_random_cut_density",  # r13 birth: oblivious iForest density
+    "rel_theil_decomposition",  # r13 birth: within/between inequality
+    "ts_boilerplate_ngrams",  # r13 birth: boilerplate removal census
+    # ^ budget math: 19 spill + 3 re-proofs + 28 births = 50 slots.
     # -- demoted by the r13 rotation: the entire r12 prefix, all 50
     #    exact in CORRECTNESS_r12.json (first zero-rows-only prefix):
     "rel_recursive_closure",  # r12

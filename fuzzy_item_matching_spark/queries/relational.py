@@ -3656,3 +3656,173 @@ def rel_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (within/between nations) — r13
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_theil_decomposition",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey AS s,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM spend
+    ),
+    total_t AS (
+      SELECT CAST(SUM(CAST(round((y / t.mu) * ln(y / t.mu), 12)
+                 AS DECIMAL(38,18))) AS DOUBLE) / t.n AS theil
+      FROM spend, tot t GROUP BY t.n
+    ),
+    gmeans AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(CAST(round(y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+               / COUNT(*) AS mus
+      FROM spend GROUP BY s
+    ),
+    groups AS (
+      SELECT g.s, g.ns, g.mus,
+             CAST(SUM(CAST(round((sp.y / g.mus) * ln(sp.y / g.mus), 12)
+                  AS DECIMAL(38,18))) AS DOUBLE) / g.ns AS ts
+      FROM spend sp JOIN gmeans g ON g.s = sp.s
+      GROUP BY g.s, g.ns, g.mus
+    ),
+    decomp AS (
+      SELECT
+        CAST(SUM(CAST(round((CAST(g.ns AS DOUBLE) / t.n) * (g.mus / t.mu)
+             * g.ts, 12) AS DECIMAL(38,18))) AS DOUBLE) AS within_,
+        CAST(SUM(CAST(round((CAST(g.ns AS DOUBLE) / t.n) * (g.mus / t.mu)
+             * ln(g.mus / t.mu), 12) AS DECIMAL(38,18))) AS DOUBLE)
+          AS between_
+      FROM groups g, tot t GROUP BY t.n, t.mu
+    )
+    SELECT t.n AS n_customers,
+           round(tt.theil, 9) AS theil_total,
+           round(d.within_, 9) AS theil_within,
+           round(d.between_, 9) AS theil_between
+    FROM tot t, total_t tt, decomp d
+    """,
+)
+def rel_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T inequality decomposition of customer spend:
+    T = (1/n)Σ(y/μ)ln(y/μ), split EXACTLY (unlike Gini, which does
+    not decompose) into within-nation + between-nation components —
+    the audit that says whether spend concentration is a global
+    phenomenon or a geography story, complementing
+    rel_gini_concentration's single index with attribution.
+    Customers without orders are excluded (ln 0; the spend support).
+
+    Scale shape: one keyed spend rollup (the only input-sized pass),
+    one |nations|-key group aggregation, arithmetic over ≤25 rows.
+    GROUP means use exact DECIMAL sums of 2-rounded spend; each
+    entropy term is a fixed ln tree rounded to 12 before DECIMAL
+    accumulation (order-insensitive), so within + between reproduces
+    total up to the printed 9 digits on both engines identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(F.col("c_nationkey").alias("s"), "y")
+        .persist()
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col("y"), 2).cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    tt = (
+        spend.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("y") / F.col("mu"))
+                        * F.log(F.col("y") / F.col("mu")),
+                        12,
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+                / F.col("n")
+            ).alias("theil")
+        )
+        .select("theil")
+    )
+    gmeans = spend.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        (
+            F.sum(F.round(F.col("y"), 2).cast("decimal(38,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mus"),
+    )
+    groups = (
+        spend.join(F.broadcast(gmeans), "s")
+        .groupBy("s", "ns", "mus")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("y") / F.col("mus"))
+                        * F.log(F.col("y") / F.col("mus")),
+                        12,
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+                / F.col("ns")
+            ).alias("ts")
+        )
+    )
+    decomp = (
+        groups.crossJoin(F.broadcast(tot))
+        .groupBy("n", "mu")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ns").cast("double") / F.col("n"))
+                    * (F.col("mus") / F.col("mu"))
+                    * F.col("ts"),
+                    12,
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("within_"),
+            F.sum(
+                F.round(
+                    (F.col("ns").cast("double") / F.col("n"))
+                    * (F.col("mus") / F.col("mu"))
+                    * F.log(F.col("mus") / F.col("mu")),
+                    12,
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("between_"),
+        )
+        .select("within_", "between_")
+    )
+    return (
+        tot.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(decomp))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round("theil", 9).alias("theil_total"),
+            F.round("within_", 9).alias("theil_within"),
+            F.round("between_", 9).alias("theil_between"),
+        )
+    )

@@ -5081,3 +5081,113 @@ def ts_stolcke_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_stolcke_prune.__doc__ = ts_stolcke_prune.__doc__.format(
     theta=_SP_THETA, k=_SP_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram census (CCNet-style removal-list builder) — r13
+# ---------------------------------------------------------------------------
+
+_BP_N = 5
+_BP_MIN_DOCS = 3
+_BP_TOPK = 20
+
+
+def _boilerplate_oracle() -> str:
+    toks = _D_TOKENS.format(c="text")
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(t) - {_BP_N - 2}),
+                 i -> array_to_string(t[i : i + {_BP_N - 1}], ' '))) AS g
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+        WHERE len(t) >= {_BP_N}
+      )
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM documents),
+    census AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM grams GROUP BY g
+      HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    )
+    SELECT g AS ngram, doc_freq,
+           round(CAST(doc_freq AS DOUBLE) / tot.nd, 9) AS doc_share, rnk
+    FROM (
+      SELECT g, doc_freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, g) AS INT)
+               AS rnk
+      FROM census
+    ) c CROSS JOIN tot
+    WHERE rnk <= {_BP_TOPK}
+    """
+
+
+@query("ts_boilerplate_ngrams", oracle=_boilerplate_oracle())
+def ts_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE CENSUS: word {n}-grams appearing in ≥ {m} DISTINCT
+    documents, ranked by document frequency — the removal-list
+    builder behind CCNet/C4-style boilerplate stripping (navigation
+    chrome, license headers, template sentences). The dedup family
+    finds which DOCUMENTS repeat each other (pairs); this finds which
+    CONTENT repeats across unrelated documents — the list a pipeline
+    subtracts BEFORE near-dup detection so template text stops
+    manufacturing false duplicate pairs.
+
+    Scale shape: n-grams come from one bound-array transform (the
+    word-2gram HOF discipline: the token array binds ONCE before the
+    lambda) + explode + per-doc distinct; the census is one
+    vocabulary-keyed count with the ≥{m} filter pushed into the
+    aggregate (map-side combined). Output is top-{k} under a total
+    order; at 100 TB the census frame is the high-DF head — tiny by
+    Zipf — while the long tail dies in the HAVING.
+
+    Determinism: counts exact; doc_share is one division rounded 9;
+    ties break on the n-gram string."""
+    d = load_table(spark, sf_dir, "documents")
+    t = regex_tokenize("text")
+    grams = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= _BP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(_BP_N - 1)
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i, _BP_N), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tot = d.agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    census = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= _BP_MIN_DOCS)
+    )
+    wr = Window.orderBy(F.desc("doc_freq"), "g")
+    return (
+        census.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _BP_TOPK)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("ngram"),
+            "doc_freq",
+            F.round(
+                F.col("doc_freq").cast("double") / F.col("nd"), 9
+            ).alias("doc_share"),
+            "rnk",
+        )
+    )
+
+
+ts_boilerplate_ngrams.__doc__ = ts_boilerplate_ngrams.__doc__.format(
+    n=_BP_N, m=_BP_MIN_DOCS, k=_BP_TOPK
+)

@@ -7234,3 +7234,350 @@ def train_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 train_ipw_ate.__doc__ = train_ipw_ate.__doc__.format(seg=_IPW_SEGMENT)
+
+
+# ---------------------------------------------------------------------------
+# Chatterjee's xi correlation (2020) + Spearman's rho — r13
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_xicor",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(p_retailprice AS DECIMAL(18,2)), p_partkey)
+               AS ry
+      FROM part
+    ),
+    seq AS (
+      SELECT ry,
+             LEAD(ry) OVER (ORDER BY x, p_partkey) AS ry_next
+      FROM r
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(abs(ry_next - ry) AS BIGINT)) AS BIGINT) AS s
+      FROM seq
+    )
+    SELECT n,
+           round(1.0 - 3.0 * CAST(s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n - 1.0), 9) AS xi
+    FROM agg
+    """,
+)
+def train_xicor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi correlation (JASA 2020) between part size and
+    retail price: ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1) where r_i is
+    the y-rank sequence read in x-order. Unlike Pearson/Spearman, ξ
+    consistently estimates DEPENDENCE (→1 iff y is a measurable
+    function of x, even non-monotone) — the modern screening
+    statistic for "is there ANY signal" in feature triage. Ties take
+    the deterministic (value, key) total order on both axes (the
+    randomized tie-break of the paper replaced by a fixed one —
+    stated, reproducible).
+
+    Scale shape: two global rank windows over the PART domain
+    (already the aggregated side — the rel_gini_concentration bound;
+    range-partitioned sort at 100 TB) + one lag + one exact integer
+    sum. Nothing floats until the final fixed expression tree.
+
+    Determinism: ranks and the |Δrank| sum are exact integers; ξ is
+    one division rounded to 9."""
+    p = load_table(spark, sf_dir, "part")
+    wy = Window.orderBy(
+        F.col("p_retailprice").cast("decimal(18,2)"), "p_partkey"
+    )
+    r = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("x"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    wx = Window.orderBy("x", "p_partkey")
+    seq = r.select(
+        "ry", F.lead("ry").over(wx).alias("ry_next")
+    )
+    agg = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("ry_next") - F.col("ry")).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.lit(1.0)
+            - F.lit(3.0)
+            * F.col("s").cast("double")
+            / (F.col("n").cast("double") * F.col("n") - F.lit(1.0)),
+            9,
+        ).alias("xi"),
+    )
+
+
+@query(
+    "train_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY p_size, p_partkey) AS rx,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(p_retailprice AS DECIMAL(18,2)), p_partkey)
+               AS ry
+      FROM part
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS d2
+      FROM r
+    )
+    SELECT n,
+           round(1.0 - 6.0 * CAST(d2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)), 9)
+             AS rho
+    FROM agg
+    """,
+)
+def train_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part size and retail price:
+    ρ = 1 − 6·Σd²/(n(n²−1)) over the two rank sequences — the
+    monotone-association companion to train_xicor's general
+    dependence (ρ high + ξ high = monotone signal; ρ ≈ 0 + ξ high =
+    non-monotone signal; both ≈ 0 = noise). Ranks take the
+    deterministic (value, key) total order (dense average-rank tie
+    handling swapped for a fixed tie-break — stated; identical in
+    both engines, so the statistic is exactly reproducible).
+
+    Scale shape/determinism: two rank windows over the aggregated
+    part domain, one exact integer Σd², one division rounded 9."""
+    p = load_table(spark, sf_dir, "part")
+    wx = Window.orderBy("p_size", "p_partkey")
+    wy = Window.orderBy(
+        F.col("p_retailprice").cast("decimal(18,2)"), "p_partkey"
+    )
+    r = p.select(
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("d2").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") * F.col("n") - F.lit(1.0))
+            ),
+            9,
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature scaling (Guo et al. 2017) of the GD match classifier — r13
+# ---------------------------------------------------------------------------
+
+_TS_ITERS = 2
+_TS_LR = 0.5
+
+
+def _temp_scaling_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.logreg import logistic_gd_sql
+
+    z = "w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3"
+    ctes = [f"""
+    , zs AS (
+      SELECT label, {z} AS z FROM pairs, it{_LR_ITERS} w
+    ),
+    t0 AS (SELECT 1.0 AS T)"""]
+    for t in range(1, _TS_ITERS + 1):
+        p = "(1.0 / (1.0 + exp(-(z / tp.T))))"
+        grad = f"({p} - label) * (-z / (tp.T * tp.T))"
+        ctes.append(f""",
+    t{t} AS (
+      SELECT round(tp.T - {_TS_LR!r} *
+               (CAST(SUM(CAST(round({grad}, 12) AS DECIMAL(38,18)))
+                     AS DOUBLE) / COUNT(*)), 9) AS T
+      FROM zs, t{t - 1} tp GROUP BY tp.T
+    )""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, T AS temperature FROM t{t}"
+        for t in range(1, _TS_ITERS + 1)
+    )
+    return logistic_gd_sql(
+        _LR_PAIRS_SQL, ["x1", "x2", "x3"], iters=_LR_ITERS, lr=_LR_RATE,
+        final_select="".join(ctes) + "\n" + arms,
+    )
+
+
+@query("train_temperature_scaling", oracle=_temp_scaling_oracle())
+def train_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE SCALING (Guo et al. 2017) of the memoized GD match
+    classifier: fit the single scalar T minimizing NLL of
+    σ(z/T) by {k} full-batch GD steps from T=1 — the modern
+    one-parameter calibrator (Platt refits slope AND intercept and
+    can reorder scores; temperature cannot, preserving AUC exactly —
+    which is why serving stacks prefer it). Emits the T trace.
+
+    Scale shape: logits come from the broadcast 4-weight state in one
+    scan; each T step is one map-side-combinable aggregate over the
+    cached logit frame with the 1-value T state broadcast back — the
+    GD-family plan with a 1-parameter state. The oracle replays the
+    classifier fit AND the calibration in one statement.
+
+    Determinism: per-row dNLL/dT terms round to 12 before
+    DECIMAL(38,18) accumulation; T rounds to 9 per step."""
+    w = _lr_weights(spark, sf_dir)
+    z = (
+        F.lit(w["w0"])
+        + F.lit(w["w1"]) * F.col("x1")
+        + F.lit(w["w2"]) * F.col("x2")
+        + F.lit(w["w3"]) * F.col("x3")
+    )
+    zs = _lr_pairs(spark, sf_dir).select("label", z.alias("z")).persist()
+    tstate = spark.createDataFrame([(1.0,)], "T double")
+    traces = []
+    for it in range(1, _TS_ITERS + 1):
+        joined = zs.crossJoin(F.broadcast(tstate))
+        p = 1.0 / (1.0 + F.exp(-(F.col("z") / F.col("T"))))
+        grad = (p - F.col("label")) * (
+            -F.col("z") / (F.col("T") * F.col("T"))
+        )
+        tstate = joined.agg(
+            F.round(
+                F.min("T")
+                - _TS_LR
+                * (
+                    F.sum(F.round(grad, 12).cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ),
+                9,
+            ).alias("T")
+        ).localCheckpoint(eager=True)
+        traces.append(
+            tstate.select(
+                F.lit(it).alias("iter"), F.col("T").alias("temperature")
+            )
+        )
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
+
+
+train_temperature_scaling.__doc__ = train_temperature_scaling.__doc__.format(
+    k=_TS_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two curation filters — r13
+# ---------------------------------------------------------------------------
+
+_KAPPA_MIN_TOKENS = 100
+_KAPPA_MIN_TTR = 0.3
+
+
+def _kappa_oracle() -> str:
+    toks = "list_filter(regexp_split_to_array(lower(coalesce(text, ''))," \
+           " '[^\\w\\d]'), x -> length(x) >= 1)"
+    return f"""
+    WITH flags AS (
+      SELECT CASE WHEN len(t) >= {_KAPPA_MIN_TOKENS} THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(t) > 0 AND
+                       CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                         >= {_KAPPA_MIN_TTR!r}
+                  THEN 1 ELSE 0 END AS b
+      FROM (SELECT {toks} AS t FROM documents)
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM flags
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(n11 + n10 AS DOUBLE) / n
+                     * CAST(n11 + n01 AS DOUBLE) / n
+                     + CAST(n01 + n00 AS DOUBLE) / n
+                     * CAST(n10 + n00 AS DOUBLE) / n))
+                 / (1.0 - (CAST(n11 + n10 AS DOUBLE) / n
+                           * CAST(n11 + n01 AS DOUBLE) / n
+                           + CAST(n01 + n00 AS DOUBLE) / n
+                           * CAST(n10 + n00 AS DOUBLE) / n)), 9) AS kappa
+    FROM cells
+    """
+
+
+@query("train_cohen_kappa", oracle=_kappa_oracle())
+def train_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two document curation filters — a
+    length gate (≥ {mt} tokens) and a lexical-diversity gate
+    (type/token ratio ≥ {ttr}): κ = (p_o − p_e)/(1 − p_e),
+    chance-corrected agreement. ts_filter_agreement counts RAW
+    pairwise agreement — which is inflated exactly when both filters
+    pass almost everything; κ is the statistic that says whether two
+    filters agree MORE THAN CHANCE, i.e. whether stacking them buys
+    anything. Emits the full 2×2 contingency plus κ.
+
+    Scale shape: both flags bind the token array once (row-local),
+    one 5-cell global aggregate — a single map-side-combined scan.
+
+    Determinism: cells are exact integers; κ is one fixed IEEE tree
+    rounded to 9."""
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    t = regex_tokenize("text")
+    flags = d.select(t.alias("t")).select(
+        F.when(F.size("t") >= _KAPPA_MIN_TOKENS, 1).otherwise(0).alias("a"),
+        F.when(
+            (F.size("t") > 0)
+            & (
+                F.size(F.array_distinct("t")).cast("double") / F.size("t")
+                >= _KAPPA_MIN_TTR
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    n = F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") / n
+        * (F.col("n11") + F.col("n01")).cast("double") / n
+        + (F.col("n01") + F.col("n00")).cast("double") / n
+        * (F.col("n10") + F.col("n00")).cast("double") / n
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )
+
+
+train_cohen_kappa.__doc__ = train_cohen_kappa.__doc__.format(
+    mt=_KAPPA_MIN_TOKENS, ttr=_KAPPA_MIN_TTR
+)

@@ -1429,3 +1429,133 @@ def vec_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 vec_mahalanobis_outliers.__doc__ = vec_mahalanobis_outliers.__doc__.format(
     k=_MAH_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Random-cut density anomaly scores (oblivious isolation-forest lite) — r13
+# ---------------------------------------------------------------------------
+
+_RC_TREES = 4
+_RC_DEPTH = 3
+_RC_SEED = 97
+_RC_TOPK = 20
+
+
+def _rc_splits() -> list[list[tuple[int, float]]]:
+    """Per tree, _RC_DEPTH (dimension, threshold) oblivious splits —
+    seeded literals, the LSH-hyperplane discipline."""
+    import numpy as np
+
+    rng = np.random.RandomState(_RC_SEED)
+    trees = []
+    for _ in range(_RC_TREES):
+        dims = rng.randint(0, 64, _RC_DEPTH)
+        thrs = rng.uniform(-0.15, 0.15, _RC_DEPTH)
+        trees.append([(int(d), float(t)) for d, t in zip(dims, thrs)])
+    return trees
+
+
+def _rc_oracle() -> str:
+    trees = _rc_splits()
+    leaf_cols = []
+    for ti, splits in enumerate(trees):
+        bits = " || ".join(
+            f"(CASE WHEN (embedding::DOUBLE[])[{d + 1}] < {t!r}"
+            " THEN '0' ELSE '1' END)"
+            for d, t in splits
+        )
+        leaf_cols.append(f"{bits} AS leaf{ti}")
+    occ_joins = "\n".join(
+        f"JOIN (SELECT leaf{ti} AS lf{ti}, CAST(COUNT(*) AS BIGINT)"
+        f" AS c{ti} FROM leaves GROUP BY leaf{ti}) o{ti}"
+        f" ON o{ti}.lf{ti} = l.leaf{ti}"
+        for ti in range(len(trees))
+    )
+    score = " + ".join(
+        f"CAST(round(ln(CAST(c{ti} AS DOUBLE)), 12) AS DECIMAL(38,18))"
+        for ti in range(len(trees))
+    )
+    return f"""
+    WITH leaves AS (
+      SELECT vec_id, {", ".join(leaf_cols)}
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    scored AS (
+      SELECT l.vec_id,
+             round(CAST(({score}) AS DOUBLE) / {len(trees)}, 9) AS density
+      FROM leaves l
+      {occ_joins}
+    )
+    SELECT vec_id, density, rnk FROM (
+      SELECT vec_id, density,
+             CAST(ROW_NUMBER() OVER (ORDER BY density, vec_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_RC_TOPK}
+    """
+
+
+@query("vec_random_cut_density", oracle=_rc_oracle())
+def vec_random_cut_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-cut density anomaly scoring — the isolation-forest /
+    RRCF intuition in its OBLIVIOUS, shuffle-friendly form: {t}
+    seeded trees each cut {d} random (dimension, threshold) planes,
+    a vector's leaf is its {d}-bit cut pattern, and its score is the
+    mean log-occupancy of its leaves across trees — points landing
+    in chronically EMPTY cells of random partitions are anomalies
+    (low density), the axis-aligned complement of
+    vec_mahalanobis_outliers' moment-based score (which misses
+    multi-modal structure; random cuts don't). Emits the {k}
+    lowest-density vectors.
+
+    Scale shape: cut patterns are row-local plan literals (the LSH
+    hyperplane discipline); per-tree leaf occupancy is a ≤2^{d}-key
+    aggregation; scoring re-joins the broadcast occupancy tables —
+    one scan + {t} tiny broadcast joins, no pairwise work, the
+    reason the oblivious form (same splits for all points at each
+    level) is the one that scales: data-dependent split points would
+    serialize the build.
+
+    Determinism: leaf ids are exact sign patterns on DOUBLE-cast
+    floats; occupancies are exact counts; per-tree ln terms round to
+    12 and sum as DECIMAL; the published density rounds to 9 with
+    vec_id tie-break."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    emb = F.col("embedding").cast("array<double>")
+    trees = _rc_splits()
+    leaf_exprs = []
+    for ti, splits in enumerate(trees):
+        bits = [
+            F.when(emb[d] < F.lit(t), F.lit("0")).otherwise(F.lit("1"))
+            for d, t in splits
+        ]
+        leaf_exprs.append(F.concat(*bits).alias(f"leaf{ti}"))
+    leaves = e.select("vec_id", *leaf_exprs).persist()
+    scored = leaves
+    score = None
+    for ti in range(len(trees)):
+        occ = leaves.groupBy(f"leaf{ti}").agg(
+            F.count(F.lit(1)).cast("long").alias(f"c{ti}")
+        )
+        scored = scored.join(F.broadcast(occ), f"leaf{ti}")
+        term = F.round(
+            F.log(F.col(f"c{ti}").cast("double")), 12
+        ).cast("decimal(38,18)")
+        score = term if score is None else score + term
+    out = scored.select(
+        "vec_id",
+        F.round(score.cast("double") / len(trees), 9).alias("density"),
+    )
+    wr = Window.orderBy("density", "vec_id")
+    return (
+        out.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _RC_TOPK)
+        .select("vec_id", "density", "rnk")
+    )
+
+
+vec_random_cut_density.__doc__ = vec_random_cut_density.__doc__.format(
+    t=_RC_TREES, d=_RC_DEPTH, k=_RC_TOPK
+)

@@ -4602,25 +4602,26 @@ def _rake_oracle() -> str:
              CAST(SUM(len - 1) AS BIGINT) AS degree
       FROM words GROUP BY term
     ),
+    occ AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phrases GROUP BY phrase
+    ),
     pscore AS (
       SELECT p.phrase,
-             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
              round(CAST(SUM(CAST(round(
                CAST(w.degree AS DOUBLE) / w.freq, 9)
-               AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS score
-      FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS t
-            FROM phrases) p
+               AS DECIMAL(38,18))) AS DOUBLE), 9) AS score
+      FROM (SELECT DISTINCT phrase FROM phrases) d,
+           LATERAL (SELECT d.phrase, unnest(string_split(d.phrase, ' '))
+                    AS t) p
       JOIN wstat w ON w.term = p.t
       GROUP BY p.phrase
     )
     SELECT phrase, n_occurrences, score, rnk FROM (
-      SELECT phrase, n_occurrences, score,
-             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase)
+      SELECT s.phrase, o.n_occurrences, s.score,
+             CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, s.phrase)
                   AS INT) AS rnk
-      FROM (SELECT phrase,
-                   CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences,
-                   score
-            FROM pscore GROUP BY phrase, score)
+      FROM pscore s JOIN occ o ON o.phrase = s.phrase
     ) WHERE rnk <= {_RAKE_TOPK}
     """
 
@@ -4632,7 +4633,8 @@ def ts_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands window trick: pos − row_number is constant within a run —
     no UDF, no iteration), each word scores degree/freq over the
     phrase corpus (degree = Σ (phrase_len − 1) co-occurrence), and a
-    phrase scores the SUM of its words' scores — the multi-word
+    DISTINCT phrase scores the SUM of its word-slot scores (the Rose
+    et al. formulation; occurrence counts report separately) — the multi-word
     counterpart of ts_textrank_terms' single-word centrality, and the
     standard cheap keyphrase baseline a curation pipeline runs before
     anything neural. Phrases cap at {ml} words (RAKE's own guard
@@ -4690,31 +4692,30 @@ def ts_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.col("len") - 1).cast("long").alias("degree"),
     )
-    pwords = phrases.select(
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pwords = phrases.select("phrase").distinct().select(
         "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("term")
     )
     pscore = (
         pwords.join(wstat, "term")
         .groupBy("phrase")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.round(
                 F.sum(
                     F.round(
                         F.col("degree").cast("double") / F.col("freq"), 9
                     ).cast("decimal(38,18)")
-                ).cast("double")
-                / F.count(F.lit(1)),
+                ).cast("double"),
                 9,
             ).alias("score"),
         )
     )
-    collapsed = pscore.groupBy("phrase", "score").agg(
-        F.sum("n_occurrences").cast("long").alias("n_occurrences")
-    )
     wr = Window.orderBy(F.desc("score"), F.asc("phrase"))
     return (
-        collapsed.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        pscore.join(occ, "phrase")
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= _RAKE_TOPK)
         .select("phrase", "n_occurrences", "score", "rnk")
     )

@@ -312,3 +312,298 @@ def test_serve_caps_bind_and_stay_oracle_exact(spark):
     assert uncapped > CAND_CAP  # candidate cap binding
 
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# First-principles replays for round-13 births (independent of DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _load_pd(table, sf=None):
+    import pyarrow.parquet as pq
+
+    from .conftest import SF_CHECK, SF_SMOKE
+
+    return pq.read_table(
+        f"{sf or SF_SMOKE}/{table}.parquet"
+    ).to_pandas()
+
+
+def test_xicor_and_spearman_match_numpy_replay(spark):
+    """Both rank statistics re-derived in numpy from the same parquet
+    with the same (value, key) tie-breaks."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    from .conftest import SF_CHECK
+
+    reg = load_all()
+    part = _load_pd("part", SF_CHECK)
+    import decimal
+
+    part = part.sort_values("p_partkey").reset_index(drop=True)
+    price = part["p_retailprice"].map(
+        lambda v: decimal.Decimal(str(round(v, 2)))
+    )
+    n = len(part)
+    # ranks with (value, key) tie-break
+    ry = (
+        part.assign(_p=price)
+        .sort_values(["_p", "p_partkey"])
+        .reset_index()
+        .reset_index()
+        .set_index("index")["level_0"]
+        .sort_index()
+        .to_numpy()
+        + 1
+    )
+    rx = (
+        part.sort_values(["p_size", "p_partkey"])
+        .reset_index()
+        .reset_index()
+        .set_index("index")["level_0"]
+        .sort_index()
+        .to_numpy()
+        + 1
+    )
+    order_x = np.lexsort((part["p_partkey"].to_numpy(), part["p_size"].to_numpy()))
+    seq = ry[order_x]
+    s = np.abs(np.diff(seq.astype(np.int64))).sum()
+    xi = round(1.0 - 3.0 * float(s) / (float(n) * n - 1.0), 9)
+    d2 = int(((rx.astype(np.int64) - ry.astype(np.int64)) ** 2).sum())
+    rho = round(1.0 - 6.0 * float(d2) / (float(n) * (float(n) * n - 1.0)), 9)
+
+    got_xi = reg["train_xicor"].fn(spark, SF_CHECK).collect()[0]
+    got_rho = reg["train_spearman_corr"].fn(spark, SF_CHECK).collect()[0]
+    assert got_xi["n"] == n and round(got_xi["xi"], 9) == xi
+    assert got_rho["n"] == n and round(got_rho["rho"], 9) == rho
+
+
+def test_fifo_allocation_invariants(spark):
+    """Structural FIFO contract on the real output: funded slices
+    never exceed prices, per-customer funded total never exceeds the
+    budget, and funded+unfunded reconstructs the customer's order
+    total exactly."""
+    import decimal
+
+    from fuzzy_item_matching_spark.queries import load_all
+
+    from .conftest import SF_CHECK
+
+    reg = load_all()
+    out = {
+        r.cust: r
+        for r in reg["rel_fifo_allocation"].fn(spark, SF_CHECK).collect()
+    }
+    assert out  # some customers must be underfunded at sf0.01
+    cust = _load_pd("customer", SF_CHECK).set_index("c_custkey")
+    orders = _load_pd("orders", SF_CHECK)
+    D = lambda v: decimal.Decimal(str(round(v, 2)))  # noqa: E731
+    for c, r in list(out.items())[:200]:
+        bal = max(D(float(cust.loc[c, "c_acctbal"])), decimal.Decimal(0))
+        mine = orders[orders["o_custkey"] == c]
+        total = sum((D(v) for v in mine["o_totalprice"]), decimal.Decimal(0))
+        funded = D(r.funded_total)
+        unfunded = D(r.unfunded_total)
+        assert funded + unfunded == total
+        assert funded <= bal
+        assert r.n_orders == len(mine)
+        assert 0 <= r.fully_funded <= r.n_orders
+
+
+def test_theil_decomposition_identity(spark):
+    """Theil-T is exactly decomposable: total = within + between (up
+    to the documented 12-digit term rounding)."""
+    from fuzzy_item_matching_spark.queries import load_all
+
+    from .conftest import SF_CHECK
+
+    reg = load_all()
+    r = reg["rel_theil_decomposition"].fn(spark, SF_CHECK).collect()[0]
+    assert r.theil_total > 0
+    assert abs(r.theil_total - (r.theil_within + r.theil_between)) < 1e-6
+    assert r.theil_within > 0 and r.theil_between >= 0
+
+
+def test_adamic_adar_matches_python_replay(spark):
+    """Top-50 AA pairs re-derived in pure python from the same
+    parquet: basket cap, adjacency cap, degree weighting, rounding
+    and tie-breaks all replayed."""
+    import decimal
+    import math
+    from collections import defaultdict
+
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.queries.analytics import (
+        _AA_ADJ_CAP,
+        _AA_TOPK,
+        _BASKET_CAP,
+    )
+
+    from .conftest import SF_CHECK
+
+    reg = load_all()
+    got = [
+        (r.part_a, r.part_b, r.common_neighbors, round(r.adamic_adar, 9))
+        for r in reg["rel_adamic_adar"].fn(spark, SF_CHECK).collect()
+    ]
+    li = _load_pd("lineitem", SF_CHECK)
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    g = set()
+    for ps in baskets.values():
+        kept = sorted(ps)[:_BASKET_CAP]
+        for x in kept:
+            for y in kept:
+                if x != y:
+                    g.add((x, y))
+    adj = defaultdict(list)
+    for s, d in sorted(g):
+        adj[s].append(d)
+    deg = {v: len(ds) for v, ds in adj.items()}
+    capped = {v: ds[:_AA_ADJ_CAP] for v, ds in adj.items()}
+    pairs = defaultdict(lambda: [decimal.Decimal(0), 0])
+    for u in capped:
+        for v in capped[u]:
+            for w in capped.get(v, ()):
+                if u < w and (u, w) not in g:
+                    acc = pairs[(u, w)]
+                    acc[0] += decimal.Decimal(
+                        str(round(1.0 / math.log(deg[v]), 12))
+                    )
+                    acc[1] += 1
+    ranked = sorted(
+        ((aa, cn, u, w) for (u, w), (aa, cn) in pairs.items()),
+        key=lambda t: (-t[0], t[2], t[3]),
+    )[:_AA_TOPK]
+    want = [(u, w, cn, round(float(aa), 9)) for aa, cn, u, w in ranked]
+    assert got == want
+
+
+def test_rake_matches_python_replay(spark):
+    """RAKE phrases + scores re-derived in pure python from the same
+    corpus (stopword segmentation, degree/freq word stats, per-phrase
+    rounded-term sums, final ranking)."""
+    import decimal
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from fuzzy_item_matching_spark.functions.text import ENGLISH_STOPWORDS
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _RAKE_MAXLEN,
+        _RAKE_TOPK,
+    )
+
+    reg = load_all()
+    got = [
+        (r.phrase, r.n_occurrences, round(r.score, 9), r.rnk)
+        for r in reg["ts_rake_keyphrases"].fn(spark, SF_SMOKE).collect()
+    ]
+    docs = _load_pd("documents")
+    stop = set(ENGLISH_STOPWORDS)
+    phrases = []  # (phrase, words)
+    for text in docs["text"].fillna(""):
+        toks = [
+            t for t in _re.split(r"[^\w\d]", text.lower()) if len(t) >= 1
+        ]
+        run = []
+        for t in toks + [None]:
+            if t is None or t in stop:
+                if run and len(run) <= _RAKE_MAXLEN:
+                    phrases.append((" ".join(run), list(run)))
+                run = []
+            else:
+                run.append(t)
+    freq, degree = Counter(), Counter()
+    for _, words in phrases:
+        for w in words:
+            freq[w] += 1
+            degree[w] += len(words) - 1
+    # score per DISTINCT phrase = sum of its word-slot scores
+    occ = Counter(p for p, _ in phrases)
+    scored = {}
+    for p, words in {p: w for p, w in phrases}.items():
+        acc = decimal.Decimal(0)
+        for w in words:
+            acc += decimal.Decimal(str(round(degree[w] / freq[w], 9)))
+        scored[p] = round(float(acc), 9)
+    ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_RAKE_TOPK
+    ]
+    want = [
+        (p, occ[p], s, i + 1) for i, (p, s) in enumerate(ranked)
+    ]
+    assert got == want
+
+
+def test_boilerplate_census_matches_python_replay(spark):
+    """5-gram cross-document census replayed in pure python."""
+    import re as _re
+    from collections import Counter
+
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.queries.textstats import (
+        _BP_MIN_DOCS,
+        _BP_N,
+        _BP_TOPK,
+    )
+
+    reg = load_all()
+    got = [
+        (r.ngram, r.doc_freq, r.rnk)
+        for r in reg["ts_boilerplate_ngrams"].fn(spark, SF_SMOKE).collect()
+    ]
+    docs = _load_pd("documents")
+    df = Counter()
+    for text in docs["text"].fillna(""):
+        toks = [
+            t for t in _re.split(r"[^\w\d]", text.lower()) if len(t) >= 1
+        ]
+        grams = {
+            " ".join(toks[i : i + _BP_N])
+            for i in range(len(toks) - _BP_N + 1)
+        }
+        df.update(grams)
+    census = [(g, c) for g, c in df.items() if c >= _BP_MIN_DOCS]
+    ranked = sorted(census, key=lambda t: (-t[1], t[0]))[:_BP_TOPK]
+    want = [(g, c, i + 1) for i, (g, c) in enumerate(ranked)]
+    assert got == want
+
+
+def test_coverage_greedy_matches_python_replay(spark):
+    """Greedy bigram max-coverage picks replayed in pure python
+    (gain, tie-break, covered-set evolution)."""
+    import re as _re
+
+    from fuzzy_item_matching_spark.queries import load_all
+    from fuzzy_item_matching_spark.queries.textstats import _COV_ROUNDS
+
+    reg = load_all()
+    got = [
+        (r["round"], r.doc_id, r.gain, r.covered_terms)
+        for r in sorted(
+            reg["ts_coverage_greedy"].fn(spark, SF_SMOKE).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    docs = _load_pd("documents")
+    post = {}
+    for did, text in zip(docs["doc_id"], docs["text"].fillna("")):
+        toks = [
+            t for t in _re.split(r"[^\w\d]", text.lower()) if len(t) >= 1
+        ]
+        post[did] = {
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        }
+    covered = set()
+    want = []
+    for rnd in range(1, _COV_ROUNDS + 1):
+        best = None
+        for did in sorted(post):
+            gain = len(post[did] - covered)
+            if best is None or gain > best[1]:
+                best = (did, gain)
+        covered |= post[best[0]]
+        want.append((rnd, best[0], best[1], len(covered)))
+    assert got == want

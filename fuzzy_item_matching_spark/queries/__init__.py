@@ -142,6 +142,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_theil_decomposition",  # r13 birth: within/between inequality
     "ts_boilerplate_ngrams",  # r13 birth: boilerplate removal census
     # ^ budget math: 19 spill + 3 re-proofs + 28 births = 50 slots.
+    #   Late r13 refactor note (impact map, scripts/impact_map.py
+    #   _copurchase_graph): the co-purchase graph became a
+    #   build-once scratch-parquet table. Its five consumers were all
+    #   judge-simmed exact post-refactor; two (rel_adamic_adar,
+    #   rel_bfs_distances) sit in this prefix so the driver
+    #   re-proves the shared table directly, and the three demoted
+    #   consumers (LPA/PPR/k-core, all r12 driver-green) read the
+    #   same table through the same code path — the dependency-graph
+    #   re-proof argument the impact map exists to make.
     # -- demoted by the r13 rotation: the entire r12 prefix, all 50
     #    exact in CORRECTNESS_r12.json (first zero-rows-only prefix):
     "rel_recursive_closure",  # r12

@@ -192,6 +192,40 @@ HEADLINE_EXTRA = {
     "train_gboost_poisson",
     "dedup_incremental_winnowing",
     "rel_ppr_parts",
+    # r14 (VERDICT r13 ask #1): the single-pass tail audited by
+    # cold_delta and by the r14-record heavy-tail sweep. serve_als_foldin
+    # (7.4 s single-pass / 1.8 s warm) and train_rf_oob_eval (6.1 s /
+    # 1.2 s warm) pay their family fit memo cold on every 1-pass run —
+    # exactly the false-regression mode the r10 gboost precedent above
+    # documents — plus every other >=2 s single-pass row from the r14
+    # record so min-of-N noise suppression covers the whole heavy set.
+    "serve_als_foldin",
+    "train_rf_oob_eval",
+    "sim_maxscore_topk",
+    "rel_holt_forecast",
+    "rel_markov_removal_attribution",
+    "dedup_containment_pairs",
+    "rel_kcore_parts",
+    "train_quantile_gd",
+    "ts_filter_agreement",
+    "rel_hits_scores",
+    "sim_maxsim_topk",
+    "train_successive_halving",
+    # r14 rotation demotions: the r14 prefix retires the 34 oldest
+    # driver proofs, so the r12-spill/r13-birth rows leave the 50-slot
+    # prefix tier; these measured >= ~1.8 s (or share a fit memo:
+    # train_rf_stumps) and keep min-of-N.
+    "vec_pca_deflation",
+    "ts_coverage_greedy",
+    "rel_adamic_adar",
+    "ts_textrank_terms",
+    "train_bradley_terry_gd",
+    "rel_bfs_distances",
+    "train_km_survival",
+    "train_huber_gd",
+    "ts_rake_keyphrases",
+    "vec_kcenter_init",
+    "train_rf_stumps",
 }
 
 
@@ -367,8 +401,30 @@ def main() -> None:
         # line stays THIS run's result (the driver captures it).
         path = os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json")
         record = json.loads(payload)
-        record["protocol"] = "min-of-runs merge (r13); stdout = last run"
+        record["protocol"] = (
+            "min-of-runs merge (r14): same-commit runs only, failures "
+            "sticky; stdout = last run"
+        )
         record["merged_runs"] = 1
+        # r14 (ADVICE): stamp each run with its commit so minima are
+        # only merged across runs of the SAME code state — a mid-round
+        # refactor otherwise produces a headline total corresponding to
+        # no single commit (the r13 graph-table fold did exactly that).
+        try:
+            import subprocess
+
+            record["commit"] = (
+                subprocess.run(
+                    ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                )
+                .stdout.strip()
+                or "unknown"
+            )
+        except Exception:  # noqa: BLE001 — stamping is best-effort
+            record["commit"] = "unknown"
         try:
             with open(path) as fh:
                 prev = json.load(fh)
@@ -378,11 +434,17 @@ def main() -> None:
             prev
             and prev.get("sf") == record["sf"]
             and set(prev.get("queries", {})) == set(record["queries"])
+            and prev.get("commit") == record["commit"]
         ):
+            # Failures are STICKY (ADVICE r13): if the LATEST run fails
+            # a query, the merged record reports the failure — an old
+            # passing minimum must not mask code that now fails.
             merged = {
-                q: min(t, prev["queries"][q])
-                if t >= 0 and prev["queries"][q] >= 0
-                else max(t, prev["queries"][q])
+                q: (
+                    -1.0
+                    if t < 0
+                    else (t if prev["queries"][q] < 0 else min(t, prev["queries"][q]))
+                )
                 for q, t in record["queries"].items()
             }
             record["queries"] = merged

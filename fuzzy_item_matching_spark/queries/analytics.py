@@ -563,7 +563,27 @@ def _copurchase_graph(
 
     from fuzzy_item_matching_spark.queries.sources import SCRATCH
 
-    tag = hashlib.md5(f"{sf_dir}|{_BASKET_CAP}".encode()).hexdigest()[:12]
+    # Source-data fingerprint (r14, ADVICE fix): the tag folds in the
+    # lineitem parquet's (mtime, size) so a harness that regenerates
+    # the data under sf_dir in-process (the skew/scaling chain does)
+    # gets a fresh graph table instead of silently reading the stale
+    # one keyed only on the path string.
+    src_fp = ""
+    try:
+        lp_dir = _os.path.join(sf_dir, "lineitem.parquet")
+        st = _os.stat(lp_dir)
+        src_fp = f"|{int(st.st_mtime_ns)}|{st.st_size}"
+        if _os.path.isdir(lp_dir):
+            parts = sorted(_os.listdir(lp_dir))
+            src_fp += f"|{len(parts)}"
+            for p in parts[:4] + parts[-4:]:
+                ps = _os.stat(_os.path.join(lp_dir, p))
+                src_fp += f"|{int(ps.st_mtime_ns)}:{ps.st_size}"
+    except OSError:
+        pass
+    tag = hashlib.md5(
+        f"{sf_dir}|{_BASKET_CAP}{src_fp}".encode()
+    ).hexdigest()[:12]
     lp = _os.path.join(SCRATCH, f"copurchase_lines_{tag}")
     ep = _os.path.join(SCRATCH, f"copurchase_edges_{tag}")
     if ep not in _COPURCHASE_WRITTEN:

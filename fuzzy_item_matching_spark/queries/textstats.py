@@ -4647,9 +4647,10 @@ def ts_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ever pairwise.
 
     Determinism: counts exact; per-word scores are single IEEE
-    divisions rounded to 9 then DECIMAL-summed per phrase; the final
-    mean-per-occurrence rounds to 9 and ties break on the phrase
-    string."""
+    divisions rounded to 9 then DECIMAL-summed per phrase; the phrase
+    score IS that rounded-term DECIMAL sum (cast back to DOUBLE and
+    rounded to 9 — occurrences report as their own column, they never
+    divide the score), and ties break on the phrase string."""
     from fuzzy_item_matching_spark.functions.text import (
         ENGLISH_STOPWORDS,
         regex_tokenize,

@@ -1181,7 +1181,15 @@ vec_rff_features.__doc__ = vec_rff_features.__doc__.format(
 _GD_H = 0.1
 _GD_MINPTS = 4
 _GD_ROUNDS = 3
-_GD_OFF = 100  # offset making cell coordinates non-negative for keys
+# Collision-free cell-key packing (r14, ADVICE fix): key = cx * 2^32 +
+# (cy + 2^31). Injective for any cx in (−2^31, 2^31) and cy in
+# [−2^31, 2^31) — i.e. coordinates within ±2×10^8 at h=0.1, far beyond
+# any finite float32 embedding this engine ingests (the r13 packing
+# (cx+100)*1000+cy+100 silently merged unrelated cells for any
+# coordinate beyond ±~10, identically in both engines, so the oracle
+# could not catch it).
+_GD_MUL = 4_294_967_296  # 2^32
+_GD_OFF = 2_147_483_648  # 2^31
 
 
 def _grid_density_oracle() -> str:
@@ -1194,7 +1202,7 @@ def _grid_density_oracle() -> str:
       GROUP BY 1, 2
     ),
     core AS (
-      SELECT cx, cy, n, (cx + {_GD_OFF}) * 1000 + cy + {_GD_OFF} AS key
+      SELECT cx, cy, n, cx * {_GD_MUL} + cy + {_GD_OFF} AS key
       FROM cells WHERE n >= {_GD_MINPTS}
     ),
     adj AS (
@@ -1269,7 +1277,9 @@ def vec_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cx",
         "cy",
         "n",
-        ((F.col("cx") + _GD_OFF) * 1000 + F.col("cy") + _GD_OFF).alias("key"),
+        (F.col("cx") * F.lit(_GD_MUL) + F.col("cy") + F.lit(_GD_OFF)).alias(
+            "key"
+        ),
     ).persist()
     a, b = core.alias("a"), core.alias("b")
     adj = a.join(

@@ -63,84 +63,116 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_registry_order.py asserts the invariants.
 CHECK_PRIORITY: tuple[str, ...] = (
     # =================================================================
-    # r13 rotation — executes the committed r13 prefix (r12 VERDICT
-    # ask #1): the NINETEEN named spill rows of the r12 ledger (the
-    # session-2 births past r12's 50-slot budget; the r12 ledger
-    # comment undercounted them as 14 — five late births were appended
-    # after it was written, and this rotation restates the arithmetic
-    # correctly: 19 spill rows, not 14) head the prefix verbatim in
-    # ledger order — this re-zeroes the never-driver-checked backlog.
-    # They are followed by the queries whose operators round 13
-    # refactors (query-directed multi-probe in operators/lsh.py, the
-    # shared-corpus bench attribution work): each re-proof slot makes
-    # the post-refactor result driver-durable. Round-13 births are
-    # inserted after the re-verification block as they land. Budget
-    # math: 19 spill + re-proofs + births = 50. The entire r12 prefix
-    # (50/50 exact in CORRECTNESS_r12.json — the first perfect
-    # prefix) demotes below.
-    #
-    # Every demoted name is annotated with the round of its newest
-    # driver-green CORRECTNESS row (never demoted to failure since).
-    # Per-slot prose history for rounds 2-12 lives in git:
-    # queries/__init__.py @ ef80752 (r12), 4a17023 (r11), 5c59726
-    # (r10), 8f43f14 and earlier.
+    # r14 rotation — retires driver-proof STALENESS (r13 VERDICT ask
+    # #2): with zero spill last round, the 50 slots go to (a) the 34
+    # queries whose newest driver-exact row is 9-11 rounds old — all 16
+    # r2-era rows and all 18 r4-era rows, the oldest proofs in the
+    # registry (every other registered query's newest driver row is r5
+    # or later) — and (b) the round-14 births, inserted as they land.
+    # Budget math: 34 staleness-retirement rows + 16 births = 50.
+    # The entire r13 prefix (50/50 exact in CORRECTNESS_r13.json, the
+    # second consecutive zero-rows-only zero-failure prefix) demotes
+    # below. Every demoted name is annotated with the round of its
+    # newest driver-green CORRECTNESS row. Per-slot prose history for
+    # rounds 2-13 lives in git: queries/__init__.py @ 465a8e4 (r13),
+    # ef80752 (r12), 4a17023 (r11), 5c59726 (r10), 8f43f14 and earlier.
     # =================================================================
-    # -- the 19 spill rows (r12 ledger order preserved verbatim; every
-    #    one judge-simmed exact in the r12 session AND carrying a
-    #    first-principles replay test in tests/test_round12_ops.py):
-    "train_rf_stumps",  # r12 spill: model-table twin of rf_oob_eval
-    "train_km_survival",  # r12 spill: Kaplan-Meier shared recursion
-    "ts_textrank_terms",  # r12 spill: TextRank (PageRank discipline)
-    "rel_markov_stationary",  # r12 spill: stationary journey distribution
-    "vec_kcenter_init",  # r12 spill: greedy k-center seeding
-    "vec_pca_deflation",  # r12 spill: rank-2 PCA, Hotelling deflation
-    "rel_bitmap_overlap",  # r12 spill: bitmap-index audience overlap
-    "rel_skyline_parts",  # r12 spill: 2-D skyline frontier sweep
-    "text_phonetic_blocking",  # r12 spill: consonant-skeleton blocking
-    "ts_good_turing",  # r12 spill: Good-Turing smoothing
-    "train_pit_features",  # r12 spill: leakage-free point-in-time features
-    "ts_js_divergence",  # r12 spill: Jensen-Shannon source divergence
-    "train_dp_noisy_counts",  # r12 spill: Laplace noisy count release
-    "train_uncertainty_batch",  # r12 spill: uncertainty-sampling batch
-    "train_cost_threshold",  # r12 spill: cost-sensitive ROC threshold
-    "ts_burrows_delta",  # r12 spill: Burrows' Delta stylometry
-    "train_decile_lift",  # r12 spill: decile lift/gains chart
-    "rel_abc_classes",  # r12 spill: ABC/Pareto revenue classes
-    "src_file_metadata",  # r12 spill: hidden _metadata lineage audit
+    # -- the 16 r2-era proofs (newest driver-exact row: CORRECTNESS_r02):
+    "rel_union_distinct_nations",  # was r2
+    "rel_segment_distinct_parts",  # was r2
+    "rel_case_buckets",  # was r2
+    "rel_pricing_summary",  # was r2
+    "rel_top_parts_per_brand",  # was r2
+    "rel_region_rollup",  # was r2
+    "rel_customers_without_orders",  # was r2
+    "rel_customers_with_open_orders",  # was r2
+    "rel_intersect_segments",  # was r2
+    "rel_except_segments",  # was r2
+    "rel_cube_summary",  # was r2
+    "rel_pivot_status_priority",  # was r2
+    "rel_range_join_bands",  # was r2
+    "mm_binary_meta",  # was r2
+    "mm_frame_sample",  # was r2
+    "sim_exact_sqdist_pairs",  # was r2
+    # -- the 18 r4-era proofs (newest driver-exact row: CORRECTNESS_r04):
+    "text_tokens",  # was r4
+    "ts_lang_id",  # was r4
+    "src_parquet_write_read",  # was r4
+    "rel_expr_join_scoring",  # was r4
+    "text_stop_filtered",  # was r4
+    "vec_l2_norm",  # was r4
+    "rel_order_lines_collect",  # was r4
+    "rel_events_hourly",  # was r4
+    "rel_sql_entrypoint",  # was r4
+    "ts_token_counts",  # was r4
+    "stream_user_value_totals",  # was r4
+    "text_char_3grams",  # was r4
+    "text_word_2grams",  # was r4
+    "serve_merge_upsert",  # was r4
+    "sim_fuzzy_doc_pairs",  # was r4
+    "rel_price_clean_cast",  # was r4
+    "vec_label_pair_stats",  # was r4
+    "dedup_embedding_exact_pairs",  # was r4
+    # -- r14 births are inserted here as they land:
+    "train_kendall_tau",  # r14 birth: tau-b over bounded contingency
+    "train_mann_whitney",  # r14 birth: tie-corrected rank-sum test
+    "train_wilcoxon_signed_rank",  # r14 birth: paired signed-rank test
+    "train_cramers_v",  # r14 birth: categorical chi2 association
+    # -- demoted by the r14 rotation: the entire r13 prefix, all 50
+    #    exact in CORRECTNESS_r13.json:
+    "train_rf_stumps",  # r13
+    "train_km_survival",  # r13
+    "ts_textrank_terms",  # r13
+    "rel_markov_stationary",  # r13
+    "vec_kcenter_init",  # r13
+    "vec_pca_deflation",  # r13
+    "rel_bitmap_overlap",  # r13
+    "rel_skyline_parts",  # r13
+    "text_phonetic_blocking",  # r13
+    "ts_good_turing",  # r13
+    "train_pit_features",  # r13
+    "ts_js_divergence",  # r13
+    "train_dp_noisy_counts",  # r13
+    "train_uncertainty_batch",  # r13
+    "train_cost_threshold",  # r13
+    "ts_burrows_delta",  # r13
+    "train_decile_lift",  # r13
+    "rel_abc_classes",  # r13
+    "src_file_metadata",  # r13
     # -- r13 re-verification: consumers of this round's operator
     #    refactors — prior green row noted:
-    "sim_ann_multiprobe_lsh",  # was r12; r13 query-directed-probe re-proof
-    "sim_ann_lsh_topk",  # was r7; consumes refactored sign_bucket_frame
-    "sim_ann_graph_expand",  # was r12; consumes refactored sign_bucket_frame
+    "sim_ann_multiprobe_lsh",  # r13
+    "sim_ann_lsh_topk",  # r13
+    "sim_ann_graph_expand",  # r13
     # -- r13 births are inserted here as they land:
-    "rel_adamic_adar",  # r13 birth: Adamic-Adar link prediction
-    "rel_bfs_distances",  # r13 birth: bounded BFS hub distance rings
-    "rel_benford_audit",  # r13 birth: first-digit forensic audit
-    "rel_gini_concentration",  # r13 birth: revenue Gini index
-    "rel_fifo_allocation",  # r13 birth: FIFO budget allocation windows
-    "rel_seq_patterns",  # r13 birth: happens-before pattern support
-    "train_linear_shap",  # r13 birth: exact linear SHAP attribution
-    "train_mcnemar",  # r13 birth: paired model-comparison test
-    "train_brier_decomposition",  # r13 birth: Murphy calibration split
-    "train_woe_encoding",  # r13 birth: weight-of-evidence + IV
-    "train_ridge_normal_eq",  # r13 birth: closed-form ridge, exact Gram
-    "train_huber_gd",  # r13 birth: robust Huber-loss GD
-    "train_bradley_terry_gd",  # r13 birth: preference-model GD (RLHF core)
-    "train_ipw_ate",  # r13 birth: stratified IPW treatment effect
-    "ts_rake_keyphrases",  # r13 birth: RAKE phrase extraction
-    "ts_coverage_greedy",  # r13 birth: greedy max-coverage selection
-    "ts_vocab_coverage_curve",  # r13 birth: vocab budget coverage
-    "ts_stolcke_prune",  # r13 birth: entropy LM pruning
-    "vec_rff_features",  # r13 birth: random Fourier kernel features
-    "vec_grid_density_clusters",  # r13 birth: DBSCAN-lite cell density
-    "vec_mahalanobis_outliers",  # r13 birth: diagonal Mahalanobis audit
-    "train_xicor",  # r13 birth: Chatterjee xi dependence
-    "train_spearman_corr",  # r13 birth: Spearman rank correlation
-    "train_temperature_scaling",  # r13 birth: 1-param calibration GD
-    "train_cohen_kappa",  # r13 birth: chance-corrected filter agreement
-    "vec_random_cut_density",  # r13 birth: oblivious iForest density
-    "rel_theil_decomposition",  # r13 birth: within/between inequality
-    "ts_boilerplate_ngrams",  # r13 birth: boilerplate removal census
+    "rel_adamic_adar",  # r13
+    "rel_bfs_distances",  # r13
+    "rel_benford_audit",  # r13
+    "rel_gini_concentration",  # r13
+    "rel_fifo_allocation",  # r13
+    "rel_seq_patterns",  # r13
+    "train_linear_shap",  # r13
+    "train_mcnemar",  # r13
+    "train_brier_decomposition",  # r13
+    "train_woe_encoding",  # r13
+    "train_ridge_normal_eq",  # r13
+    "train_huber_gd",  # r13
+    "train_bradley_terry_gd",  # r13
+    "train_ipw_ate",  # r13
+    "ts_rake_keyphrases",  # r13
+    "ts_coverage_greedy",  # r13
+    "ts_vocab_coverage_curve",  # r13
+    "ts_stolcke_prune",  # r13
+    "vec_rff_features",  # r13
+    "vec_grid_density_clusters",  # r13
+    "vec_mahalanobis_outliers",  # r13
+    "train_xicor",  # r13
+    "train_spearman_corr",  # r13
+    "train_temperature_scaling",  # r13
+    "train_cohen_kappa",  # r13
+    "vec_random_cut_density",  # r13
+    "rel_theil_decomposition",  # r13
+    "ts_boilerplate_ngrams",  # r13
     # ^ budget math: 19 spill + 3 re-proofs + 28 births = 50 slots.
     #   Late r13 refactor note (impact map, scripts/impact_map.py
     #   _copurchase_graph): the co-purchase graph became a
@@ -411,42 +443,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_fingerprint",  # r06
     "text_hashed_tf",  # r05
     "train_grid_search",  # r05
-    "text_tokens",  # r04
-    "ts_lang_id",  # r04
-    "rel_union_distinct_nations",  # r02
-    "src_parquet_write_read",  # r04
-    "rel_expr_join_scoring",  # r04
     "text_levenshtein_pairs",  # r05
     "vec_int8_topk",  # r05
-    "text_stop_filtered",  # r04
-    "vec_l2_norm",  # r04
-    "rel_order_lines_collect",  # r04
-    "rel_segment_distinct_parts",  # r02
-    "rel_events_hourly",  # r04
-    "rel_sql_entrypoint",  # r04
-    "ts_token_counts",  # r04
-    "stream_user_value_totals",  # r04
-    "text_char_3grams",  # r04
-    "text_word_2grams",  # r04
-    "serve_merge_upsert",  # r04
-    "sim_fuzzy_doc_pairs",  # r04
-    "rel_case_buckets",  # r02
-    "rel_pricing_summary",  # r02
-    "rel_top_parts_per_brand",  # r02
-    "rel_region_rollup",  # r02
-    "rel_customers_without_orders",  # r02
-    "rel_customers_with_open_orders",  # r02
-    "rel_intersect_segments",  # r02
-    "rel_except_segments",  # r02
-    "rel_cube_summary",  # r02
-    "rel_pivot_status_priority",  # r02
-    "rel_range_join_bands",  # r02
-    "mm_binary_meta",  # r02
-    "mm_frame_sample",  # r02
-    "sim_exact_sqdist_pairs",  # r02
-    "rel_price_clean_cast",  # r04
-    "vec_label_pair_stats",  # r04
-    "dedup_embedding_exact_pairs",  # r04
     # -- global tail: the four rows-only-by-design queries (docs/
     #    VERIFICATION.md §3) — weaker check at any position, so they
     #    never displace an oracle-bearing row:

@@ -7581,3 +7581,450 @@ def train_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_cohen_kappa.__doc__ = train_cohen_kappa.__doc__.format(
     mt=_KAPPA_MIN_TOKENS, ttr=_KAPPA_MIN_TTR
 )
+
+
+# ---------------------------------------------------------------------------
+# Rank / association statistics — r14 births
+# ---------------------------------------------------------------------------
+
+_KT_BUCKET = 10.0  # retail-price bucket width (testdata prices span [900, 1000))
+
+
+@query(
+    "train_kendall_tau",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(p_size AS INT) AS x,
+             CAST(floor(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)
+                        / {_KT_BUCKET!r}) AS INT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM part GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    tx AS (
+      SELECT CAST(SUM(CAST(t * (t - 1) / 2 AS BIGINT)) AS BIGINT) AS n1
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(CAST(t * (t - 1) / 2 AS BIGINT)) AS BIGINT) AS n2
+      FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)
+    ),
+    cd AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+             AS BIGINT) AS concordant,
+        CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+             AS BIGINT) AS discordant
+      FROM cells a JOIN cells b ON a.x < b.x
+    )
+    SELECT n, concordant, discordant,
+           round(CAST(concordant - discordant AS DOUBLE) /
+                 sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+                      * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 9) AS tau_b
+    FROM tot, tx, ty, cd
+    """,
+)
+def train_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between part size and retail-price bucket —
+    the third leg of the dependence family (Spearman: monotone rank
+    correlation; xi: general dependence; tau: concordant-vs-
+    discordant PAIR agreement, the statistic behind rank-based
+    feature screening). Computed over the CONTINGENCY TABLE, not raw
+    pairs: aggregate (size, price-bucket) to cells with counts, then
+    C = Σ n_i·n_j over strictly-increasing cell pairs and D over
+    strictly-decreasing ones, with tau-b's tie corrections n1/n2
+    from the marginals — O(cells²) instead of O(rows²), and the cell
+    domain is FIXED (size × fixed-width price buckets), so the pair
+    join is bounded at any corpus scale while the only input-sized
+    pass is one map-side-combinable count.
+
+    Determinism: every count is exact BIGINT (cell products stay
+    far inside 64 bits at tested scales; the DECIMAL(38,0) upgrade
+    is mechanical if cells ever hold >2^26 rows each); the single
+    final division rounds to 9. Bucket ids are floor on a DOUBLE
+    cast from DECIMAL(18,2) — exact at representable boundaries,
+    identical in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    cells = (
+        p.select(
+            F.col("p_size").cast("int").alias("x"),
+            F.floor(
+                F.col("p_retailprice").cast("decimal(18,2)").cast("double")
+                / F.lit(_KT_BUCKET)
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    half = lambda t: (t * (t - F.lit(1)) / F.lit(2)).cast("long")  # noqa: E731
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(F.sum(half(F.col("t"))).cast("long").alias("n1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(F.sum(half(F.col("t"))).cast("long").alias("n2"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.y") < F.col("b.y"), F.col("a.c") * F.col("b.c")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.y") > F.col("b.y"), F.col("a.c") * F.col("b.c")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    n = F.col("n").cast("double")
+    n0 = n * (F.col("n") - F.lit(1)) / F.lit(2.0)
+    return (
+        tot.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "n",
+            "concordant",
+            "discordant",
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                9,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "train_mann_whitney",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             SUM(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (c1 + c2) AS before_
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c1 * (before_ + (c + 1) / 2.0)
+                           AS DECIMAL(38,1))) AS DOUBLE) AS r1,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n1, n2,
+           round(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 9) AS u1,
+           round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+                 9) AS z
+    FROM agg
+    """,
+)
+def train_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test between the even- and odd-key
+    order populations over total price — the distribution-free "are
+    these two samples from the same distribution" check a pipeline
+    runs when a drift monitor (train_drift_stats) fires, robust where
+    the t-test's normality assumption fails. Average ranks with full
+    tie correction: aggregate to DISTINCT price values with per-group
+    counts, one cumulative window assigns each value its average rank
+    before_ + (c+1)/2, U1 = R1 − n1(n1+1)/2, and z uses the
+    tie-corrected variance n1·n2/12·((n+1) − Σ(c³−c)/(n(n−1))).
+
+    Scale shape: one map-side-combinable distinct-value agg (the only
+    input-sized pass), then windows over price GROUPS — the same
+    honest bound as train_roc_auc, range-bucketable at 100 TB.
+
+    Determinism: counts exact; average ranks are .0/.5-valued
+    doubles, so c1·rank sums exactly as DECIMAL(38,1); the final two
+    statistics each round to 9."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = (
+        o.select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            (F.col("o_orderkey") % 2).alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c1") + F.col("c2")
+    ranked = vals.select(
+        "c1",
+        "c2",
+        c.alias("c"),
+        (F.sum(c).over(w) - c).alias("before_"),
+    )
+    avgrank = F.col("before_") + (F.col("c") + F.lit(1)) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum((F.col("c1") * avgrank).cast("decimal(38,1)"))
+        .cast("double")
+        .alias("r1"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = F.col("r1") - n1d * (F.col("n1") + F.lit(1)) / F.lit(2.0)
+    sig2 = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 9).alias("u1"),
+        F.round((u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(sig2), 9).alias("z"),
+    )
+
+
+@query(
+    "train_wilcoxon_signed_rank",
+    oracle="""
+    WITH paired AS (
+      SELECT o_custkey,
+             CAST(COALESCE(SUM(CASE WHEN o_orderkey % 2 = 0
+                                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                               END), 0) AS DECIMAL(18,2))
+             - CAST(COALESCE(SUM(CASE WHEN o_orderkey % 2 = 1
+                                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                 END), 0) AS DECIMAL(18,2)) AS d
+      FROM orders GROUP BY 1
+    ),
+    vals AS (
+      SELECT abs(d) AS ad,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM paired WHERE d <> 0 GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cpos, c,
+             SUM(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS before_
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(cpos * (before_ + (c + 1) / 2.0)
+                           AS DECIMAL(38,1))) AS DOUBLE) AS w_plus,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n, round(w_plus, 9) AS w_plus,
+           round((w_plus - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                        - CAST(tie3 AS DOUBLE) / 48.0), 9) AS z
+    FROM agg
+    """,
+)
+def train_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-customer measurements:
+    each customer's even-key order spend vs odd-key order spend
+    (absent side ⇒ exact 0.00), zero differences dropped per the
+    classic procedure — the paired companion to train_mann_whitney's
+    two-sample test and the standard nonparametric check for "did the
+    same population shift" (A/A-style validation, before/after
+    comparisons). Average ranks over DISTINCT |d| with the cumulative
+    window trick; W+ sums the positive-difference ranks; z uses the
+    tie-corrected variance n(n+1)(2n+1)/24 − Σ(c³−c)/48.
+
+    Scale shape: one keyed customer agg (input-sized,
+    map-side-combinable), one distinct-|d| agg, windows over |d|
+    GROUPS (range-bucketable). Determinism: differences are exact
+    DECIMAL(18,2); ranks are .0/.5 doubles summing exactly as
+    DECIMAL(38,1); two final rounds to 9."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    paired = (
+        o.groupBy("o_custkey")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("o_orderkey") % 2 == 0, price)),
+                    F.lit(0),
+                ).cast("decimal(18,2)")
+                - F.coalesce(
+                    F.sum(F.when(F.col("o_orderkey") % 2 == 1, price)),
+                    F.lit(0),
+                ).cast("decimal(18,2)")
+            ).alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    vals = paired.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cpos"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.select(
+        "cpos",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("before_"),
+    )
+    avgrank = F.col("before_") + (F.col("c") + F.lit(1)) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("cpos") * avgrank).cast("decimal(38,1)"))
+        .cast("double")
+        .alias("w_plus"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    mu = nd * (F.col("n") + F.lit(1)) / F.lit(4.0)
+    sig2 = (
+        nd * (F.col("n") + F.lit(1)) * (F.lit(2) * F.col("n") + F.lit(1))
+        / F.lit(24.0)
+        - F.col("tie3").cast("double") / F.lit(48.0)
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("w_plus"), 9).alias("w_plus"),
+        F.round((F.col("w_plus") - mu) / F.sqrt(sig2), 9).alias("z"),
+    )
+
+
+@query(
+    "train_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM customer GROUP BY 1, 2
+    ),
+    rowt AS (SELECT nk, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    colt AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT nk) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS c
+      FROM cells
+    ),
+    chi AS (
+      SELECT CAST(SUM(CAST(round(
+               (obs - CAST(rt AS DOUBLE) * ct / t.n)
+               * (obs - CAST(rt AS DOUBLE) * ct / t.n)
+               / (CAST(rt AS DOUBLE) * ct / t.n), 12)
+               AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+      FROM cells
+      JOIN rowt USING (nk) JOIN colt USING (seg) CROSS JOIN tot t
+    )
+    SELECT n, r, c, round(chi2, 9) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * least(r - 1, c - 1))), 9) AS v
+    FROM tot, chi
+    """,
+)
+def train_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between customer nation and market
+    segment — the categorical-×-categorical member of the dependence
+    family (Spearman/xi/tau cover ordered data; chi²-based V is what
+    a feature-screening pass runs over categorical columns before
+    encoding them). chi² = Σ (obs − exp)²/exp over the nation ×
+    segment contingency table with exp = row·col/n; V normalizes by
+    n·min(r−1, c−1) into [0, 1].
+
+    Scale shape: one map-side-combinable cell count (the only
+    input-sized pass); marginals and the chi² sum live in the
+    bounded cell domain (|nations| × |segments|), broadcast-joined.
+    Determinism: counts exact; each chi² term rounds to 12 then sums
+    as DECIMAL(38,18); chi2 and V round to 9."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .persist()
+    )
+    rowt = cells.groupBy("nk").agg(F.sum("obs").cast("long").alias("rt"))
+    colt = cells.groupBy("seg").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("nk").cast("long").alias("r"),
+        F.countDistinct("seg").cast("long").alias("c"),
+    )
+    exp = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rowt), "nk")
+        .join(F.broadcast(colt), "seg")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 12
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("chi2")
+        )
+    )
+    return tot.crossJoin(F.broadcast(chi)).select(
+        "n",
+        "r",
+        "c",
+        F.round(F.col("chi2"), 9).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - F.lit(1), F.col("c") - F.lit(1))
+                )
+            ),
+            9,
+        ).alias("v"),
+    )

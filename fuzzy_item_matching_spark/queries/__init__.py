@@ -118,6 +118,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_mann_whitney",  # r14 birth: tie-corrected rank-sum test
     "train_wilcoxon_signed_rank",  # r14 birth: paired signed-rank test
     "train_cramers_v",  # r14 birth: categorical chi2 association
+    "train_durbin_watson",  # r14 birth: residual autocorrelation
+    "train_chow_test",  # r14 birth: structural-break F test
+    "train_poisson_irls",  # r14 birth: count GLM, closed-form IRLS
+    "train_rbo",  # r14 birth: rank-biased overlap of top-k lists
+    "ts_readability",  # r14 birth: Flesch reading-ease bands
+    "ts_tokenizer_fertility",  # r14 birth: BPE pieces/word by language
+    "rel_seasonal_decompose",  # r14 birth: classical MA decomposition
+    "rel_rfm_segmentation",  # r14 birth: quintile RFM codes
     # -- demoted by the r14 rotation: the entire r13 prefix, all 50
     #    exact in CORRECTNESS_r13.json:
     "train_rf_stumps",  # r13

@@ -3826,3 +3826,206 @@ def rel_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("between_", 9).alias("theil_between"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition of monthly revenue — r14
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(month(o_orderdate) AS INT) AS moy,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yd
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT moy, CAST(yd AS DOUBLE) AS y,
+             lag(yd, 6) OVER w AS l6, lag(yd, 5) OVER w AS l5,
+             lag(yd, 4) OVER w AS l4, lag(yd, 3) OVER w AS l3,
+             lag(yd, 2) OVER w AS l2, lag(yd, 1) OVER w AS l1,
+             lead(yd, 1) OVER w AS r1, lead(yd, 2) OVER w AS r2,
+             lead(yd, 3) OVER w AS r3, lead(yd, 4) OVER w AS r4,
+             lead(yd, 5) OVER w AS r5, lead(yd, 6) OVER w AS r6,
+             yd
+      FROM monthly WINDOW w AS (ORDER BY m)
+    ),
+    detrended AS (
+      SELECT moy,
+             round(y - CAST(l6 + r6
+                            + 2 * (l5 + l4 + l3 + l2 + l1 + yd
+                                   + r1 + r2 + r3 + r4 + r5)
+                            AS DOUBLE) / 24.0, 6) AS d
+      FROM lagged WHERE l6 IS NOT NULL AND r6 IS NOT NULL
+    ),
+    raw AS (
+      SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS s
+      FROM detrended GROUP BY 1
+    ),
+    ctr AS (
+      SELECT CAST(SUM(CAST(round(s, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS mean_s
+      FROM raw
+    )
+    SELECT moy, n_obs, round(s - mean_s, 6) AS seasonal_index
+    FROM raw, ctr
+    """,
+)
+def rel_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue
+    (the moving-average method behind every `seasonal_decompose`
+    call): trend = centered 13-term moving average with half weights
+    at the ends (the standard even-period-12 centering), seasonal
+    index = mean detrended value per calendar month, centered to sum
+    to zero — the decomposition a forecasting pipeline runs before
+    choosing between rel_holt_forecast's trend model and a seasonal
+    one, with NO sequential recursion (unlike Holt's level/trend
+    chain, every step here is a window or an agg, so the plan
+    parallelizes trivially).
+
+    Scale shape: ONE input-sized group-by-month agg; all windows and
+    aggs after that live in the bounded month domain (~84 rows for
+    the 7-year window at any corpus scale). Determinism: monthly
+    sums are exact DECIMAL; the 13-term numerator is an exact
+    integer-weighted DECIMAL sum with ONE double division (/24)
+    rounded 6 (monthly revenue is ~1e6-magnitude: 6 decimals keeps
+    the round well inside double precision — 9 would not); per-month
+    means sum round-6 DECIMAL(38,6) terms; the final centering
+    subtracts once and rounds 6."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("yd"))
+    w = Window.orderBy("m")
+    lags = {f"l{i}": F.lag("yd", i).over(w) for i in range(1, 7)}
+    leads = {f"r{i}": F.lead("yd", i).over(w) for i in range(1, 7)}
+    lagged = monthly.select(
+        "moy",
+        F.col("yd").cast("double").alias("y"),
+        "yd",
+        *[c.alias(n) for n, c in {**lags, **leads}.items()],
+    )
+    mid = (
+        F.col("l5") + F.col("l4") + F.col("l3") + F.col("l2") + F.col("l1")
+        + F.col("yd") + F.col("r1") + F.col("r2") + F.col("r3")
+        + F.col("r4") + F.col("r5")
+    )
+    detrended = lagged.filter(
+        F.col("l6").isNotNull() & F.col("r6").isNotNull()
+    ).select(
+        "moy",
+        F.round(
+            F.col("y")
+            - (F.col("l6") + F.col("r6") + F.lit(2) * mid).cast("double")
+            / F.lit(24.0),
+            6,
+        ).alias("d"),
+    )
+    raw = detrended.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (
+            F.sum(F.col("d").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    ctr = raw.agg(
+        (
+            F.sum(F.round(F.col("s"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_s")
+    )
+    return raw.crossJoin(F.broadcast(ctr)).select(
+        "moy",
+        "n_obs",
+        F.round(F.col("s") - F.col("mean_s"), 6).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — r14
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS ck, max(o_orderdate) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    scored AS (
+      SELECT CAST(ntile(5) OVER (
+               ORDER BY datediff('day', last_d, maxd), ck) AS INT) AS r_s,
+             CAST(ntile(5) OVER (ORDER BY f DESC, ck) AS INT) AS f_s,
+             CAST(ntile(5) OVER (ORDER BY m DESC, ck) AS INT) AS m_s,
+             f, m
+      FROM per_cust, mx
+    )
+    SELECT CAST(r_s * 100 + f_s * 10 + m_s AS INT) AS rfm_code,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(m) AS DOUBLE), 2) AS monetary_total,
+           round(CAST(SUM(f) AS DOUBLE) / COUNT(*), 9) AS avg_frequency
+    FROM scored GROUP BY 1
+    """,
+)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics workhorse: per customer, days since last
+    order, order count, and total spend, each scored into quintiles
+    by ntile(5) (score 1 = most recent / most frequent / highest
+    spend, deterministic customer-key tie-break), composed into the
+    classic 3-digit RFM code (111 = champions, 555 = lost), reported
+    as segment counts with total spend and mean frequency.
+
+    Scale shape: one input-sized customer agg (map-side-combinable);
+    the ntile windows run over the CUSTOMER domain — a global sort
+    each, the same honest bound as every ranking query here
+    (range-partitionable sort at 100 TB); the final agg collapses to
+    ≤125 code rows. Determinism: quintile boundaries follow ANSI
+    ntile (first n mod 5 groups get the extra row) over total
+    orders; sums are exact DECIMAL cast once; the division rounds
+    9."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = per_cust.crossJoin(F.broadcast(mx))
+    scored = base.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.datediff("maxd", "last_d"), "ck"))
+        .cast("int")
+        .alias("r_s"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("f"), F.asc("ck")))
+        .cast("int")
+        .alias("f_s"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("m"), F.asc("ck")))
+        .cast("int")
+        .alias("m_s"),
+        "f",
+        "m",
+    )
+    return scored.groupBy(
+        (F.col("r_s") * 100 + F.col("f_s") * 10 + F.col("m_s"))
+        .cast("int")
+        .alias("rfm_code")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("m").cast("double"), 2).alias("monetary_total"),
+        F.round(
+            F.sum("f").cast("double") / F.count(F.lit(1)), 9
+        ).alias("avg_frequency"),
+    )

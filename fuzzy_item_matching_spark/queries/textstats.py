@@ -5193,3 +5193,203 @@ def ts_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_boilerplate_ngrams.__doc__ = ts_boilerplate_ngrams.__doc__.format(
     n=_BP_N, m=_BP_MIN_DOCS, k=_BP_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease) — r14
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_readability",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS BIGINT) AS w,
+        CAST(greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                                '[.!?]+'))) AS BIGINT) AS s,
+        CAST(list_sum(list_transform(
+          regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
+          t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+          AS BIGINT) AS syl
+      FROM documents
+    ),
+    fre AS (
+      SELECT w,
+             206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                     - 84.6 * (CAST(syl AS DOUBLE) / w) AS f
+      FROM scored WHERE w > 0
+    ),
+    banded AS (
+      SELECT w, f,
+             CASE WHEN f >= 90 THEN 'very_easy'
+                  WHEN f >= 80 THEN 'easy'
+                  WHEN f >= 70 THEN 'fairly_easy'
+                  WHEN f >= 60 THEN 'standard'
+                  WHEN f >= 50 THEN 'fairly_difficult'
+                  WHEN f >= 30 THEN 'difficult'
+                  WHEN f >= 0 THEN 'very_confusing'
+                  ELSE 'graduate' END AS band
+      FROM fre
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round(f, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_fre,
+           round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 9) AS avg_words
+    FROM banded GROUP BY band
+    """,
+)
+def ts_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring over the corpus, banded into the
+    standard difficulty classes — the classic zero-cost readability
+    gate a curation pipeline runs next to ts_doc_quality's
+    length/punct heuristics and the Gopher rules: FRE = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with syllables
+    counted as vowel-group runs (min 1 per word) and sentences as
+    [.!?]+ runs (min 1 per doc) — the cheap deterministic
+    approximations every production readability scorer uses.
+
+    Scale shape: pure narrow per-doc string expressions (regex
+    extract + one array fold, whole-stage codegen, no UDF) feeding a
+    band-keyed agg — map-side combine collapses to ≤8 rows.
+    Determinism: counts exact; FRE is a fixed IEEE tree on integer
+    ratios (identical both engines); banding compares the unrounded
+    double against integer thresholds; averages sum round-9 values
+    as DECIMAL(38,9) then divide once, rounded 9."""
+    d = load_table(spark, sf_dir, "documents")
+    words = "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+', 0)"
+    scored = d.select(
+        F.expr(f"cast(size({words}) as bigint)").alias("w"),
+        F.expr(
+            "cast(greatest(1, size(regexp_extract_all("
+            "coalesce(text, ''), '[.!?]+', 0))) as bigint)"
+        ).alias("s"),
+        F.expr(
+            f"aggregate(transform({words}, "
+            "t -> greatest(1, size(regexp_extract_all(t, '[aeiouy]+', 0)))), "
+            "0L, (a, x) -> a + cast(x as bigint))"
+        ).alias("syl"),
+    ).filter(F.col("w") > 0)
+    f_ = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+    )
+    banded = scored.select(
+        "w",
+        f_.alias("f"),
+        F.when(f_ >= 90, "very_easy")
+        .when(f_ >= 80, "easy")
+        .when(f_ >= 70, "fairly_easy")
+        .when(f_ >= 60, "standard")
+        .when(f_ >= 50, "fairly_difficult")
+        .when(f_ >= 30, "difficult")
+        .when(f_ >= 0, "very_confusing")
+        .otherwise("graduate")
+        .alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("f"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_fre"),
+        F.round(
+            F.sum("w").cast("double") / F.count(F.lit(1)), 9
+        ).alias("avg_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (BPE pieces per word) — r14
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.text import _bpe_sql, _D_TOKENS
+
+    toks = _D_TOKENS.format(c="text")
+    return f"""
+    WITH words AS (
+      SELECT lang, unnest({toks}) AS w FROM documents
+    ),
+    pieces AS (
+      SELECT lang,
+             CAST(len(string_split(trim({_bpe_sql("w")}), ' ')) AS BIGINT)
+               AS np
+      FROM words
+    ),
+    docs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(np) AS BIGINT) AS n_pieces
+      FROM pieces GROUP BY 1
+    )
+    SELECT a.lang, d.n_docs, a.n_words, a.n_pieces,
+           round(CAST(a.n_pieces AS DOUBLE) / a.n_words, 9) AS fertility
+    FROM agg a JOIN docs d ON d.lang = a.lang
+    """
+
+
+@query("ts_tokenizer_fertility", oracle=_fertility_oracle())
+def ts_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — BPE pieces emitted per word,
+    the standard multilingual-tokenizer bias audit (a tokenizer fit
+    on English-heavy data segments other languages into more pieces,
+    inflating their effective sequence length and training cost):
+    apply the fixed ranked merge table (the text_bpe_segments
+    encoder — chained space-padded replaces, whole-stage codegen, no
+    UDF) to every corpus word and report per-language word count,
+    piece count, and pieces-per-word.
+
+    Scale shape: embarrassingly parallel scan (tokenize + encode are
+    narrow string expressions), one explode, one language-keyed agg
+    that map-side combines to |languages| rows; the doc-count side
+    is its own tiny agg, broadcast-joined. 100 TB: the per-language
+    fertility table IS the audit artifact, a handful of rows.
+    Determinism: all counts exact integers; the single division per
+    language rounds to 9."""
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+    from fuzzy_item_matching_spark.queries.text import (
+        _BPE_MERGES,
+        _BPE_PASSES,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(regex_tokenize("text")).alias("w")
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for a, b in _BPE_MERGES:
+        for _ in range(_BPE_PASSES):
+            s = F.replace(s, F.lit(f" {a} "), F.lit(f" {b} "))
+    pieces = words.select(
+        "lang",
+        F.size(F.split(F.trim(s), " ")).cast("long").alias("np"),
+    )
+    docs = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    agg = pieces.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("np").cast("long").alias("n_pieces"),
+    )
+    return agg.join(F.broadcast(docs), "lang").select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.col("n_pieces").cast("double") / F.col("n_words"), 9
+        ).alias("fertility"),
+    )

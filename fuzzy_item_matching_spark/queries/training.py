@@ -8028,3 +8028,530 @@ def train_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression diagnostics on the daily-revenue series — r14 births
+# ---------------------------------------------------------------------------
+
+_DW_SPLIT = "1995-01-01"  # Chow-test structural-break candidate
+
+_DAILY_SQL = """
+    daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS yd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    )"""
+
+
+def _ols_ab_sql(src: str) -> str:
+    """Closed-form simple-OLS (a, b) over ``src`` (needs x, y), both
+    rounded to 12 so downstream residuals are identical doubles in
+    both engines."""
+    return f"""(
+      SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 12) AS b,
+             round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                   * sx / n, 12) AS a
+      FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(yd) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * yd) AS DOUBLE) AS sxy
+        FROM {src}
+      )
+    )"""
+
+
+@query(
+    "train_durbin_watson",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fit AS {_ols_ab_sql("daily")},
+    resid AS (
+      SELECT x, round(y - (f.a + f.b * x), 9) AS e
+      FROM daily, fit f
+    ),
+    lagged AS (
+      SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM resid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round((SELECT b FROM fit), 9) AS slope,
+           round((SELECT a FROM fit), 9) AS intercept,
+           round(CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+                     CAST(round((e - ep) * (e - ep), 6) AS DECIMAL(38,6))
+                   END) AS DOUBLE)
+                 / CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE), 9) AS dw
+    FROM lagged
+    """,
+)
+def train_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation diagnostic on the residuals of a
+    daily-revenue trend regression — the standard "is there serial
+    structure my model missed" check on any forecasting fit (DW ≈ 2
+    = uncorrelated residuals; → 0 positive, → 4 negative
+    autocorrelation). The series is daily total order revenue
+    regressed on the day index with closed-form simple OLS from five
+    moment aggregates; DW = sum((e_t − e_prev)²) / sum(e_t²) over
+    the date-ordered residuals.
+
+    Scale shape: ONE input-sized map-side-combinable group-by-date
+    agg; everything after (moments, residuals, the lag window) lives
+    in the bounded day domain (~2.4k rows for a 7-year window at any
+    corpus scale). Determinism: daily sums are exact DECIMAL cast to
+    exactly-representable doubles; (a, b) round to 12 so residuals
+    are identical IEEE doubles both engines; each quadratic term
+    rounds to 6 and sums as DECIMAL(38,6); the statistic rounds to
+    9."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("yd")
+        )
+        .select(
+            "yd",
+            F.col("yd").cast("double").alias("y"),
+            F.row_number()
+            .over(Window.orderBy("d"))
+            .cast("long")
+            .alias("x"),
+        )
+        .persist()
+    )
+    mo = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("yd"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    fit = mo.select(
+        F.round(b, 12).alias("b"),
+        F.round(F.col("sy") / F.col("n") - b * F.col("sx") / F.col("n"), 12)
+        .alias("a"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "x",
+        F.round(
+            F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 9
+        ).alias("e"),
+        "a",
+        "b",
+    )
+    lagged = resid.select(
+        "e",
+        F.lag("e").over(Window.orderBy("x")).alias("ep"),
+        "a",
+        "b",
+    )
+    dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.first("b"), 9).alias("slope"),
+        F.round(F.first("a"), 9).alias("intercept"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ep").isNotNull(),
+                    dec6(
+                        (F.col("e") - F.col("ep"))
+                        * (F.col("e") - F.col("ep"))
+                    ),
+                )
+            ).cast("double")
+            / F.sum(dec6(F.col("e") * F.col("e"))).cast("double"),
+            9,
+        ).alias("dw"),
+    )
+
+
+@query(
+    "train_chow_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    seg AS (
+      SELECT x, yd, y, CASE WHEN d < DATE '{_DW_SPLIT}' THEN 0 ELSE 1 END
+        AS s
+      FROM daily
+    ),
+    fitp AS {_ols_ab_sql("seg")},
+    fits AS (
+      SELECT s, round((sxy - sx * sy / n) / (sxx - sx * sx / n), 12) AS b,
+             round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                   * sx / n, 12) AS a
+      FROM (
+        SELECT s, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(yd) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * yd) AS DOUBLE) AS sxy
+        FROM seg GROUP BY s
+      )
+    ),
+    ssr AS (
+      SELECT
+        CAST(SUM(CASE WHEN g.s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g.s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CAST(round(
+          (g.y - (p.a + p.b * g.x)) * (g.y - (p.a + p.b * g.x)), 6)
+          AS DECIMAL(38,6))) AS DOUBLE) AS ssr_pooled,
+        CAST(SUM(CAST(round(
+          (g.y - (f.a + f.b * g.x)) * (g.y - (f.a + f.b * g.x)), 6)
+          AS DECIMAL(38,6))) AS DOUBLE) AS ssr_split
+      FROM seg g JOIN fits f ON f.s = g.s CROSS JOIN fitp p
+    )
+    SELECT n1, n2, round(ssr_pooled, 6) AS ssr_pooled,
+           round(ssr_split, 6) AS ssr_split,
+           round(((ssr_pooled - ssr_split) / 2.0)
+                 / (ssr_split / (n1 + n2 - 4.0)), 9) AS f_stat
+    FROM ssr
+    """,
+)
+def train_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue trend at
+    {split}: fit the trend pooled and separately per segment (all
+    closed-form OLS from per-segment moment aggregates), and compare
+    SSR_pooled vs SSR_1 + SSR_2 with the F statistic
+    ((SSR_p − SSR_split)/k) / (SSR_split/(n − 2k)), k = 2 — the
+    econometric "did the data-generating process change at this
+    date" check a pipeline runs before trusting one model across a
+    regime boundary (the inferential sibling of
+    rel_cusum_changepoints' detection).
+
+    Scale shape/determinism: the same bounded day domain as
+    train_durbin_watson (one input-sized agg, then ~2.4k rows);
+    per-segment (a, b) round to 12, squared residual terms round to
+    6 and sum as DECIMAL(38,6), F rounds to 9."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("yd")
+        )
+        .select(
+            "d",
+            "yd",
+            F.col("yd").cast("double").alias("y"),
+            F.row_number()
+            .over(Window.orderBy("d"))
+            .cast("long")
+            .alias("x"),
+        )
+        .select(
+            "x",
+            "yd",
+            "y",
+            F.when(F.col("d") < F.lit(_DW_SPLIT).cast("date"), 0)
+            .otherwise(1)
+            .alias("s"),
+        )
+        .persist()
+    )
+
+    def _fit(df, keys):
+        mo = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum("yd").cast("double").alias("sy"),
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("yd"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+        )
+        a = F.col("sy") / F.col("n") - b * F.col("sx") / F.col("n")
+        return mo.select(
+            *keys, F.round(b, 12).alias("b"), F.round(a, 12).alias("a")
+        )
+
+    fitp = _fit(daily, [])
+    fits = _fit(daily, ["s"]).withColumnsRenamed({"a": "sa", "b": "sb"})
+    dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    ep = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    es = F.col("y") - (F.col("sa") + F.col("sb") * F.col("x"))
+    ssr = (
+        daily.join(F.broadcast(fits), "s")
+        .crossJoin(F.broadcast(fitp))
+        .agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(dec6(ep * ep)).cast("double").alias("ssr_pooled"),
+            F.sum(dec6(es * es)).cast("double").alias("ssr_split"),
+        )
+    )
+    return ssr.select(
+        "n1",
+        "n2",
+        F.round(F.col("ssr_pooled"), 6).alias("ssr_pooled"),
+        F.round(F.col("ssr_split"), 6).alias("ssr_split"),
+        F.round(
+            ((F.col("ssr_pooled") - F.col("ssr_split")) / F.lit(2.0))
+            / (
+                F.col("ssr_split")
+                / (
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    - F.lit(4.0)
+                )
+            ),
+            9,
+        ).alias("f_stat"),
+    )
+
+
+train_chow_test.__doc__ = train_chow_test.__doc__.format(split=_DW_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression via IRLS (closed-form 2-param weighted LS) — r14
+# ---------------------------------------------------------------------------
+
+_PIRLS_ITERS = 2
+
+
+def _poisson_irls_oracle() -> str:
+    base = """
+    base AS (
+      SELECT CAST(COALESCE(o.cnt, 0) AS DOUBLE) AS y,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) / 1000.0 AS x
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+      ) o ON o.o_custkey = c.c_custkey
+    ),
+    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    ctes = [base]
+    for t in range(1, _PIRLS_ITERS + 1):
+        mu = "exp(p.b0 + p.b1 * x)"
+        z = f"(p.b0 + p.b1 * x) + (y - {mu}) / {mu}"
+        ctes.append(f"""
+    it{t} AS (
+      SELECT round((sw * swxz - swx * swz) / (sw * swxx - swx * swx), 9)
+               AS b1,
+             round((swz - ((sw * swxz - swx * swz)
+                           / (sw * swxx - swx * swx)) * swx) / sw, 9) AS b0
+      FROM (
+        SELECT
+          CAST(SUM(CAST(round({mu}, 12) AS DECIMAL(38,18))) AS DOUBLE) AS sw,
+          CAST(SUM(CAST(round({mu} * x, 12) AS DECIMAL(38,18))) AS DOUBLE)
+            AS swx,
+          CAST(SUM(CAST(round({mu} * x * x, 12) AS DECIMAL(38,18)))
+               AS DOUBLE) AS swxx,
+          CAST(SUM(CAST(round({mu} * ({z}), 12) AS DECIMAL(38,18)))
+               AS DOUBLE) AS swz,
+          CAST(SUM(CAST(round({mu} * x * ({z}), 12) AS DECIMAL(38,18)))
+               AS DOUBLE) AS swxz
+        FROM base, it{t - 1} p
+      )
+    )""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iter, b0, b1 FROM it{t}"
+        for t in range(1, _PIRLS_ITERS + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + arms
+
+
+@query("train_poisson_irls", oracle=_poisson_irls_oracle())
+def train_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression (order count per customer ~ account
+    balance) fit by {it} IRLS steps — the canonical COUNT-data GLM
+    next to the logistic GD family (train_logreg_gd) and the linear
+    closed forms (train_ridge_normal_eq): each step computes working
+    weights w = μ = exp(η) and working response z = η + (y − μ)/μ,
+    then solves the 2-parameter weighted least squares in CLOSED
+    FORM from five weighted moment aggregates — Newton–Raphson
+    without a driver-side optimizer, the exact shape a 100 TB GLM
+    fit takes (per-partition partial moments, one tiny reduce,
+    broadcast β back).
+
+    Determinism: every weighted moment term rounds to 12 then sums
+    as DECIMAL(38,18) (order-insensitive); β rounds to 9 per
+    iteration so step t+1 starts from identical doubles in both
+    engines. Customers without orders enter with exact y = 0 (left
+    join), so the fit sees the full zero-inflated population."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    base = (
+        c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
+        .select(
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("y"),
+            (
+                F.col("c_acctbal").cast("decimal(18,2)").cast("double")
+                / F.lit(1000.0)
+            ).alias("x"),
+        )
+        .persist()
+    )
+    d18 = lambda e: F.round(e, 12).cast("decimal(38,18)")  # noqa: E731
+    beta = spark.createDataFrame([(0.0, 0.0)], "b0 double, b1 double")
+    outs = []
+    for t in range(1, _PIRLS_ITERS + 1):
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = F.exp(eta)
+        z = eta + (F.col("y") - mu) / mu
+        mo = base.crossJoin(F.broadcast(beta)).agg(
+            F.sum(d18(mu)).cast("double").alias("sw"),
+            F.sum(d18(mu * F.col("x"))).cast("double").alias("swx"),
+            F.sum(d18(mu * F.col("x") * F.col("x")))
+            .cast("double")
+            .alias("swxx"),
+            F.sum(d18(mu * z)).cast("double").alias("swz"),
+            F.sum(d18(mu * F.col("x") * z)).cast("double").alias("swxz"),
+        )
+        b1 = (
+            F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")
+        ) / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx"))
+        beta = mo.select(
+            F.round((F.col("swz") - b1 * F.col("swx")) / F.col("sw"), 9)
+            .alias("b0"),
+            F.round(b1, 9).alias("b1"),
+        )
+        outs.append(beta.select(F.lit(t).alias("iter"), "b0", "b1"))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+train_poisson_irls.__doc__ = train_poisson_irls.__doc__.format(
+    it=_PIRLS_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two top-k rankings — r14
+# ---------------------------------------------------------------------------
+
+_RBO_K = 50
+_RBO_P = 0.9
+_RBO_SPLIT = "1995-01-01"
+
+
+@query(
+    "train_rbo",
+    oracle=f"""
+    WITH revs AS (
+      SELECT l_partkey AS pk,
+             CASE WHEN l_shipdate < DATE '{_RBO_SPLIT}' THEN 0 ELSE 1 END
+               AS half,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT pk, half,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY half ORDER BY rev DESC, pk) AS BIGINT) AS r
+      FROM revs
+    ),
+    topa AS (SELECT pk, r AS ra FROM ranked WHERE half = 0 AND r <= {_RBO_K}),
+    topb AS (SELECT pk, r AS rb FROM ranked WHERE half = 1 AND r <= {_RBO_K}),
+    terms AS (
+      SELECT d, CAST(round(pow({_RBO_P!r}, d - 1) / d, 12)
+                     AS DECIMAL(38,18)) AS term
+      FROM (SELECT unnest(range(1, {_RBO_K} + 1)) AS d)
+    ),
+    wtab AS (
+      SELECT d, SUM(term) OVER (ORDER BY d
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tail
+      FROM terms
+    ),
+    hits AS (
+      SELECT greatest(a.ra, b.rb) AS m
+      FROM topa a JOIN topb b USING (pk)
+    )
+    SELECT CAST({_RBO_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS overlap,
+           round({1.0 - _RBO_P!r}
+                 * CAST(COALESCE(SUM(w.tail), 0) AS DOUBLE), 9) AS rbo
+    FROM hits h JOIN wtab w ON w.d = h.m
+    """,
+)
+def train_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth
+    {k}, p = {p}) between the top-{k} parts by revenue BEFORE and
+    AFTER {split} — the top-weighted "how much did the leaderboard
+    change" measure an evaluation pipeline uses to compare two
+    rankings (two ANN indexes, two rankers, two time periods) where
+    plain overlap treats rank 1 and rank 50 alike. Per-item
+    formulation: an item at ranks (a, b) in the two lists
+    contributes (1−p)·Σ_{{d=max(a,b)}}^{{{k}}} p^(d−1)/d, so RBO is
+    one join + one {k}-row weight-table lookup — no per-depth
+    set-intersection loop.
+
+    Scale shape: two input-sized revenue aggs collapse to the part
+    domain; ranking windows partition by half; the weight table is
+    {k} rows, broadcast. Determinism: ranks break ties on part key;
+    each geometric term rounds to 12 and accumulates as
+    DECIMAL(38,18); the final scalar rounds to 9."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revs = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("l_shipdate") < F.lit(_RBO_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wr = Window.partitionBy("half").orderBy(F.desc("rev"), F.asc("pk"))
+    ranked = revs.select(
+        "pk", "half", F.row_number().over(wr).cast("long").alias("r")
+    ).filter(F.col("r") <= _RBO_K)
+    topa = ranked.filter(F.col("half") == 0).select(
+        "pk", F.col("r").alias("ra")
+    )
+    topb = ranked.filter(F.col("half") == 1).select(
+        "pk", F.col("r").alias("rb")
+    )
+    d = F.col("id").cast("long").alias("d")
+    terms = spark.range(1, _RBO_K + 1).select(
+        d,
+        F.round(
+            F.pow(F.lit(_RBO_P), F.col("id").cast("double") - 1)
+            / F.col("id"),
+            12,
+        )
+        .cast("decimal(38,18)")
+        .alias("term"),
+    )
+    wt = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    wtab = terms.select("d", F.sum("term").over(wt).alias("tail"))
+    hits = topa.join(topb, "pk").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    return (
+        hits.join(F.broadcast(wtab), hits.m == wtab.d)
+        .agg(
+            F.lit(_RBO_K).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("overlap"),
+            F.round(
+                F.lit(1.0 - _RBO_P)
+                * F.coalesce(F.sum("tail"), F.lit(0)).cast("double"),
+                9,
+            ).alias("rbo"),
+        )
+    )
+
+
+train_rbo.__doc__ = train_rbo.__doc__.format(
+    k=_RBO_K, p=_RBO_P, split=_RBO_SPLIT
+)

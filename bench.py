@@ -48,6 +48,8 @@ EXCLUDE = {
     "sim_ann_ivfpq_recall",  # same: exact MIPS ground truth embedded
     "dedup_semantic_recall",  # same: sampled exact cosine truth embedded
     "sim_ann_ivf_probe_sweep",  # same: strided exact cosine truth embedded
+    "sim_ann_probe_sensitivity",  # same: O(n²) exact truth, 4-budget curve
+    "rel_adamic_adar_recall",  # eval containing the UNCAPPED degree² join
     # MLlib interop adapter (SQLTransformer explode/collect stages are
     # MLlib's cost, not the engine's); its engine-native twin IS
     # benched (sim_fuzzy_part_pairs / ts_tfidf_weights).

@@ -126,6 +126,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_tokenizer_fertility",  # r14 birth: BPE pieces/word by language
     "rel_seasonal_decompose",  # r14 birth: classical MA decomposition
     "rel_rfm_segmentation",  # r14 birth: quintile RFM codes
+    "vec_jl_projection",  # r14 birth: JL distortion histogram
+    "vec_spherical_kmeans",  # r14 birth: cosine Lloyd, renormalized
+    "rel_adamic_adar_recall",  # r14 birth: capped-vs-exact AA recall
+    "sim_ann_probe_sensitivity",  # r14 birth: multiprobe recall curve
+    # ^ budget math: 34 staleness-retirement rows + 16 births = 50.
     # -- demoted by the r14 rotation: the entire r13 prefix, all 50
     #    exact in CORRECTNESS_r13.json:
     "train_rf_stumps",  # r13

@@ -2114,3 +2114,199 @@ def sim_ann_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_ann_graph_expand.__doc__ = sim_ann_graph_expand.__doc__.format(
     g=_GX_G, k=_GX_K, cap=_GX_CAP, bits=_GX_BITS
 )
+
+
+# ---------------------------------------------------------------------------
+# Query-directed multiprobe: probe-budget sensitivity curve — r14
+# (VERDICT r13 ask #6: recall was asserted at T=13 only)
+# ---------------------------------------------------------------------------
+
+_MP_BUDGETS = (4, 8, 13, 20)
+
+
+def _probe_sensitivity_oracle() -> str:
+    from fuzzy_item_matching_spark.operators.lsh import random_hyperplanes
+
+    planes = random_hyperplanes(64, _MP_TABLES * _MP_BITS, _MP_SEED)
+    buckets, margins = [], []
+    for t in range(_MP_TABLES):
+        bits = " || ".join(
+            "(CASE WHEN"
+            f" ({_sql_plane_dot('embedding::DOUBLE[]', planes[t * _MP_BITS + b])})"
+            " >= 0 THEN '1' ELSE '0' END)"
+            for b in range(_MP_BITS)
+        )
+        buckets.append(
+            f"      SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings"
+        )
+        margins.extend(
+            f"      SELECT vec_id, {t} AS tbl, {b + 1} AS j,"
+            f" abs({_sql_plane_dot('embedding::DOUBLE[]', planes[t * _MP_BITS + b])})"
+            " AS m FROM embeddings"
+            for b in range(_MP_BITS)
+        )
+    bkt = "\n      UNION ALL\n".join(buckets)
+    mgn = "\n      UNION ALL\n".join(margins)
+    norm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
+    pair_dot = (
+        "list_sum(list_transform("
+        "list_zip(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),"
+        " s -> s[1]*s[2]))"
+    )
+
+    def _flip(expr: str, j: str) -> str:
+        return (
+            f"(CASE WHEN {j} IS NULL THEN {expr}"
+            f" ELSE substr({expr}, 1, {j} - 1) ||"
+            f" (CASE WHEN substr({expr}, {j}, 1) = '1' THEN '0' ELSE '1' END) ||"
+            f" substr({expr}, {j} + 1, {_MP_BITS} - {j}) END)"
+        )
+
+    splice = _flip(_flip(_flip("b.bucket", "f.j1"), "f.j2"), "f.j3")
+    arms = []
+    for bud in _MP_BUDGETS:
+        arms.append(f"""flips_{bud} AS (
+      SELECT vec_id, tbl, j1, j2, j3 FROM ranked_sets WHERE r <= {bud}
+    ),
+    probes_{bud} AS (
+      SELECT vec_id, tbl, bucket AS probe FROM bkt
+      UNION ALL
+      SELECT b.vec_id, b.tbl, {splice} AS probe
+      FROM bkt b JOIN flips_{bud} f
+        ON b.vec_id = f.vec_id AND b.tbl = f.tbl
+    ),
+    top_{bud} AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT)
+                 AS rnk
+        FROM (
+          SELECT c.qid, c.nid,
+                 CASE WHEN nq.nrm * nn.nrm = 0 THEN 0.0
+                      ELSE {pair_dot} / (nq.nrm * nn.nrm) END AS cosine
+          FROM (
+            SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+            FROM probes_{bud} x JOIN bkt y
+              ON x.tbl = y.tbl AND x.probe = y.bucket
+                 AND x.vec_id <> y.vec_id
+          ) c
+          JOIN embeddings q ON q.vec_id = c.qid
+          JOIN embeddings n ON n.vec_id = c.nid
+          JOIN norms nq ON nq.vec_id = c.qid
+          JOIN norms nn ON nn.vec_id = c.nid
+        )
+      ) WHERE rnk <= {_MP_K}
+    ),
+    row_{bud} AS (
+      SELECT CAST({bud} AS INT) AS probe_budget,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact e JOIN top_{bud} t ON e.qid = t.qid AND e.nid = t.nid
+    )""")
+    out = "\n    UNION ALL\n    ".join(
+        f"SELECT probe_budget, n_exact, n_hits,"
+        f" round(CAST(n_hits AS DOUBLE) / n_exact, 9) AS recall"
+        f" FROM row_{bud}"
+        for bud in _MP_BUDGETS
+    )
+    return f"""
+    WITH bkt AS MATERIALIZED (
+{bkt}
+    ),
+    mgn AS MATERIALIZED (
+{mgn}
+    ),
+    ranked_sets AS MATERIALIZED (
+      SELECT vec_id, tbl, j1, j2, j3,
+             row_number() OVER (
+               PARTITION BY vec_id, tbl
+               ORDER BY s, j1, j2 NULLS FIRST, j3 NULLS FIRST) AS r
+      FROM (
+        SELECT vec_id, tbl, j AS j1, NULL::INT AS j2, NULL::INT AS j3,
+               m AS s FROM mgn
+        UNION ALL
+        SELECT a.vec_id, a.tbl, a.j, b.j, NULL::INT, a.m + b.m
+        FROM mgn a JOIN mgn b
+          ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.j < b.j
+        UNION ALL
+        SELECT a.vec_id, a.tbl, a.j, b.j, c.j, a.m + b.m + c.m
+        FROM mgn a
+        JOIN mgn b ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.j < b.j
+        JOIN mgn c ON b.vec_id = c.vec_id AND b.tbl = c.tbl AND b.j < c.j
+      )
+    ),
+    norms AS MATERIALIZED (SELECT vec_id, {norm} AS nrm FROM embeddings),
+    exact AS MATERIALIZED (
+      SELECT qid, nid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                   ELSE list_sum(list_transform(
+                          list_zip(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]),
+                          s -> s[1]*s[2])) / (na.nrm * nb.nrm) END DESC,
+                   b.vec_id) AS rnk
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+      ) WHERE rnk <= {_MP_K}
+    ),
+    {",".join(arms)}
+    {out}
+    """
+
+
+@query("sim_ann_probe_sensitivity", oracle=_probe_sensitivity_oracle())
+def sim_ann_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-budget SENSITIVITY curve for query-directed multiprobe
+    LSH — recall@{k} vs exact brute-force truth at budgets
+    T ∈ {buds}, in one result frame: VERDICT r13 noted the committed
+    recall (0.713) was asserted at T={probes} only, so this query
+    MEASURES the recall/probe-cost trade instead of asserting one
+    operating point. Each budget reuses the identical margin-ranked
+    perturbation sets (Lv et al.'s query-directed ordering — the
+    ranking is computed ONCE; a budget is a prefix of it), so the
+    curve isolates the budget's marginal recall.
+
+    Contains the O(n²) exact ground truth BY DESIGN → bench-excluded
+    like sim_ann_recall; at scale this runs on a fixed eval slice.
+
+    Determinism: candidate sets are exact string-bucket collisions
+    on seeded hyperplanes replayed in the oracle; cosines fold in
+    array order; hit counts are integers and recall is one division
+    rounded 9."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_item_matching_spark.operators.lsh import lsh_multiprobe_topk
+    from fuzzy_item_matching_spark.queries.vectors import vec_knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = vec_knn_bruteforce(spark, sf_dir).select("qid", "nid").persist()
+    out = None
+    for bud in _MP_BUDGETS:
+        ann = lsh_multiprobe_topk(
+            e, "vec_id", "embedding",
+            k=_MP_K, n_tables=_MP_TABLES, bits_per_table=_MP_BITS,
+            seed=_MP_SEED, dim=64, probe_budget=bud,
+            max_flip=_MP_MAXFLIP,
+        ).select("qid", "nid", F.lit(1).alias("hit"))
+        j = exact.join(ann, ["qid", "nid"], "left")
+        hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        row = j.agg(
+            F.lit(bud).cast("int").alias("probe_budget"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            hits.cast("long").alias("n_hits"),
+            F.round(
+                hits.cast("double") / F.count(F.lit(1)), 9
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+sim_ann_probe_sensitivity.__doc__ = sim_ann_probe_sensitivity.__doc__.format(
+    k=_MP_K, buds=_MP_BUDGETS, probes=_MP_PROBES
+)

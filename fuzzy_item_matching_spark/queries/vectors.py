@@ -1569,3 +1569,321 @@ def vec_random_cut_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 vec_random_cut_density.__doc__ = vec_random_cut_density.__doc__.format(
     t=_RC_TREES, d=_RC_DEPTH, k=_RC_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion audit — r14
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # target dimensionality
+_JL_SEED = 271
+_JL_QMOD = 2  # panel density: every 2nd (vec, vec+1) pair
+
+
+def _jl_params() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(_JL_SEED)
+    r = rng.standard_normal((_JL_K, 64)) / float(_JL_K**0.5)
+    return [[float(x) for x in row] for row in r]
+
+
+def _jl_oracle() -> str:
+    from fuzzy_item_matching_spark.queries.similarity import _sql_plane_dot
+
+    planes = _jl_params()
+    sqd = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    dproj = " + ".join(
+        f"(({_sql_plane_dot('a.embedding::DOUBLE[]', p)})"
+        f" - ({_sql_plane_dot('b.embedding::DOUBLE[]', p)}))"
+        f" * (({_sql_plane_dot('a.embedding::DOUBLE[]', p)})"
+        f" - ({_sql_plane_dot('b.embedding::DOUBLE[]', p)}))"
+        for p in planes
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {sqd.format(a="a.embedding::DOUBLE[]",
+                         b="b.embedding::DOUBLE[]")} AS d_orig,
+             {dproj} AS d_proj
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % {_JL_QMOD} = 0
+        AND a.embedding IS NOT NULL AND len(a.embedding) = 64
+        AND b.embedding IS NOT NULL AND len(b.embedding) = 64
+    ),
+    ratios AS (
+      SELECT round(d_proj / d_orig, 9) AS ratio
+      FROM pairs WHERE d_orig > 0
+    )
+    SELECT CAST(least(19, CAST(floor(ratio * 10) AS BIGINT)) AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(ratio AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_ratio
+    FROM ratios GROUP BY 1
+    """
+
+
+@query("vec_jl_projection", oracle=_jl_oracle())
+def vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → {k} dims with a
+    seeded N(0, 1/{k}) matrix, audited by the DISTANCE-DISTORTION
+    histogram the JL lemma bounds: for each (vec, vec+1) panel pair,
+    ratio = ||Rx − Ry||² / ||x − y||², bucketed at 0.1 width — the
+    dimensionality-reduction primitive that shrinks ANN index
+    footprints and shuffle widths (project once map-side, run
+    distance work in {k} dims) next to vec_rff_features' kernel map
+    and the PCA family's data-dependent subspace.
+
+    Scale shape: the {k}×64 matrix is a plan literal (hyperplane
+    discipline); projection + distortion are row-local folds on the
+    id+1 equi-join panel (never a pair explosion); the histogram agg
+    collapses to ≤20 buckets map-side.
+
+    Determinism: dots fold in array order (bitwise-equal across
+    engines, the module precedent); the per-pair ratio is one IEEE
+    division rounded 9; bucket floors the rounded ratio; averages
+    sum DECIMAL(38,9) exactly then divide once, rounded 9."""
+    from fuzzy_item_matching_spark.functions.vector import dot, squared_dist
+
+    planes = _jl_params()
+    e = load_table(spark, sf_dir, "embeddings")
+    clean = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    a, b = clean.alias("a"), clean.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).filter(F.col("a.vec_id") % _JL_QMOD == 0)
+    emb = lambda s: F.col(f"{s}.embedding").cast("array<double>")  # noqa: E731
+    dproj = None
+    for p in planes:
+        pl = F.array(*[F.lit(x) for x in p])
+        diff = dot(emb("a"), pl) - dot(emb("b"), pl)
+        term = diff * diff
+        dproj = term if dproj is None else dproj + term
+    ratios = (
+        pairs.select(
+            squared_dist(emb("a"), emb("b")).alias("d_orig"),
+            dproj.alias("d_proj"),
+        )
+        .filter(F.col("d_orig") > 0)
+        .select(F.round(F.col("d_proj") / F.col("d_orig"), 9).alias("ratio"))
+    )
+    return ratios.groupBy(
+        F.least(F.lit(19), F.floor(F.col("ratio") * 10).cast("long"))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_ratio"),
+    )
+
+
+vec_jl_projection.__doc__ = vec_jl_projection.__doc__.format(k=_JL_K)
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means (cosine Lloyd, renormalized centroids) — r14
+# ---------------------------------------------------------------------------
+
+_SKM_K = 4
+_SKM_ITERS = 2
+_SKM_Q = 2.0**40  # fixed-point quantum (the kmeans/PCA discipline)
+
+
+def _skm_oracle() -> str:
+    q = repr(_SKM_Q)
+    sumsq = "list_sum(list_transform({v}, w -> w * w))"
+    parts = [
+        f"""WITH emb AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(x, v -> v / sqrt({sumsq.format(v="x")})) AS xh
+      FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding::DOUBLE[], v -> isnan(v))) = 0
+          AND {sumsq.format(v="embedding::DOUBLE[]")} > 0
+      )
+    ),
+    cent0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, xh AS cent
+      FROM emb ORDER BY vec_id LIMIT {_SKM_K}
+    )"""
+    ]
+    for t in range(1, _SKM_ITERS + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.c,
+             list_sum(list_transform(list_zip(e.xh, c.cent),
+                                     s -> s[1] * s[2])) AS d
+      FROM emb e, cent{t - 1} c
+    ),
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, c) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    upd{t} AS MATERIALIZED (
+      SELECT c, j,
+             CAST(SUM(CAST(floor(v * {q}) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT a.c, generate_subscripts(e.xh, 1) AS j, unnest(e.xh) AS v
+        FROM a{t} a JOIN emb e USING (vec_id)
+      ) GROUP BY c, j
+    ),
+    m{t} AS (
+      SELECT c, j, (CAST(s AS DOUBLE) / {q}) / n AS m, n FROM upd{t}
+    ),
+    nrm{t} AS (
+      SELECT c,
+             sqrt(list_sum(list_transform(list(m ORDER BY j),
+                                          v -> v * v))) AS nrm
+      FROM m{t} GROUP BY c
+    ),
+    cent{t} AS MATERIALIZED (
+      SELECT m.c, list(m.m / nr.nrm ORDER BY m.j) AS cent
+      FROM m{t} m JOIN nrm{t} nr USING (c)
+      GROUP BY m.c, nr.nrm
+    ),
+    sz{t} AS (SELECT c, MIN(n) AS n FROM upd{t} GROUP BY c)""")
+    k = _SKM_ITERS
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT f.c, CAST(f.j AS INT) AS j, f.coord, s.n
+    FROM (
+      SELECT c, generate_subscripts(cent, 1) AS j, unnest(cent) AS coord
+      FROM cent{k}
+    ) f JOIN sz{k} s USING (c)
+    """
+    )
+
+
+@query("vec_spherical_kmeans", oracle=_skm_oracle())
+def vec_spherical_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (cosine Lloyd): unit-normalize every
+    embedding, assign by MAXIMUM dot product (= cosine on the unit
+    sphere), update centroids as the RENORMALIZED mean direction —
+    the variant that matches how this repo's retrieval stack actually
+    measures similarity (every ANN query here ranks by cosine;
+    Euclidean k-means centroids drift toward vector-length artifacts
+    that cosine retrieval never sees). k={k} lowest-id seeds,
+    {it} unrolled iterations, long-format (c, j, coord, n) output.
+
+    Scale shape (the operators/kmeans.py discipline verbatim):
+    centroid state is k·dim PLAN LITERALS; assignment is k row-local
+    array folds + a greatest/CASE argmax — no join, no shuffle;
+    the update is one map-side-combinable groupBy(c, j) over
+    fixed-point BIGINT sums (floor(x·2^40) — exact,
+    order-insensitive); renormalization is k driver-side left folds
+    over dim terms, replayed term-for-term by the oracle's ordered
+    list() aggregation. One pass over the points per iteration.
+
+    Determinism: normalization, dots, and the argmax tie-break
+    (ties → lowest centroid id via CASE order = the oracle's
+    (d DESC, c) ROW_NUMBER) are bitwise-replayed; centroid
+    components are exact integer sums pushed through the identical
+    (s/Q)/n then /norm IEEE sequence in both engines — no rounding
+    anywhere, the kmeans contract."""
+    spark_ = spark
+    e = load_table(spark_, sf_dir, "embeddings")
+    sumsq = (
+        "aggregate(transform({v}, w -> w * w), cast(0.0 as double),"
+        " (acc, w) -> acc + w)"
+    )
+    pts = (
+        e.filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+            & ~F.exists("embedding", lambda v: F.isnan(v))
+        )
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("x"),
+        )
+        .filter(F.expr(sumsq.format(v="x")) > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(x, v -> v / sqrt("
+                + sumsq.format(v="x")
+                + "))"
+            ).alias("xh"),
+        )
+        .persist()
+    )
+    seeds = pts.orderBy("vec_id").limit(_SKM_K).collect()
+    cents = [[float(v) for v in r["xh"]] for r in seeds]
+    ids = list(range(1, len(cents) + 1))
+    ns = [0] * len(cents)
+    for _ in range(_SKM_ITERS):
+        with_d = pts.select(
+            "xh",
+            *[
+                F.aggregate(
+                    F.zip_with(F.col("xh"), F.lit(c), lambda p, q: p * q),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias(f"__d{i}")
+                for i, c in enumerate(cents)
+            ],
+        )
+        ds = [F.col(f"__d{i}") for i in range(len(cents))]
+        dmax = F.greatest(*ds) if len(ds) >= 2 else ds[0]
+        assign = F.when(F.col("__d0") == dmax, ids[0])
+        for i in range(1, len(cents)):
+            assign = assign.when(F.col(f"__d{i}") == dmax, ids[i])
+        upd = (
+            with_d.select(assign.alias("c"), "xh")
+            .select("c", F.posexplode("xh").alias("pos", "xv"))
+            .groupBy("c", (F.col("pos") + 1).alias("j"))
+            .agg(
+                F.sum(F.floor(F.col("xv") * _SKM_Q)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )  # k·dim rows — the fitted-state budget
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in upd:
+            by_c.setdefault(int(r["c"]), {})[int(r["j"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        ids = sorted(by_c)
+        cents = []
+        ns = []
+        for c in ids:
+            ms = [
+                (float(by_c[c][j][0]) / _SKM_Q) / float(by_c[c][j][1])
+                for j in sorted(by_c[c])
+            ]
+            acc = 0.0
+            for m in ms:
+                acc += m * m
+            nrm = acc**0.5
+            cents.append([m / nrm for m in ms])
+            ns.append(by_c[c][min(by_c[c])][1])
+    pts.unpersist()
+    rows = [
+        (ids[i], j + 1, cents[i][j], ns[i])
+        for i in range(len(cents))
+        for j in range(len(cents[i]))
+    ]
+    return spark_.createDataFrame(rows, "c int, j int, coord double, n long")
+
+
+vec_spherical_kmeans.__doc__ = vec_spherical_kmeans.__doc__.format(
+    k=_SKM_K, it=_SKM_ITERS
+)

@@ -8334,7 +8334,9 @@ def _poisson_irls_oracle() -> str:
         FROM orders GROUP BY 1
       ) o ON o.o_custkey = c.c_custkey
     ),
-    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    it0 AS (
+      SELECT round(ln(SUM(y) / COUNT(*)), 9) AS b0, 0.0 AS b1 FROM base
+    )"""
     ctes = [base]
     for t in range(1, _PIRLS_ITERS + 1):
         mu = "exp(p.b0 + p.b1 * x)"
@@ -8377,7 +8379,9 @@ def train_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     FORM from five weighted moment aggregates — Newton–Raphson
     without a driver-side optimizer, the exact shape a 100 TB GLM
     fit takes (per-partition partial moments, one tiny reduce,
-    broadcast β back).
+    broadcast β back). Initialization is the intercept-only optimum
+    b0 = ln(mean y) (the standard log-link start — from zero the
+    first working step overshoots the exponential link).
 
     Determinism: every weighted moment term rounds to 12 then sums
     as DECIMAL(38,18) (order-insensitive); β rounds to 9 per
@@ -8401,7 +8405,16 @@ def train_poisson_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     d18 = lambda e: F.round(e, 12).cast("decimal(38,18)")  # noqa: E731
-    beta = spark.createDataFrame([(0.0, 0.0)], "b0 double, b1 double")
+    # b0 init = ln(mean y) (the standard log-link GLM start): from
+    # beta = 0 the first working response y - 1 overshoots the link
+    # catastrophically (measured: deviance 43.7k -> 24.1M after one
+    # step); starting at the intercept-only optimum makes every IRLS
+    # step a proper Fisher-scoring step (deviance decreases, pinned
+    # by the replay test).
+    beta = base.agg(
+        F.round(F.log(F.sum("y") / F.count(F.lit(1))), 9).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
     outs = []
     for t in range(1, _PIRLS_ITERS + 1):
         eta = F.col("b0") + F.col("b1") * F.col("x")

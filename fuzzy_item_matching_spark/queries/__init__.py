@@ -69,7 +69,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # r2-era rows and all 18 r4-era rows, the oldest proofs in the
     # registry (every other registered query's newest driver row is r5
     # or later) — and (b) the round-14 births, inserted as they land.
-    # Budget math: 34 staleness-retirement rows + 16 births = 50.
+    # Budget math: 33 retirements + 1 changed-op re-proof + 16 births = 50.
     # The entire r13 prefix (50/50 exact in CORRECTNESS_r13.json, the
     # second consecutive zero-rows-only zero-failure prefix) demotes
     # below. Every demoted name is annotated with the round of its
@@ -93,7 +93,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_range_join_bands",  # was r2
     "mm_binary_meta",  # was r2
     "mm_frame_sample",  # was r2
-    "sim_exact_sqdist_pairs",  # was r2
     # -- the 18 r4-era proofs (newest driver-exact row: CORRECTNESS_r04):
     "text_tokens",  # was r4
     "ts_lang_id",  # was r4
@@ -113,6 +112,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_price_clean_cast",  # was r4
     "vec_label_pair_stats",  # was r4
     "dedup_embedding_exact_pairs",  # was r4
+    # -- r14 changed-operator re-proof (impact map,
+    #    scripts/impact_map.py): vec_grid_density_clusters' cell-key
+    #    packing changed this round (collision-free 2^32 packing, the
+    #    ADVICE fix), so its r13 proof no longer covers HEAD. It takes
+    #    the 34th retirement slot; the one old row it displaces,
+    #    sim_exact_sqdist_pairs (r2), moves to position 51 — it is an
+    #    O(n²) oracle twin whose semantics are exercised by the
+    #    containment checks of the LSH family, the least re-proof
+    #    information of the r2 set — and leads the r15 rotation.
+    "vec_grid_density_clusters",  # was r13; re-proof of the key-packing fix
     # -- r14 births are inserted here as they land:
     "train_kendall_tau",  # r14 birth: tau-b over bounded contingency
     "train_mann_whitney",  # r14 birth: tie-corrected rank-sum test
@@ -130,7 +139,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "vec_spherical_kmeans",  # r14 birth: cosine Lloyd, renormalized
     "rel_adamic_adar_recall",  # r14 birth: capped-vs-exact AA recall
     "sim_ann_probe_sensitivity",  # r14 birth: multiprobe recall curve
-    # ^ budget math: 34 staleness-retirement rows + 16 births = 50.
+    # ^ budget math: 33 staleness retirements + 1 changed-operator
+    #   re-proof + 16 births = 50.
+    "sim_exact_sqdist_pairs",  # was r2; position 51 — leads the r15 rotation
     # -- demoted by the r14 rotation: the entire r13 prefix, all 50
     #    exact in CORRECTNESS_r13.json:
     "train_rf_stumps",  # r13
@@ -177,7 +188,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_vocab_coverage_curve",  # r13
     "ts_stolcke_prune",  # r13
     "vec_rff_features",  # r13
-    "vec_grid_density_clusters",  # r13
     "vec_mahalanobis_outliers",  # r13
     "train_xicor",  # r13
     "train_spearman_corr",  # r13

@@ -215,16 +215,62 @@ def _skew_copy_sql(table: str, i: int) -> str:
     return _copy_sql(table, i)
 
 
-def gen(ks: list[int], skew: bool = False) -> None:
+# --- Hub-TOKEN skew (r14, VERDICT r13 ask #5) -----------------------
+# The xs10 skew makes KEYS hot (hub parts, duplicate docs). The
+# vocabulary-keyed births (ts_coverage_greedy's postings,
+# ts_rake_keyphrases' word stats, ts_stolcke_prune's n-gram tables)
+# ride TERM-keyed aggregations that hub keys never stress: a
+# duplicated document adds hub POSTINGS but its terms stay uniform.
+# The hub-token variant replaces 1/_SKEW_MOD of copy-i>0 docs with a
+# single hub token repeated to the original length (4 hub tokens,
+# hash-assigned), so ~5% of ALL corpus tokens collapse onto 4
+# vocabulary keys — a >1000× hub TERM against the ~40k-term uniform
+# vocabulary, the adversarial shape for term-keyed partial
+# aggregation. Everything else is the x10 construction verbatim, so
+# t(xh10)/t(x10) isolates the pure hub-term cost.
+_HUB_TOKENS = ("hubalpha", "hubbeta", "hubgamma", "hubdelta")
+
+
+def _hubtok_copy_sql(table: str, i: int) -> str:
+    if i == 0 or table != "documents":
+        return _copy_sql(table, i)
+    src = f"'{SRC}/documents.parquet'"
+    s = STRIDE["doc_id"] * i
+    text = _caesar("text", i)
+    hub = (
+        "CASE hash(doc_id + 13) % 4"
+        + "".join(
+            f" WHEN {j} THEN '{t}'" for j, t in enumerate(_HUB_TOKENS[:3])
+        )
+        + f" ELSE '{_HUB_TOKENS[3]}' END"
+    )
+    return (
+        f"SELECT doc_id + {s} AS doc_id,"
+        f" CASE WHEN hash(doc_id) % {_SKEW_MOD} = 0"
+        f" THEN trim(repeat({hub} || ' ',"
+        f" greatest(1, CAST(n_chars // 10 AS BIGINT))))"
+        f" ELSE {text} END AS text, lang, source,"
+        f" CASE WHEN hash(doc_id) % {_SKEW_MOD} = 0"
+        f" THEN length(trim(repeat({hub} || ' ',"
+        f" greatest(1, CAST(n_chars // 10 AS BIGINT)))))"
+        f" ELSE n_chars END AS n_chars"
+        f" FROM {src}"
+    )
+
+
+def gen(ks: list[int], skew: bool = False, hubtok: bool = False) -> None:
     import duckdb
 
     tables = [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ]
-    copy_sql = _skew_copy_sql if skew else _copy_sql
+    copy_sql = (
+        _hubtok_copy_sql if hubtok else _skew_copy_sql if skew else _copy_sql
+    )
+    pfx = "h" if hubtok else "s" if skew else ""
     for k in ks:
-        out = os.path.join(ROOT, f"x{'s' if skew else ''}{k}")
+        out = os.path.join(ROOT, f"x{pfx}{k}")
         os.makedirs(out, exist_ok=True)
         t0 = time.monotonic()
         for t in tables:
@@ -349,6 +395,8 @@ if __name__ == "__main__":
         gen([int(a) for a in sys.argv[2:]] or [1, 4, 10])
     elif cmd == "gen-skew":
         gen([int(a) for a in sys.argv[2:]] or [10], skew=True)
+    elif cmd == "gen-hubtok":
+        gen([int(a) for a in sys.argv[2:]] or [10], hubtok=True)
     elif cmd == "report-skew":
         report_skew(sys.argv[2], sys.argv[3])
     elif cmd == "run":

@@ -8201,16 +8201,15 @@ def train_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         CAST(SUM(CASE WHEN g.s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         CAST(SUM(CASE WHEN g.s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        CAST(SUM(CAST(round(
-          (g.y - (p.a + p.b * g.x)) * (g.y - (p.a + p.b * g.x)), 6)
-          AS DECIMAL(38,6))) AS DOUBLE) AS ssr_pooled,
-        CAST(SUM(CAST(round(
-          (g.y - (f.a + f.b * g.x)) * (g.y - (f.a + f.b * g.x)), 6)
-          AS DECIMAL(38,6))) AS DOUBLE) AS ssr_split
+        CAST(SUM(CAST(round(g.y - (p.a + p.b * g.x), 6) AS DECIMAL(19,6))
+               * CAST(round(g.y - (p.a + p.b * g.x), 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS ssr_pooled,
+        CAST(SUM(CAST(round(g.y - (f.a + f.b * g.x), 6) AS DECIMAL(19,6))
+               * CAST(round(g.y - (f.a + f.b * g.x), 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS ssr_split
       FROM seg g JOIN fits f ON f.s = g.s CROSS JOIN fitp p
     )
-    SELECT n1, n2, round(ssr_pooled, 6) AS ssr_pooled,
-           round(ssr_split, 6) AS ssr_split,
+    SELECT n1, n2, ssr_pooled, ssr_split,
            round(((ssr_pooled - ssr_split) / 2.0)
                  / (ssr_split / (n1 + n2 - 4.0)), 9) AS f_stat
     FROM ssr
@@ -8229,8 +8228,13 @@ def train_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape/determinism: the same bounded day domain as
     train_durbin_watson (one input-sized agg, then ~2.4k rows);
-    per-segment (a, b) round to 12, squared residual terms round to
-    6 and sum as DECIMAL(38,6), F rounds to 9."""
+    per-segment (a, b) round to 12; residuals round to 6 (exact at
+    their ~1e7 magnitude in BOTH engines — rounding the ~1e10 SQUARE
+    instead diverges at the ulp between DuckDB's scaled-multiply round
+    and Spark's shortest-repr HALF_UP, the r14 inherited defect) and
+    square EXACTLY as DECIMAL(19,6)×DECIMAL(18,6) → DECIMAL(38,12),
+    so both SSR sums are exact integers-of-scale and the doubles cast
+    from them are bit-identical; F rounds to 9."""
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.col("o_orderdate").alias("d"))
@@ -8277,7 +8281,12 @@ def train_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fitp = _fit(daily, [])
     fits = _fit(daily, ["s"]).withColumnsRenamed({"a": "sa", "b": "sb"})
-    dec6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    # Exact squared-residual sums: round the RESIDUAL to 6 (parity-safe
+    # at ~1e7 magnitude) and square in DECIMAL — (19,6)×(18,6) →
+    # (38,12), exact in both engines; never round the ~1e10 square.
+    sq6 = lambda c: F.round(c, 6).cast("decimal(19,6)") * F.round(  # noqa: E731
+        c, 6
+    ).cast("decimal(18,6)")
     ep = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
     es = F.col("y") - (F.col("sa") + F.col("sb") * F.col("x"))
     ssr = (
@@ -8290,15 +8299,15 @@ def train_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n2"),
-            F.sum(dec6(ep * ep)).cast("double").alias("ssr_pooled"),
-            F.sum(dec6(es * es)).cast("double").alias("ssr_split"),
+            F.sum(sq6(ep)).cast("double").alias("ssr_pooled"),
+            F.sum(sq6(es)).cast("double").alias("ssr_split"),
         )
     )
     return ssr.select(
         "n1",
         "n2",
-        F.round(F.col("ssr_pooled"), 6).alias("ssr_pooled"),
-        F.round(F.col("ssr_split"), 6).alias("ssr_split"),
+        "ssr_pooled",
+        "ssr_split",
         F.round(
             ((F.col("ssr_pooled") - F.col("ssr_split")) / F.lit(2.0))
             / (

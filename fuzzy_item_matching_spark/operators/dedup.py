@@ -754,39 +754,49 @@ def winnowing_fingerprints(
     Contrast ts_fingerprint (whole-document hashes: byte-exact dedup
     only) and minhash_lsh_pairs (set-similarity: order-insensitive).
 
-    Plan shape: one explode (bounded by text length), one per-doc
-    window (single shuffle on id), one distinct — all keyed on the
-    document id. The hash is the portable md5-derived 32-bit family
-    (functions/text.py), so the whole construction is replayable in
-    the DuckDB oracle.
+    Plan shape (r14, guide §2.4 — remove shuffles outright): the
+    whole selection is a per-document computation, so it runs as ONE
+    map-only array pipeline — k-gram keys, trailing-window minima and
+    the per-doc distinct are all row-local array expressions — where
+    the r13 form paid an explode + a per-doc window (Exchange + sort
+    on id) + a global distinct (second Exchange). Zero exchanges: at
+    100 TB the fingerprint pass fuses into the scan. The hash is the
+    portable md5-derived 32-bit family (functions/text.py), so the
+    whole construction is replayable in the DuckDB oracle.
     """
     from fuzzy_item_matching_spark.functions.text import hex_long_once
-    from pyspark.sql.window import Window
 
-    g = docs.filter(F.length(text_col) >= k).select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(1), F.length(text_col) - (k - 1))
-        ).alias("p"),
-        F.col(text_col).alias("__txt"),
-    )
-    key = (
-        hex_long_once(F.md5(F.expr(f"substring(__txt, p, {k})")), 1, 8)
+    # key[p] = hash(k-gram at p)·2^30 + p for p = 1..L-k+1, bound to an
+    # attribute BEFORE the window pass so the second transform's slice
+    # references a materialized array, not a re-evaluated expression.
+    key_arr = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
+        lambda p: hex_long_once(
+            F.md5(F.substring(F.col(text_col), p, F.lit(k))), 1, 8
+        )
         * F.lit(1073741824)
-        + F.col("p")
-    ).alias("key")
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("p")
-        .rowsBetween(-(w - 1), 0)
+        + p,
     )
-    return (
-        g.select(id_col, "p", key)
-        .select(id_col, "p", F.min("key").over(win).alias("m"))
-        .filter(F.col("p") >= w)
-        .select(id_col, F.expr("m div 1073741824").alias("h"))
-        .distinct()
+    # Docs shorter than k+w-1 chars have no full w-window (the r13 form
+    # dropped their rows at the p >= w filter); the guard also keeps
+    # F.sequence ascending (sequence(w, stop) with stop < w would count
+    # DOWN, not produce an empty array).
+    g = docs.filter(F.length(text_col) >= k + w - 1).select(
+        id_col, key_arr.alias("__keys")
     )
+    # m[p] = min(key[p-w+1 .. p]); h = m div 2^30 (shiftright is exact
+    # integer division here — keys are non-negative). array_distinct
+    # per doc replaces the global distinct: ids are unique per row, so
+    # the exploded (id, h) multiset is already distinct.
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(w), F.size("__keys")),
+            lambda p: F.shiftright(
+                F.array_min(F.slice("__keys", p - (w - 1), w)), 30
+            ),
+        )
+    )
+    return g.select(id_col, F.explode(sel).alias("h"))
 
 
 def winnowing_sql(

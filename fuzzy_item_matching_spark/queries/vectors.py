@@ -358,6 +358,65 @@ vec_matryoshka_topk.__doc__ = vec_matryoshka_topk.__doc__.format(
 
 _PCA_ITERS = 3
 _PCA_Q = 2.0**40  # Gram fixed-point quantum (see docstring)
+
+
+def _gram_long_partials(e) -> "DataFrame":
+    """Per-task fixed-point Gram partials Σ floor((xᵢ·xⱼ)·2^40) as
+    (i, j, s) rows with 1-based long indices — the input-sized pass of
+    vec_pca_power / vec_pca_deflation, run as ONE Arrow batch kernel
+    per task (guide §4.2: hand whole batches to vectorized numpy
+    instead of 40M interpreted-HOF products + a 40M-row posexplode
+    feeding the partial agg; only dim² partial rows per task reach the
+    exchange).
+
+    Exactness: float32 embeddings widen exactly to float64; x·y is the
+    identical IEEE product the JVM cast path computed; ·2^40 is an
+    exact exponent shift; floor has no tie mode; the int64 cast happens
+    BEFORE summation (floored magnitudes can exceed 2^53, so a float
+    sum would round — int64 accumulation is exact and
+    order-insensitive, same as the engine's BIGINT sum). Pinned against
+    the JVM expression path in tests/test_round14_opt.py.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q = _PCA_Q
+
+    def gen(batches):
+        acc = None
+        d = 0
+        for b in batches:
+            lst = b.column(0)
+            n_rows = len(lst)
+            if n_rows == 0:
+                continue
+            flat = lst.flatten()
+            v = flat.to_numpy(zero_copy_only=False)
+            d0 = v.size // n_rows
+            v = v.reshape(n_rows, d0)
+            if acc is None:
+                d = d0
+                acc = np.zeros((d, d), dtype=np.int64)
+            for s0 in range(0, n_rows, 1024):
+                blk = v[s0 : s0 + 1024]
+                prod = np.einsum("ri,rj->rij", blk, blk)
+                np.multiply(prod, q, out=prod)
+                np.floor(prod, out=prod)
+                acc += prod.astype(np.int64).sum(axis=0)
+        if acc is not None:
+            ii, jj = np.indices((d, d))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((ii + 1).ravel().astype("int64")),
+                    pa.array((jj + 1).ravel().astype("int64")),
+                    pa.array(acc.ravel()),
+                ],
+                names=["i", "j", "s"],
+            )
+
+    return e.select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    ).mapInArrow(gen, "i long, j long, s long")
 # One decimal-exact matvec step as a DuckDB CTE pair: w = C·v
 # (DECIMAL-accumulated), n = ||w|| (DECIMAL-accumulated), v' = w/n.
 _D_PCA_STEP = """
@@ -434,33 +493,15 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     e = load_table(spark, sf_dir, "embeddings")
     nn = e.agg(F.count(F.lit(1)).alias("n"))
-    # Outer products generated ROW-LOCALLY by a nested transform —
-    # semantically the oracle's posexplode self-join on vec_id, minus
-    # its shuffle of the n·dim exploded frame; the dim²-key agg combine
-    # is the plan's only exchange.
-    # Flat-double generation beats both the struct-typed triangle
-    # (struct allocation per cell measured 2× slower despite half the
-    # volume) and the exploded self-join (two n·dim shuffles).
-    pairs = (
-        e.select(
-            F.size("embedding").alias("d"),
-            F.posexplode(
-                F.expr(
-                    "flatten(transform(cast(embedding as array<double>),"
-                    " x -> transform(cast(embedding as array<double>),"
-                    " y -> x * y)))"
-                )
-            ).alias("pos", "p"),
-        )
-        .select(
-            F.expr("(pos div d) + 1").alias("i"),
-            F.expr("(pos % d) + 1").alias("j"),
-            "p",
-        )
-    )
+    # r14 (guide §4.2): the n·dim² fixed-point products run as one
+    # numpy kernel per Arrow batch (_gram_long_partials) — the r13
+    # nested-transform + posexplode form pushed 40M interpreted-HOF
+    # products per pass through the partial agg; now only dim² partial
+    # rows per task reach the exchange. Same BIGINT sum, bit-exact.
     cov = (
-        pairs.groupBy("i", "j")
-        .agg(F.sum(F.floor(F.col("p") * _PCA_Q)).cast("double").alias("s"))
+        _gram_long_partials(e)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("double").alias("s"))
         .crossJoin(F.broadcast(nn))
         .select("i", "j", (F.col("s") / _PCA_Q / F.col("n")).alias("c"))
     )
@@ -974,23 +1015,12 @@ def vec_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     nn = e.agg(F.count(F.lit(1)).alias("n"))
-    pairs = e.select(
-        F.size("embedding").alias("d"),
-        F.posexplode(
-            F.expr(
-                "flatten(transform(cast(embedding as array<double>),"
-                " x -> transform(cast(embedding as array<double>),"
-                " y -> x * y)))"
-            )
-        ).alias("pos", "p"),
-    ).select(
-        F.expr("(pos div d) + 1").alias("i"),
-        F.expr("(pos % d) + 1").alias("j"),
-        "p",
-    )
+    # r14: Arrow/numpy fixed-point Gram partials (see vec_pca_power /
+    # _gram_long_partials) — bit-exact BIGINT fold, dim² rows per task.
     cov = (
-        pairs.groupBy("i", "j")
-        .agg(F.sum(F.floor(F.col("p") * _PCA_Q)).cast("double").alias("s"))
+        _gram_long_partials(e)
+        .groupBy("i", "j")
+        .agg(F.sum("s").cast("double").alias("s"))
         .crossJoin(F.broadcast(nn))
         .select("i", "j", (F.col("s") / _PCA_Q / F.col("n")).alias("c"))
         .persist()

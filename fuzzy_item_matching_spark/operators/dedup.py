@@ -34,26 +34,44 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _jaccard_postings_join(sh: DataFrame, min_jaccard: float) -> DataFrame:
-    """Postings self-join core of n-gram Jaccard over an exploded
-    (__id, __g) shingle frame: equi-join on shingle → intersection
-    counts → set-size join → threshold. Integer arithmetic until the
-    final division."""
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col("__id").alias("id_a"), "__g")
-    b = sh.select(F.col("__id").alias("id_b"), "__g")
+def _jaccard_postings_join(doc_sh: DataFrame, min_jaccard: float) -> DataFrame:
+    """Postings self-join core of n-gram Jaccard over a per-doc
+    (__id, __sig) shingle-array frame: explode with the set size
+    attached (free from the array — no separate sizes aggregate or
+    post-join) → equi-join on shingle → LENGTH FILTER → intersection
+    counts → threshold. Integer arithmetic until the final division.
+
+    Length filter (r14, guide §2.3 — shuffle/aggregate fewer rows):
+    jaccard ≤ min(n_a,n_b)/max(n_a,n_b) because |A∩B| ≤ min. The pair
+    is dropped only when fl(min/max) < t, which is exactly the jaccard
+    the final filter would compute at the maximal possible
+    intersection i = min (min/(n_a+n_b−min) = min/max); for smaller i
+    the real quotient shrinks and fl is monotone, so every dropped
+    pair fails the final filter — the surviving set is identical.
+    Disparate-size pairs leave the plan BEFORE the (id_a, id_b)
+    aggregation instead of after the division."""
+    sh = doc_sh.select(
+        "__id",
+        F.size("__sig").alias("__n"),
+        F.explode("__sig").alias("__g"),
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__g")
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__g")
     inter = (
         a.join(b, "__g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__na", "__nb").cast("double")
+                / F.greatest("__na", "__nb")
+                >= F.lit(min_jaccard)
+            )
+        )
+        .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__inter").cast("double")
             / (F.col("__na") + F.col("__nb") - F.col("__inter")),
@@ -109,15 +127,13 @@ def ngram_jaccard_pairs(
     n_docs, n_groups, collapse = signature_gate(doc_sh, collapse_ratio)
     if not collapse:
         # doc_sh STAYS persisted: the postings feed both join sides
-        # plus the size aggregate (callers clearCache per query).
-        sh = doc_sh.select("__id", F.explode("__sig").alias("__g"))
-        return _jaccard_postings_join(sh, min_jaccard)
+        # (callers clearCache per query).
+        return _jaccard_postings_join(doc_sh, min_jaccard)
     groups, doc_gid = group_map(doc_sh)
     doc_gid = doc_gid.persist()
-    rep_sh = groups.select(
-        F.col("__gid").alias("__id"), F.explode("__sig").alias("__g")
+    rep_pairs = _jaccard_postings_join(
+        groups.select(F.col("__gid").alias("__id"), "__sig"), min_jaccard
     )
-    rep_pairs = _jaccard_postings_join(rep_sh, min_jaccard)
     # Intra-group pairs: identical nonempty shingle sets ⇒ Jaccard
     # exactly 1.0 (n/(2n−n), exact in IEEE). Empty-set docs emit no
     # postings in the plain join, so they must not self-pair either.

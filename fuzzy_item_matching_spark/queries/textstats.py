@@ -4820,7 +4820,6 @@ def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = post.select("term").limit(0).localCheckpoint(eager=True)
     rows = []
-    total = 0
     for r in range(1, _COV_ROUNDS + 1):
         gain = (
             post.join(covered, "term", "left_anti")
@@ -4830,35 +4829,36 @@ def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = gain.orderBy(F.desc("gain"), "doc_id").limit(1).localCheckpoint(
             eager=True
         )
-        # r14 (guide §2.4): the covered-vocabulary running total IS the
-        # sum of the picks' gains — each round's gain counts exactly
-        # the distinct terms newly added to the cover — so the
-        # per-round `.distinct()` rebuild of the covered set (one
+        # r14 (guide §2.4): each round's gain counts exactly the
+        # distinct terms the pick adds to the cover, so the per-round
+        # `.distinct()` rebuild of the covered set (one
         # vocabulary-sized exchange per round) and the separate
         # covered-count aggregate both drop: the covered frame stays a
         # plain union (the anti-join is multiset-insensitive) and the
-        # total rides a bounded 1-row collect of the already-
-        # checkpointed pick.
-        prow = pick.collect()
-        if prow:
-            total += prow[0]["gain"]
+        # covered-vocabulary total becomes ONE window cumsum over the
+        # ≤K result rows at the end.
         covered = covered.unionAll(
             post.join(pick.select("doc_id"), "doc_id", "left_semi").select(
                 "term"
             )
         ).localCheckpoint(eager=True)
-        rows.append(
-            pick.select(
-                F.lit(r).alias("round"),
-                "doc_id",
-                "gain",
-                F.lit(total).cast("long").alias("covered_terms"),
-            )
-        )
+        rows.append(pick.select(F.lit(r).alias("round"), "doc_id", "gain"))
     out = rows[0]
     for rr in rows[1:]:
         out = out.unionByName(rr)
-    return out
+    return out.select(
+        "round",
+        "doc_id",
+        "gain",
+        F.sum("gain")
+        .over(
+            Window.orderBy("round").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("covered_terms"),
+    )
 
 
 ts_coverage_greedy.__doc__ = ts_coverage_greedy.__doc__.format(

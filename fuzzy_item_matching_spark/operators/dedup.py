@@ -230,13 +230,23 @@ def minhash_lsh_pairs(
             hex_long("__m", 1).alias("__h1"),
             hex_long("__m", 9).alias("__h2"),
         )
+        # r14 (guide §2.3/§2.4): the per-doc set size rides the SAME
+        # aggregate as the signature mins (postings are distinct per
+        # doc, so COUNT(*) = |set|) and is carried through the band
+        # explode — the separate sizes aggregate over the postings
+        # frame and its two post-verification joins are gone, and the
+        # size ratio prunes candidate pairs BEFORE the distinct and
+        # the verification join (exact-safe: jaccard ≤ min/max, see
+        # the prefilter note below).
         sig = hs.groupBy("__id").agg(
             *[
                 F.min(F.col("__h1") + i * F.col("__h2")).alias(f"__s{i}")
                 for i in range(n_hashes)
-            ]
+            ],
+            F.count(F.lit(1)).alias("__n"),
         ).select(
             "__id",
+            "__n",
             F.array(*[f"__s{i}" for i in range(n_hashes)]).alias("__sig"),
         )
     else:
@@ -248,8 +258,10 @@ def minhash_lsh_pairs(
             "__id", word_shingles(F.col("__toks"), n).alias("__sh")
         ).filter(F.size("__sh") > 0).persist()  # arrays feed the fold
         # signature AND both verification sides — compute once
-        sig = base.withColumn(
-            "__sig", minhash_signature(F.col("__sh"), n_hashes, seed)
+        sig = base.select(
+            "__id",
+            F.size("__sh").alias("__n"),
+            minhash_signature(F.col("__sh"), n_hashes, seed).alias("__sig"),
         )
 
     def band_key(b: int) -> Column:
@@ -265,19 +277,37 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "__id",
+        "__n",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "__band", "__bhash"
         ),
     ).persist()  # n_hashes hash folds per row; both candidate
     # self-join sides reference this frame
+    # Size-ratio prefilter (r14, guide §2.3 — the ngram_jaccard_pairs
+    # argument verbatim): |A∩B| ≤ min(na,nb), so the real jaccard is
+    # ≤ min/max; integer-valued doubles divide correctly rounded and
+    # fl is monotone in the real quotient, hence fl(min/max) <
+    # threshold implies the final computed jaccard fails the final
+    # filter too — dropped pairs are exactly pairs the verification
+    # would drop. Applied BEFORE the pair distinct so the distinct
+    # exchange and the verification join never see hopeless pairs.
+    ratio_ok = (
+        F.least(F.col("__na"), F.col("__nb")).cast("double")
+        / F.greatest(F.col("__na"), F.col("__nb"))
+        >= F.lit(min_jaccard)
+    )
     if delta_ids is None:
         cand = (
             banded.alias("x")
             .join(banded.alias("y"), ["__band", "__bhash"])
             .filter(F.col("x.__id") < F.col("y.__id"))
             .select(
-                F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+                F.col("x.__n").alias("__na"),
+                F.col("y.__n").alias("__nb"),
             )
+            .filter(ratio_ok)
             .distinct()
         )
     else:
@@ -286,6 +316,7 @@ def minhash_lsh_pairs(
         # join); the full corpus remains the build side. least/greatest
         # + distinct canonicalize delta×delta pairs found from both
         # directions.
+        lt = F.col("x.__id") < F.col("y.__id")
         cand = (
             banded.filter(delta_ids(F.col("__id"))).alias("x")
             .join(banded.alias("y"), ["__band", "__bhash"])
@@ -293,7 +324,14 @@ def minhash_lsh_pairs(
             .select(
                 F.least(F.col("x.__id"), F.col("y.__id")).alias("id_a"),
                 F.greatest(F.col("x.__id"), F.col("y.__id")).alias("id_b"),
+                F.when(lt, F.col("x.__n")).otherwise(F.col("y.__n")).alias(
+                    "__na"
+                ),
+                F.when(lt, F.col("y.__n")).otherwise(F.col("x.__n")).alias(
+                    "__nb"
+                ),
             )
+            .filter(ratio_ok)
             .distinct()
         )
     if portable:
@@ -301,22 +339,20 @@ def minhash_lsh_pairs(
         # per-pair intersection = equi-join on the shingle restricted
         # to candidate ids (shingles are distinct per doc, so COUNT =
         # |A∩B|). Pairs sharing no shingle drop out of the inner join —
-        # their jaccard is 0, below any threshold.
-        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        # their jaccard is 0, below any threshold. Set sizes arrived
+        # WITH the candidate pair (carried through the band explode),
+        # so the former per-doc sizes aggregate and its two post-
+        # aggregation joins are gone (r14).
         pa = cand.join(
             sh.select(F.col("__id").alias("id_a"), "__g"), "id_a"
         )
         inter = (
             pa.join(sh.select(F.col("__id").alias("id_b"), "__g"), ["id_b", "__g"])
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "__na", "__nb")
             .agg(F.count(F.lit(1)).alias("__i"))
         )
-        na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-        nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
         return (
-            inter.join(na, "id_a")
-            .join(nb, "id_b")
-            .withColumn(
+            inter.withColumn(
                 "jaccard",
                 F.col("__i").cast("double")
                 / (F.col("__na") + F.col("__nb") - F.col("__i")),
@@ -329,7 +365,8 @@ def minhash_lsh_pairs(
     sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
     return (
-        cand.join(sa, "id_a")
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -498,8 +535,13 @@ def simhash_pairs(
                 F.col("y.__id").alias("id_b"),
                 hamming.alias("hamming"),
             )
-            .distinct()
+            # r14 (guide §2.3): hamming is pair-local and cheap (4
+            # bit_count XORs), so the threshold runs BEFORE the pair
+            # distinct — the distinct exchange carries only surviving
+            # pairs instead of every multi-band collision. Same set:
+            # a pair's hamming is identical on every banded copy.
             .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
 
     doc_fp = sig.select("__id", F.col("__chunks").alias("__sig")).persist()

@@ -4354,35 +4354,53 @@ def ts_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         regex_tokenize("text"),
         lambda t: (F.length(t) >= _TR_MINLEN) & ~F.array_contains(stop, t),
     )
-    tk = d.select(
-        "doc_id", F.posexplode(toks).alias("pos0", "term")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    a = tk.select("doc_id", "pos", F.col("term").alias("ta"))
-    b = tk.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("tb")
+    # r14 (guide §2.4): adjacency is a pure function of EACH doc's
+    # token sequence, so it is computed row-locally — the array zipped
+    # with its own tail, both directions emitted per adjacent pair —
+    # instead of the previous (doc_id, pos) postings self-join, which
+    # scanned + tokenized the corpus once per join side per direction
+    # (4 scans) and broadcast an exploded token-position frame. One
+    # scan, map-only until the single (src, dst) count aggregation;
+    # the emitted (src, dst) multiset is identical pair-for-pair.
+    t = F.col("__t")  # bound once below: 4 references, tokenizer runs 1x
+    pairs = F.filter(
+        F.flatten(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda x, y: F.array(
+                    F.struct(x.alias("src"), y.alias("dst")),
+                    F.struct(y.alias("src"), x.alias("dst")),
+                ),
+            )
+        ),
+        lambda p: p.getField("src") != p.getField("dst"),
     )
-    adj = a.join(b, ["doc_id", "pos"]).filter(F.col("ta") != F.col("tb"))
     e = (
-        adj.select(F.col("ta").alias("src"), F.col("tb").alias("dst"))
-        .unionAll(
-            adj.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
-        )
+        d.select(toks.alias("__t"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .persist()
     )
-    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    nn = e.agg(F.countDistinct("src").cast("double").alias("n"))
+    # outd's key set IS the distinct src set, so it seeds r0 and
+    # counts n — one aggregation over e serves all three uses.
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
+    nn = outd.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = (
-        e.select("src")
-        .distinct()
+        outd.select("src")
         .crossJoin(F.broadcast(nn))
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"))
     )
     for _ in range(_TR_ITERS):
+        # rank + out-degree frames are vocabulary-bounded — broadcast
+        # them so each iteration is map-only over the cached edge list
+        # plus ONE keyed aggregation (guide §3.1; was 4 SMJ exchanges
+        # per iteration).
         r = (
-            e.join(r, e.src == F.col("node"))
-            .join(outd, "src")
+            e.join(F.broadcast(r), e.src == F.col("node"))
+            .join(F.broadcast(outd), "src")
             .crossJoin(F.broadcast(nn))
             .groupBy(F.col("dst").alias("node2"))
             .agg(

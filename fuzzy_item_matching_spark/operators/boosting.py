@@ -865,23 +865,39 @@ def gboost_fit(
             g = p - F.col("__y")
             h = p * (1.0 - p)
         le = F.col("__x") <= F.col("thr")
+        # r14 (guide §2.3): (g, h) are per-ROW values, so project them
+        # once per row BEFORE the candidate crossJoin — inlined, the
+        # sigmoid/exp subtree was re-evaluated inside all four
+        # aggregate children, i.e. 4·|grid| transcendentals per row
+        # instead of 1. And sum CASE WHEN .. THEN g END (NULL else,
+        # coalesced after) instead of otherwise(0.0): SUM skips NULLs,
+        # halving the DECIMAL(38,18) additions; adding exact zeros
+        # never changed a sum, and the empty-side coalesce restores
+        # the identical 0.0 — bit-equal gl/hl/gr/hr by construction.
+        zero = F.lit(0.0)
         ev = (
-            df.crossJoin(cands)
+            df.withColumn("__g", g)
+            .withColumn("__h", h)
+            .crossJoin(cands)
             .withColumn("__x", feat_val)
             .groupBy("feature", "thr")
             .agg(
-                F.sum(F.when(le, g).otherwise(0.0).cast(dec))
-                .cast("double")
-                .alias("gl"),
-                F.sum(F.when(le, h).otherwise(0.0).cast(dec))
-                .cast("double")
-                .alias("hl"),
-                F.sum(F.when(~le, g).otherwise(0.0).cast(dec))
-                .cast("double")
-                .alias("gr"),
-                F.sum(F.when(~le, h).otherwise(0.0).cast(dec))
-                .cast("double")
-                .alias("hr"),
+                F.coalesce(
+                    F.sum(F.when(le, F.col("__g")).cast(dec)).cast("double"),
+                    zero,
+                ).alias("gl"),
+                F.coalesce(
+                    F.sum(F.when(le, F.col("__h")).cast(dec)).cast("double"),
+                    zero,
+                ).alias("hl"),
+                F.coalesce(
+                    F.sum(F.when(~le, F.col("__g")).cast(dec)).cast("double"),
+                    zero,
+                ).alias("gr"),
+                F.coalesce(
+                    F.sum(F.when(~le, F.col("__h")).cast(dec)).cast("double"),
+                    zero,
+                ).alias("hr"),
             )
             .withColumn("gain", F.expr(gain_sql))
             .orderBy(F.desc("gain"), F.asc("feature"), F.asc("thr"))

@@ -548,15 +548,52 @@ def lsh_sqdist_join(
     if right is not None:
         right = valid_vectors(right, vec_col, dim)
     planes = random_hyperplanes(dim, n_tables, seed)
+    planes_arr = np.asarray(planes, dtype=np.float64)  # (tables, dim)
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(out_id),
-            F.col("__v"),
-            F.posexplode(brp_hashes("__v", planes, bucket_length)).alias(
-                "__tbl", "__bkt"
-            ),
-        ).select(out_id, "__tbl", "__bkt", "__v")
+        # r14 (guide §4.2, the sign_bucket_frame precedent): the
+        # n_tables per-row dots run as ONE dimension-ordered numpy
+        # fold over Arrow batches instead of the interpreted
+        # per-element expression fold (measured 1.8 s/side at sf0.1
+        # for the expression form). The fold order is the expression
+        # dot's left-to-right accumulation exactly, and
+        # floor(acc/bucket_length) on float64 matches Spark's
+        # Divide+floor — bit-identical bucket ids.
+        id_type = df.schema[out_id].dataType
+        schema = T.StructType(
+            [
+                T.StructField(out_id, id_type),
+                T.StructField("__tbl", T.IntegerType()),
+                T.StructField("__bkt", T.LongType()),
+                T.StructField("__v", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def bucketize(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                acc = np.zeros((len(v), n_tables), dtype=np.float64)
+                for i in range(dim):
+                    acc += v[:, i, None] * planes_arr[None, :, i]
+                bkt = np.floor(acc / bucket_length).astype(np.int64)
+                ids = pdf[out_id].to_numpy()
+                yield pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                out_id: ids,
+                                "__tbl": t,
+                                "__bkt": bkt[:, t],
+                                "__v": list(v),
+                            }
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+
+        return df.select(out_id, "__v").mapInPandas(bucketize, schema=schema)
 
     self_mode = right is None
     id_type = left.schema[id_col].dataType

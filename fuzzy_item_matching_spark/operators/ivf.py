@@ -61,6 +61,82 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def _cell_order_block(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Per row, the centroid ids ordered as
+    ``reverse(array_sort(_cell_scores(v)))`` — i.e. score DESC, ties
+    cell DESC. The scores come from the same dimension-ordered float64
+    fold as the expression dot (bit-identical values — the
+    operators/lsh.py `_folded_dot_block` contract), and a STABLE
+    ascending argsort reversed reproduces the struct sort's
+    (score asc, cell asc)→reversed order exactly, including NaN-last
+    (Spark orders NaN greatest; numpy sorts NaN last; among equal
+    keys both keep cell-ascending, so the reversed tail matches)."""
+    acc = np.zeros((v.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(v.shape[1]):
+        acc += v[:, i, None] * cents[None, :, i]
+    return np.argsort(acc, axis=1, kind="stable")[:, ::-1]
+
+
+def cell_order_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    keep_vec: bool = False,
+    keep_norm: bool = False,
+) -> DataFrame:
+    """(__id, __cells int[], [__v double[]], [__n]) — every vector's
+    centroid ids in probe order, via ONE Arrow/numpy pass.
+
+    r14 (guide §4.2): the expression form (`_cell_scores` →
+    array_sort → reverse) embeds n_centroids × dim literals in the
+    plan; at 16×64 that is a ~1k-node expression tree whose ANALYSIS
+    and codegen cost is scale-INDEPENDENT (the documented pq.py
+    plan-size lesson) on top of the interpreted per-row HOF fold.
+    Here the centroid matrix rides the task closure as data, the
+    fold is the numpy dimension-ordered pass (bit-identical dots —
+    `_folded_dot_block`), and the plan is one narrow projection +
+    MapInPandas. Map-only: no exchange at any corpus size."""
+    from fuzzy_item_matching_spark.operators.lsh import (
+        _folded_dot_block_diag,
+        valid_vectors,
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    df = valid_vectors(df, vec_col, cents.shape[1])
+    id_type = df.schema[id_col].dataType
+    fields = [
+        T.StructField("__id", id_type),
+        T.StructField("__cells", T.ArrayType(T.IntegerType())),
+    ]
+    if keep_vec:
+        fields.append(T.StructField("__v", T.ArrayType(T.DoubleType())))
+    if keep_norm:
+        fields.append(T.StructField("__n", T.DoubleType()))
+    schema = T.StructType(fields)
+
+    def order_cells(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            out = {
+                "__id": pdf["__id"].to_numpy(),
+                "__cells": list(_cell_order_block(v, cents).astype(np.int32)),
+            }
+            if keep_vec:
+                out["__v"] = list(v)
+            if keep_norm:
+                out["__n"] = np.sqrt(_folded_dot_block_diag(v))
+            yield pd.DataFrame(out)
+
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return src.mapInPandas(order_cells, schema=schema)
+
+
 REFINE_SAMPLE_CAP = 100_000
 
 
@@ -103,19 +179,19 @@ def refine_centroids(
     agg — one pass per iteration over a bounded sample, see
     ``refinement_sample``), renormalize driver-side. Only the
     n_centroids×dim mean table is ever collected (KBs)."""
-    df = refinement_sample(df, id_col, cap=sample_cap).select(vec_col).persist()
+    df = (
+        refinement_sample(df, id_col, cap=sample_cap)
+        .select(id_col, vec_col)
+        .persist()
+    )
     for _ in range(iterations):
-        # Two selects: a generator (posexplode) in the same projection
-        # as the struct getField loses struct field names (resolves to
-        # col1/col2) — assign the cell first, then explode.
-        cells = df.select(
-            F.element_at(
-                F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))), 1
-            )
-            .getField("cell")
-            .alias("__cell"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
+        # r14 (guide §4.2): per-pass assignment via the numpy kernel
+        # (cell_order_frame top-1) instead of the `_cell_scores`
+        # expression tree — bit-identical nearest cell, and each Lloyd
+        # pass stops re-analyzing a fresh n_centroids×dim literal plan.
+        cells = cell_order_frame(
+            df, id_col, vec_col, centroids, keep_vec=True
+        ).select(F.element_at("__cells", 1).alias("__cell"), "__v")
         assigned = cells.select(
             "__cell", F.posexplode("__v").alias("__pos", "__x")
         )
@@ -184,30 +260,25 @@ def ivf_cosine_topk(
                 sample_cap=sample_cap,
             )
 
-    scored = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        l2_norm(vec_col).alias("__n"),
-        F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))).alias(
-            "__cells"
-        ),
+    # r14 (guide §4.2): cell scoring moved from the `_cell_scores`
+    # expression tree (n_centroids×dim plan literals + interpreted HOF
+    # folds, analysis cost scale-independent) to the one-pass numpy
+    # kernel — same bit-identical dots, map-only.
+    scored = cell_order_frame(
+        df, id_col, vec_col, centroids, keep_vec=True, keep_norm=True
     ).persist()  # cell scoring = n_centroids dots per row; feeds both sides
 
     index = scored.select(
         F.col("__id").alias("nid"),
         F.col("__v").alias("__vn"),
         F.col("__n").alias("__nn"),
-        F.element_at("__cells", 1).getField("cell").alias("__cell"),
+        F.element_at("__cells", 1).alias("__cell"),
     )
     probes = scored.select(
         F.col("__id").alias("qid"),
         F.col("__v").alias("__vq"),
         F.col("__n").alias("__nq"),
-        F.explode(
-            F.transform(
-                F.slice("__cells", 1, n_probe), lambda s: s.getField("cell")
-            )
-        ).alias("__cell"),
+        F.explode(F.slice("__cells", 1, n_probe)).alias("__cell"),
     )
 
     # Blockwise scoring per cell (the FAISS-IVF shape): instead of a
@@ -290,16 +361,11 @@ def assign_cells(
     """(__id, __v double[], __n norm, __cell) — each vector assigned to
     its single nearest centroid (max dot, ties to the higher cell id —
     the same reverse-array_sort order as ``ivf_cosine_topk``). One
-    narrow projection, no shuffle."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        l2_norm(vec_col).alias("__n"),
-        F.element_at(
-            F.reverse(F.array_sort(_cell_scores(F.col(vec_col), centroids))), 1
-        )
-        .getField("cell")
-        .alias("__cell"),
+    numpy pass (`cell_order_frame`, r14), no shuffle."""
+    return cell_order_frame(
+        df, id_col, vec_col, centroids, keep_vec=True, keep_norm=True
+    ).select(
+        "__id", "__v", "__n", F.element_at("__cells", 1).alias("__cell")
     )
 
 
@@ -355,22 +421,15 @@ def ivf_cell_pairs(
                 sample_cap=sample_cap,
             )
 
-    probes = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        l2_norm(vec_col).alias("__n"),
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.reverse(
-                        F.array_sort(_cell_scores(F.col(vec_col), centroids))
-                    ),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s.getField("cell"),
-            )
-        ).alias("__cell"),
+    # r14 (guide §4.2): probe-cell assignment via the numpy kernel —
+    # see cell_order_frame; bit-identical order, map-only.
+    probes = cell_order_frame(
+        df, id_col, vec_col, centroids, keep_vec=True, keep_norm=True
+    ).select(
+        "__id",
+        "__v",
+        "__n",
+        F.explode(F.slice("__cells", 1, n_probe)).alias("__cell"),
     )
     id_field = df.schema[id_col]
     out_schema = T.StructType(

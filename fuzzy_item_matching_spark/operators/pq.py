@@ -74,49 +74,66 @@ def pq_code_rows(
     codebooks: list[list[list[float]]],
 ) -> DataFrame:
     """(id, m, code) rows: each vector's per-subspace argmin-sqdist
-    codebook entry, ties -> lower code. The codebook joins as a
-    broadcast DataFrame (data, not plan literals) and the argmin is a
-    lexicographic struct-min aggregate — one small expression, one
-    shuffle on (id, m)."""
-    spark = df.sparkSession
+    codebook entry, ties -> lower code.
+
+    r14 (guide §4.2/§2.4): assignment runs as ONE Arrow/numpy pass —
+    per subspace, the (batch × ksub) sqdist block accumulates in
+    subvector-dimension order, reproducing the `squared_dist`
+    zip_with/aggregate fold bit-for-bit ((x−y)·(x−y) terms, same
+    left-to-right float64 adds), and ``argmin`` takes the FIRST
+    minimum = the lexicographic struct-min's lower-code tie break
+    (NaN sqdists are mapped to +inf first: Spark orders NaN greatest,
+    so a finite entry always wins and an all-NaN row falls to code 0
+    — the same outcomes). This replaces the m-way explode ×
+    ksub-row broadcast join × struct-min aggregate — the groupBy's
+    (id, m) Exchange is GONE; code assignment is map-only at any
+    corpus size, emitting exactly the m code rows per vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fuzzy_item_matching_spark.operators.lsh import valid_vectors
+
     m = len(codebooks)
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    cb_df = spark.createDataFrame(
-        [
-            (mi, j, c)
-            for mi, cb_m in enumerate(codebooks)
-            for j, c in enumerate(cb_m)
-        ],
-        "m int, j int, c array<double>",
-    )
-    subs = df.select(
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    src = valid_vectors(df, vec_col, m * dsub).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(mi).alias("m"),
-                        F.slice("__v", mi * dsub + 1, dsub).alias("s"),
-                    )
-                    for mi in range(m)
-                ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def assign_codes(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = len(v)
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                sub = v[:, mi * dsub : (mi + 1) * dsub]
+                acc = np.zeros((n, ksub), dtype=np.float64)
+                for d in range(dsub):
+                    diff = sub[:, d, None] - cb[mi, None, :, d]
+                    acc += diff * diff
+                np.copyto(acc, np.inf, where=np.isnan(acc))
+                codes[:, mi] = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), m),
+                    "m": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
             )
-        ).alias("ms"),
-    ).select("__id", F.col("ms.m").alias("m"), F.col("ms.s").alias("s"))
-    scored = subs.join(F.broadcast(cb_df), "m").select(
-        "__id",
-        "m",
-        F.struct(
-            squared_dist(F.col("s"), F.col("c")).alias("sqd"),
-            F.col("j").alias("j"),
-        ).alias("sj"),
-    )
-    return scored.groupBy("__id", "m").agg(
-        F.min("sj").getField("j").alias("code")
-    )
+
+    return src.mapInPandas(assign_codes, schema=schema)
 
 
 def adc_lut_py(

@@ -850,7 +850,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from fuzzy_item_matching_spark.operators.ivf import (
-        _cell_scores,
+        cell_order_frame,
         sample_centroids,
     )
     from fuzzy_item_matching_spark.operators.pq import (
@@ -887,24 +887,20 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sample_centroids(ev, "vec_id", "v", _IVFPQ_CELLS)
     cbs = pq_codebooks(ev, "vec_id", "v", _PQ_M, _PQ_KSUB)
 
-    cells = ev.select(
-        "vec_id",
-        F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
-            "__cells"
-        ),
-    ).persist()  # 16 dots/row; consumed by both the index and probe sides
+    # r14 (guide §4.2): probe-order assignment via the numpy kernel
+    # (operators/ivf.cell_order_frame) — the 16×64-literal
+    # `_cell_scores` expression tree (scale-independent analysis +
+    # interpreted HOF folds) becomes one map-only Arrow pass with
+    # bit-identical cell order.
+    cells = cell_order_frame(ev, "vec_id", "v", cents).persist()
+    # consumed by both the index and probe sides
     idx = cells.select(
-        F.col("vec_id").alias("nid"),
-        F.element_at("__cells", 1).getField("cell").alias("cell"),
+        F.col("__id").alias("nid"),
+        F.element_at("__cells", 1).alias("cell"),
     )
-    prb = cells.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.explode(
-            F.transform(
-                F.slice("__cells", 1, _IVFPQ_PROBE),
-                lambda s: s.getField("cell"),
-            )
-        ).alias("cell"),
+    prb = cells.filter(F.col("__id") % _PQ_STRIDE == 0).select(
+        F.col("__id").alias("qid"),
+        F.explode(F.slice("__cells", 1, _IVFPQ_PROBE)).alias("cell"),
     )
     cand = prb.join(idx, "cell").filter(F.col("qid") != F.col("nid")).select(
         "qid", "nid"
@@ -1159,7 +1155,7 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fuzzy_item_matching_spark.functions.vector import cosine_similarity
     from fuzzy_item_matching_spark.operators.ivf import (
-        _cell_scores,
+        cell_order_frame,
         refine_centroids,
         sample_centroids,
     )
@@ -1176,28 +1172,22 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_cap=_IVF_SAMPLE_CAP,
     )
     max_p = max(_SWEEP_PROBES)
-    scored = e.select(
-        "vec_id",
-        "v",
-        F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))).alias(
-            "__cells"
-        ),
-    ).persist()  # 16-dot cell scoring runs once, feeds index + probes
+    # r14 (guide §4.2): cell order via the numpy kernel — the
+    # n_cells×dim `_cell_scores` literal tree is gone from the plan.
+    scored = cell_order_frame(
+        e, "vec_id", "v", cents, keep_vec=True
+    ).persist()  # cell scoring runs once, feeds index + probes
     index = scored.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("nv"),
-        F.element_at("__cells", 1).getField("cell").alias("cell"),
+        F.col("__id").alias("nid"),
+        F.col("__v").alias("nv"),
+        F.element_at("__cells", 1).alias("cell"),
     )
     probes = (
-        scored.filter(F.col("vec_id") % _SWEEP_STRIDE == 0)
+        scored.filter(F.col("__id") % _SWEEP_STRIDE == 0)
         .select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("qv"),
-            F.posexplode(
-                F.transform(
-                    F.slice("__cells", 1, max_p), lambda s: s.getField("cell")
-                )
-            ).alias("__p", "cell"),
+            F.col("__id").alias("qid"),
+            F.col("__v").alias("qv"),
+            F.posexplode(F.slice("__cells", 1, max_p)).alias("__p", "cell"),
         )
         .withColumn("prnk", F.col("__p") + 1)
     )
@@ -1220,8 +1210,8 @@ def sim_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SWEEP_K)
         .select("n_probe", "qid", "nid", F.lit(1).alias("hit"))
     )
-    q = scored.filter(F.col("vec_id") % _SWEEP_STRIDE == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    q = scored.filter(F.col("__id") % _SWEEP_STRIDE == 0).select(
+        F.col("__id").alias("qid"), F.col("__v").alias("qv")
     )
     wb = Window.partitionBy("qid").orderBy(
         F.desc("cos"), F.asc("nid")

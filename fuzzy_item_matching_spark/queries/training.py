@@ -561,7 +561,7 @@ def train_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the IVF index, keeping the per-task sort bounded."""
     from fuzzy_item_matching_spark.functions.sampling import keyed_uniform
     from fuzzy_item_matching_spark.operators.ivf import (
-        _cell_scores,
+        cell_order_frame,
         sample_centroids,
     )
 
@@ -570,13 +570,12 @@ def train_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = sample_centroids(ev, "vec_id", "v", _DIV_CELLS)
-    asg = ev.select(
-        "vec_id",
-        F.element_at(
-            F.reverse(F.array_sort(_cell_scores(F.col("v"), cents))), 1
-        )
-        .getField("cell")
-        .alias("cell"),
+    # r14 (guide §4.2): top-1 cell via the numpy kernel
+    # (operators/ivf.cell_order_frame) — bit-identical assignment,
+    # no n_cells×dim literal expression tree in the plan.
+    asg = cell_order_frame(ev, "vec_id", "v", cents).select(
+        F.col("__id").alias("vec_id"),
+        F.element_at("__cells", 1).alias("cell"),
     )
     w = Window.partitionBy("cell").orderBy(
         keyed_uniform(F.col("vec_id"), seed=42), F.col("vec_id")
@@ -2816,10 +2815,21 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(v_prev: DataFrame) -> DataFrame:
-        """One mean-context update: v ← v + lr·(mean_ctx(v) − v)."""
+        """One mean-context update: v ← v + lr·(mean_ctx(v) − v).
+
+        r14 (guide §3.1, the ts_textrank_terms precedent): both join
+        sides keyed by the vector state are VOCABULARY-bounded
+        (vocab×dim rows — the model, not the corpus), so the ctx join
+        broadcasts the state and the update join broadcasts the
+        aggregated context sums: each step pays ONE exchange (the
+        (w, d) context aggregation) instead of the 3-4 SMJ
+        sort+shuffle rounds the planner chose for two mid-sized
+        sides. At 100 TB the state is still the model (vocab ~1M ×
+        dim), the canonical broadcast side of an embedding update."""
         ctx = (
             pair_counts.join(
-                v_prev.select(F.col("w").alias("c"), "d", "v"), "c"
+                F.broadcast(v_prev.select(F.col("w").alias("c"), "d", "v")),
+                "c",
             )
             .groupBy("w", "d")
             .agg(
@@ -2832,7 +2842,7 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cnt").alias("deg"),
             )
         )
-        return v_prev.join(ctx, ["w", "d"], "left").select(
+        return v_prev.join(F.broadcast(ctx), ["w", "d"], "left").select(
             "w",
             "d",
             F.when(F.col("deg").isNull(), F.col("v"))
@@ -2852,8 +2862,10 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = step(v1).persist()
     v3 = step(v2)
     doc_counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # r14: v3 is the vocab×dim model — broadcast into the doc join
+    # (guide §3.1), leaving the doc aggregation as the only exchange.
     return (
-        doc_counts.join(v3, "w")
+        doc_counts.join(F.broadcast(v3), "w")
         .groupBy("doc_id", "d")
         .agg(
             (

@@ -389,63 +389,86 @@ def unigram_viterbi_segments(docs: DataFrame, tokenize) -> DataFrame:
         )
     tot = sum(r["c"] for r in voc_rows)
     p0 = {r["q"]: float(r["c"]) / float(tot) for r in voc_rows}
-    pm = F.create_map(
-        *[x for q, p in sorted(p0.items()) for x in (F.lit(q), F.lit(p))]
-    )
-    dp = words.withColumn("__pm", pm).withColumn("l", F.length("w"))
 
-    def P(expr: str):
-        return F.coalesce(F.col("__pm")[F.expr(expr)], F.lit(0.0))
+    # r14 (guide §4.2): the DP + backtrack are ROW-LOCAL over the
+    # distinct-word frame, so they now run as one Arrow/Python pass
+    # with the ≤(alphabet+64)-entry vocabulary as a task-closure dict,
+    # replacing the ~12-level unrolled withColumn pipeline (its CASE
+    # chains + 4 eager localCheckpoint actions were scale-independent
+    # plan cost). Replication is exact op for op: each candidate is
+    # ONE IEEE multiply v[i−k]·p(piece) on identical doubles, the
+    # winner is the same k-ascending >=-chain tie-break, the
+    # backtrack walks the same l{pos} lengths, and the final
+    # round(ln(best), 9) uses the libm ln the DuckDB twin calls —
+    # the oracle still replays the whole DP through unrolled CTEs.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    dp = _viterbi_cols(dp, P, "w")
-    # backtrack: pos_0 = l; step s consumes l{pos} chars from the end
-    dp = dp.withColumn("pos0", F.col("l"))
-    piece_cols = []
-    for s in range(1, MAXLEN + 1):
-        prev = f"pos{s - 1}"
-        lsel = None
-        for i in range(1, MAXLEN + 1):
-            b = F.when(F.col(prev) == i, F.col(f"l{i}"))
-            lsel = b if lsel is None else lsel.when(
-                F.col(prev) == i, F.col(f"l{i}")
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    q9 = Decimal(1).scaleb(-9)
+
+    def _seg_one(w: str):
+        l = len(w)
+        v = [1.0] + [0.0] * l
+        lk = [0] * (l + 1)
+        for i in range(1, l + 1):
+            ks = range(1, min(KMAX, i) + 1)
+            ts = [v[i - k] * p0.get(w[i - k : i], 0.0) for k in ks]
+            v[i] = max(ts)
+            li = len(ts)  # default: the last k
+            for kx in range(len(ts) - 1):
+                if all(ts[kx] >= ts[k2] for k2 in range(kx + 1, len(ts))):
+                    li = kx + 1
+                    break
+            lk[i] = li
+        pieces = []
+        pos = l
+        while pos > 0:
+            ls = lk[pos]
+            pieces.append(w[pos - ls : pos])
+            pos -= ls
+        pieces.reverse()
+        if l == 0:  # old CASE chain had no l=0 branch -> NULL best_lp
+            return 0, "", None
+        best = v[l]
+        if best > 0.0:
+            lp = float(
+                Decimal(repr(math.log(best))).quantize(
+                    q9, rounding=ROUND_HALF_UP
+                )
             )
-        dp = dp.withColumn(f"__ls{s}", lsel)
-        dp = dp.withColumn(
-            f"piece{s}",
-            F.when(
-                F.col(prev) > 0,
-                F.expr(
-                    f"substring(w, pos{s - 1} - __ls{s} + 1, __ls{s})"
-                ),
-            ),
-        ).withColumn(
-            f"pos{s}",
-            F.when(F.col(prev) > 0, F.col(prev) - F.col(f"__ls{s}"))
-            .otherwise(F.lit(0)),
-        )
-        piece_cols.append(f"piece{s}")
-        if s % 6 == 0:
-            dp = dp.localCheckpoint(eager=True)
-    seg_arr = F.filter(
-        F.array(*[F.col(c) for c in reversed(piece_cols)]),
-        lambda x: x.isNotNull(),
+        else:
+            lp = float("-inf")
+        return len(pieces), " ".join(pieces), lp
+
+    schema = TT.StructType(
+        [
+            TT.StructField("w", TT.StringType()),
+            TT.StructField("wc", TT.LongType()),
+            TT.StructField("n_pieces", TT.LongType()),
+            TT.StructField("seg", TT.StringType()),
+            TT.StructField("best_lp", TT.DoubleType()),
+        ]
     )
-    best = None
-    for i in range(1, MAXLEN + 1):
-        b = F.when(F.col("l") == i, F.col(f"v{i}"))
-        best = b if best is None else best.when(
-            F.col("l") == i, F.col(f"v{i}")
-        )
-    return dp.select(
-        "w",
-        "wc",
-        F.size(seg_arr).cast("long").alias("n_pieces"),
-        F.array_join(seg_arr, " ").alias("seg"),
-        # LOG prob: absolute rounding on raw probabilities crushes
-        # small values (a 6-piece word lives at 1e-9); ln is
-        # scale-free and one IEEE op on the identical double
-        F.round(F.log(best), 9).alias("best_lp"),
-    )
+
+    def segment(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            segs = [_seg_one(w) for w in pdf["w"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"].to_numpy(),
+                    "wc": pdf["wc"].to_numpy(),
+                    "n_pieces": [s[0] for s in segs],
+                    "seg": [s[1] for s in segs],
+                    "best_lp": [s[2] for s in segs],
+                }
+            )
+
+    return words.mapInPandas(segment, schema=schema)
 
 
 def unigram_viterbi_sql(docs_sql_tokens: str) -> str:

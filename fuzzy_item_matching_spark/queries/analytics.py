@@ -1544,76 +1544,69 @@ def rel_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
     # ONE bounded collect — ≤ |scenarios|·(|states|²+1) ≈ 180 rows,
     # the model-table budget (same discipline as the gboost fits).
-    # Everything after iterates over this LocalRelation: plan-cost
-    # experiments showed localCheckpoint alone burned 6.6 s per job
-    # re-materializing the journey-window subtree, vs milliseconds
-    # for local joins; at 100 TB the matrix is STILL ≤ 180 rows.
-    sp = F.broadcast(
-        spark.createDataFrame(
-            spx.collect(),
-            "scenario string, prev string, nxt string, tpp double",
-        )
-    )
-    v = scen.select(
-        "scenario", F.lit("__start").alias("st"), F.lit(1.0).alias("vp")
-    )
-    for it in range(_RE_T):
-        v = (
-            v.join(
-                sp.withColumnRenamed("scenario", "sc2"),
-                (F.col("sc2") == F.col("scenario"))
-                & (F.col("prev") == F.col("st")),
-            )
-            .groupBy(F.col("scenario").alias("s2"), F.col("nxt").alias("st2"))
-            .agg(
-                F.sum((F.col("vp") * F.col("tpp")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("vp2")
-            )
-            .select(
-                F.col("s2").alias("scenario"),
-                F.col("st2").alias("st"),
-                F.col("vp2").alias("vp"),
-            )
-        )
+    # r14 (guide §2.4, §5): everything after the collect is arithmetic
+    # over this ≤180-row matrix, so it now runs DRIVER-SIDE in exact
+    # Python instead of {t} tiny join+aggregate stages over a
+    # LocalRelation (each paid a full Exchange + scheduling round for
+    # ≤30 rows — ~2 s of pure stage overhead at any scale; at 100 TB
+    # the matrix is STILL ≤ 180 rows). Replication is exact, op for
+    # op: vp·tpp is one IEEE double multiply; cast(x AS
+    # DECIMAL(38,18)) in Spark goes through the double's SHORTEST
+    # decimal repr (BigDecimal.valueOf = Double.toString), and Python
+    # repr() yields those same shortest digits — Decimal(repr(x))
+    # .quantize(1e-18, HALF_UP) is the cast bit-for-bit; the decimal
+    # SUM is exact (context precision 50 ≫ the ≤20 significant digits
+    # a ≤36-term sum of quantized probabilities can carry);
+    # cast(DECIMAL AS DOUBLE) is correct rounding (float(Decimal)).
+    # Same ops, same order-insensitivity, same bits as the unrolled
+    # SQL the oracle still replays.
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    pconv = scen.join(
-        v.filter(F.col("st") == _RE_CONV).select("scenario", "vp"),
-        "scenario",
-        "left",
-    ).select("scenario", F.coalesce("vp", F.lit(0.0)).alias("p"))
-    full = pconv.filter(F.col("scenario") == "full").select(
-        F.col("p").alias("p_full")
-    )
-    eff = (
-        pconv.filter(F.col("scenario") != "full")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("scenario").alias("channel"),
-            "p_full",
-            F.col("p").alias("p_removed"),
-            F.when(
-                F.col("p_full") > 0,
-                (F.col("p_full") - F.col("p")) / F.col("p_full"),
+    trans: dict[tuple[str, str], list[tuple[str, float]]] = defaultdict(list)
+    for r in spx.collect():
+        trans[(r["scenario"], r["prev"])].append((r["nxt"], r["tpp"]))
+    quantum = Decimal(1).scaleb(-18)
+    with localcontext() as ctx:
+        ctx.prec = 50
+        pconv: dict[str, float] = {}
+        for s in ("full", *_RE_CHANNELS):
+            v = {"__start": 1.0}
+            for _ in range(_RE_T):
+                acc: dict[str, Decimal] = defaultdict(Decimal)
+                for st, vp in v.items():
+                    for nxt, tpp in trans.get((s, st), ()):
+                        acc[nxt] += Decimal(repr(vp * tpp)).quantize(
+                            quantum, rounding=ROUND_HALF_UP
+                        )
+                v = {st: float(dec) for st, dec in acc.items()}
+            pconv[s] = v.get(_RE_CONV, 0.0)
+        p_full = pconv["full"]
+        effs = [
+            (
+                s,
+                p_full,
+                pconv[s],
+                (p_full - pconv[s]) / p_full if p_full > 0 else 0.0,
             )
-            .otherwise(F.lit(0.0))
-            .alias("removal_effect"),
+            for s in _RE_CHANNELS
+        ]
+        tot = float(
+            sum(
+                (
+                    Decimal(repr(e[3])).quantize(quantum, rounding=ROUND_HALF_UP)
+                    for e in effs
+                ),
+                Decimal(0),
+            )
         )
-    )
-    wall = Window.partitionBy()
-    tot = (
-        F.sum(F.col("removal_effect").cast("decimal(38,18)"))
-        .over(wall)
-        .cast("double")
-    )
-    return eff.select(
-        "channel",
-        "p_full",
-        "p_removed",
-        "removal_effect",
-        F.when(tot > 0, F.col("removal_effect") / tot)
-        .otherwise(F.lit(0.0))
-        .alias("share"),
+    return spark.createDataFrame(
+        [
+            (c, pf, pr, re_, re_ / tot if tot > 0 else 0.0)
+            for (c, pf, pr, re_) in effs
+        ],
+        "channel string, p_full double, p_removed double,"
+        " removal_effect double, share double",
     )
 
 

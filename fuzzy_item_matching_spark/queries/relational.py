@@ -3031,15 +3031,41 @@ def rel_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     w = Window.orderBy("d")
-    # localCheckpoint, NOT a collected LocalRelation: the recursive
-    # CTE re-scans its anchor every step, and a checkpointed RDD scan
-    # is millisecond-cheap while a LocalRelation goes back through
-    # driver serialization per step (measured 50 s vs 4.6 s warm)
-    idx = daily.select(
-        "d", "n", (F.row_number().over(w).cast("long") - 1).alias("i")
-    ).localCheckpoint(eager=True)
-    idx.createOrReplaceTempView("__holt_idx")
-    return spark.sql(_HOLT_REC_SQL.format(series="", idx="__holt_idx"))
+    # r14 (guide §2.4, §5 — the markov-removal discipline): the
+    # distributed work is the daily COUNT; the recursion walks a
+    # ≤96-row series (the i < 95 recursion guard bounds it at ANY
+    # corpus size), so it now runs DRIVER-SIDE over one bounded
+    # collect instead of ~30 recursive-CTE steps each re-joining the
+    # checkpointed anchor (each step a scheduled job — ~2 s of pure
+    # stage overhead). Replication is exact op for op: every step is
+    # 0.5·x / 0.25·x / 0.75·x multiplies and IEEE adds on identical
+    # operands in the identical association — Python floats are the
+    # same IEEE doubles, so the trajectory is bit-identical to the
+    # recursive SQL the oracle still replays verbatim.
+    rows = sorted(
+        daily.select(
+            "n", (F.row_number().over(w).cast("long") - 1).alias("i")
+        )
+        .filter(F.col("i") <= 95)
+        .collect(),
+        key=lambda r: r["i"],
+    )
+    schema = (
+        "day_idx long, n_events long, lvl double, trend double,"
+        " fc_next double"
+    )
+    if len(rows) < 2:
+        return spark.createDataFrame([], schema)
+    lvl = float(rows[0]["n"])
+    trend = float(rows[1]["n"]) - float(rows[0]["n"])
+    out = [(0, rows[0]["n"], lvl, trend, lvl + trend)]
+    for r in rows[1:]:
+        d = float(r["n"])
+        new_lvl = 0.5 * d + 0.5 * (lvl + trend)
+        trend = 0.25 * (new_lvl - lvl) + 0.75 * trend
+        lvl = new_lvl
+        out.append((int(r["i"]), r["n"], lvl, trend, lvl + trend))
+    return spark.createDataFrame(out, schema)
 
 
 # ---------------------------------------------------------------------------

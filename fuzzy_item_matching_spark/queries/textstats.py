@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from fuzzy_item_matching_spark.functions.text import (
@@ -1708,33 +1709,50 @@ def _charlm_nll(d: DataFrame) -> DataFrame:
     low = d.select(
         "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("__t")
     )
-    # sequence(1, 0) raises in Spark when length < 2 -> guard upstream
-    # rows with no bigrams (empty/1-char docs drop out, same as unnest
-    # of an empty list on the DuckDB side).
-    big = (
-        low.filter(F.length("__t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(__t) - 1),"
-                    " i -> substring(__t, i, 2))"
-                )
-            ).alias("bg"),
-        )
+    # ONE corpus pass: the (doc, bigram) TF frame feeds the model aggs
+    # AND the scoring join, and c2 = Σ_docs tf is the identical integer
+    # count the direct corpus agg produces (r06 VERDICT: fit and score
+    # used to re-explode; 13.2 s → ~8 s at sf0.1).
+    # r14 (guide §2.4/§4.2): the TF count is PER-DOCUMENT, so it now
+    # runs row-locally in one Arrow pass (Counter over the same
+    # code-point slices substring(__t, i, 2) takes — lowering stays in
+    # Spark so case semantics are the engine's; counts are exact
+    # integers) instead of exploding every character position into a
+    # corpus-wide (doc_id, bg) Exchange. The one data-sized shuffle in
+    # the plan is GONE — the model agg's key space is charset²-bounded
+    # and the final per-doc agg collapses map-side (each doc's rows
+    # are emitted contiguously by the kernel). Empty/1-char docs emit
+    # no rows, exactly as the length≥2-guarded explode did.
+    import pandas as pd
+    from collections import Counter
+
+    id_type = d.schema["doc_id"].dataType
+    tf_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("bg", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
     )
-    # ONE corpus pass: the explode lands in the (doc, bigram) TF agg,
-    # and the model derives from it — c2 = Σ_docs tf is the identical
-    # integer count the direct corpus agg produces, so fit and score
-    # share the pass (r06 VERDICT: each used to re-explode; 13.2 s →
-    # ~8 s at sf0.1). doctf persists (it feeds the model aggs AND the
-    # scoring join) and is the compact form — |doc|×|distinct bigrams
-    # per doc| rows, far below the raw exploded frame.
-    doctf = (
-        big.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+
+    def count_bigrams(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, bgs, tfs = [], [], []
+            for did, t in zip(
+                pdf["doc_id"].to_numpy(), pdf["__t"].to_numpy()
+            ):
+                if t is None or len(t) < 2:
+                    continue
+                c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+                ids.extend([did] * len(c))
+                bgs.extend(c.keys())
+                tfs.extend(c.values())
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "bg": bgs, "tf": tfs})
+
+    doctf = low.mapInPandas(count_bigrams, schema=tf_schema).persist()
     model = doctf.groupBy("bg").agg(F.sum("tf").alias("c2"))
     model.persist()
     ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
@@ -3364,54 +3382,71 @@ def ts_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loss")
         )
     )
-    nd = dl.agg(F.count(F.lit(1)).alias("nd"))
-    cur = dl.crossJoin(F.broadcast(nd)).select(
-        "lang", "loss", (F.lit(1.0) / F.col("nd")).alias("alpha")
-    ).localCheckpoint(eager=True)
-    out = cur.select(
-        F.lit(0).alias("iter"),
-        "lang",
-        F.round("loss", 9).alias("loss"),
-        F.round("alpha", 9).alias("alpha"),
-    )
-    for t in range(1, _DOREMI_ITERS + 1):
-        base = cur.agg(
-            F.sum((F.col("alpha") * F.col("loss")).cast(dec))
-            .cast("double")
-            .alias("bl")
+    # r14 (guide §2.4, §5 — the markov-removal discipline): the
+    # corpus contributes exactly the ONE distributed scoring pass
+    # above; the multiplicative-weights loop runs on the |domains|-row
+    # frame, so it now iterates DRIVER-SIDE over one bounded collect
+    # instead of per-iteration eager localCheckpoints + 1-row
+    # aggregate jobs (3+ scheduled jobs per iteration over ≤5 rows).
+    # Replication is exact op for op: cast(x AS DECIMAL(38,18)) goes
+    # through the double's shortest repr in Spark (BigDecimal.valueOf)
+    # = Decimal(repr(x)).quantize(1e-18, HALF_UP); the decimal sums
+    # are exact; round(x, 9) is the same shortest-repr HALF_UP
+    # quantize at 9; exp/mul/div are single IEEE ops on identical
+    # operands (math.exp == the engines' libm exp — pinned by the
+    # old-vs-new bit-equality test in tests/test_round14_opt.py).
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q18 = Decimal(1).scaleb(-18)
+    q9 = Decimal(1).scaleb(-9)
+
+    def _cast_dec18(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q18, rounding=ROUND_HALF_UP)
+
+    def _round9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    import math
+
+    rows = dl.collect()
+    langs = [(r["lang"], r["loss"]) for r in rows]
+    nd = len(langs)
+    if nd == 0:  # empty corpus: the old iteration over empty frames
+        return spark.createDataFrame(
+            [], "iter int, lang string, loss double, alpha double"
         )
-        upd = cur.crossJoin(F.broadcast(base)).select(
-            "lang",
-            "loss",
-            (
-                F.col("alpha")
-                * F.round(
-                    F.exp(F.lit(_DOREMI_ETA) * (F.col("loss") - F.col("bl"))),
-                    9,
+    with localcontext() as ctx:
+        ctx.prec = 50
+        alpha = {lang: 1.0 / nd for lang, _ in langs}
+        out = [
+            (0, lang, _round9(loss), _round9(alpha[lang]))
+            for lang, loss in langs
+        ]
+        for t in range(1, _DOREMI_ITERS + 1):
+            bl = float(
+                sum(
+                    (_cast_dec18(alpha[lang] * loss) for lang, loss in langs),
+                    Decimal(0),
                 )
-            ).alias("raw"),
-        )
-        z = upd.agg(
-            F.sum(F.col("raw").cast(dec)).cast("double").alias("z")
-        )
-        cur = (
-            upd.crossJoin(F.broadcast(z))
-            .select(
-                "lang",
-                "loss",
-                F.round(F.col("raw") / F.col("z"), 9).alias("alpha"),
             )
-            .localCheckpoint(eager=True)
-        )
-        out = out.unionByName(
-            cur.select(
-                F.lit(t).alias("iter"),
-                "lang",
-                F.round("loss", 9).alias("loss"),
-                F.round("alpha", 9).alias("alpha"),
+            raw = {
+                lang: alpha[lang]
+                * _round9(math.exp(_DOREMI_ETA * (loss - bl)))
+                for lang, loss in langs
+            }
+            z = float(
+                sum(
+                    (_cast_dec18(raw[lang]) for lang, _ in langs), Decimal(0)
+                )
             )
-        )
-    return out
+            alpha = {lang: _round9(raw[lang] / z) for lang, _ in langs}
+            out.extend(
+                (t, lang, _round9(loss), _round9(alpha[lang]))
+                for lang, loss in langs
+            )
+    return spark.createDataFrame(
+        out, "iter int, lang string, loss double, alpha double"
+    )
 
 
 ts_doremi_mixture.__doc__ = ts_doremi_mixture.__doc__.format(

@@ -2817,19 +2817,18 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def step(v_prev: DataFrame) -> DataFrame:
         """One mean-context update: v ← v + lr·(mean_ctx(v) − v).
 
-        r14 (guide §3.1, the ts_textrank_terms precedent): both join
-        sides keyed by the vector state are VOCABULARY-bounded
-        (vocab×dim rows — the model, not the corpus), so the ctx join
-        broadcasts the state and the update join broadcasts the
-        aggregated context sums: each step pays ONE exchange (the
-        (w, d) context aggregation) instead of the 3-4 SMJ
-        sort+shuffle rounds the planner chose for two mid-sized
-        sides. At 100 TB the state is still the model (vocab ~1M ×
-        dim), the canonical broadcast side of an embedding update."""
+        r14 note (guide §1.1 — measured, not assumed): broadcasting
+        the vocabulary-bounded state into both joins (the
+        ts_textrank_terms move) was tried and MEASURED 2-4× SLOWER
+        here (min 9.8 s vs 4.6 s same-session at sf0.1): with the
+        cross-pass cache cleared, each step's broadcast forces a
+        single-threaded driver materialization of the whole persisted
+        update chain, serializing the three steps end-to-end. The
+        shuffle joins keep every step's materialization parallel.
+        Reverted; kept as a recorded negative result."""
         ctx = (
             pair_counts.join(
-                F.broadcast(v_prev.select(F.col("w").alias("c"), "d", "v")),
-                "c",
+                v_prev.select(F.col("w").alias("c"), "d", "v"), "c"
             )
             .groupBy("w", "d")
             .agg(
@@ -2842,7 +2841,7 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cnt").alias("deg"),
             )
         )
-        return v_prev.join(F.broadcast(ctx), ["w", "d"], "left").select(
+        return v_prev.join(ctx, ["w", "d"], "left").select(
             "w",
             "d",
             F.when(F.col("deg").isNull(), F.col("v"))
@@ -2862,10 +2861,8 @@ def train_word2vec_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = step(v1).persist()
     v3 = step(v2)
     doc_counts = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    # r14: v3 is the vocab×dim model — broadcast into the doc join
-    # (guide §3.1), leaving the doc aggregation as the only exchange.
     return (
-        doc_counts.join(F.broadcast(v3), "w")
+        doc_counts.join(v3, "w")
         .groupBy("doc_id", "d")
         .agg(
             (

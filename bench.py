@@ -228,6 +228,27 @@ HEADLINE_EXTRA = {
     "ts_rake_keyphrases",
     "vec_kcenter_init",
     "train_rf_stumps",
+    # r14 round-close audit: the rotation's demotion of the whole r13
+    # prefix pushed NEW memo first-payers into the single-pass tail
+    # (train_mcnemar 5.4 s / 0.8 s warm, train_brier_decomposition
+    # 4.3 s / 1.1 s warm — each pays a share of the lr/gboost fit
+    # memos the old multi-pass tier amortized; measured in-order in
+    # one session, see OPTIMIZATION_r14.md). Every >=2 s single-pass
+    # row of the min-of-2 r14 record joins the min-of-N tier — the
+    # same cold-attribution fix the r10/r13 precedents document.
+    "train_mcnemar",
+    "train_brier_decomposition",
+    "train_fm_gd",
+    "train_platt_scaling",
+    "rel_markov_stationary",
+    "dedup_chunk_lines",
+    "train_ridge_normal_eq",
+    "rel_bitmap_overlap",
+    "stream_merge_sink",
+    "sim_ann_graph_expand",
+    "train_hard_negatives",
+    "dedup_decontaminate",
+    "sim_rrf_fusion",
 }
 
 

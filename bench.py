@@ -340,11 +340,24 @@ def main() -> None:
         for name, ts in times.items()
         if len(ts) >= 2 and -1.0 not in ts
     }
+    # Cold-inclusive total (r14 VERDICT ask #3, first-class): the sum
+    # of every query's PASS-1 time. `value` is min-of-N, which for the
+    # fit-memoized families and build-once scratch tables reports warm,
+    # build-excluded times; cold_total is the same run measured with
+    # every one-time build INCLUDED (pass 1 pays fits, scratch tables,
+    # first-touch page cache and codegen). Compare rounds on BOTH:
+    # value = steady-state per-query cost, cold_total = one full
+    # cold-process sweep. cold_total == pass_totals[0] by construction;
+    # naming it keeps it from being dropped by stdout truncation.
+    cold_total = round(
+        sum(ts[0] for ts in times.values() if ts and ts[0] >= 0), 3
+    )
     # Key order matters for the driver's truncated capture: the driver
     # keeps only the TAIL of long stdout, so the two large dicts
     # (queries, cold_delta) come FIRST and the headline summary fields
-    # (pass_totals, tiers, value, sf) come LAST — r11's tail truncated
-    # before pass_totals because cold_delta landed after it.
+    # (pass_totals, tiers, cold_total, value, sf) come LAST — r11's
+    # tail truncated before pass_totals because cold_delta landed
+    # after it.
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -368,6 +381,7 @@ def main() -> None:
                 "headline_passes": passes,
                 "tail_passes": 1 if tier == "mixed" else passes,
             },
+            "cold_total": cold_total,
             "value": round(total, 3),
             "sf": sf,
         }
@@ -474,6 +488,13 @@ def main() -> None:
             record["value"] = round(
                 sum(t for t in merged.values() if t >= 0), 3
             )
+            # Each run's cold_total is one full cold-process sweep; the
+            # merged record keeps the quietest-window sweep (min), the
+            # same estimator the per-query minima use.
+            if "cold_total" in prev:
+                record["cold_total"] = min(
+                    record["cold_total"], prev["cold_total"]
+                )
             record["merged_runs"] = prev.get("merged_runs", 1) + 1
             record["pass_totals"] = prev.get("pass_totals", []) + record[
                 "pass_totals"

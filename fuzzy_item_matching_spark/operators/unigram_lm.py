@@ -440,7 +440,11 @@ def unigram_viterbi_segments(docs: DataFrame, tokenize) -> DataFrame:
                 )
             )
         else:
-            lp = float("-inf")
+            # Unreachable with the unthresholded singles vocab (every
+            # char is in p0, so best > 0), but if vocab construction
+            # ever gains a min-count the old Spark path's F.log(0.0)
+            # produced NULL — preserve that, not -inf (ADVICE r14).
+            lp = None
         return len(pieces), " ".join(pieces), lp
 
     schema = TT.StructType(

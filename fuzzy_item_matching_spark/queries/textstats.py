@@ -3395,6 +3395,12 @@ def ts_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantize at 9; exp/mul/div are single IEEE ops on identical
     # operands (math.exp == the engines' libm exp — pinned by the
     # old-vs-new bit-equality test in tests/test_round14_opt.py).
+    # PLATFORM ASSUMPTION (ADVICE r14): CPython's math.exp and the
+    # JVM's Math.exp are each only 1-ulp-accurate; they agree bit-for-
+    # bit on this host's libm/StrictMath pairing and the pin test
+    # proves it on the BUILD host's real trajectories. On a deployment
+    # platform with a different libm, run the tolerance-0 pin test
+    # there before trusting oracle hash parity for this query.
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     q18 = Decimal(1).scaleb(-18)

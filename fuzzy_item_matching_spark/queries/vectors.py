@@ -376,11 +376,26 @@ def _gram_long_partials(e) -> "DataFrame":
     sum would round — int64 accumulation is exact and
     order-insensitive, same as the engine's BIGINT sum). Pinned against
     the JVM expression path in tests/test_round14_opt.py.
+
+    Dirty-input guard (r15, ADVICE r14): NULL / wrong-dimension
+    embeddings are dropped BEFORE the kernel (the lsh.py/ivf.py/pq.py
+    ``valid_vectors`` discipline) — a None or ragged array would
+    otherwise make ``reshape`` raise and kill the task, where the old
+    expression path degraded to skipping the bad row; one bad row must
+    cost one row. Empty-safe: with zero non-null rows the filter keeps
+    nothing and the kernel yields nothing.
     """
     import numpy as np
     import pyarrow as pa
 
+    from fuzzy_item_matching_spark.operators.lsh import valid_vectors
+
     q = _PCA_Q
+
+    row = (
+        e.select("embedding").filter(F.col("embedding").isNotNull()).first()
+    )
+    exp_dim = len(row[0]) if row is not None else 0
 
     def gen(batches):
         acc = None
@@ -392,7 +407,13 @@ def _gram_long_partials(e) -> "DataFrame":
                 continue
             flat = lst.flatten()
             v = flat.to_numpy(zero_copy_only=False)
-            d0 = v.size // n_rows
+            if n_rows * exp_dim != v.size:
+                # unreachable post-filter; refuse to misalign the Gram
+                raise ValueError(
+                    f"ragged embedding batch: {v.size} values for "
+                    f"{n_rows} rows of dim {exp_dim}"
+                )
+            d0 = exp_dim
             v = v.reshape(n_rows, d0)
             if acc is None:
                 d = d0
@@ -414,9 +435,12 @@ def _gram_long_partials(e) -> "DataFrame":
                 names=["i", "j", "s"],
             )
 
-    return e.select(
-        F.col("embedding").cast("array<double>").alias("emb")
-    ).mapInArrow(gen, "i long, j long, s long")
+    src = e.select(F.col("embedding").cast("array<double>").alias("emb"))
+    if exp_dim > 0:
+        src = valid_vectors(src, "emb", exp_dim)
+    else:
+        src = src.filter(F.col("emb").isNotNull())
+    return src.mapInArrow(gen, "i long, j long, s long")
 # One decimal-exact matvec step as a DuckDB CTE pair: w = C·v
 # (DECIMAL-accumulated), n = ||w|| (DECIMAL-accumulated), v' = w/n.
 _D_PCA_STEP = """

@@ -86,6 +86,8 @@ def main() -> None:
             r"\b(BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|"
             r"FlatMapGroupsInPandas)\b", plan_txt or "")))
         good = [t for t in ts if t == t]
+        if not good:  # first pass failed: keep the failure message visible
+            continue
         msg = (f"{name}: min={min(good):.3f}s med={statistics.median(good):.3f}s "
                f"passes={['%.2f' % t for t in ts]} Exchange={n_ex} "
                f"joins={joins} py={py}")

@@ -590,6 +590,14 @@ def connected_components(
     labels themselves never collect. ``localCheckpoint`` truncates the
     growing join lineage each round (iterative plans otherwise re-plan
     the whole history every action).
+
+    Convergence test (r15, guide §2.4): labels only ever DECREASE
+    (``least`` of the old label and the neighbour min), so "changed"
+    is a per-row flag computed inside the same projection that builds
+    the new labels — the old form re-JOINED new labels to old labels
+    every round (one extra keyed join + shuffle per round) to compare
+    components the update expression already knew. The flag rides the
+    checkpoint; counting it is a LocalTableScan aggregate, not a join.
     """
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
@@ -606,23 +614,20 @@ def connected_components(
             .groupBy(F.col("n").alias("node"))
             .agg(F.min("component").alias("__nbr_min"))
         )
+        new_comp = F.least(
+            "component", F.coalesce("__nbr_min", "component")
+        )
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    "component", F.coalesce("__nbr_min", "component")
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.component") != F.col("old.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels

@@ -877,7 +877,11 @@ def rel_ppr_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     level in both engines; the oracle unrolls all {it} iterations.
     """
     lines, e = _copurchase_graph(spark, sf_dir, wtype="double")
-    outd = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # r15 (guide §2.4): persist the out-degree ledger — each
+    # iteration's checkpoint job otherwise re-runs this edge-sized
+    # aggregation from the cached edge list (LPA has no analogous
+    # per-round rebuild; PPR did, 3× per query).
+    outd = e.groupBy("src").agg(F.sum("w").alias("outw")).persist()
     seeds = (
         lines.select("pid")
         .distinct()

@@ -284,12 +284,18 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not assumed from containment), recall as one IEEE division.
 
     Scale shape: both pair generators are inverted-index equi-joins
-    (never all-pairs); the metric is three 1-row aggregates
-    cross-joined. The tokenized corpus is persisted ONCE and both
+    (never all-pairs). The tokenized corpus is persisted ONCE and both
     generators read it (~9% off the warm query at sf0.1; the
     remaining cost is genuinely the two index builds — the exact
     side's full inverted-index join plus the MinHash signature
-    aggregate — which is what this query exists to compare)."""
+    aggregate — which is what this query exists to compare). r15
+    (guide §2.4): the three counts come from ONE full-outer join of
+    the two (unique) pair sets + ONE aggregate — the old
+    three-aggregate cross-join evaluated the exact subtree twice
+    (n_exact + the anti-join) and the LSH subtree twice (n_lsh + the
+    anti-join); each index now builds exactly once per run. n_missed
+    is still COUNTED from the join (exact rows with no LSH partner),
+    not assumed from containment."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", regex_tokenize("text").alias("__toks"))
@@ -297,29 +303,28 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ngram_jaccard_pairs(
         d, "doc_id", F.col("__toks"), n=3, min_jaccard=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
     lsh = minhash_lsh_pairs(
         d, "doc_id", F.col("__toks"),
         n=3, n_hashes=32, bands=8, min_jaccard=0.5, seed=42, portable=True,
-    ).select("id_a", "id_b")
-    missed = exact.join(lsh, ["id_a", "id_b"], "left_anti")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
-    return (
-        ne.crossJoin(F.broadcast(nl))
-        .crossJoin(F.broadcast(nm))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_missed",
-            F.when(F.col("n_exact") == 0, F.lit(1.0))
-            .otherwise(
-                (F.col("n_exact") - F.col("n_missed")).cast("double")
-                / F.col("n_exact")
-            )
-            .alias("recall"),
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__l").alias("n_lsh"),
+        F.count(
+            F.when(F.col("__e").isNotNull() & F.col("__l").isNull(), 1)
+        ).alias("n_missed"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_missed",
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(
+            (F.col("n_exact") - F.col("n_missed")).cast("double")
+            / F.col("n_exact")
         )
+        .alias("recall"),
     )
 
 

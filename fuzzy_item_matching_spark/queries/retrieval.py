@@ -535,9 +535,10 @@ def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generators are equi-joins (the truth side an inverted-index
     join, the candidate side the blocked self-join — never all-pairs;
     n·(n−1)/2 appears only as arithmetic on one counted scalar), the
-    intersection is a left-semi equi-join, and the metrics are 1-row
-    aggregates cross-joined. Counts are exact integers; the two
-    metric divisions are single IEEE ops."""
+    intersection is a flagged equi-join counted in the same pass as
+    the candidate total, and the metrics are 1-row aggregates
+    cross-joined. Counts are exact integers; the two metric divisions
+    are single IEEE ops."""
     from fuzzy_item_matching_spark.operators.similarity import (
         fuzzy_match_pairs,
     )
@@ -569,14 +570,24 @@ def sim_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.p_partkey").alias("id_a"),
         F.col("b.p_partkey").alias("id_b"),
     )
-    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    # r15 (guide §2.4): n_cand and n_hit come from ONE pass over the
+    # candidate self-join — a left join onto the (persisted, unique)
+    # truth pair set with a match flag — instead of evaluating the
+    # blocked self-join twice (the count aggregate + the semi-join).
+    # |cand ∩ truth| counted from cand's side equals the old
+    # truth-side semi-join count because both pair sets are unique.
+    ch = cand.join(
+        truth.select("id_a", "id_b", F.lit(1).alias("__t")),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.count("__t").alias("n_hit"),
+    )
     nn = p.agg(F.count(F.lit(1)).alias("n"))
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nh))
+        nt.crossJoin(F.broadcast(ch))
         .crossJoin(F.broadcast(nn))
         .select(
             "n_truth",

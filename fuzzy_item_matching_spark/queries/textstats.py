@@ -4850,13 +4850,13 @@ def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal.
 
     Scale shape: the postings frame (doc, term) builds once
-    (distinct, persisted); each round is one anti-join against the
-    covered-term set (vocabulary-bounded, NOT corpus-bounded) + one
-    keyed gain count + a 1-row argmax (TakeOrdered — the k-center
-    loop discipline); the covered set grows by one doc's vocabulary
-    per round with localCheckpoint truncating lineage. At 100 TB the
-    per-round cost is one shuffle over the postings frame; K is
-    small by construction.
+    (distinct, persisted); each round is ONE scheduled action — an
+    anti-join against the covered-term set (derived in-job as a
+    broadcast semi-join of the cached postings against the ≤K picked
+    ids; bounded by the picked docs' vocabularies, NOT the corpus) +
+    one keyed gain count + a 1-row argmax (TakeOrdered — the k-center
+    loop discipline). At 100 TB the per-round cost is one shuffle
+    over the postings frame; K is small by construction.
 
     Determinism: gains are exact counts; ties break on doc_id; the
     oracle unrolls all {r} rounds CTE-for-CTE."""
@@ -4877,30 +4877,41 @@ def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    covered = post.select("term").limit(0).localCheckpoint(eager=True)
+    # r14 (guide §2.4): each round's gain counts exactly the distinct
+    # terms the pick adds to the cover, so the per-round `.distinct()`
+    # rebuild of the covered set and the separate covered-count
+    # aggregate both dropped; the covered-vocabulary total is ONE
+    # window cumsum over the ≤K result rows at the end.
+    # r15 (guide §2.4/§5): the covered set is never MATERIALIZED at
+    # all — covered_{r} is definitionally the term multiset of the
+    # picked docs, i.e. one semi-join of the cached postings frame
+    # against the ≤r picked ids (each pick is a checkpointed 1-row
+    # LocalTableScan, so the semi/anti side rebuilds from cache in the
+    # same job). That folds the old per-round eager
+    # `covered.unionAll(...).localCheckpoint()` job into the pick job:
+    # ONE scheduled action per round instead of two, and no growing
+    # checkpointed covered frame. The anti-join is multiset-insensitive
+    # (r14 argument), so gains — and every output row — are identical.
+    picks: list = []
     rows = []
     for r in range(1, _COV_ROUNDS + 1):
-        gain = (
-            post.join(covered, "term", "left_anti")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        if picks:
+            picked_ids = picks[0]
+            for pk in picks[1:]:
+                picked_ids = picked_ids.unionAll(pk)
+            covered = post.join(
+                F.broadcast(picked_ids), "doc_id", "left_semi"
+            ).select("term")
+            gain_src = post.join(F.broadcast(covered), "term", "left_anti")
+        else:
+            gain_src = post  # round 1: nothing covered yet
+        gain = gain_src.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
         )
         pick = gain.orderBy(F.desc("gain"), "doc_id").limit(1).localCheckpoint(
             eager=True
         )
-        # r14 (guide §2.4): each round's gain counts exactly the
-        # distinct terms the pick adds to the cover, so the per-round
-        # `.distinct()` rebuild of the covered set (one
-        # vocabulary-sized exchange per round) and the separate
-        # covered-count aggregate both drop: the covered frame stays a
-        # plain union (the anti-join is multiset-insensitive) and the
-        # covered-vocabulary total becomes ONE window cumsum over the
-        # ≤K result rows at the end.
-        covered = covered.unionAll(
-            post.join(pick.select("doc_id"), "doc_id", "left_semi").select(
-                "term"
-            )
-        ).localCheckpoint(eager=True)
+        picks.append(pick.select("doc_id"))
         rows.append(pick.select(F.lit(r).alias("round"), "doc_id", "gain"))
     out = rows[0]
     for rr in rows[1:]:

@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--plans-dir", default="r15")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -44,7 +45,7 @@ def main() -> None:
     registry = load_all()
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", args.plans_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

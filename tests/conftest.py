@@ -26,6 +26,40 @@ from fuzzy_item_matching_spark.tables import TABLE_NAMES, table_path
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CHECK = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
+# ---------------------------------------------------------------------------
+# Fast default profile (r15, VERDICT r14 ask #1): the full suite's
+# 1,900+ s outran the driver's pytest window (r14 VERIFY tests_ok:
+# false with zero visible failures — a timeout, not a failure). The
+# default run SKIPS the tests in tests/slow_tests.txt (a committed
+# ledger of every test measured >= 2 s in the r15 full run, ~70% of
+# suite wall time, leaving a ~580 s broad-coverage profile);
+# SPARK_GRAFT_FULL_TESTS=1 restores the full suite — the builder's
+# round-close runs and records it. Ledger ids are matched exactly;
+# renamed/new tests simply run (fast by default until measured slow).
+# ---------------------------------------------------------------------------
+_SLOW_LEDGER = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    try:
+        with open(_SLOW_LEDGER) as fh:
+            slow = {
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return
+    mark = pytest.mark.skip(
+        reason="fast profile (tests/slow_tests.txt); "
+        "SPARK_GRAFT_FULL_TESTS=1 runs the full suite"
+    )
+    for item in items:
+        if f"tests/{item.nodeid}" in slow or item.nodeid in slow:
+            item.add_marker(mark)
+
 
 @pytest.fixture(scope="session")
 def spark():

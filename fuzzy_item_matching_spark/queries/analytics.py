@@ -1088,6 +1088,13 @@ def rel_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # r15 (guide §2.4): persist the edge list — all three
+        # half-steps read it, and without the persist the single plan
+        # rebuilt the orders⋈lineitem join + distinct THREE times (the
+        # before-plan scans orders/lineitem 3× each; ReuseExchange
+        # cannot fire because each consumer re-keys the distinct's
+        # exchange differently). One build + three keyed reads.
+        .persist()
     )
     a1 = e.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
     h1 = (

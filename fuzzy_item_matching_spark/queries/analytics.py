@@ -206,10 +206,17 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     single divisions.
     """
     e = load_table(spark, sf_dir, "events")
+    # r15 (guide §2.4): persist the v and c stage frames — the single
+    # plan otherwise evaluates v THREE times (its own count, inside c,
+    # inside p→c) and c twice, re-scanning events each time (the
+    # before-plan shows 6 events scans; after: 3). The cached frames
+    # are per-user (user_id, min ts) rows — bounded by users, not
+    # events. p is consumed once, so it stays unpersisted.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -217,6 +224,7 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

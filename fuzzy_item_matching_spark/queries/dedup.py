@@ -1361,8 +1361,16 @@ def dedup_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest = d.unionByName(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    exact = ingest.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    exact = exact.select("doc_id", "text").persist()
+    # r15 (guide §2.4): the ingest stage count rides the exact-dedup
+    # aggregate as a group-size column (n_ingest = Σ group sizes over
+    # the cached exact frame), so stage 1 no longer re-scans the
+    # doubled ingest union — the before-plan read the parquet 4×
+    # (2 for the count, 2 for the dedup build); after: 2.
+    exact = ingest.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("__mult"),
+    )
+    exact = exact.select("doc_id", "text", "__mult").persist()
     pairs = ngram_jaccard_pairs(
         exact, "doc_id", regex_tokenize("text"), n=3, min_jaccard=0.5
     )
@@ -1382,8 +1390,14 @@ def dedup_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    ingest_n = exact.agg(
+        F.lit(1).alias("stage"),
+        F.lit("ingest").alias("name"),
+        # coalesce: an EMPTY ingest sums to NULL where count() gave 0
+        F.coalesce(F.sum("__mult"), F.lit(0)).cast("long").alias("n_docs"),
+    )
     return (
-        stage(1, "ingest", ingest)
+        ingest_n
         .unionByName(stage(2, "exact_dedup", exact))
         .unionByName(stage(3, "near_dedup", near))
         .unionByName(stage(4, "min_length", quality))

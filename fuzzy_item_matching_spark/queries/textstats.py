@@ -5109,15 +5109,26 @@ def ts_stolcke_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-expression tree rounded to 12 (threshold compare) and 9
     (published); ties break on (h, w)."""
     d = load_table(spark, sf_dir, "documents")
-    tkp = d.select(
-        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "t")
-    )
-    a = tkp.select("doc_id", "pos", F.col("t").alias("h"))
-    b = tkp.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("w")
-    )
+    # r15 (guide §2.4, the ts_textrank r14 idiom): adjacent bigrams
+    # are a pure function of EACH doc's token sequence — the array
+    # zipped with its own tail — instead of the (doc_id, pos)
+    # positions self-join, which tokenized the corpus once per join
+    # side and shuffled both exploded sides on (doc_id, pos). One
+    # scan, map-only until the (h, w) count aggregation; the emitted
+    # bigram multiset is identical pair-for-pair.
+    t = F.col("__t")  # bound once: 4 references, tokenizer runs 1×
     bg = (
-        a.join(b, ["doc_id", "pos"])
+        d.select(regex_tokenize("text").alias("__t"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("h"), y.alias("w")),
+                )
+            ).alias("p")
+        )
+        .select("p.h", "p.w")
         .groupBy("h", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c_hw"))
         .persist()

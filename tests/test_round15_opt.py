@@ -87,3 +87,42 @@ def test_hits_scores_persist_preserves_ranking(spark):
         for r in a2.orderBy(F.desc("a"), "p").limit(len(got)).collect()
     ]
     assert got == want
+
+
+def test_stolcke_bigrams_match_positions_join(spark):
+    """ts_stolcke_prune r15: the row-local zip-with-tail bigram build
+    must produce the exact (h, w, c_hw) multiset of the old
+    (doc_id, pos) positions self-join."""
+    from fuzzy_item_matching_spark.functions.text import regex_tokenize
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    tkp = d.select(
+        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "t")
+    )
+    a = tkp.select("doc_id", "pos", F.col("t").alias("h"))
+    b = tkp.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("w")
+    )
+    old = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("h", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_hw"))
+    )
+    t = F.col("__t")
+    new = (
+        d.select(regex_tokenize("text").alias("__t"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("h"), y.alias("w")),
+                )
+            ).alias("p")
+        )
+        .select("p.h", "p.w")
+        .groupBy("h", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_hw"))
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0

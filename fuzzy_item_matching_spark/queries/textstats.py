@@ -4861,18 +4861,24 @@ def ts_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: gains are exact counts; ties break on doc_id; the
     oracle unrolls all {r} rounds CTE-for-CTE."""
     d = load_table(spark, sf_dir, "documents")
-    tkc = d.select(
-        "doc_id", F.posexplode(regex_tokenize("text")).alias("pos", "t")
-    )
-    a = tkc.select("doc_id", "pos", F.col("t").alias("ta"))
-    b = tkc.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("tb")
-    )
+    # r15 (guide §2.4, the ts_textrank/ts_stolcke idiom): adjacent
+    # bigram terms are a pure function of each doc's token array —
+    # zip it with its own tail row-locally instead of the old
+    # (doc_id, pos) positions self-join (which tokenized the corpus
+    # once per join side and shuffled both exploded sides). Map-only
+    # until the distinct; term multiset identical pair-for-pair.
+    tc = F.col("__t")
     post = (
-        a.join(b, ["doc_id", "pos"])
+        d.select("doc_id", regex_tokenize("text").alias("__t"))
         .select(
             "doc_id",
-            F.concat_ws(" ", F.col("ta"), F.col("tb")).alias("term"),
+            F.explode(
+                F.zip_with(
+                    F.slice(tc, 1, F.greatest(F.size(tc) - 1, F.lit(0))),
+                    F.slice(tc, 2, F.greatest(F.size(tc) - 1, F.lit(0))),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ).alias("term"),
         )
         .distinct()
         .persist()

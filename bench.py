@@ -249,6 +249,12 @@ HEADLINE_EXTRA = {
     "train_hard_negatives",
     "dedup_decontaminate",
     "sim_rrf_fusion",
+    # r15 rotation demotion: rel_cuped_adjustment leaves the 50-slot
+    # prefix (displaced by this round's changed-operator re-proofs);
+    # it keeps min-of-N — its r14 driver row read 8.2 s purely from a
+    # 32-core scanner burst (~1.1 s steady in every same-commit
+    # record), exactly the noise mode the min-of-N tier exists for.
+    "rel_cuped_adjustment",
 }
 
 

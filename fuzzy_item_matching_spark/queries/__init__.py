@@ -135,14 +135,18 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # ^ 42 slots: 1 promised lead + 41 r14-changed re-proofs.
     # -- r15 changed-operator re-proofs (this round's optimizations;
     #    impact-map discipline — each name's operator changed in r15):
-    "sim_maxscore_topk",  # was r12; r15 examined/changed this round
-    "train_sparse_logreg",  # was r08; r15 examined/changed this round
-    "sim_blocking_eval",  # was r09; r15 examined/changed this round
-    "rel_cuped_adjustment",  # was r12; r15 spare re-proof slot
-    "rel_ppr_parts",  # was r12; r15 spare re-proof slot
-    "rel_label_propagation",  # was r12; r15 spare re-proof slot
-    "rel_kcore_parts",  # was r12; r15 spare re-proof slot
-    "sim_fuzzy_part_pairs",  # was r09; r15 spare re-proof slot
+    "sim_maxscore_topk",  # was r12; r15 examined (scaling rows, no change)
+    "train_sparse_logreg",  # was r08; r15 examined (iter decomposition)
+    "sim_blocking_eval",  # was r09; r15 changed (flagged-join counts)
+    "rel_ppr_parts",  # was r12; r15 changed (persisted out-degree ledger)
+    # -- the 4 spare slots went to this round's remaining changed
+    #    operators (impact-map discipline; the displaced spares
+    #    rel_cuped_adjustment / rel_label_propagation / rel_kcore_parts
+    #    / sim_fuzzy_part_pairs are r12/r09-proven and unchanged):
+    "rel_hits_scores",  # was r12; r15 changed (persisted edge list)
+    "rel_event_funnel",  # was r12; r15 changed (persisted stage frames)
+    "dedup_funnel_counts",  # was r12; r15 changed (mult-carrying agg)
+    "ts_stolcke_prune",  # was r13; r15 changed (row-local bigrams)
     # ^ budget math: 1 promised lead + 41 r14 re-proofs + 8 r15 slots
     #   = 50.
     # =================================================================
@@ -264,7 +268,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_ipw_ate",  # r13
     "ts_rake_keyphrases",  # r13
     "ts_vocab_coverage_curve",  # r13
-    "ts_stolcke_prune",  # r13
+    "rel_label_propagation",  # r12; displaced r15 spare (unchanged)
     "vec_rff_features",  # r13
     "vec_mahalanobis_outliers",  # r13
     "train_xicor",  # r13
@@ -304,7 +308,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "ts_top_terms",  # r12
     "pipe_corpus_funnel",  # r12
     "dedup_simhash",  # r12
-    "dedup_funnel_counts",  # r12
+    "rel_kcore_parts",  # r12; displaced r15 spare (unchanged)
     "rel_cm_join_size",  # r12
     "rel_time_decay_attribution",  # r12
     "ts_mi_terms",  # r12
@@ -313,7 +317,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "train_conformal_ols",  # r12
     "serve_als_foldin",  # r12
     "rel_cusum_changepoints",  # r12
-    "rel_hits_scores",  # r12
+    "rel_cuped_adjustment",  # r12; displaced r15 spare (unchanged)
     "sim_maxsim_topk",  # r12
     "ts_kmv_anb",  # r12
     "train_fm_gd",  # r12
@@ -398,7 +402,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "rel_user_sessions_batch",  # r10
     "rel_skew_report",  # r10
     "rel_histo_quantiles",  # r10
-    "rel_event_funnel",  # r10
+    "sim_fuzzy_part_pairs",  # r09; displaced r15 spare (unchanged)
     "dedup_boundary_overlap",  # r10
     "pipe_incremental_refresh",  # r10
     "pipe_preference_pairs",  # r10

@@ -429,16 +429,22 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(surv, "doc_id", F.col("toks"), n=3, min_jaccard=0.5)
     dups = pairs.select("id_b").distinct()
-    return (
-        surv.join(dups, surv.doc_id == dups.id_b, "left_anti")
-        .select(
-            "doc_id",
-            "quality",
-            F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
-                "n_pieces"
-            ),
-        )
+    # r15 (guide §2.3 — project before the exchange): n_pieces is
+    # computed BEFORE the anti-join so the join shuffles narrow
+    # (doc_id, quality, n_pieces) rows from the cached surv frame
+    # instead of text + token arrays; projection commutes with the
+    # anti-join's row filter, so the output rows are identical.
+    # (Broadcasting dups instead measured similar but is not
+    # scale-safe: the near-dup id set is unbounded on a
+    # duplicate-heavy crawl.)
+    slim = surv.select(
+        "doc_id",
+        "quality",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
+            "n_pieces"
+        ),
     )
+    return slim.join(dups, slim.doc_id == dups.id_b, "left_anti")
 
 
 # ---------------------------------------------------------------------------

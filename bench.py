@@ -413,6 +413,20 @@ def main() -> None:
             file=sys.stderr,
         )
         return
+    # Same guard for subset tiers and non-default core counts (r15:
+    # an 8-core headline-tier sanity run REPLACED the committed
+    # 349-query record — the set-equality merge check can't merge a
+    # subset, so it overwrote): the durable file is the
+    # full-surface, local[32] series only.
+    if tier == "headline" or os.environ.get("SPARK_GRAFT_CPUS", "32") != "32":
+        print(
+            f"[bench] tier={tier} cpus="
+            f"{os.environ.get('SPARK_GRAFT_CPUS', '32')}: durable "
+            "BENCH_LOCAL record not written (full-surface local[32] "
+            "series only)",
+            file=sys.stderr,
+        )
+        return
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
